@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode is a single JVM; the same configs (AQE, shuffle partitions,
+maxPartitionBytes) are the ones that matter on a 1000-executor cluster —
+they are set here once so every entry point (tests, bench, CLI, driver
+harness) gets an identical, scale-aware session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mimic2ts_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on (runtime coalesce + skew-join split — the `stay_id` shuffle is
+      the reference's skew hazard, SURVEY.md §7 "What's hard" #4).
+    - UTC session timezone (oracle comparisons and epoch math are
+      timezone-free, mirroring the reference's naive-UTC epoch seconds,
+      /root/reference/src/mimic2ts/__init__.py:84-87).
+    - Arrow enabled for the few pandas-UDF boundaries (grouped CSV sink,
+      multimodal decode).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        # 128 MiB input splits: good default for parquet at any scale.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

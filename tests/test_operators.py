@@ -1,0 +1,121 @@
+"""Per-operator unit tests, pinning the semantic quirks from SURVEY.md §2:
+range-vs-sequence inclusivity (I1), floor bucketing of negatives (E6),
+clamp (E7), floor total_windows (E8), dense reindex + ffill ordering
+(J2/W1/W2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators import (
+    bucket_index,
+    clamp_floor,
+    dense_reindex,
+    forward_fill,
+    interval_instants,
+    parse_epoch_seconds,
+    pivot_wide,
+    spread_evenly,
+    total_windows,
+    zero_fill,
+)
+
+H = 3600
+
+
+@pytest.mark.parametrize(
+    "start,end,step",
+    [
+        (0, 7200, 3600),      # exact multiple
+        (0, 7300, 3600),      # overshoot
+        (0, 0, 3600),         # zero-length → one element
+        (1800, 9000, 3600),   # exact multiple, offset
+        (5, 13, 7),           # tiny odd steps
+        (5, 12, 7),           # end-start = step exactly
+        (5, 5 + 7, 7),
+        (100, 100 + 6, 7),    # d < step
+    ],
+)
+def test_interval_instants_matches_python_range(spark, start, end, step):
+    """I1: sequence(start, end+step-1, step) == list(range(start, end+step, step))
+    (/root/reference/src/mimic2ts/__init__.py:319-327)."""
+    expected = list(range(start, end + step, step))
+    row = (
+        spark.range(1)
+        .select(
+            interval_instants(F.lit(start).cast("long"), F.lit(end).cast("long"), step).alias("xs")
+        )
+        .first()
+    )
+    assert row.xs == expected
+
+
+def test_bucket_index_floors_negatives(spark):
+    """E6: events before intime get negative buckets via floor (not trunc)."""
+    df = spark.createDataFrame(
+        [(-1, 0), (-3600, 0), (-3601, 0), (0, 0), (3599, 0), (3600, 0)],
+        "ev long, intime long",
+    )
+    out = df.select(bucket_index(F.col("ev"), F.col("intime"), H).alias("t")).collect()
+    assert [r.t for r in out] == [-1, -1, -2, 0, 0, 1]
+
+
+def test_clamp_floor(spark):
+    df = spark.createDataFrame([(-5,), (0,), (3,)], "t long")
+    out = df.select(clamp_floor(F.col("t")).alias("t")).collect()
+    assert [r.t for r in out] == [0, 0, 3]
+
+
+def test_total_windows_floor_quirk(spark):
+    """E8: floor, so an exact-multiple stay has floor(x)+1 buckets
+    (one more than ceil) — /root/reference/src/mimic2ts/__init__.py:93-95."""
+    df = spark.createDataFrame([(0, 5 * H + 1800), (0, 4 * H)], "i long, o long")
+    out = df.select(total_windows(F.col("o"), F.col("i"), H).alias("w")).collect()
+    assert [r.w for r in out] == [5, 4]
+
+
+def test_parse_epoch_seconds(spark):
+    df = spark.createDataFrame([("2024-01-01 00:00:07",)], "s string")
+    assert df.select(parse_epoch_seconds("s").alias("e")).first().e == 1704067207
+
+
+def test_spread_evenly(spark):
+    df = spark.range(1).select(
+        F.lit(6.0).alias("v"),
+        F.array(F.lit(1), F.lit(2), F.lit(3)).alias("xs"),
+    )
+    assert df.select(spread_evenly(F.col("v"), F.col("xs")).alias("o")).first().o == 2.0
+
+
+def _sparse(spark):
+    # stay 1 / feature 9, total_windows=4, observed tidx {1, 3}
+    return spark.createDataFrame(
+        [(1, 9, 4, 1, 10.0), (1, 9, 4, 3, 30.0)],
+        "stay_id long, feature_id long, total_windows long, tidx long, value double",
+    )
+
+
+def test_dense_reindex_zero_fill(spark):
+    out = zero_fill(dense_reindex(_sparse(spark)))
+    got = {r.tidx: r.value for r in out.collect()}
+    assert got == {0: 0.0, 1: 10.0, 2: 0.0, 3: 30.0, 4: 0.0}
+
+
+def test_dense_reindex_ffill_then_zero(spark):
+    """W1 then W2: ffill carries last observation; leading gap → 0.0
+    (/root/reference/src/mimic2ts/__init__.py:128-132)."""
+    out = zero_fill(forward_fill(dense_reindex(_sparse(spark))))
+    got = {r.tidx: r.value for r in out.collect()}
+    assert got == {0: 0.0, 1: 10.0, 2: 10.0, 3: 30.0, 4: 30.0}
+
+
+def test_pivot_wide(spark):
+    df = spark.createDataFrame(
+        [(1, 9, 0, 1.0), (1, 9, 1, 2.0), (1, 8, 0, 3.0), (1, 8, 1, 4.0)],
+        "stay_id long, feature_id long, tidx long, value double",
+    )
+    wide = pivot_wide(df, pivot_values=[0, 1]).toPandas().set_index("feature_id").sort_index()
+    assert list(wide.columns) == ["stay_id", "0", "1"]
+    assert wide.loc[8, "0"] == 3.0 and wide.loc[9, "1"] == 2.0
