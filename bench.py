@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line. Each query is forced end-to-end with the `noop` sink (full
+materialization, no driver collect, no output I/O).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mimic2ts_spark import harness  # noqa: E402
+from mimic2ts_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_tpch_q1",
+    "q_tpch_q5",
+    "q_window_clamp",
+    "q_agg_mean_bucket",
+    "q_dense_reindex",
+    "q_ffill_window",
+    "q_interval_explode",
+    "q_pivot_wide",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("mimic2ts_spark_bench")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # JVM/codegen warmup on a trivial plan so q1 isn't charged for startup
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = harness.REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    harness.flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings["flagship_dense_matrix"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,576 @@
+"""Driver-contract harness queries (SURVEY.md §2 inventory → testdata).
+
+Each entry pairs a Spark DataFrame implementation (built from the engine's
+operator modules) with an equivalent ANSI-SQL oracle that DuckDB runs on
+the same parquet tables. The driver hash-compares values order-insensitively
+after sorting columns by name (TESTDATA.md) — so every computed column is
+aliased identically on both sides.
+
+Cross-engine float determinism: row-level float expressions (one cast /
+one division / one multiply) are bit-identical between Spark and DuckDB,
+so they are emitted raw. AGGREGATED floats are NOT (summation order
+differs), so every sum/avg here is computed as an exact integer sum of
+`round(x * SCALE)` longs, divided back at the end — order-independent and
+bit-identical on both engines. DuckDB's BIGINT sum widens to HUGEINT, so
+oracles cast back before the final division.
+
+The `events` table plays the chartevents role (TESTDATA.md): user_id ≈
+stay_id, event_type ≈ itemid, ts ≈ charttime, value ≈ valuenum. The stay
+dimension is derived per user with intime = min(ts)+2h and outtime =
+max(ts)-1h so the clamp (E7) and late-drop (P4) paths both fire on real
+rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators.dense import dense_reindex, forward_fill, zero_fill
+from mimic2ts_spark.operators.intervals import interval_instants, spread_evenly
+from mimic2ts_spark.operators.time_ops import (
+    bucket_index,
+    clamp_floor,
+    epoch_seconds,
+    total_windows,
+)
+
+H = 3600
+SCALE = 100  # testdata carries 2-decimal values/prices
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet loader. The testdata `events.ts` column is physical
+    TIMESTAMP(NANOS), which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL):
+    read it as raw nanos and rebuild a microsecond timestamp — integer
+    `div` keeps full precision (ns values overflow double's 2^53), and
+    µs truncation matches how DuckDB reads the same file, so oracles
+    agree on every derived time value."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _sum_exact(col: Column, alias: str, scale: int = SCALE) -> F.Column:
+    """Order-independent sum: integer-cents sum, divided back to double."""
+    s = F.sum(F.round(col * scale, 0).cast("long"))
+    return (s.cast("double") / F.lit(float(scale))).alias(alias)
+
+
+def _avg_exact(col: Column, alias: str, scale: int = SCALE) -> F.Column:
+    s = F.sum(F.round(col * scale, 0).cast("long"))
+    n = F.count(col)
+    return (s.cast("double") / (n * scale).cast("double")).alias(alias)
+
+
+_SQL_SUM = "CAST(CAST(sum(CAST(round({x} * {s}) AS BIGINT)) AS BIGINT) AS DOUBLE) / {s}.0"
+_SQL_AVG = (
+    "CAST(CAST(sum(CAST(round({x} * {s}) AS BIGINT)) AS BIGINT) AS DOUBLE)"
+    " / CAST(count({c}) * {s} AS DOUBLE)"
+)
+
+
+def sql_sum_exact(x: str, scale: int = SCALE) -> str:
+    return _SQL_SUM.format(x=x, s=scale)
+
+
+def sql_avg_exact(x: str, count_col: str, scale: int = SCALE) -> str:
+    return _SQL_AVG.format(x=x, s=scale, c=count_col)
+
+
+# --- derived stay dimension over `events` ----------------------------------
+
+_STAYS_SQL = f"""
+stays AS (
+    SELECT user_id,
+           CAST(min(floor(epoch(ts))) AS BIGINT) + 7200 AS intime,
+           CAST(max(floor(epoch(ts))) AS BIGINT) - 3600 AS outtime
+    FROM events GROUP BY user_id
+),
+stays2 AS (
+    SELECT user_id, intime, outtime,
+           CAST(floor((outtime - intime) / {H}.0) AS BIGINT) AS total_windows
+    FROM stays
+)"""
+
+_BUCKETED_SQL = f"""
+WITH {_STAYS_SQL},
+bucketed_raw AS (
+    SELECT e.event_id, e.user_id, e.event_type, e.value, s.total_windows,
+           GREATEST(0, CAST(floor((CAST(floor(epoch(e.ts)) AS BIGINT) - s.intime) / {H}.0) AS BIGINT)) AS tidx
+    FROM events e JOIN stays2 s ON e.user_id = s.user_id
+),
+bucketed AS (
+    SELECT * FROM bucketed_raw WHERE tidx <= total_windows
+)"""
+
+
+def derived_stays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stay window (J1 dim): intime = min+2h, outtime = max-1h."""
+    ev = _t(spark, sf_dir, "events")
+    st = ev.groupBy("user_id").agg(
+        (F.min(epoch_seconds("ts")) + 7200).alias("intime"),
+        (F.max(epoch_seconds("ts")) - 3600).alias("outtime"),
+    )
+    return st.withColumn("total_windows", total_windows(F.col("outtime"), F.col("intime"), H))
+
+
+def bucketed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ broadcast(stays) → clamp(E7) ∘ bucket(E6), late-drop (P4)."""
+    ev = _t(spark, sf_dir, "events").withColumn("event_epoch", epoch_seconds("ts"))
+    st = derived_stays(spark, sf_dir)
+    joined = ev.join(F.broadcast(st), "user_id")
+    b = joined.withColumn(
+        "tidx", clamp_floor(bucket_index(F.col("event_epoch"), F.col("intime"), H))
+    )
+    return b.where(F.col("tidx") <= F.col("total_windows"))
+
+
+# --- queries ---------------------------------------------------------------
+
+
+def q_scan_project(spark, sf_dir):
+    """S1+P1+E2/E3: typed scan, projection, casts."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+
+
+Q_SCAN_PROJECT_SQL = "SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value FROM events"
+
+
+def q_filter_isin(spark, sf_dir):
+    """P2+P5: IN-list + non-null/non-zero predicates."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isin([1, 2, 3, 5, 8, 13, 21]))
+        .where(F.col("value").isNotNull() & (F.col("value") != 0.0))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+Q_FILTER_ISIN_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE user_id IN (1, 2, 3, 5, 8, 13, 21) AND value IS NOT NULL AND value <> 0.0
+"""
+
+
+def q_filter_anti(spark, sf_dir):
+    """P3/J3/U2: anti-join — customers with no high-value order (the
+    filtered right side keeps the result nonempty at every sf)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+Q_FILTER_ANTI_SQL = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+)
+"""
+
+
+def q_epoch_parse(spark, sf_dir):
+    """E1: timestamp → floored epoch seconds."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", epoch_seconds("ts").alias("epoch_s")
+    )
+
+
+Q_EPOCH_PARSE_SQL = "SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events"
+
+
+def q_value_parse(spark, sf_dir):
+    """E3/E4/E5: row-level value derivations (weight-norm analogue:
+    extendedprice/quantity). Single fp ops — bit-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+Q_VALUE_PARSE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / l_quantity AS unit_price,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+"""
+
+
+def q_window_clamp(spark, sf_dir):
+    """E6+E7+P4 end-to-end on the derived stay windows."""
+    return bucketed_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "tidx", "total_windows"
+    )
+
+
+Q_WINDOW_CLAMP_SQL = (
+    _BUCKETED_SQL
+    + "\nSELECT event_id, user_id, event_type, tidx, total_windows FROM bucketed"
+)
+
+
+def q_join_broadcast(spark, sf_dir):
+    """J1: chained broadcast hash joins over the dim tables."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+Q_JOIN_BROADCAST_SQL = """
+SELECT c_custkey, c_name, n_name, r_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_agg_mean_bucket(spark, sf_dir):
+    """A3 (chartevents combiner): per-bucket mean."""
+    return bucketed_events(spark, sf_dir).groupBy("user_id", "event_type", "tidx").agg(
+        _avg_exact(F.col("value"), "mean_value"), F.count("value").alias("n_events")
+    )
+
+
+Q_AGG_MEAN_BUCKET_SQL = _BUCKETED_SQL + f"""
+SELECT user_id, event_type, tidx,
+       {sql_avg_exact('value', 'value')} AS mean_value,
+       count(value) AS n_events
+FROM bucketed GROUP BY user_id, event_type, tidx
+"""
+
+
+def q_agg_sum_bucket(spark, sf_dir):
+    """A3 (input/output/procedure combiner): per-bucket sum."""
+    return bucketed_events(spark, sf_dir).groupBy("user_id", "event_type", "tidx").agg(
+        _sum_exact(F.col("value"), "sum_value")
+    )
+
+
+Q_AGG_SUM_BUCKET_SQL = _BUCKETED_SQL + f"""
+SELECT user_id, event_type, tidx, {sql_sum_exact('value')} AS sum_value
+FROM bucketed GROUP BY user_id, event_type, tidx
+"""
+
+
+def q_agg_oracle_totals(spark, sf_dir):
+    """A4/A5: whole-series totals (the reference's conservation oracles)."""
+    return _t(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        _avg_exact(F.col("value"), "mean_value"),
+        _sum_exact(F.col("value"), "sum_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q_AGG_ORACLE_TOTALS_SQL = f"""
+SELECT user_id, event_type,
+       {sql_avg_exact('value', 'value')} AS mean_value,
+       {sql_sum_exact('value')} AS sum_value,
+       count(*) AS n_events
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_distinct(spark, sf_dir):
+    """A6: distinct."""
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+Q_DISTINCT_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def q_dense_reindex(spark, sf_dir):
+    """J2+W2: dense bucket domain with zero-fill (sum combiner)."""
+    agg = (
+        bucketed_events(spark, sf_dir)
+        .where(F.col("user_id") < 8)
+        .groupBy("user_id", "event_type", "total_windows", "tidx")
+        .agg(_sum_exact(F.col("value"), "value"))
+    )
+    dense = dense_reindex(agg, key_cols=("user_id", "event_type"))
+    return zero_fill(dense).select("user_id", "event_type", "tidx", "value")
+
+
+Q_DENSE_REINDEX_SQL = _BUCKETED_SQL + f""",
+agg AS (
+    SELECT user_id, event_type, total_windows, tidx,
+           {sql_sum_exact('value')} AS value
+    FROM bucketed WHERE user_id < 8
+    GROUP BY user_id, event_type, total_windows, tidx
+),
+dense AS (
+    SELECT user_id, event_type,
+           unnest(generate_series(0, total_windows)) AS tidx
+    FROM (SELECT DISTINCT user_id, event_type, total_windows FROM agg)
+)
+SELECT d.user_id, d.event_type, d.tidx, COALESCE(a.value, 0.0) AS value
+FROM dense d LEFT JOIN agg a
+  ON d.user_id = a.user_id AND d.event_type = a.event_type AND d.tidx = a.tidx
+"""
+
+
+def q_ffill_window(spark, sf_dir):
+    """W1+W2: dense domain, forward-fill, then zero-fill (mean combiner)."""
+    agg = (
+        bucketed_events(spark, sf_dir)
+        .where(F.col("user_id") < 8)
+        .groupBy("user_id", "event_type", "total_windows", "tidx")
+        .agg(_avg_exact(F.col("value"), "value"))
+    )
+    dense = dense_reindex(agg, key_cols=("user_id", "event_type"))
+    filled = forward_fill(dense, key_cols=("user_id", "event_type"))
+    return zero_fill(filled).select("user_id", "event_type", "tidx", "value")
+
+
+Q_FFILL_WINDOW_SQL = _BUCKETED_SQL + f""",
+agg AS (
+    SELECT user_id, event_type, total_windows, tidx,
+           {sql_avg_exact('value', 'value')} AS value
+    FROM bucketed WHERE user_id < 8
+    GROUP BY user_id, event_type, total_windows, tidx
+),
+dense AS (
+    SELECT user_id, event_type,
+           unnest(generate_series(0, total_windows)) AS tidx
+    FROM (SELECT DISTINCT user_id, event_type, total_windows FROM agg)
+),
+joined AS (
+    SELECT d.user_id, d.event_type, d.tidx, a.value
+    FROM dense d LEFT JOIN agg a
+      ON d.user_id = a.user_id AND d.event_type = a.event_type AND d.tidx = a.tidx
+)
+SELECT user_id, event_type, tidx,
+       COALESCE(
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id, event_type ORDER BY tidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         0.0) AS value
+FROM joined
+"""
+
+
+def q_interval_explode(spark, sf_dir):
+    """I1+I2+E9: synthesize an interval per event (duration = value
+    minutes), generate touched instants with Python-range semantics,
+    spread the value evenly, explode."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        epoch_seconds("ts").alias("start_epoch"),
+        (epoch_seconds("ts") + F.floor(F.col("value") * 60).cast("long")).alias("end_epoch"),
+    )
+    ev = ev.withColumn(
+        "instants", interval_instants(F.col("start_epoch"), F.col("end_epoch"), H)
+    )
+    ev = ev.withColumn("spread_value", spread_evenly(F.col("value"), F.col("instants")))
+    return ev.select(
+        "event_id", "user_id", F.explode("instants").alias("instant"), "spread_value"
+    )
+
+
+Q_INTERVAL_EXPLODE_SQL = f"""
+WITH iv AS (
+    SELECT event_id, user_id, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS start_epoch,
+           CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 60) AS BIGINT) AS end_epoch
+    FROM events
+),
+seq AS (
+    SELECT event_id, user_id, value,
+           generate_series(start_epoch, end_epoch + {H - 1}, {H}) AS instants
+    FROM iv
+)
+SELECT event_id, user_id, unnest(instants) AS instant,
+       value / len(instants) AS spread_value
+FROM seq
+"""
+
+
+def q_union(spark, sf_dir):
+    """U1: unionByName of two source projections."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "value")
+    b = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "value")
+    return a.unionByName(b)
+
+
+Q_UNION_SQL = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, user_id, value FROM events WHERE event_type = 'view'
+"""
+
+
+def q_sort(spark, sf_dir):
+    """W3 + limit: total order on a unique key, top 100."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy("user_id", "event_id")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(100)
+    )
+
+
+Q_SORT_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+ORDER BY user_id, event_id LIMIT 100
+"""
+
+
+def q_pivot_wide(spark, sf_dir):
+    """R1: long → wide (hour-of-day columns, static pivot values)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    ev = ev.withColumn("hod", F.hour("ts").cast("long")).withColumn(
+        "cents", F.round(F.col("value") * SCALE, 0).cast("long")
+    )
+    wide = ev.groupBy("user_id").pivot("hod", list(range(24))).sum("cents")
+    out = wide.select(
+        "user_id",
+        *[
+            (F.coalesce(F.col(str(h)), F.lit(0)).cast("double") / SCALE).alias(f"h{h}")
+            for h in range(24)
+        ],
+    )
+    return out
+
+
+Q_PIVOT_WIDE_SQL = (
+    "SELECT user_id, "
+    + ", ".join(
+        "CAST(COALESCE(CAST(sum(CASE WHEN CAST(hour(ts) AS BIGINT) = {h} "
+        "THEN CAST(round(value * {s}) AS BIGINT) END) AS BIGINT), 0) AS DOUBLE) / {s} AS h{h}".format(
+            h=h, s=SCALE
+        )
+        for h in range(24)
+    )
+    + " FROM events WHERE user_id < 5 GROUP BY user_id"
+)
+
+
+def q_sink_partitioned(spark, sf_dir):
+    """S3: partitioned sink through Spark's commit protocol, read back.
+    Rows-only check (side-effecting — no oracle)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sink_partitioned_")
+    agg = q_agg_sum_bucket(spark, sf_dir)
+    agg.write.mode("overwrite").partitionBy("user_id").parquet(out)
+    return spark.read.parquet(out)
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: wide agg over lineitem (pricing summary)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_exact(F.col("l_quantity"), "sum_qty"),
+            _sum_exact(F.col("l_extendedprice"), "sum_base_price"),
+            _sum_exact(disc, "sum_disc_price", scale=10000),
+            _avg_exact(F.col("l_quantity"), "avg_qty"),
+            _avg_exact(F.col("l_extendedprice"), "avg_price"),
+            _avg_exact(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q_TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_sum_exact('l_quantity')} AS sum_qty,
+       {sql_sum_exact('l_extendedprice')} AS sum_base_price,
+       {sql_sum_exact('l_extendedprice * (1 - l_discount)', 10000)} AS sum_disc_price,
+       {sql_avg_exact('l_quantity', 'l_quantity')} AS avg_qty,
+       {sql_avg_exact('l_extendedprice', 'l_extendedprice')} AS avg_price,
+       {sql_avg_exact('l_discount', 'l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: multi-way join, broadcast dims, grouped revenue."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_sum_exact(rev, "revenue", scale=10000))
+    )
+
+
+Q_TPCH_Q5_SQL = f"""
+SELECT n_name, {sql_sum_exact('l_extendedprice * (1 - l_discount)', 10000)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --- registry --------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name → (spark_fn, oracle_sql | None for rows-only checks)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q_scan_project": (q_scan_project, Q_SCAN_PROJECT_SQL),
+    "q_filter_isin": (q_filter_isin, Q_FILTER_ISIN_SQL),
+    "q_filter_anti": (q_filter_anti, Q_FILTER_ANTI_SQL),
+    "q_epoch_parse": (q_epoch_parse, Q_EPOCH_PARSE_SQL),
+    "q_value_parse": (q_value_parse, Q_VALUE_PARSE_SQL),
+    "q_window_clamp": (q_window_clamp, Q_WINDOW_CLAMP_SQL),
+    "q_join_broadcast": (q_join_broadcast, Q_JOIN_BROADCAST_SQL),
+    "q_agg_mean_bucket": (q_agg_mean_bucket, Q_AGG_MEAN_BUCKET_SQL),
+    "q_agg_sum_bucket": (q_agg_sum_bucket, Q_AGG_SUM_BUCKET_SQL),
+    "q_agg_oracle_totals": (q_agg_oracle_totals, Q_AGG_ORACLE_TOTALS_SQL),
+    "q_distinct": (q_distinct, Q_DISTINCT_SQL),
+    "q_dense_reindex": (q_dense_reindex, Q_DENSE_REINDEX_SQL),
+    "q_ffill_window": (q_ffill_window, Q_FFILL_WINDOW_SQL),
+    "q_interval_explode": (q_interval_explode, Q_INTERVAL_EXPLODE_SQL),
+    "q_union": (q_union, Q_UNION_SQL),
+    "q_sort": (q_sort, Q_SORT_SQL),
+    "q_pivot_wide": (q_pivot_wide, Q_PIVOT_WIDE_SQL),
+    "q_sink_partitioned": (q_sink_partitioned, None),
+    "q_tpch_q1": (q_tpch_q1, Q_TPCH_Q1_SQL),
+    "q_tpch_q5": (q_tpch_q5, Q_TPCH_Q5_SQL),
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mimic2ts headline query on the harness tables: dense zero-filled
+    per-bucket mean matrix (scan → join → bucketize → agg → dense → fill)."""
+    agg = bucketed_events(spark, sf_dir).groupBy(
+        "user_id", "event_type", "total_windows", "tidx"
+    ).agg(_avg_exact(F.col("value"), "value"))
+    dense = dense_reindex(agg, key_cols=("user_id", "event_type"))
+    return zero_fill(dense).select("user_id", "event_type", "tidx", "value")
