@@ -566,6 +566,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+from mimic2ts_spark.harness_ext import EXT_REGISTRY  # noqa: E402  (uses REGISTRY above)
+
+REGISTRY.update(EXT_REGISTRY)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mimic2ts headline query on the harness tables: dense zero-filled
     per-bucket mean matrix (scan → join → bucketize → agg → dense → fill)."""

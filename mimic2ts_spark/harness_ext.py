@@ -1,0 +1,285 @@
+"""Extension harness queries: text analysis, dedup, similarity search
+(the LLM-training-data operators) over `documents` / `embeddings`, each
+with a DuckDB oracle mirroring the exact arithmetic (see operators/text.py
+/dedup.py/similarity.py for the determinism rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators import dedup as D
+from mimic2ts_spark.operators import similarity as S
+from mimic2ts_spark.operators import text as X
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        X.mean_token_len(t).alias("mean_tok_len"),
+        X.stopword_ratio(t).alias("stop_ratio"),
+    )
+
+
+Q_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       {X.SQL_TOKEN_COUNT.format(text='text')} AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({X.sql_char_sum('text')} AS DOUBLE)
+         / CAST({X.SQL_TOKEN_COUNT.format(text='text')} AS DOUBLE) AS mean_tok_len,
+       CAST({X.SQL_STOP_HITS.format(text='text')} AS DOUBLE)
+         / CAST({X.SQL_TOKEN_COUNT.format(text='text')} AS DOUBLE) AS stop_ratio
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        X.quality_score(t).alias("quality"),
+        X.lang_id(t).alias("lang_pred"),
+    )
+
+
+Q_TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       least(1.0, CAST({X.SQL_TOKEN_COUNT.format(text='text')} AS DOUBLE) / 200.0) * 0.5
+       + least(1.0, (CAST({X.SQL_STOP_HITS.format(text='text')} AS DOUBLE)
+                     / CAST({X.SQL_TOKEN_COUNT.format(text='text')} AS DOUBLE)) * 4.0) * 0.5
+         AS quality,
+       CASE WHEN {X.SQL_STOP_HITS.format(text='text')} >= 2 THEN 'en' ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+Q_TEXT_FINGERPRINT_SQL = f"SELECT doc_id, {X.sql_fingerprint('text')} AS fp FROM documents"
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+_MH_COLS = ",\n       ".join(
+    f"{D.sql_minhash('codes', j)} AS mh{j}" for j in range(D.NUM_HASHES)
+)
+_BANDED = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, {D.sql_band_key(b)} AS key FROM sig"
+    for b in range(D.BANDS)
+)
+Q_DEDUP_MINHASH_SQL = f"""
+WITH codes_t AS (
+    SELECT doc_id, {D.sql_shingle_codes('text')} AS codes FROM documents
+),
+codes2 AS (SELECT * FROM codes_t WHERE len(codes) > 0),
+sig AS (
+    SELECT doc_id, codes,
+       {_MH_COLS}
+    FROM codes2
+),
+banded AS (
+{_BANDED}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b,
+           {D.SQL_JACCARD.format(a='ca.codes', b='cb.codes')} AS jaccard
+    FROM cand c
+    JOIN codes2 ca ON ca.doc_id = c.doc_a
+    JOIN codes2 cb ON cb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+Q_DEDUP_NGRAM_SQL = f"""
+WITH codes_t AS (
+    SELECT doc_id, {D.sql_shingle_codes('text')} AS codes
+    FROM documents
+),
+codes2 AS (SELECT * FROM codes_t WHERE len(codes) > 0),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {D.SQL_JACCARD.format(a='a.codes', b='b.codes')} AS jaccard
+    FROM codes2 a JOIN codes2 b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+Q_DEDUP_SIMHASH_SQL = f"""
+WITH sig AS (
+    SELECT doc_id, {D.sql_simhash('text')} AS sig FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return S.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
+
+
+Q_DEDUP_EMBEDDING_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {S.sql_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {S.sql_cosine('a.embedding', 'b.embedding')} >= 0.45
+"""
+
+
+# --- similarity search -----------------------------------------------------
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return S.brute_force_topk(embs, embs.where(F.col("vec_id") < 5), k=10)
+
+
+Q_ANN_BRUTEFORCE_SQL = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           {S.sql_cosine('q.embedding', 'v.embedding')} AS cosine
+    FROM q, v WHERE q.vec_id <> v.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return S.lsh_topk(embs, embs.where(F.col("vec_id") < 5), k=5)
+
+
+_LSH_BANDED_V = "\nUNION ALL\n".join(
+    f"SELECT vec_id, embedding, {t} AS tbl, {S.sql_lsh_bucket('embedding', t)} AS bucket FROM e"
+    for t in range(S.LSH_TABLES)
+)
+Q_ANN_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+banded AS (
+{_LSH_BANDED_V}
+),
+qb AS (SELECT * FROM banded WHERE vec_id < 5),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+    FROM qb q JOIN banded v ON q.tbl = v.tbl AND q.bucket = v.bucket
+    WHERE q.vec_id <> v.vec_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           {S.sql_cosine('eq.embedding', 'ev.embedding')} AS cosine
+    FROM cand c
+    JOIN e eq ON eq.vec_id = c.query_id
+    JOIN e ev ON ev.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+# --- multimodal + streaming ------------------------------------------------
+
+
+def q_multimodal_features(spark, sf_dir):
+    """BinaryType payloads + metadata struct → mapInPandas feature
+    extraction (decode stubbed — codecs absent). Rows-only check: the
+    pandas-UDF byte math is not SQL-expressible in the oracle; unit tests
+    pin the values instead."""
+    from mimic2ts_spark.operators.multimodal import attach_binary, extract_features
+
+    return extract_features(attach_binary(_docs(spark, sf_dir)))
+
+
+def q_stream_tumbling(spark, sf_dir):
+    """Structured Streaming tumbling-window agg driven to completion; in
+    complete mode the result equals the batch GROUP BY, so it IS
+    oracle-checkable."""
+    from mimic2ts_spark.streaming import run_tumbling_available_now
+
+    return run_tumbling_available_now(spark, sf_dir)
+
+
+Q_STREAM_TUMBLING_SQL = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       event_type,
+       CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100 AS sum_value,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+EXT_REGISTRY = {
+    "q_text_stats": (q_text_stats, Q_TEXT_STATS_SQL),
+    "q_text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
+    "q_text_fingerprint": (q_text_fingerprint, Q_TEXT_FINGERPRINT_SQL),
+    "q_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "q_dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
+    "q_dedup_ngram": (q_dedup_ngram, Q_DEDUP_NGRAM_SQL),
+    "q_dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
+    "q_dedup_embedding": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
+    "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
+    "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
+    "q_multimodal_features": (q_multimodal_features, None),
+    "q_stream_tumbling": (q_stream_tumbling, Q_STREAM_TUMBLING_SQL),
+}

@@ -1,0 +1,267 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+
+- exact: one hash-groupBy — a single shuffle on md5(text); at 100 TB this
+  is the cheapest full-corpus dedup and the baseline for everything else.
+- MinHash+LSH: signatures are per-row Column math (no shuffle); the only
+  shuffle is the band-bucket self-join, whose cost is ~(docs × BANDS)
+  exploded rows instead of O(n²) pairs. Candidate verification (exact
+  Jaccard) touches only bucket-colliding pairs.
+- SimHash: one 16-bit signature per doc; near-dup = small Hamming
+  distance. Signature computation is shuffle-free.
+- n-gram Jaccard: exact pairwise within a blocking key (here `source`) —
+  the quadratic fallback, deliberately blocked to keep pair counts sane.
+- embedding cosine: brute-force pair filter; the ANN module (similarity.py)
+  is the scale path.
+
+All randomness is deterministic literals (seeded offline) so DuckDB
+oracles reproduce the exact hashes; cosine/Jaccard arithmetic uses fixed
+op order so floats are bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators.text import MOD, SQL_TOKENS, SQL_CODE, token_code, tokens
+
+SHINGLE_N = 3
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+# Deterministic affine hash params (seeded once; literals on both engines).
+_rng = random.Random(42)
+HASH_A = [_rng.randrange(1, MOD) for _ in range(NUM_HASHES)]
+HASH_B = [_rng.randrange(0, MOD) for _ in range(NUM_HASHES)]
+
+SIMHASH_BITS = 32
+
+
+def shingles(text: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles as strings ('tok1 tok2 tok3')."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - (n - 1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def shingle_codes(text: Column, n: int = SHINGLE_N) -> Column:
+    """Shingle hash codes, reduced mod MOD (so affine minhash math stays
+    in 63 bits). Duplicates kept — min() is insensitive to them."""
+    return F.transform(shingles(text, n), lambda s: token_code(s) % MOD)
+
+
+def minhash_signature(codes: Column) -> list[Column]:
+    """k = NUM_HASHES min-hashes: min over codes of (a_j*c + b_j) % MOD."""
+    return [
+        F.array_min(
+            F.transform(codes, lambda c: (F.lit(HASH_A[j]) * c + F.lit(HASH_B[j])) % MOD)
+        ).alias(f"mh{j}")
+        for j in range(NUM_HASHES)
+    ]
+
+
+def band_key(mh_cols: list[Column], band: int) -> Column:
+    """Fold one band's ROWS_PER_BAND minhashes into a single bucket key."""
+    key = F.lit(0).cast("long")
+    for r in range(ROWS_PER_BAND):
+        key = (key * 131 + mh_cols[band * ROWS_PER_BAND + r]) % MOD
+    return key
+
+
+def jaccard(codes_a: Column, codes_b: Column) -> Column:
+    """Exact Jaccard over distinct shingle-code sets (integer counts +
+    one fp division — cross-engine exact)."""
+    da = F.array_distinct(codes_a)
+    db = F.array_distinct(codes_b)
+    inter = F.size(F.array_intersect(da, db)).cast("long")
+    union = F.size(F.array_union(da, db)).cast("long")
+    return inter.cast("double") / union.cast("double")
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over token codes: bit b set iff sum over tokens of
+    (±1 per code bit b) is positive. Frequency-weighted (dups count)."""
+    codes = F.transform(tokens(text), lambda t: token_code(t))
+
+    def _bit_contrib(b: int):
+        def merge(acc, c):
+            return acc + F.when(
+                F.shiftright(c, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.aggregate(codes, F.lit(0).cast("long"), merge)
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(_bit_contrib(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) → canonical min id + copy count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Plan shape at scale: signature computation is narrow; explode to
+    (band, key) rows; the self-join shuffles on (band, key) — bounded by
+    bucket sizes, not n². The verify step re-derives shingle sets only for
+    surviving candidates.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), shingle_codes(F.col(text_col)).alias("codes")
+    ).where(F.size("codes") > 0)
+    sig = base.select("doc_id", "codes", *minhash_signature(F.col("codes")))
+    mh_cols = [F.col(f"mh{j}") for j in range(NUM_HASHES)]
+    banded = sig.select(
+        "doc_id",
+        "codes",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(mh_cols, b).alias("key"))
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "codes", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.codes").alias("codes_a"),
+            F.col("b.codes").alias("codes_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = cand.withColumn("jaccard", jaccard(F.col("codes_a"), F.col("codes_b")))
+    return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact pairwise Jaccard — the quadratic brute-force dedup.
+
+    With `block_col`, pairs are restricted to a blocking key (shuffle key =
+    block; the block bounds the pair explosion — the only way this shape
+    survives large corpora). Without it, a full self-pair join: correct,
+    and deliberately kept as the oracle-checkable baseline the MinHash-LSH
+    path is validated against.
+    """
+    cols = [F.col(id_col).alias("doc_id"), shingle_codes(F.col(text_col)).alias("codes")]
+    if block_col is not None:
+        cols.insert(0, F.col(block_col).alias("block"))
+    base = df.select(*cols).where(F.size("codes") > 0)
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    if block_col is not None:
+        cond = (F.col("a.block") == F.col("b.block")) & cond
+    pairs = a.join(b, cond).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jaccard(F.col("a.codes"), F.col("b.codes")).alias("jaccard"),
+    )
+    return pairs.where(F.col("jaccard") >= threshold)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash signatures + small-Hamming pairs. (Pairing here is an
+    all-pairs check for oracle parity; at scale, block on signature bytes
+    the way minhash bands do.)"""
+    sig = df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sig"))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- SQL mirrors -----------------------------------------------------------
+
+
+def sql_shingle_codes(text: str, n: int = SHINGLE_N) -> str:
+    toks = SQL_TOKENS.format(text=text)
+    code = SQL_CODE.format(tok="s")
+    return (
+        f"list_transform("
+        f"list_transform(generate_series(1, greatest(0, len({toks}) - {n - 1})), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')), "
+        f"s -> {code} % {MOD})"
+    )
+
+
+def sql_minhash(codes_expr: str, j: int) -> str:
+    return (
+        f"list_aggregate(list_transform({codes_expr}, "
+        f"c -> ({HASH_A[j]} * c + {HASH_B[j]}) % {MOD}), 'min')"
+    )
+
+
+def sql_band_key(band: int) -> str:
+    key = "0"
+    for r in range(ROWS_PER_BAND):
+        key = f"(({key}) * 131 + mh{band * ROWS_PER_BAND + r}) % {MOD}"
+    return key
+
+
+SQL_JACCARD = (
+    "CAST(len(list_filter(list_distinct({a}), x -> list_contains(list_distinct({b}), x))) AS DOUBLE)"
+    " / CAST(len(list_distinct(list_concat({a}, {b}))) AS DOUBLE)"
+)
+
+
+def sql_simhash(text: str, bits: int = SIMHASH_BITS) -> str:
+    toks = SQL_TOKENS.format(text=text)
+    code = SQL_CODE.format(tok="t")
+    codes = f"list_transform({toks}, t -> {code})"
+    parts = []
+    for b in range(bits):
+        contrib = (
+            f"list_reduce(list_prepend(0::BIGINT, list_transform({codes}, "
+            f"c -> CASE WHEN (c >> {b}) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)), "
+            f"(acc, x) -> acc + x)"
+        )
+        parts.append(f"(CASE WHEN ({contrib}) > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")::BIGINT"
