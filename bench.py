@@ -34,8 +34,13 @@ def main() -> None:
     spark = get_spark("mimic2ts_spark_bench")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    # JVM/codegen warmup on a trivial plan so q1 isn't charged for startup
-    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    # Warm JVM JIT + codegen on the exact plan shapes at the smallest sf so
+    # measured times reflect steady-state execution, not first-run compile.
+    warm_sf = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        fn, _ = harness.REGISTRY[name]
+        fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
+    harness.flagship(spark, warm_sf).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -34,32 +34,27 @@ def dense_reindex(
     Gap rows get NULL `value_col` (imputation is a separate operator so
     ffill-then-zero ordering is explicit, as in the reference :128-136).
 
-    Implementation: per (stay, feature) take the observed rows, union the
-    generated missing buckets. Generating the full domain and left-joining
-    would shuffle the aggregate a second time; instead we aggregate the
-    observed tidx set per key (one shuffle, map-side combinable), generate
-    only the *missing* buckets driver-free via sequence + explode + filter,
-    and union. Both branches are already partitioned by the same keys.
+    Implementation (single-pass): collapse each series to a tidx→value map
+    (one shuffle of already-reduced data), then explode the dense
+    `sequence(0, max)` domain with a map lookup. Joining against a
+    generated calendar, or unioning a "missing buckets" branch, would
+    reference the aggregate subtree twice — Spark physically recomputes
+    duplicated subplans, doubling the upstream scan+join+agg at any scale.
     """
     keys = list(key_cols)
-    observed = agg.groupBy(*keys, max_col).agg(
-        F.collect_set(tidx_col).alias("_seen")
+    series = agg.groupBy(*keys, max_col).agg(
+        F.map_from_entries(F.collect_list(F.struct(tidx_col, value_col))).alias("_m")
     )
-    missing = (
-        observed.select(
-            *keys,
-            max_col,
-            F.explode(
-                F.filter(
-                    F.sequence(F.lit(0).cast("long"), F.col(max_col)),
-                    lambda t: ~F.array_contains(F.col("_seen"), t),
-                )
-            ).alias(tidx_col),
-        )
-        .withColumn(value_col, F.lit(None).cast("double"))
-    )
-    return agg.select(*keys, max_col, tidx_col, value_col).unionByName(
-        missing.select(*keys, max_col, tidx_col, value_col)
+    return series.select(
+        *keys,
+        max_col,
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col(max_col))).alias(tidx_col),
+        "_m",
+    ).select(
+        *keys,
+        max_col,
+        tidx_col,
+        F.element_at(F.col("_m"), F.col(tidx_col)).alias(value_col),
     )
 
 
