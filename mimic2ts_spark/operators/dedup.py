@@ -119,10 +119,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
-    Plan shape at scale: signature computation is narrow; explode to
-    (band, key) rows; the self-join shuffles on (band, key) — bounded by
-    bucket sizes, not n². The verify step re-derives shingle sets only for
-    surviving candidates.
+    Plan shape at scale: signature computation is narrow (one scan);
+    explode to (band, key) rows; ONE shuffle groups each LSH bucket and
+    pairs are generated inside the bucket with array combinatorics. A
+    band-key self-join would be the textbook formulation, but Spark
+    physically recomputes a self-joined subtree — doubling the signature
+    pass; the bucket-collect form reads the corpus once. Bucket sizes are
+    bounded by the LSH banding premise, so the per-bucket collect is safe
+    (a hot bucket means the band width needs retuning, not a bigger
+    executor).
     """
     base = df.select(
         F.col(id_col).alias("doc_id"), shingle_codes(F.col(text_col)).alias("codes")
@@ -142,20 +147,36 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc_id", "codes", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("codes")))
+    )  # sorted by doc_id → generated pairs satisfy doc_a < doc_b
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(members.alias("members"))
+        .where(F.size("members") >= 2)
+    )
+
+    def _pairs(m):
+        n = F.size(m)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.slice(m, i + 1, n),
+                    lambda right: F.struct(
+                        F.element_at(m, i).alias("left"), right.alias("right")
+                    ),
+                ),
+            )
         )
+
+    cand = (
+        buckets.select(F.explode(_pairs(F.col("members"))).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.codes").alias("codes_a"),
-            F.col("b.codes").alias("codes_b"),
+            F.col("p.left.doc_id").alias("doc_a"),
+            F.col("p.right.doc_id").alias("doc_b"),
+            F.col("p.left.codes").alias("codes_a"),
+            F.col("p.right.codes").alias("codes_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
