@@ -537,6 +537,61 @@ GROUP BY n_name
 """
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Top-K per group — the canonical window + row_number pattern
+    (PySpark guide 'Common OLAP patterns'); ties broken on the unique
+    (orderkey, linenumber) so ranking is deterministic."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+    )
+
+
+Q_TOPK_PER_GROUP_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+       CAST(row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rk
+FROM lineitem
+QUALIFY rk <= 5
+"""
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (grouping-set aggregation); NULL group keys
+    are replaced so the order-insensitive compare has stable sort keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_exact(F.col("l_quantity"), "sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("l_linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+Q_ROLLUP_SQL = f"""
+SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+       {sql_sum_exact('l_quantity')} AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -563,6 +618,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_sink_partitioned": (q_sink_partitioned, None),
     "q_tpch_q1": (q_tpch_q1, Q_TPCH_Q1_SQL),
     "q_tpch_q5": (q_tpch_q5, Q_TPCH_Q5_SQL),
+    "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
+    "q_rollup": (q_rollup, Q_ROLLUP_SQL),
 }
 
 

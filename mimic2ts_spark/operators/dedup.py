@@ -74,14 +74,19 @@ def band_key(mh_cols: list[Column], band: int) -> Column:
     return key
 
 
+def _jaccard_from_distinct(da: Column, db: Column) -> Column:
+    """Jaccard given already-distinct sets: |∩| / (|a|+|b|−|∩|) — one
+    intersect per pair instead of intersect+union, integer counts + one fp
+    division (cross-engine exact, same value as the set formula)."""
+    inter = F.size(F.array_intersect(da, db)).cast("long")
+    union = F.size(da).cast("long") + F.size(db).cast("long") - inter
+    return inter.cast("double") / union.cast("double")
+
+
 def jaccard(codes_a: Column, codes_b: Column) -> Column:
     """Exact Jaccard over distinct shingle-code sets (integer counts +
     one fp division — cross-engine exact)."""
-    da = F.array_distinct(codes_a)
-    db = F.array_distinct(codes_b)
-    inter = F.size(F.array_intersect(da, db)).cast("long")
-    union = F.size(F.array_union(da, db)).cast("long")
-    return inter.cast("double") / union.cast("double")
+    return _jaccard_from_distinct(F.array_distinct(codes_a), F.array_distinct(codes_b))
 
 
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
@@ -199,7 +204,10 @@ def ngram_jaccard_pairs(
     and deliberately kept as the oracle-checkable baseline the MinHash-LSH
     path is validated against.
     """
-    cols = [F.col(id_col).alias("doc_id"), shingle_codes(F.col(text_col)).alias("codes")]
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingle_codes(F.col(text_col))).alias("codes"),
+    ]
     if block_col is not None:
         cols.insert(0, F.col(block_col).alias("block"))
     base = df.select(*cols).where(F.size("codes") > 0)
@@ -211,7 +219,7 @@ def ngram_jaccard_pairs(
     pairs = a.join(b, cond).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        jaccard(F.col("a.codes"), F.col("b.codes")).alias("jaccard"),
+        _jaccard_from_distinct(F.col("a.codes"), F.col("b.codes")).alias("jaccard"),
     )
     return pairs.where(F.col("jaccard") >= threshold)
 

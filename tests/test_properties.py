@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): the bucketing/interval semantics
+must hold for arbitrary inputs, not just the hand-built fixtures.
+
+Strategy: generate small random event sets driver-side, run them through
+the same operator compositions the pipelines use, and check the
+reference's conservation laws plus the pinned Python-range semantics
+(/root/reference/tests/test_EventsAggregator.py:109-202 re-expressed)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators.dense import dense_reindex, zero_fill
+from mimic2ts_spark.operators.intervals import interval_instants, spread_evenly
+from mimic2ts_spark.operators.time_ops import bucket_index, clamp_floor
+
+H = 3600
+
+# hypothesis + a shared SparkSession: function-scoped fixture reuse is fine
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    start=st.integers(min_value=0, max_value=10**7),
+    dur=st.integers(min_value=0, max_value=10**6),
+    step=st.sampled_from([1, 7, 60, 3600, 5400]),
+)
+@settings(**_SETTINGS)
+def test_interval_instants_is_python_range(spark, start, dur, step):
+    end = start + dur
+    got = (
+        spark.range(1)
+        .select(
+            interval_instants(
+                F.lit(start).cast("long"), F.lit(end).cast("long"), step
+            ).alias("xs")
+        )
+        .first()
+        .xs
+    )
+    assert got == list(range(start, end + step, step))
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=-2 * H, max_value=12 * H),  # event offset vs intime
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    total_windows=st.integers(min_value=0, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_bucket_sum_conservation(spark, events, total_windows):
+    """Sum over the dense zero-filled matrix == sum of raw values that
+    survive the clamp/late-drop — for ANY event layout."""
+    df = spark.createDataFrame(
+        [(1, 9, int(e), float(v)) for e, v in events],
+        "stay_id long, feature_id long, event_epoch long, value double",
+    ).withColumn("total_windows", F.lit(total_windows).cast("long"))
+    bucketed = df.withColumn(
+        "tidx", clamp_floor(bucket_index(F.col("event_epoch"), F.lit(0), H))
+    ).where(F.col("tidx") <= F.col("total_windows"))
+    agg = bucketed.groupBy("stay_id", "feature_id", "total_windows", "tidx").agg(
+        F.sum("value").alias("value")
+    )
+    dense = zero_fill(dense_reindex(agg))
+
+    expected = sum(
+        v
+        for e, v in events
+        if max(0, math.floor(e / H)) <= total_windows
+    )
+    rows = dense.collect()
+    # width law: every bucket 0..total_windows exists exactly once (if any
+    # event survived; otherwise the series is absent entirely)
+    if rows:
+        assert sorted(r.tidx for r in rows) == list(range(total_windows + 1))
+        got = sum(r.value for r in rows)
+        assert math.isclose(got, expected, rel_tol=1e-9, abs_tol=1e-6)
+    else:
+        assert expected == 0
+
+
+@given(
+    amount=st.floats(min_value=0.01, max_value=1000, allow_nan=False),
+    dur=st.integers(min_value=0, max_value=10 * H),
+)
+@settings(**_SETTINGS)
+def test_dose_spread_conserves_total(spark, amount, dur):
+    """spread_evenly over interval instants sums back to the dose."""
+    df = spark.range(1).select(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(dur).cast("long").alias("e"),
+        F.lit(float(amount)).alias("v"),
+    )
+    df = df.withColumn("instants", interval_instants(F.col("s"), F.col("e"), H))
+    df = df.withColumn("part", spread_evenly(F.col("v"), F.col("instants")))
+    out = df.select(F.explode("instants").alias("i"), "part")
+    total = out.agg(F.sum("part")).first()[0]
+    assert math.isclose(total, amount, rel_tol=1e-9)
