@@ -25,6 +25,11 @@ HEADLINE = [
     "q_ffill_window",
     "q_interval_explode",
     "q_pivot_wide",
+    "q_topk_per_group",
+    "q_agg_salted",
+    "q_text_stats",
+    "q_dedup_minhash",
+    "q_ann_lsh",
 ]
 
 

@@ -537,6 +537,28 @@ GROUP BY n_name
 """
 
 
+def q_agg_salted(spark, sf_dir):
+    """Skew-resistant two-stage sum over a tiny hot key domain
+    (event_type): identical result to the direct groupBy — which is
+    exactly what the oracle runs."""
+    from mimic2ts_spark.operators.skew import salted_sum_exact
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_sum_exact(
+        ev,
+        keys=["event_type"],
+        value=F.col("value"),
+        alias="sum_value",
+        salt_from=F.col("event_id"),
+    )
+
+
+Q_AGG_SALTED_SQL = f"""
+SELECT event_type, {sql_sum_exact('value')} AS sum_value, count(*) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-K per group — the canonical window + row_number pattern
     (PySpark guide 'Common OLAP patterns'); ties broken on the unique
@@ -620,6 +642,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_tpch_q5": (q_tpch_q5, Q_TPCH_Q5_SQL),
     "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
     "q_rollup": (q_rollup, Q_ROLLUP_SQL),
+    "q_agg_salted": (q_agg_salted, Q_AGG_SALTED_SQL),
 }
 
 

@@ -100,8 +100,11 @@ _BANDED = "\nUNION ALL\n".join(
     for b in range(D.BANDS)
 )
 Q_DEDUP_MINHASH_SQL = f"""
-WITH codes_t AS (
-    SELECT doc_id, {D.sql_shingle_codes('text')} AS codes FROM documents
+WITH tok AS (
+    SELECT doc_id, {D.sql_token_codes('text')} AS tc FROM documents
+),
+codes_t AS (
+    SELECT doc_id, {D.sql_shingle_codes_from_tc('tc')} AS codes FROM tok
 ),
 codes2 AS (SELECT * FROM codes_t WHERE len(codes) > 0),
 sig AS (
@@ -133,9 +136,11 @@ def q_dedup_ngram(spark, sf_dir):
 
 
 Q_DEDUP_NGRAM_SQL = f"""
-WITH codes_t AS (
-    SELECT doc_id, {D.sql_shingle_codes('text')} AS codes
-    FROM documents
+WITH tok AS (
+    SELECT doc_id, {D.sql_token_codes('text')} AS tc FROM documents
+),
+codes_t AS (
+    SELECT doc_id, list_distinct({D.sql_shingle_codes_from_tc('tc')}) AS codes FROM tok
 ),
 codes2 AS (SELECT * FROM codes_t WHERE len(codes) > 0),
 pairs AS (

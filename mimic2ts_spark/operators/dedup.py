@@ -50,10 +50,43 @@ def shingles(text: Column, n: int = SHINGLE_N) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
+def shingle_codes_from_token_codes(tc: Column, n: int = SHINGLE_N) -> Column:
+    """Shingle codes from per-TOKEN hashes: a stepped polynomial
+    k ← (k*131 + tc[i+r]) % MOD over the n-gram.
+
+    Hashing per token then combining arithmetically is ~3× cheaper than
+    building each shingle string and md5-ing it (tokens ≪ shingles·n chars,
+    no slice/concat allocation per position) — the dominant cost of the
+    dedup family at corpus scale. Duplicates kept — min() is insensitive.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(tc) - (n - 1)))
+
+    def _code(i):
+        k = F.element_at(tc, i)
+        for r in range(1, n):
+            k = (k * 131 + F.element_at(tc, i + r)) % MOD
+        return k
+
+    return F.transform(idx, _code)
+
+
+def with_shingle_codes(
+    df: DataFrame, text_col: str = "text", out: str = "codes", n: int = SHINGLE_N
+) -> DataFrame:
+    """Two-step projection: token codes as a NAMED column, then shingle
+    codes referencing that attribute. Inlining one Column expression would
+    let Catalyst substitute (and recompute) the md5 pass under pushed-down
+    filters / repeated references."""
+    tc = F.transform(tokens(F.col(text_col)), lambda t: token_code(t) % MOD)
+    step = df.withColumn("_tc", tc)
+    return step.withColumn(out, shingle_codes_from_token_codes(F.col("_tc"), n)).drop("_tc")
+
+
 def shingle_codes(text: Column, n: int = SHINGLE_N) -> Column:
-    """Shingle hash codes, reduced mod MOD (so affine minhash math stays
-    in 63 bits). Duplicates kept — min() is insensitive to them."""
-    return F.transform(shingles(text, n), lambda s: token_code(s) % MOD)
+    """Column-level convenience (single-use contexts only — see
+    with_shingle_codes for the plan-safe DataFrame form)."""
+    tc = F.transform(tokens(text), lambda t: token_code(t) % MOD)
+    return shingle_codes_from_token_codes(tc, n)
 
 
 def minhash_signature(codes: Column) -> list[Column]:
@@ -134,9 +167,11 @@ def minhash_lsh_pairs(
     (a hot bucket means the band width needs retuning, not a bigger
     executor).
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"), shingle_codes(F.col(text_col)).alias("codes")
-    ).where(F.size("codes") > 0)
+    base = (
+        with_shingle_codes(df.select(F.col(id_col).alias("doc_id"), text_col))
+        .select("doc_id", "codes")
+        .where(F.size("codes") > 0)
+    )
     sig = base.select("doc_id", "codes", *minhash_signature(F.col("codes")))
     mh_cols = [F.col(f"mh{j}") for j in range(NUM_HASHES)]
     banded = sig.select(
@@ -204,13 +239,15 @@ def ngram_jaccard_pairs(
     and deliberately kept as the oracle-checkable baseline the MinHash-LSH
     path is validated against.
     """
-    cols = [
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingle_codes(F.col(text_col))).alias("codes"),
-    ]
+    cols = [F.col(id_col).alias("doc_id"), text_col]
     if block_col is not None:
         cols.insert(0, F.col(block_col).alias("block"))
-    base = df.select(*cols).where(F.size("codes") > 0)
+    keep = ["block", "doc_id"] if block_col is not None else ["doc_id"]
+    base = (
+        with_shingle_codes(df.select(*cols), out="_sc")
+        .select(*keep, F.array_distinct(F.col("_sc")).alias("codes"))
+        .where(F.size("codes") > 0)
+    )
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")
@@ -250,14 +287,19 @@ def simhash_pairs(
 # --- SQL mirrors -----------------------------------------------------------
 
 
-def sql_shingle_codes(text: str, n: int = SHINGLE_N) -> str:
+def sql_token_codes(text: str) -> str:
     toks = SQL_TOKENS.format(text=text)
-    code = SQL_CODE.format(tok="s")
+    code = SQL_CODE.format(tok="t")
+    return f"list_transform({toks}, t -> {code} % {MOD})"
+
+
+def sql_shingle_codes_from_tc(tc: str = "tc", n: int = SHINGLE_N) -> str:
+    k = f"{tc}[i]"
+    for r in range(1, n):
+        k = f"(({k}) * 131 + {tc}[i + {r}]) % {MOD}"
     return (
-        f"list_transform("
-        f"list_transform(generate_series(1, greatest(0, len({toks}) - {n - 1})), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')), "
-        f"s -> {code} % {MOD})"
+        f"list_transform(generate_series(1, greatest(0, len({tc}) - {n - 1})), "
+        f"i -> {k})"
     )
 
 

@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast dims, no duplicated subtrees,
+bounded shuffle counts) must survive refactors. `.explain` output is the
+contract — if one of these breaks, a 100 TB run regresses silently while
+small-scale correctness stays green."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from mimic2ts_spark import harness
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def utc(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _count(pattern: str, s: str) -> int:
+    return len(re.findall(pattern, s))
+
+
+def test_q1_pushdown_and_single_shuffle(utc):
+    s = _plan(harness.q_tpch_q1(utc, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in s
+    # pruned scan: only the 6 needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m and len(m.group(1).split(",")) == 6, m.group(1)
+    assert _count(r"\(\d+\) Exchange", s) == 1
+    assert "SortMergeJoin" not in s
+
+
+def test_q5_broadcasts_dims(utc):
+    s = _plan(harness.q_tpch_q5(utc, SF))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s  # all dims broadcast at this scale
+    assert _count(r"\(\d+\) Exchange", s) == 1  # only the final groupBy
+
+
+def test_flagship_no_duplicate_scans(utc):
+    """Dense reindex must not re-reference the aggregate subtree: exactly
+    2 scans of events (fact + derived-stay dim), ≤3 exchanges."""
+    s = _plan(harness.flagship(utc, SF))
+    assert _count(r"\(\d+\) Scan parquet", s) == 2
+    assert _count(r"\(\d+\) Exchange", s) <= 3
+    assert "BroadcastHashJoin" in s  # stay dim joins broadcast
+
+
+def test_minhash_single_scan(utc):
+    fn, _ = harness.REGISTRY["q_dedup_minhash"]
+    s = _plan(fn(utc, SF))
+    assert _count(r"\(\d+\) Scan parquet", s) == 1
+    assert _count(r"\(\d+\) Exchange", s) <= 2
+
+
+def test_filter_pushdown_reaches_scan(utc):
+    s = _plan(harness.q_filter_isin(utc, SF))
+    assert "PushedFilters" in s and "In(user_id" in s
