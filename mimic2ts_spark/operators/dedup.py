@@ -54,20 +54,24 @@ def shingle_codes_from_token_codes(tc: Column, n: int = SHINGLE_N) -> Column:
     """Shingle codes from per-TOKEN hashes: a stepped polynomial
     k ← (k*131 + tc[i+r]) % MOD over the n-gram.
 
-    Hashing per token then combining arithmetically is ~3× cheaper than
-    building each shingle string and md5-ing it (tokens ≪ shingles·n chars,
-    no slice/concat allocation per position) — the dominant cost of the
-    dedup family at corpus scale. Duplicates kept — min() is insensitive.
+    Hashing per token then combining arithmetically is far cheaper than
+    building each shingle string and md5-ing it (tokens ≪ shingles·n chars)
+    — the dominant cost of the dedup family at corpus scale. Duplicates
+    kept — min() is insensitive.
+
+    Expressed as zip_with over n shifted slices of tc, NOT as
+    transform(sequence(...), i -> element_at(tc, i+r)): higher-order
+    functions are interpreted (no codegen, no common-subexpression
+    elimination), so an element_at whose array operand is a non-trivial
+    expression re-evaluates that operand per element — quadratic in
+    tokens. zip_with evaluates each input array once and iterates
+    (measured 11× on the sf0.1 documents table).
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(tc) - (n - 1)))
-
-    def _code(i):
-        k = F.element_at(tc, i)
-        for r in range(1, n):
-            k = (k * 131 + F.element_at(tc, i + r)) % MOD
-        return k
-
-    return F.transform(idx, _code)
+    m = F.greatest(F.lit(0), F.size(tc) - (n - 1))
+    out = F.slice(tc, 1, m)
+    for r in range(1, n):
+        out = F.zip_with(out, F.slice(tc, 1 + r, m), lambda a, b: (a * 131 + b) % MOD)
+    return out
 
 
 def with_shingle_codes(
@@ -107,6 +111,24 @@ def band_key(mh_cols: list[Column], band: int) -> Column:
     return key
 
 
+def bucket_pairs(m: Column) -> Column:
+    """All ordered pairs (i<j) from a sorted bucket-member array — the
+    in-bucket pair generator shared by every LSH-style blocking scheme
+    (minhash bands, simhash bands). Bucket sizes are bounded by the
+    blocking premise, so the per-bucket combinatorics stay small; a hot
+    bucket means the blocking key needs retuning, not a bigger executor."""
+    n = F.size(m)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(m, i + 1, n),
+                lambda right: F.struct(F.element_at(m, i).alias("left"), right.alias("right")),
+            ),
+        )
+    )
+
+
 def _jaccard_from_distinct(da: Column, db: Column) -> Column:
     """Jaccard given already-distinct sets: |∩| / (|a|+|b|−|∩|) — one
     intersect per pair instead of intersect+union, integer counts + one fp
@@ -122,10 +144,14 @@ def jaccard(codes_a: Column, codes_b: Column) -> Column:
     return _jaccard_from_distinct(F.array_distinct(codes_a), F.array_distinct(codes_b))
 
 
-def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over token codes: bit b set iff sum over tokens of
-    (±1 per code bit b) is positive. Frequency-weighted (dups count)."""
-    codes = F.transform(tokens(text), lambda t: token_code(t))
+def simhash_from_token_codes(tc: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash from per-token hash codes: bit b set iff sum over tokens of
+    (±1 per code bit b) is positive. Frequency-weighted (dups count).
+
+    Takes the token-code ARRAY (ideally a named column — see simhash), so
+    the md5 tokenization pass runs once, not once per signature bit; the
+    per-bit aggregates are then cheap integer passes over a materialized
+    array."""
 
     def _bit_contrib(b: int):
         def merge(acc, c):
@@ -133,12 +159,33 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
                 F.shiftright(c, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
             ).otherwise(F.lit(-1))
 
-        return F.aggregate(codes, F.lit(0).cast("long"), merge)
+        return F.aggregate(tc, F.lit(0).cast("long"), merge)
 
     sig = F.lit(0).cast("long")
     for b in range(bits):
         sig = sig + F.when(_bit_contrib(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return sig
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Column-level convenience (single-use contexts only; prefer a named
+    token-code column + simhash_from_token_codes in pipelines)."""
+    return simhash_from_token_codes(F.transform(tokens(text), token_code), bits)
+
+
+def _simhash_band_keys(sig: Column, max_hamming: int, bits: int) -> list[Column]:
+    """Pigeonhole banding: split the signature into max_hamming+1 disjoint
+    bit ranges — any pair with hamming ≤ max_hamming matches exactly on at
+    least one band. Exact (no false negatives); band width shrinks as
+    max_hamming grows, so buckets coarsen — the standard recall/cost dial."""
+    bands = max_hamming + 1
+    base_w, extra = divmod(bits, bands)
+    keys, off = [], 0
+    for b in range(bands):
+        w = base_w + (1 if b < extra else 0)
+        keys.append(F.shiftright(sig, off).bitwiseAND(F.lit((1 << w) - 1)))
+        off += w
+    return keys
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -196,22 +243,8 @@ def minhash_lsh_pairs(
         .where(F.size("members") >= 2)
     )
 
-    def _pairs(m):
-        n = F.size(m)
-        return F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.transform(
-                    F.slice(m, i + 1, n),
-                    lambda right: F.struct(
-                        F.element_at(m, i).alias("left"), right.alias("right")
-                    ),
-                ),
-            )
-        )
-
     cand = (
-        buckets.select(F.explode(_pairs(F.col("members"))).alias("p"))
+        buckets.select(F.explode(bucket_pairs(F.col("members"))).alias("p"))
         .select(
             F.col("p.left.doc_id").alias("doc_a"),
             F.col("p.right.doc_id").alias("doc_b"),
@@ -233,32 +266,55 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard — the quadratic brute-force dedup.
 
-    With `block_col`, pairs are restricted to a blocking key (shuffle key =
-    block; the block bounds the pair explosion — the only way this shape
-    survives large corpora). Without it, a full self-pair join: correct,
-    and deliberately kept as the oracle-checkable baseline the MinHash-LSH
-    path is validated against.
+    Inverted-index formulation: explode distinct shingle codes to postings,
+    bucket-collect per (block,) code, generate in-bucket pairs, and COUNT
+    shared codes per pair — |∩| arrives from a hash aggregation instead of
+    an array intersect inside an all-pairs nested-loop join, and
+    |∪| = |a|+|b|−|∩| from set sizes carried on the postings. Identical
+    output for threshold > 0 (zero-overlap pairs can never reach the
+    threshold; they are the only rows the all-pairs form would add).
+    The scale hazard is a high-document-frequency shingle (a boilerplate
+    phrase) exploding one bucket; real corpora cut high-df shingles first
+    — with `block_col` the blocking key bounds every bucket instead.
     """
     cols = [F.col(id_col).alias("doc_id"), text_col]
+    gkeys = ["code"]
     if block_col is not None:
         cols.insert(0, F.col(block_col).alias("block"))
-    keep = ["block", "doc_id"] if block_col is not None else ["doc_id"]
+        gkeys.insert(0, "block")
+    keep = (["block"] if block_col is not None else []) + ["doc_id"]
     base = (
         with_shingle_codes(df.select(*cols), out="_sc")
         .select(*keep, F.array_distinct(F.col("_sc")).alias("codes"))
         .where(F.size("codes") > 0)
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
-    if block_col is not None:
-        cond = (F.col("a.block") == F.col("b.block")) & cond
-    pairs = a.join(b, cond).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        _jaccard_from_distinct(F.col("a.codes"), F.col("b.codes")).alias("jaccard"),
+    posting = base.select(
+        *([] if block_col is None else ["block"]),
+        F.size("codes").cast("long").alias("n"),
+        "doc_id",
+        F.explode("codes").alias("code"),
     )
-    return pairs.where(F.col("jaccard") >= threshold)
+    members = F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("n"))))
+    buckets = (
+        posting.groupBy(*gkeys).agg(members.alias("members")).where(F.size("members") >= 2)
+    )
+    inter = (
+        buckets.select(F.explode(bucket_pairs(F.col("members"))).alias("p"))
+        .groupBy(
+            F.col("p.left.doc_id").alias("doc_a"),
+            F.col("p.right.doc_id").alias("doc_b"),
+            F.col("p.left.n").alias("na"),
+            F.col("p.right.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    )
+    return (
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_pairs(
@@ -267,20 +323,51 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash signatures + small-Hamming pairs. (Pairing here is an
-    all-pairs check for oracle parity; at scale, block on signature bytes
-    the way minhash bands do.)"""
-    sig = df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sig"))
-    a = sig.alias("a")
-    b = sig.alias("b")
+    """SimHash near-dup pairs via pigeonhole banding — same result set as
+    the textbook all-pairs Hamming check (which the DuckDB oracle runs),
+    but the only wide operation is ONE shuffle on the band keys: corpus
+    scanned once, signatures computed once, pairs generated inside each
+    bucket and verified with one xor/bit_count. If max_hamming ≥ the
+    signature width the banding guarantee degenerates; fall back to a
+    single bucket (still one scan, but quadratic — only sane for tiny
+    inputs / tests)."""
+    tc = F.transform(tokens(F.col(text_col)), token_code)
+    sig_df = df.select(F.col(id_col).alias("doc_id"), tc.alias("_tc")).select(
+        "doc_id", simhash_from_token_codes(F.col("_tc")).alias("sig")
+    )
+    if max_hamming >= SIMHASH_BITS:
+        keys = [F.lit(0).cast("long")]
+    else:
+        keys = _simhash_band_keys(F.col("sig"), max_hamming, SIMHASH_BITS)
+    banded = sig_df.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), k.alias("key"))
+                    for b, k in enumerate(keys)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.key")
+    members = F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("sig"))))
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(members.alias("members"))
+        .where(F.size("members") >= 2)
+    )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        buckets.select(F.explode(bucket_pairs(F.col("members"))).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("long").alias("hamming"),
+            F.col("p.left.doc_id").alias("doc_a"),
+            F.col("p.right.doc_id").alias("doc_b"),
+            F.bit_count(F.col("p.left.sig").bitwiseXOR(F.col("p.right.sig")))
+            .cast("long")
+            .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
