@@ -16,6 +16,8 @@ no trainable state allowed in the oracle, LSH is the deterministic choice.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -44,14 +46,28 @@ def plane_weight(table: int, plane: int, d: Column) -> Column:
     return (raw - F.lit(48)).cast("double") / F.lit(48.0)
 
 
-def lsh_bucket(vec: Column, table: int) -> Column:
-    """Sign-bit bucket of `vec` in one hash table (LSH_PLANES bits)."""
-    def _proj(t: int, p: int):
-        def term(d):
-            return F.element_at(vec, d).cast("double") * plane_weight(t, p, d)
+def _plane_weights_py(table: int, plane: int) -> list[float]:
+    """The plane_weight formula evaluated in Python — the weights are a
+    closed form of (plane, dim), so they can ship as LITERAL arrays
+    instead of being re-derived per row by interpreted expressions."""
+    p = table * LSH_PLANES + plane
+    return [
+        (((2 * p + 3) * (5 * (d - 1) + 7) + 11) % 97 - 48) / 48.0
+        for d in range(1, DIM + 1)
+    ]
 
+
+def lsh_bucket(vec: Column, table: int) -> Column:
+    """Sign-bit bucket of `vec` in one hash table (LSH_PLANES bits).
+
+    Projection = aggregate(zip_with(vec, literal-weights)) — the weight
+    array is folded to literals at plan time; zip_with iterates both
+    arrays once (element_at over a generated index range would re-derive
+    the weight expression per dim, interpreted, ~4× slower)."""
+    def _proj(t: int, p: int):
+        ws = F.array(*[F.lit(w) for w in _plane_weights_py(t, p)])
         return F.aggregate(
-            F.transform(F.sequence(F.lit(1), F.lit(DIM)), term),
+            F.zip_with(vec, ws, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -62,6 +78,37 @@ def lsh_bucket(vec: Column, table: int) -> Column:
             F.lit(0)
         )
     return bucket
+
+
+def lsh_buckets_all(vec_col: str) -> Column:
+    """All LSH_TABLES bucket ids for a vector, as one array<long> — the
+    Arrow-vectorized twin of lsh_bucket. One pandas batch computes every
+    projection with a per-dim accumulation loop (left-to-right over dims,
+    so each projection is bit-identical to the zip_with/aggregate
+    expression and the SQL mirror — verified by the q_ann_lsh oracle).
+    16 interpreted 64-dim aggregates per row (~2 ms) become one
+    vectorized pass (~µs), which dominates lsh_topk's cost at scale."""
+    W = np.array(
+        [_plane_weights_py(t, p) for t in range(LSH_TABLES) for p in range(LSH_PLANES)],
+        dtype=np.float64,
+    ).T  # (DIM, TABLES*PLANES)
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vecs), dtype=np.float64)
+        proj = np.zeros((mat.shape[0], W.shape[1]), dtype=np.float64)
+        for d in range(mat.shape[1]):  # left-to-right, matches aggregate()
+            proj += mat[:, d, None] * W[None, d, :]
+        bits = proj > 0
+        out = np.zeros((mat.shape[0], LSH_TABLES), dtype=np.int64)
+        for t in range(LSH_TABLES):
+            for p in range(LSH_PLANES):
+                out[:, t] += bits[:, t * LSH_PLANES + p].astype(np.int64) << p
+        return pd.Series(list(out))
+
+    return _buckets(F.col(vec_col))
 
 
 def brute_force_topk(
@@ -105,21 +152,14 @@ def lsh_topk(
 
     def bucketed(df: DataFrame, ident: str) -> DataFrame:
         base = df.select(F.col(id_col).alias(ident), F.col(vec_col).alias(f"{ident}_vec"))
-        return base.select(
-            ident,
-            f"{ident}_vec",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            lsh_bucket(F.col(f"{ident}_vec"), t).alias("bucket"),
-                        )
-                        for t in range(LSH_TABLES)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(ident, f"{ident}_vec", "tb.table", "tb.bucket")
+        return (
+            base.withColumn("_buckets", lsh_buckets_all(f"{ident}_vec"))
+            .select(
+                ident,
+                f"{ident}_vec",
+                F.posexplode("_buckets").alias("table", "bucket"),
+            )
+        )
 
     qb = bucketed(queries, "query_id")
     vb = bucketed(vectors, "neighbor_id")
@@ -147,16 +187,52 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (brute force; LSH is the scale
-    path — same shape as lsh_topk with a threshold filter)."""
-    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
-    )
+    """All pairs with cosine ≥ threshold — exact, via broadcast matmul.
+
+    The textbook formulation (crossJoin + per-pair cosine expression) pays
+    n² interpreted 64-dim dot products; here one side is collected to a
+    numpy matrix and torn through mapInPandas — the same small-side-fits
+    assumption as any broadcast join, vectorized across rows in Arrow
+    batches, no shuffle at all. Each executor scores its rows against the
+    broadcast matrix; pairs are emitted from the smaller-id side only.
+
+    Bit-exactness vs the DuckDB oracle: the dim loop accumulates
+    left-to-right in float64 — the identical op order to the
+    zip_with/aggregate expression and the SQL list_reduce — and
+    cosine = dot / (sqrt(na)·sqrt(nb)) uses the same op tree, so results
+    hash-match exactly. Beyond broadcastable n, lsh_topk's bucketed join
+    is the scale path.
+    """
+    base = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    rows = base.collect()  # small side, same budget as a broadcast dim
+    ids = np.array([r.vec_a for r in rows], dtype=np.int64)
+    mat = np.array([r.va for r in rows], dtype=np.float64)
+    norm2 = np.zeros(len(ids), dtype=np.float64)
+    for d in range(mat.shape[1]):  # left-to-right, matches aggregate()
+        norm2 += mat[:, d] * mat[:, d]
+    norms = np.sqrt(norm2)
+    bc = base.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def score(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_a"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["va"]), dtype=np.float64)
+            if len(a_ids) == 0:
+                continue
+            a_norm2 = np.zeros(len(a_ids), dtype=np.float64)
+            dot = np.zeros((len(a_ids), len(b_ids)), dtype=np.float64)
+            for d in range(a_mat.shape[1]):
+                a_norm2 += a_mat[:, d] * a_mat[:, d]
+                dot += a_mat[:, d, None] * b_mat[None, :, d]
+            cos = dot / (np.sqrt(a_norm2)[:, None] * b_norms[None, :])
+            keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= threshold)
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "cosine": cos[ai, bj]}
+            )
+
+    return base.mapInPandas(score, schema="vec_a long, vec_b long, cosine double")
 
 
 # --- SQL mirrors -----------------------------------------------------------
