@@ -274,6 +274,38 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState
+    sessionization) drained to completion; equals the batch
+    gaps-and-islands window query, which is the oracle."""
+    from mimic2ts_spark.streaming import run_sessionize_available_now
+
+    return run_sessionize_available_now(spark, sf_dir)
+
+
+Q_STREAM_SESSIONIZE_SQL = """
+WITH e AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+m AS (
+    SELECT user_id, sec, cents,
+           CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+                THEN 1 ELSE 0 END AS brk
+    FROM e
+),
+i AS (
+    SELECT user_id, sec, cents,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS island
+    FROM m
+)
+SELECT user_id, min(sec) AS session_start, max(sec) AS session_end,
+       count(*) AS n_events, CAST(sum(cents) AS DOUBLE) / 100 AS sum_value
+FROM i GROUP BY user_id, island
+"""
+
+
 EXT_REGISTRY = {
     "q_text_stats": (q_text_stats, Q_TEXT_STATS_SQL),
     "q_text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
@@ -287,4 +319,5 @@ EXT_REGISTRY = {
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_multimodal_features": (q_multimodal_features, None),
     "q_stream_tumbling": (q_stream_tumbling, Q_STREAM_TUMBLING_SQL),
+    "q_stream_sessionize": (q_stream_sessionize, Q_STREAM_SESSIONIZE_SQL),
 }

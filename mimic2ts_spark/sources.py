@@ -27,10 +27,17 @@ _TABLES = {
 
 
 def read_mimic_csv(spark: SparkSession, mimic_path: str, table: str) -> DataFrame:
-    """Schema-first CSV scan of a MIMIC icu/ table (S1/S2)."""
+    """Schema-first CSV scan of a MIMIC icu/ table (S1/S2).
+
+    enforceSchema=false makes Spark check the file header against the
+    declared schema instead of binding columns by position — a reordered
+    or truncated export then fails loudly at scan time rather than
+    silently shifting values into the wrong columns (nulls everywhere
+    downstream). Costs one header-row comparison per file."""
     return (
         spark.read.schema(_TABLES[table])
         .option("header", True)
+        .option("enforceSchema", False)
         .csv(f"{mimic_path}/icu/{table}.csv")
     )
 

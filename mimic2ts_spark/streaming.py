@@ -82,3 +82,122 @@ def run_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+SESSION_GAP_SECONDS = 1800
+
+_SESSION_OUT = (
+    "user_id long, session_start long, session_end long, "
+    "n_events long, sum_value double"
+)
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    stream: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS, scale: int = 100
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessionization per user — the operator Spark's built-in
+    session_window can't express once you need arbitrary per-session
+    accumulators or emission policy.
+
+    State per user = the one OPEN session (start, last-event, count,
+    integer-cents sum). Each batch merges its rows (sorted by event time)
+    into the open session; sessions emit exactly once — when a gap closes
+    them, or when a processing-time timeout fires after the stream drains
+    (no duplicate emission in append mode, unlike emit-per-batch
+    snapshots). Batch equivalent: the classic gaps-and-islands window
+    query, which is the DuckDB oracle for q_stream_sessionize.
+
+    Scale: state size is O(active users), one row each; the shuffle is
+    the single groupBy(user_id); Arrow batches the per-key rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n, cents = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [uid],
+                        "session_start": [s],
+                        "session_end": [last],
+                        "n_events": [n],
+                        "sum_value": [cents / float(scale)],
+                    }
+                )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("sec")
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for sec, c in zip(rows["sec"], rows["cents"]):
+            sec, c = int(sec), int(c)
+            if cur is None:
+                cur = [sec, sec, 1, c]
+            elif sec - cur[1] <= gap_seconds:
+                cur[1] = sec
+                cur[2] += 1
+                cur[3] += c
+            else:
+                closed.append((uid, cur[0], cur[1], cur[2], cur[3] / float(scale)))
+                cur = [sec, sec, 1, c]
+        state.update(tuple(cur))
+        state.setTimeoutDuration(1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_start", "session_end", "n_events", "sum_value",
+                ],
+            )
+
+    prepped = stream.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * scale, 0).cast("long").alias("cents"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        fn, _SESSION_OUT, _SESSION_STATE, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
+def _drain_stateful(spark: SparkSession, streaming_df: DataFrame, name: str) -> DataFrame:
+    """Start an append-mode memory sink and run until the source is
+    exhausted AND the state store is empty (every open session flushed by
+    its timeout) — the well-defined completion point for a stateful
+    stream; availableNow alone stops at 'no more input', which would drop
+    still-open state."""
+    import time
+
+    q = (
+        streaming_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["stateOperators"] and p["stateOperators"][0]["numRowsTotal"] == 0 and p["numInputRows"] == 0:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_sessionize_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize the events stream and drain it to a static result."""
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    return _drain_stateful(spark, sessionize_stream(events_stream(spark, sf_dir)), name)

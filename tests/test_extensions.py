@@ -118,3 +118,43 @@ def test_stream_tumbling_equals_batch(spark):
     total_stream = out.agg(F.sum("n_events")).collect()[0][0]
     total_batch = spark.read.parquet(f"{SF}/events.parquet").count()
     assert total_stream == total_batch
+
+
+def test_stream_sessionize_merges_state_across_batches(spark, tmp_path):
+    """A session split across two microbatches must merge through the
+    applyInPandasWithState state row and emit exactly once (flushed by the
+    stream-drain timeout), alongside a session closed by a gap."""
+    import pandas as pd
+    import uuid as _uuid
+
+    from mimic2ts_spark.streaming import (
+        EVENTS_STREAM_SCHEMA,
+        _drain_stateful,
+        sessionize_stream,
+    )
+
+    def _file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+        pdf.to_parquet(tmp_path / name)
+
+    NS = 10**9
+    # batch a: user 1 events at t=1000s,1100s; batch b: t=1200s (same
+    # session, arrives later) and t=9999s (gap > 1800 → second session).
+    _file("a.parquet", [(1, 1000 * NS, 1, "x", 1.0, ""), (2, 1100 * NS, 1, "x", 2.0, "")])
+    _file("b.parquet", [(3, 1200 * NS, 1, "x", 4.0, ""), (4, 9999 * NS, 1, "x", 8.0, "")])
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = _drain_stateful(
+        spark, sessionize_stream(stream), f"sess_test_{_uuid.uuid4().hex[:6]}"
+    ).orderBy("session_start").collect()
+
+    assert [(r.session_start, r.session_end, r.n_events, r.sum_value) for r in out] == [
+        (1000, 1200, 3, 7.0),
+        (9999, 9999, 1, 8.0),
+    ]
