@@ -29,7 +29,11 @@ HEADLINE = [
     "q_agg_salted",
     "q_text_stats",
     "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram",
+    "q_dedup_embedding",
     "q_ann_lsh",
+    "q_ann_ivf",
 ]
 
 

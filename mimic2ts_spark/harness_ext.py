@@ -243,6 +243,54 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return S.ivf_topk(embs, embs.where(F.col("vec_id") < 5), k=5)
+
+
+Q_ANN_IVF_SQL = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cvec FROM v ORDER BY vec_id LIMIT {S.IVF_K}),
+ascore AS (
+    SELECT v.vec_id, c.cid, {S.sql_cosine('v.embedding', 'c.cvec')} AS cs
+    FROM v CROSS JOIN c
+),
+cell_of AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM ascore
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM ascore WHERE vec_id < 5
+    ) WHERE rn <= {S.IVF_NPROBE}
+),
+cand AS (
+    SELECT p.query_id, co.vec_id AS neighbor_id
+    FROM probes p JOIN cell_of co ON co.cell = p.cell
+    WHERE co.vec_id <> p.query_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           {S.sql_cosine('q.embedding', 'n.embedding')} AS cosine
+    FROM cand c
+    JOIN v q ON q.vec_id = c.query_id
+    JOIN v n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
 # --- multimodal + streaming ------------------------------------------------
 
 
@@ -317,6 +365,7 @@ EXT_REGISTRY = {
     "q_dedup_embedding": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
+    "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_multimodal_features": (q_multimodal_features, None),
     "q_stream_tumbling": (q_stream_tumbling, Q_STREAM_TUMBLING_SQL),
     "q_stream_sessionize": (q_stream_sessionize, Q_STREAM_SESSIONIZE_SQL),
