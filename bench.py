@@ -51,16 +51,23 @@ def main() -> None:
         fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
     harness.flagship(spark, warm_sf).write.format("noop").mode("overwrite").save()
 
+    # Steady-state timing: best of 2 runs at the target sf (C2-tier JIT of
+    # interpreted higher-order-function lambdas needs real invocation
+    # volume — the sf0.001 warm-up alone leaves first runs up to 2× off).
+    def timed(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = harness.REGISTRY[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = timed(fn)
 
-    t0 = time.time()
-    harness.flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    timings["flagship_dense_matrix"] = round(time.time() - t0, 3)
+    timings["flagship_dense_matrix"] = timed(harness.flagship)
 
     total = round(sum(timings.values()), 3)
     print(
