@@ -299,26 +299,53 @@ def embedding_near_dup_pairs(
     norms = np.sqrt(norm2)
     bc = base.sparkSession.sparkContext.broadcast((ids, mat, norms))
 
+    # Tile the (rows × neighbors) score matrix so the accumulator tile
+    # stays cache-resident across the 64 sequential dim passes (the exact
+    # left-to-right order the oracle requires forbids BLAS matmul, whose
+    # pairwise reductions reorder the sum). Untiled, every dim pass
+    # streams the full chunk × n accumulator through DRAM — with 32
+    # workers that saturates memory bandwidth and a 20k-vector corpus
+    # took minutes; a CHUNK×TILE float64 tile is ~1 MiB.
+    CHUNK, TILE = 128, 1024
+
     def score(batches):
         b_ids, b_mat, b_norms = bc.value
+        bT = np.ascontiguousarray(b_mat.T)  # (dim, n): contiguous tile rows
+        n = len(b_ids)
         for pdf in batches:
-            a_ids = pdf["vec_a"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["va"]), dtype=np.float64)
-            if len(a_ids) == 0:
-                continue
-            a_norm2 = np.zeros(len(a_ids), dtype=np.float64)
-            dot = np.zeros((len(a_ids), len(b_ids)), dtype=np.float64)
-            for d in range(a_mat.shape[1]):
-                a_norm2 += a_mat[:, d] * a_mat[:, d]
-                dot += a_mat[:, d, None] * b_mat[None, :, d]
-            cos = dot / (np.sqrt(a_norm2)[:, None] * b_norms[None, :])
-            keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= threshold)
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "cosine": cos[ai, bj]}
-            )
+            all_ids = pdf["vec_a"].to_numpy(dtype=np.int64)
+            all_mat = np.array(list(pdf["va"]), dtype=np.float64)
+            for lo in range(0, len(all_ids), CHUNK):
+                a_ids = all_ids[lo : lo + CHUNK]
+                a_mat = all_mat[lo : lo + CHUNK]
+                a_norm2 = np.zeros(len(a_ids), dtype=np.float64)
+                for d in range(a_mat.shape[1]):  # left-to-right, matches aggregate()
+                    a_norm2 += a_mat[:, d] * a_mat[:, d]
+                a_norms = np.sqrt(a_norm2)
+                for t0 in range(0, n, TILE):
+                    t1 = min(t0 + TILE, n)
+                    dot = np.zeros((len(a_ids), t1 - t0), dtype=np.float64)
+                    for d in range(a_mat.shape[1]):
+                        dot += a_mat[:, d, None] * bT[d, None, t0:t1]
+                    cos = dot / (a_norms[:, None] * b_norms[None, t0:t1])
+                    keep = (a_ids[:, None] < b_ids[None, t0:t1]) & (cos >= threshold)
+                    ai, bj = np.nonzero(keep)
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": a_ids[ai],
+                            "vec_b": b_ids[t0:t1][bj],
+                            "cosine": cos[ai, bj],
+                        }
+                    )
 
-    return base.mapInPandas(score, schema="vec_a long, vec_b long, cosine double")
+    # The score work is O(n²) but the input is O(n) — a few MB of vectors
+    # easily lands in ONE file split, serializing the whole gram matrix
+    # onto one core. Repartitioning the tiny input is a negligible shuffle
+    # that spreads the quadratic work across every core.
+    par = base.sparkSession.sparkContext.defaultParallelism
+    return base.repartition(par).mapInPandas(
+        score, schema="vec_a long, vec_b long, cosine double"
+    )
 
 
 # --- SQL mirrors -----------------------------------------------------------

@@ -91,10 +91,12 @@ def test_ngram_inverted_index_no_nested_loop(utc):
     assert "NestedLoop" not in s and "CartesianProduct" not in s
 
 
-def test_embedding_near_dup_no_shuffle(utc):
-    """Broadcast-matmul near-dup: mapInPandas over the scan — zero
-    exchanges, no join operator at all."""
+def test_embedding_near_dup_single_spread_shuffle(utc):
+    """Broadcast-matmul near-dup: mapInPandas over the scan — no join
+    operator; the only exchange is the deliberate O(n) repartition that
+    spreads the O(n²) scoring (input bytes never gate parallelism)."""
     fn, _ = harness.REGISTRY["q_dedup_embedding"]
     s = _plan(fn(utc, SF))
-    assert _count(r"\(\d+\) Exchange", s) == 0
+    assert _count(r"\(\d+\) Exchange", s) == 1
+    assert "RoundRobinPartitioning" in s
     assert "Join" not in s
