@@ -13,11 +13,17 @@ from mimic2ts_spark.operators import text as X
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: the doc corpus is compute-dense per byte (md5 token hashing)
+    # and small files otherwise land in one split → one busy core
+    from mimic2ts_spark.operators.spread import ensure_parallelism
+
+    return ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from mimic2ts_spark.operators.spread import ensure_parallelism
+
+    return ensure_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # --- text analysis ---------------------------------------------------------

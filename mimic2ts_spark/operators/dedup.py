@@ -28,6 +28,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mimic2ts_spark.operators.spread import ensure_parallelism
 from mimic2ts_spark.operators.text import MOD, SQL_TOKENS, SQL_CODE, token_code, tokens
 
 SHINGLE_N = 3
@@ -40,7 +41,12 @@ _rng = random.Random(42)
 HASH_A = [_rng.randrange(1, MOD) for _ in range(NUM_HASHES)]
 HASH_B = [_rng.randrange(0, MOD) for _ in range(NUM_HASHES)]
 
-SIMHASH_BITS = 32
+# 60 bits: band keys must stay fine-grained as the corpus grows (with
+# max_hamming=3 the 4 pigeonhole bands get bits/4 each; 8-bit keys from a
+# 32-bit signature collapsed 50k docs into 1k buckets and pair generation
+# went quadratic). 60 keeps every (1 << b) and band key in signed int64
+# range for both Spark and DuckDB.
+SIMHASH_BITS = 60
 
 
 def shingles(text: Column, n: int = SHINGLE_N) -> Column:
@@ -165,18 +171,27 @@ def simhash_from_token_codes(tc: Column, bits: int = SIMHASH_BITS) -> Column:
     per-bit aggregates are then cheap integer passes over a materialized
     array."""
 
-    def _bit_contrib(b: int):
-        def merge(acc, c):
-            return acc + F.when(
-                F.shiftright(c, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return F.aggregate(tc, F.lit(0).cast("long"), merge)
-
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig + F.when(_bit_contrib(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return sig
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    counters = F.aggregate(
+        tc,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        # one walk over the tokens; per token, bump all `bits` counters in
+        # a zip against the literal power array (c & (1<<b) tests bit b —
+        # shiftright needs a literal shift, so masks do the indexing)
+        lambda acc, c: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a
+            + F.when(c.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters, powers, lambda cnt, p: F.when(cnt > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
@@ -227,7 +242,9 @@ def minhash_lsh_pairs(
     executor).
     """
     base = (
-        with_shingle_codes(df.select(F.col(id_col).alias("doc_id"), text_col))
+        with_shingle_codes(
+            ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), text_col))
+        )
         .select("doc_id", "codes")
         .where(F.size("codes") > 0)
     )
@@ -295,7 +312,7 @@ def ngram_jaccard_pairs(
         gkeys.insert(0, "block")
     keep = (["block"] if block_col is not None else []) + ["doc_id"]
     base = (
-        with_shingle_codes(df.select(*cols), out="_sc")
+        with_shingle_codes(ensure_parallelism(df.select(*cols)), out="_sc")
         .select(*keep, F.array_distinct(F.col("_sc")).alias("codes"))
         .where(F.size("codes") > 0)
     )
@@ -343,7 +360,9 @@ def simhash_pairs(
     single bucket (still one scan, but quadratic — only sane for tiny
     inputs / tests)."""
     tc = F.transform(tokens(F.col(text_col)), token_code)
-    sig_df = df.select(F.col(id_col).alias("doc_id"), tc.alias("_tc")).select(
+    sig_df = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), tc.alias("_tc"))
+    ).select(
         "doc_id", simhash_from_token_codes(F.col("_tc")).alias("sig")
     )
     if max_hamming >= SIMHASH_BITS:

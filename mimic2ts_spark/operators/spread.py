@@ -1,0 +1,21 @@
+"""Compute-spread helper: input-split parallelism follows BYTES, but
+hash-heavy projections (per-token md5, minhash signatures, gram scoring)
+are compute-dense per byte — a few-MB corpus lands in one file split and
+serializes onto one core while 31 idle. `ensure_parallelism` inserts a
+cheap O(input) round-robin repartition ONLY when the scan is narrower
+than the cluster, so already-wide 100 TB inputs pay nothing.
+
+Safe only for partition-invariant downstream logic (true for every user
+here: aggregations, sorted bucket collects, dropDuplicates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -65,8 +65,13 @@ def test_simhash_flags_near_dups(spark, docs):
         (r.doc_a, r.doc_b): r.hamming
         for r in D.simhash_pairs(docs, max_hamming=D.SIMHASH_BITS).collect()
     }
+    # a >=0.9-Jaccard pair should disagree on well under 20% of signature
+    # bits (threshold scales with SIMHASH_BITS — it was 6 at 32 bits)
+    limit = max(6, D.SIMHASH_BITS // 5)
     for r in near:
-        assert sim[(r.doc_a, r.doc_b)] <= 6, (r.doc_a, r.doc_b, sim[(r.doc_a, r.doc_b)])
+        assert sim[(r.doc_a, r.doc_b)] <= limit, (
+            r.doc_a, r.doc_b, sim[(r.doc_a, r.doc_b)],
+        )
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, embs):

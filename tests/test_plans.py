@@ -65,7 +65,9 @@ def test_minhash_single_scan(utc):
     fn, _ = harness.REGISTRY["q_dedup_minhash"]
     s = _plan(fn(utc, SF))
     assert _count(r"\(\d+\) Scan parquet", s) == 1
-    assert _count(r"\(\d+\) Exchange", s) <= 2
+    # bucket shuffle + pair dedup + the deliberate compute-spread
+    # round-robin repartition (input bytes must not gate parallelism)
+    assert _count(r"\(\d+\) Exchange", s) <= 3
 
 
 def test_filter_pushdown_reaches_scan(utc):
