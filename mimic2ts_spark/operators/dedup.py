@@ -292,18 +292,23 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact pairwise Jaccard — the quadratic brute-force dedup.
+    """Exact pairwise Jaccard — inverted index with AllPairs prefix
+    filtering.
 
-    Inverted-index formulation: explode distinct shingle codes to postings,
-    bucket-collect per (block,) code, generate in-bucket pairs, and COUNT
-    shared codes per pair — |∩| arrives from a hash aggregation instead of
-    an array intersect inside an all-pairs nested-loop join, and
-    |∪| = |a|+|b|−|∩| from set sizes carried on the postings. Identical
-    output for threshold > 0 (zero-overlap pairs can never reach the
-    threshold; they are the only rows the all-pairs form would add).
-    The scale hazard is a high-document-frequency shingle (a boilerplate
-    phrase) exploding one bucket; real corpora cut high-df shingles first
-    — with `block_col` the blocking key bounds every bucket instead.
+    Only the PREFIX of each doc's sorted code set is indexed:
+    L = |x| − ⌈t·|x|⌉ + 1 codes. If J(a,b) ≥ t then |a∩b| ≥ ⌈t·|a|⌉ (the
+    union is at least |a|), so the intersection cannot fit entirely in
+    the ⌈t·|a|⌉−1 codes AFTER the prefix — under one global sort order
+    the two prefixes must share a code (Bayardo et al., AllPairs). The
+    candidate set is therefore complete; exact Jaccard on the full sets
+    then removes false positives — identical output to all-pairs for
+    threshold > 0 (zero-overlap pairs are the only rows it would add).
+
+    Shape at scale: ONE bucket shuffle on prefix codes ((1−t) of posting
+    volume), in-bucket pair generation, dedup, verify. A boilerplate
+    shingle landing many prefixes in one bucket is the residual hazard —
+    `block_col` bounds buckets by the blocking key; positional/df
+    ordering (PPJoin) is the published next dial.
     """
     cols = [F.col(id_col).alias("doc_id"), text_col]
     gkeys = ["code"]
@@ -313,36 +318,34 @@ def ngram_jaccard_pairs(
     keep = (["block"] if block_col is not None else []) + ["doc_id"]
     base = (
         with_shingle_codes(ensure_parallelism(df.select(*cols)), out="_sc")
-        .select(*keep, F.array_distinct(F.col("_sc")).alias("codes"))
+        .select(*keep, F.array_sort(F.array_distinct(F.col("_sc"))).alias("codes"))
         .where(F.size("codes") > 0)
     )
+    prefix_len = F.size("codes") - F.ceil(F.lit(threshold) * F.size("codes")) + 1
     posting = base.select(
         *([] if block_col is None else ["block"]),
-        F.size("codes").cast("long").alias("n"),
         "doc_id",
-        F.explode("codes").alias("code"),
+        "codes",
+        F.explode(F.slice(F.col("codes"), 1, prefix_len)).alias("code"),
     )
-    members = F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("n"))))
+    members = F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("codes"))))
     buckets = (
         posting.groupBy(*gkeys).agg(members.alias("members")).where(F.size("members") >= 2)
     )
-    inter = (
+    cand = (
         buckets.select(F.explode(bucket_pairs(F.col("members"))).alias("p"))
-        .groupBy(
+        .select(
             F.col("p.left.doc_id").alias("doc_a"),
             F.col("p.right.doc_id").alias("doc_b"),
-            F.col("p.left.n").alias("na"),
-            F.col("p.right.n").alias("nb"),
+            F.col("p.left.codes").alias("codes_a"),
+            F.col("p.right.codes").alias("codes_b"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = F.col("inter").cast("double") / (
-        (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    verified = cand.withColumn(
+        "jaccard", _jaccard_from_distinct(F.col("codes_a"), F.col("codes_b"))
     )
-    return (
-        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
 def simhash_pairs(
