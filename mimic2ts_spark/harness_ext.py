@@ -137,6 +137,20 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
 """
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """Composed recipe: exact dedup -> MinHash-LSH near-dup on canonical
+    docs (see canonical_near_dup_pairs)."""
+    return D.canonical_near_dup_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+Q_DEDUP_PIPELINE_SQL = Q_DEDUP_MINHASH_SQL.replace(
+    "FROM documents",
+    """FROM (SELECT d.* FROM documents d
+          JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+            ON k.doc_id = d.doc_id)""",
+)
+
+
 def q_dedup_ngram(spark, sf_dir):
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
@@ -367,6 +381,7 @@ EXT_REGISTRY = {
     "q_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "q_dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
     "q_dedup_ngram": (q_dedup_ngram, Q_DEDUP_NGRAM_SQL),
+    "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
     "q_dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "q_dedup_embedding": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),

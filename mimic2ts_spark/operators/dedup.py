@@ -348,6 +348,28 @@ def ngram_jaccard_pairs(
     return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def canonical_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The production dedup recipe: exact-dedup FIRST (one cheap
+    hash-groupBy collapses identical copies to their min-id canonical),
+    then MinHash-LSH near-dup over canonicals only. On duplicate-heavy
+    corpora this removes the quadratic in-cluster pair blow-up every
+    pairwise method pays — cluster copies never reach the near-dup stage.
+    Returns canonical-id pairs; exact-group membership comes from
+    exact_dedup."""
+    canon_ids = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    # plain semi join (NOT broadcast): the canonical-id set is ~corpus
+    # sized; AQE may still broadcast it when it is actually small
+    canon = df.join(canon_ids.select(id_col), id_col, "left_semi")
+    return minhash_lsh_pairs(canon, text_col=text_col, id_col=id_col, threshold=threshold)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

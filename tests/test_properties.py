@@ -109,3 +109,49 @@ def test_dose_spread_conserves_total(spark, amount, dur):
     out = df.select(F.explode("instants").alias("i"), "part")
     total = out.agg(F.sum("part")).first()[0]
     assert math.isclose(total, amount, rel_tol=1e-9)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=0, max_size=12
+        ).map(lambda toks: " ".join(toks)),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8, 0.95]),
+)
+@settings(**_SETTINGS)
+def test_prefix_filter_jaccard_is_complete(spark, docs, threshold):
+    """ngram_jaccard_pairs (AllPairs prefix filtering) must equal the
+    naive all-pairs Jaccard — the prefix theorem admits no false
+    negatives, the verify step no false positives. Tiny alphabet forces
+    shingle collisions; duplicate and empty docs included."""
+    from mimic2ts_spark.operators import dedup as D
+
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(pdf, threshold=threshold).collect()
+    }
+    codes = {
+        r.doc_id: set(r.codes)
+        for r in D.with_shingle_codes(pdf)
+        .select("doc_id", "codes")
+        .where(F.size("codes") > 0)
+        .collect()
+    }
+    ids = sorted(codes)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(codes[a] & codes[b])
+            union = len(codes[a] | codes[b])
+            j = inter / union
+            if j >= threshold:
+                want[(a, b)] = j
+    assert set(got) == set(want), (set(got) ^ set(want), docs)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
