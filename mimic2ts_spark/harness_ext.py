@@ -37,6 +37,7 @@ def q_text_stats(spark, sf_dir):
         F.length(t).cast("long").alias("n_chars"),
         X.mean_token_len(t).alias("mean_tok_len"),
         X.stopword_ratio(t).alias("stop_ratio"),
+        X.bpe_ish_token_count(t).alias("n_bpe_tokens"),
     )
 
 
@@ -47,7 +48,9 @@ SELECT doc_id,
        CAST({X.sql_char_sum('text')} AS DOUBLE)
          / CAST({X.SQL_TOKEN_COUNT.format(text='text')} AS DOUBLE) AS mean_tok_len,
        CAST({X.SQL_STOP_HITS.format(text='text')} AS DOUBLE)
-         / CAST({X.SQL_TOKEN_COUNT.format(text='text')} AS DOUBLE) AS stop_ratio
+         / CAST({X.SQL_TOKEN_COUNT.format(text='text')} AS DOUBLE) AS stop_ratio,
+       CAST(len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens
 FROM documents
 """
 

@@ -36,6 +36,19 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+# BPE-ish pre-tokenization classes (letters runs / digit runs / single
+# punctuation), the usual pre-split a byte-pair tokenizer sees. ASCII
+# classes only, so the Java and RE2 regex dialects agree byte-for-byte.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: counts BPE pre-tokenization units rather
+    than whitespace words ('don't x2!' → don, ', t, x2... → 6 not 2) —
+    the cheap proxy for LLM token budgeting at corpus scale."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
 def stopword_hits(text: Column) -> Column:
     toks = tokens(F.lower(text))
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")

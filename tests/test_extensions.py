@@ -163,3 +163,18 @@ def test_stream_sessionize_merges_state_across_batches(spark, tmp_path):
         (1000, 1200, 3, 7.0),
         (9999, 9999, 1, 8.0),
     ]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "don't x2!"), (2, ""), (3, "  hello   world  "), (4, "a1b2")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", X.bpe_ish_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    # don / ' / t / x / 2 / ! = 6; empty = 0; words = 2; a/1/b/2 = 4
+    assert got == {1: 6, 2: 0, 3: 2, 4: 4}
