@@ -53,7 +53,7 @@ def load_stay_matrix(
         combined = pd.DataFrame(columns=["0"]).rename_axis("feature_id")
     if feature_ids is not None:
         combined = combined.reindex(feature_ids)
-    return combined.fillna(0.0)
+    return combined.astype("float64").fillna(0.0)
 
 
 def load_long(spark: SparkSession, dst_path: str, source: str) -> DataFrame:

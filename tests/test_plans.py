@@ -59,6 +59,8 @@ def test_flagship_no_duplicate_scans(utc):
     assert _count(r"\(\d+\) Scan parquet", s) == 2
     assert _count(r"\(\d+\) Exchange", s) <= 3
     assert "BroadcastHashJoin" in s  # stay dim joins broadcast
+    # no Python evaluation anywhere in the flagship plan
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
 
 
 def test_minhash_single_scan(utc):
