@@ -19,3 +19,17 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def write_bucketed(
+    df: DataFrame, key: str, table: str, buckets: int = 32, path: str | None = None
+) -> None:
+    """Persist as a bucketed table: pre-hash-partitioned AND sorted by
+    `key`, so every future equi-join/aggregation on `key` skips its
+    shuffle entirely (the classic pay-the-shuffle-once pattern for fact
+    tables that are joined repeatedly — at 100 TB the dominant cost of a
+    star join is exactly this exchange)."""
+    writer = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

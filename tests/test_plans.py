@@ -11,6 +11,7 @@ import io
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from mimic2ts_spark import harness
 
@@ -104,3 +105,26 @@ def test_embedding_near_dup_single_spread_shuffle(utc):
     assert _count(r"\(\d+\) Exchange", s) == 1
     assert "RoundRobinPartitioning" in s
     assert "Join" not in s
+
+
+def test_bucketed_join_skips_shuffle(utc, tmp_path):
+    """Pay the shuffle once at write time: two tables bucketed on the
+    join key must equi-join with ZERO Exchange operators (co-located
+    sort-merge join reading bucket files directly)."""
+    from mimic2ts_spark.operators.spread import write_bucketed
+
+    li = utc.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    od = utc.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_orderdate")
+    write_bucketed(li, "l_orderkey", "t_li_bucketed", 8, str(tmp_path / "li"))
+    write_bucketed(od, "o_orderkey", "t_od_bucketed", 8, str(tmp_path / "od"))
+    try:
+        joined = utc.table("t_li_bucketed").join(
+            utc.table("t_od_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        s = _plan(joined)
+        assert _count(r"\(\d+\) Exchange", s) == 0, s
+        assert joined.count() > 0
+    finally:
+        utc.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        utc.sql("DROP TABLE IF EXISTS t_od_bucketed")
