@@ -27,19 +27,41 @@ _TABLES = {
 
 
 def read_mimic_csv(spark: SparkSession, mimic_path: str, table: str) -> DataFrame:
-    """Schema-first CSV scan of a MIMIC icu/ table (S1/S2).
+    """Schema-first CSV scan of a MIMIC icu/ table (S1/S2), resolved BY
+    NAME against the file header.
 
-    enforceSchema=false makes Spark check the file header against the
-    declared schema instead of binding columns by position — a reordered
-    or truncated export then fails loudly at scan time rather than
-    silently shifting values into the wrong columns (nulls everywhere
-    downstream). Costs one header-row comparison per file."""
-    return (
-        spark.read.schema(_TABLES[table])
+    Real MIMIC exports carry more columns than the engine needs and column
+    order varies between dataset versions; a purely positional
+    schema-apply would silently shift values into the wrong columns. Like
+    the reference's partial dtype dict keyed by column name
+    (/root/reference/src/mimic2ts/__init__.py:12-46,240-245), the header
+    row (one tiny driver-side job) maps each file column to its declared
+    type — undeclared columns scan as strings and are pruned by the
+    projection, a missing REQUIRED column fails with a clear error, and
+    enforceSchema=false still cross-checks every file of a multi-file
+    glob against the constructed header order."""
+    declared = _TABLES[table]
+    path = f"{mimic_path}/icu/{table}.csv"
+    header_line = spark.read.text(path).first()
+    if header_line is None:
+        raise ValueError(f"{path} is empty — no header row")
+    header = [c.strip().strip('"') for c in header_line[0].split(",")]
+    by_name = {f.name: f for f in declared.fields}
+    missing = sorted(set(by_name) - set(header))
+    if missing:
+        raise ValueError(f"{path} is missing required columns {missing}; header={header}")
+    from pyspark.sql import types as T
+
+    file_schema = T.StructType(
+        [by_name.get(c, T.StructField(c, T.StringType())) for c in header]
+    )
+    df = (
+        spark.read.schema(file_schema)
         .option("header", True)
         .option("enforceSchema", False)
-        .csv(f"{mimic_path}/icu/{table}.csv")
+        .csv(path)
     )
+    return df.select(*by_name)
 
 
 def load_stays(

@@ -122,3 +122,36 @@ def test_full_run_sink_layout(spark, mimic_dir, tmp_path):
     assert len(pd.read_csv(f"{dst}/3/chartevents_features.csv")) == 0
     # stay 2 has no outputevents → header-only dummy there too
     assert len(pd.read_csv(f"{dst}/2/outputevents_features.csv")) == 0
+
+
+def test_csv_columns_resolved_by_name(spark, tmp_path):
+    """Real MIMIC exports carry extra columns in varying order; the scan
+    must bind by NAME (like the reference's dtype dict) — and fail loudly
+    when a required column is absent, never misalign silently."""
+    import pandas as pd
+
+    from mimic2ts_spark import sources
+
+    icu = tmp_path / "byname" / "icu"
+    icu.mkdir(parents=True)
+    pd.DataFrame(
+        {
+            "first_careunit": ["MICU"],
+            "stay_id": [1],
+            "subject_id": [11],
+            "hadm_id": [21],
+            "intime": ["2024-01-01 00:00:00"],
+            "outtime": ["2024-01-01 05:30:00"],
+            "los": [0.23],
+        }
+    ).to_csv(icu / "icustays.csv", index=False)
+    row = sources.read_mimic_csv(spark, str(tmp_path / "byname"), "icustays").collect()[0]
+    assert (row.stay_id, row.subject_id, row.outtime) == (1, 11, "2024-01-01 05:30:00")
+
+    icu2 = tmp_path / "missing" / "icu"
+    icu2.mkdir(parents=True)
+    pd.DataFrame({"stay_id": [1], "intime": ["2024-01-01 00:00:00"]}).to_csv(
+        icu2 / "icustays.csv", index=False
+    )
+    with pytest.raises(ValueError, match="missing required columns"):
+        sources.read_mimic_csv(spark, str(tmp_path / "missing"), "icustays")
