@@ -241,13 +241,18 @@ def minhash_lsh_pairs(
     (a hot bucket means the band width needs retuning, not a bigger
     executor).
     """
-    base = (
-        with_shingle_codes(
-            ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), text_col))
+    # Pre-filter on the CHEAP equivalent of size(codes) > 0: at least n
+    # tokens. Filtering on size(codes) itself looks free but Catalyst's
+    # predicate pushdown SUBSTITUTES the whole codes expression (md5 pass
+    # and all) into the pushed filter — every upstream row then pays the
+    # token-hash pass several times before any join/limit prunes it.
+    base = with_shingle_codes(
+        ensure_parallelism(
+            df.select(F.col(id_col).alias("doc_id"), text_col).where(
+                F.size(tokens(F.col(text_col))) >= SHINGLE_N
+            )
         )
-        .select("doc_id", "codes")
-        .where(F.size("codes") > 0)
-    )
+    ).select("doc_id", "codes")
     sig = base.withColumn("_mh", minhash_signature(F.col("codes")))
     banded = sig.select(
         "doc_id",
@@ -316,11 +321,13 @@ def ngram_jaccard_pairs(
         cols.insert(0, F.col(block_col).alias("block"))
         gkeys.insert(0, "block")
     keep = (["block"] if block_col is not None else []) + ["doc_id"]
-    base = (
-        with_shingle_codes(ensure_parallelism(df.select(*cols)), out="_sc")
-        .select(*keep, F.array_sort(F.array_distinct(F.col("_sc"))).alias("codes"))
-        .where(F.size("codes") > 0)
-    )
+    # cheap pre-filter instead of size(codes) > 0 — see minhash_lsh_pairs
+    base = with_shingle_codes(
+        ensure_parallelism(
+            df.select(*cols).where(F.size(tokens(F.col(text_col))) >= SHINGLE_N)
+        ),
+        out="_sc",
+    ).select(*keep, F.array_sort(F.array_distinct(F.col("_sc"))).alias("codes"))
     prefix_len = F.size("codes") - F.ceil(F.lit(threshold) * F.size("codes")) + 1
     posting = base.select(
         *([] if block_col is None else ["block"]),

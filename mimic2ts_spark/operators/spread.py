@@ -16,6 +16,14 @@ from pyspark.sql import DataFrame
 def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
+    # Anything already downstream of a shuffle is partitioned by
+    # spark.sql.shuffle.partitions — and, more important, converting such
+    # a plan to an RDD to COUNT its partitions finalizes the AQE plan,
+    # which executes the upstream shuffle stages eagerly (the whole query
+    # would run twice). Only narrow scan-shaped plans need the check.
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(k in plan for k in ("Join", "Aggregate", "Repartition", "Window", "Generate")):
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
