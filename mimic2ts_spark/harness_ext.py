@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mimic2ts_spark.operators import dedup as D
+from mimic2ts_spark.operators import multimodal as _mm
 from mimic2ts_spark.operators import similarity as S
 from mimic2ts_spark.operators import text as X
 
@@ -319,12 +320,71 @@ SELECT * FROM ranked WHERE rank <= 5
 
 def q_multimodal_features(spark, sf_dir):
     """BinaryType payloads + metadata struct → mapInPandas feature
-    extraction (decode stubbed — codecs absent). Rows-only check: the
-    pandas-UDF byte math is not SQL-expressible in the oracle; unit tests
-    pin the values instead."""
-    from mimic2ts_spark.operators.multimodal import attach_binary, extract_features
+    extraction (decode stubbed — codecs absent) → posexploded scalar
+    rows. Oracle-checkable: the payload is the utf-8 encoding of `text`,
+    which is pure ASCII in the corpus, so every byte equals a character
+    code and the stub's byte math (stripe means, byte-sum checksum) is
+    exactly expressible in DuckDB."""
+    from mimic2ts_spark.operators.multimodal import (
+        attach_binary,
+        extract_features,
+        features_long,
+    )
 
-    return extract_features(attach_binary(_docs(spark, sf_dir)))
+    return features_long(extract_features(attach_binary(_docs(spark, sf_dir))))
+
+
+# Mirrors operators/multimodal.py exactly: n = octet_length (>=1 via the
+# max(1,·) only matters for empty payloads — the corpus has none, but the
+# SQL still guards); stripe = greatest(1, n // 8); feature i = mean of
+# bytes [i*stripe, (i+1)*stripe) with empty chunks → 0.0 (the stub's
+# b"\\x00" stand-in); checksum = sum(all bytes) % MOD. Single float
+# division of two exact integers → bit-equal across engines.
+Q_MULTIMODAL_SQL = f"""
+WITH b AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS n,
+           greatest(1, octet_length(encode(text)) // {_mm.FEATURE_DIM}) AS stripe
+    FROM documents
+),
+bytes AS (
+    SELECT b.doc_id, b.stripe, t.i,
+           ascii(substr(b.text, CAST(t.i AS INTEGER) + 1, 1)) AS byte
+    FROM b, unnest(range(b.n)) AS t(i)
+),
+doc AS (
+    SELECT b.doc_id, b.n AS byte_len,
+           COALESCE(sum(y.byte), 0) % {X.MOD} AS checksum
+    FROM b LEFT JOIN bytes y ON y.doc_id = b.doc_id
+    GROUP BY b.doc_id, b.n
+),
+feat_present AS (
+    SELECT doc_id, i // stripe AS feature_idx,
+           CAST(sum(byte) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS feature_value
+    FROM bytes
+    WHERE i // stripe < {_mm.FEATURE_DIM}
+    GROUP BY doc_id, i // stripe
+),
+feats AS (
+    SELECT d.doc_id, g.i AS feature_idx,
+           COALESCE(f.feature_value, 0.0) AS feature_value
+    FROM doc d
+    CROSS JOIN unnest(range({_mm.FEATURE_DIM})) AS g(i)
+    LEFT JOIN feat_present f
+      ON f.doc_id = d.doc_id AND f.feature_idx = g.i
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 3 = 0 THEN 'image/png'
+            WHEN d.doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       d.byte_len,
+       d.checksum,
+       d.doc_id % 640 + 1 AS width,
+       d.doc_id % 480 + 1 AS height,
+       f.feature_idx,
+       f.feature_value
+FROM doc d JOIN feats f ON f.doc_id = d.doc_id
+"""
 
 
 def q_stream_tumbling(spark, sf_dir):
@@ -390,7 +450,7 @@ EXT_REGISTRY = {
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
-    "q_multimodal_features": (q_multimodal_features, None),
+    "q_multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "q_stream_tumbling": (q_stream_tumbling, Q_STREAM_TUMBLING_SQL),
     "q_stream_sessionize": (q_stream_sessionize, Q_STREAM_SESSIONIZE_SQL),
 }

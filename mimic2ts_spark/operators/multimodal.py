@@ -89,3 +89,23 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
             )
 
     return multimodal.mapInPandas(batches, schema=_FEATURES_SCHEMA)
+
+
+def features_long(feats: DataFrame) -> DataFrame:
+    """Long-form view: posexplode the feature vector into scalar
+    (feature_idx, feature_value) rows.
+
+    This is the canonical exchange format for downstream relational
+    consumers (and the driver's correctness gate, whose canonicalizer
+    sorts rows by every column — array columns are unsortable there):
+    scalar rows survive any engine boundary, and at scale the explode
+    is a narrow map (no shuffle)."""
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        "checksum",
+        "width",
+        "height",
+        F.posexplode("features").alias("feature_idx", "feature_value"),
+    ).withColumn("feature_idx", F.col("feature_idx").cast("long"))

@@ -116,6 +116,27 @@ def test_multimodal_features(spark, docs):
     assert feats.media_type == "image/png"
 
 
+def test_multimodal_features_long_matches_stub(spark, docs):
+    """features_long posexplodes into scalar rows; values equal the stub's
+    stripe-mean byte math computed independently in Python."""
+    from mimic2ts_spark.operators.multimodal import features_long
+
+    rows = (
+        features_long(extract_features(attach_binary(docs)))
+        .where(F.col("doc_id") == 0)
+        .orderBy("feature_idx")
+        .collect()
+    )
+    payload = docs.where(F.col("doc_id") == 0).collect()[0].text.encode("utf-8")
+    n = max(1, len(payload))
+    stripe = max(1, n // 8)
+    assert [r.feature_idx for r in rows] == list(range(8))
+    for r in rows:
+        chunk = payload[r.feature_idx * stripe : (r.feature_idx + 1) * stripe] or b"\x00"
+        assert r.feature_value == float(sum(chunk)) / float(len(chunk))
+        assert r.byte_len == len(payload)
+
+
 def test_stream_tumbling_equals_batch(spark):
     from mimic2ts_spark.streaming import run_tumbling_available_now
 
