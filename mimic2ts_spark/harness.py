@@ -508,7 +508,13 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_tpch_q5(spark, sf_dir):
-    """TPC-H Q5 shape: multi-way join, broadcast dims, grouped revenue."""
+    """TPC-H Q5 shape: multi-way join, broadcast dims, grouped revenue.
+
+    Broadcast hints only on the truly fixed-size dims (nation=25,
+    region=5 rows at every SF). `customer` is fact-scale (grows with SF),
+    so it carries NO hint: AQE's size-based planning broadcasts it at
+    small SF and falls back to a shuffle join when it outgrows the
+    threshold — a forced broadcast would OOM executors at 100×."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -517,7 +523,7 @@ def q_tpch_q5(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

@@ -53,6 +53,18 @@ def test_q5_broadcasts_dims(utc):
     assert _count(r"\(\d+\) Exchange", s) == 1  # only the final groupBy
 
 
+def test_q5_hints_only_fixed_size_dims(utc):
+    """Broadcast HINTS must exist only for nation/region (fixed 25/5 rows
+    at every SF). `customer` is fact-scale: a forced broadcast OOMs at
+    large SF, so it must rely on AQE's size-based choice instead — at
+    this SF that still yields a broadcast (asserted above), but the hint
+    count is the scale-safety contract."""
+    logical = str(
+        harness.q_tpch_q5(utc, SF)._jdf.queryExecution().logical()
+    )
+    assert logical.count("ResolvedHint (strategy=broadcast)") == 2, logical
+
+
 def test_flagship_no_duplicate_scans(utc):
     """Dense reindex must not re-reference the aggregate subtree: exactly
     2 scans of events (fact + derived-stay dim), ≤3 exchanges."""
