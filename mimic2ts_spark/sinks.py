@@ -22,13 +22,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_stay_matrices(long_df: DataFrame, dst_path: str, name: str) -> list[int]:
+def write_stay_matrices(long_df: DataFrame, dst_path: str, name: str) -> DataFrame:
     """Pivot per stay and write `{dst}/{stay_id}/{name}_features.csv`.
 
     Input must be the dense long form (every tidx 0..total_windows present
     per feature). Output layout parity: rows indexed by feature_id
     (ascending), columns `feature_id, 0..total_windows`
-    (/root/reference/README.md:65-77). Returns produced stay_ids.
+    (/root/reference/README.md:65-77).
+
+    Returns the LAZY produced-stays DataFrame `(stay_id, n_features)` —
+    the files are written executor-side when a downstream action runs it
+    (write_empty_stay_files consumes it through an anti-join, so one
+    action drives both passes). No driver-side stay list is ever
+    materialized: at millions of stays the produced set stays
+    distributed.
     """
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -39,35 +46,46 @@ def write_stay_matrices(long_df: DataFrame, dst_path: str, name: str) -> list[in
         wide.to_csv(f"{dst_path}/{stay_id}/{name}_features.csv")
         return pd.DataFrame({"stay_id": [stay_id], "n_features": [wide.shape[0]]})
 
-    produced = (
-        long_df.groupBy("stay_id")
-        .applyInPandas(_write, schema="stay_id long, n_features long")
-        .collect()
+    return long_df.groupBy("stay_id").applyInPandas(
+        _write, schema="stay_id long, n_features long"
     )
-    return [r.stay_id for r in produced]
+
+
+def missing_stays(requested_stays: DataFrame, produced: DataFrame) -> DataFrame:
+    """S4 set difference as a real anti-join (requested − produced,
+    /root/reference/src/mimic2ts/__init__.py:217-225). No collected
+    IN-list: the plan stays a LeftAnti join however many stays exist."""
+    return requested_stays.select("stay_id", "total_windows").join(
+        produced.select("stay_id"), "stay_id", "left_anti"
+    )
 
 
 def write_empty_stay_files(
-    requested_stays: DataFrame, produced: list[int], dst_path: str, name: str
+    requested_stays: DataFrame, produced: DataFrame, dst_path: str, name: str
 ) -> None:
-    """Header-only CSV for every requested stay with no events (S4).
+    """Header-only CSV for every requested stay with no events (S4),
+    written executor-side via foreachPartition.
 
-    Anti-join semantics (requested − produced,
-    /root/reference/src/mimic2ts/__init__.py:217-225); the stay dim is
-    driver-small by construction so this collect is bounded.
+    Triggering this action also executes the `produced` applyInPandas
+    subtree (the per-stay matrix writes) exactly once — one job drives
+    the whole sink. Empty-file writes are idempotent (fixed content per
+    stay), so task retries are safe.
     """
-    missing = (
-        requested_stays.where(~F.col("stay_id").isin(produced))
-        if produced
-        else requested_stays
-    )
-    for row in missing.select("stay_id", "total_windows").collect():
-        sid = int(row.stay_id)
-        os.makedirs(f"{dst_path}/{sid}", exist_ok=True)
-        cols = ["feature_id"] + list(range(0, int(row.total_windows) + 1))
-        pd.DataFrame(columns=cols).to_csv(
-            f"{dst_path}/{sid}/{name}_features.csv", index=False
-        )
+
+    def _write_partition(rows) -> None:
+        import os as _os
+
+        import pandas as _pd
+
+        for row in rows:
+            sid = int(row["stay_id"])
+            _os.makedirs(f"{dst_path}/{sid}", exist_ok=True)
+            cols = ["feature_id"] + list(range(0, int(row["total_windows"]) + 1))
+            _pd.DataFrame(columns=cols).to_csv(
+                f"{dst_path}/{sid}/{name}_features.csv", index=False
+            )
+
+    missing_stays(requested_stays, produced).foreachPartition(_write_partition)
 
 
 def write_long_parquet(long_df: DataFrame, dst_path: str, name: str) -> None:

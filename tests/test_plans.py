@@ -119,6 +119,22 @@ def test_embedding_near_dup_single_spread_shuffle(utc):
     assert "Join" not in s
 
 
+def test_empty_stay_sink_is_anti_join(utc):
+    """S4 must be a LeftAnti join of requested vs produced stays — never a
+    collected IN-list (a multi-million-literal filter at real stay
+    counts) — and never a nested loop."""
+    from mimic2ts_spark.sinks import missing_stays
+
+    req = utc.range(10).selectExpr(
+        "id AS stay_id", "CAST(5 AS BIGINT) AS total_windows"
+    )
+    prod = utc.range(6).selectExpr("id AS stay_id", "CAST(1 AS BIGINT) AS n_features")
+    s = _plan(missing_stays(req, prod))
+    assert "LeftAnti" in s, s
+    assert " In(" not in s and "INSET" not in s.upper()
+    assert "NestedLoop" not in s and "CartesianProduct" not in s
+
+
 def test_bucketed_join_skips_shuffle(utc, tmp_path):
     """Pay the shuffle once at write time: two tables bucketed on the
     join key must equi-join with ZERO Exchange operators (co-located
