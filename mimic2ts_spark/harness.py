@@ -464,13 +464,19 @@ Q_PIVOT_WIDE_SQL = (
 
 def q_sink_partitioned(spark, sf_dir):
     """S3: partitioned sink through Spark's commit protocol, read back.
-    Rows-only check (side-effecting — no oracle)."""
+
+    The read-back IS q_agg_sum_bucket's result, so that query's SQL is
+    the oracle — the round-trip through the partitioned layout must be
+    lossless. Partition-column values are directory strings on disk;
+    cast back to long so the read-back schema equals the pre-write one."""
     import tempfile
 
     out = tempfile.mkdtemp(prefix="sink_partitioned_")
     agg = q_agg_sum_bucket(spark, sf_dir)
     agg.write.mode("overwrite").partitionBy("user_id").parquet(out)
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).withColumn(
+        "user_id", F.col("user_id").cast("long")
+    )
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -643,7 +649,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_union": (q_union, Q_UNION_SQL),
     "q_sort": (q_sort, Q_SORT_SQL),
     "q_pivot_wide": (q_pivot_wide, Q_PIVOT_WIDE_SQL),
-    "q_sink_partitioned": (q_sink_partitioned, None),
+    "q_sink_partitioned": (q_sink_partitioned, Q_AGG_SUM_BUCKET_SQL),
     "q_tpch_q1": (q_tpch_q1, Q_TPCH_Q1_SQL),
     "q_tpch_q5": (q_tpch_q5, Q_TPCH_Q5_SQL),
     "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
