@@ -28,6 +28,25 @@ def list_stays(processed_path: str) -> list[int]:
     )
 
 
+def load_feature_catalog(spark: SparkSession, mimic_path: str) -> list[int]:
+    """The full feature catalog = every itemid in d_items, sorted.
+
+    The reference consumer reindexes every stay matrix onto this axis
+    (/root/reference/tools/sampleDataset.py:19-22 loads the itemids,
+    :100-108 reindexes + zero-fills) so all stays share one feature
+    dimension. d_items is a dimension table (thousands of rows), so the
+    collect is bounded — this is a driver-side axis, not data."""
+    from mimic2ts_spark import sources
+
+    rows = (
+        sources.read_mimic_csv(spark, mimic_path, "d_items")
+        .select("itemid")
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r.itemid) for r in rows)
+
+
 def load_stay_matrix(
     processed_path: str,
     stay_id: int,
