@@ -70,17 +70,29 @@ def main() -> None:
     timings["flagship_dense_matrix"] = timed(harness.flagship)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+
+    # Self-baselining: per-query ratio vs the previous round's recorded
+    # bench (>1.5x on any query = a regression to explain). Only attached
+    # when benching the same sf the baseline was recorded at.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("sf") == out["sf"]:
+            prev = base.get("queries", {})
+            out["vs_r01"] = {
+                q: round(t / prev[q], 2) for q, t in timings.items() if prev.get(q)
             }
-        )
-    )
+            out["vs_r01_total"] = round(total / base["value"], 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

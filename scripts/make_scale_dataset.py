@@ -19,12 +19,16 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+# table -> {column: logical key domain}. Columns sharing a domain (the
+# order key appears in both orders and lineitem) must shift by ONE shared
+# offset per copy, or copy i of lineitem stops joining to copy i of
+# orders and the TPC-H bench queries silently change shape.
 KEYED = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey"],
-    "events": ["event_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "lineitem": {"l_orderkey": "orderkey"},
+    "orders": {"o_orderkey": "orderkey"},
+    "events": {"event_id": "event_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
 }
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
@@ -32,16 +36,19 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
-    for t, keys in KEYED.items():
+    # one offset per key domain = max over every (table, column) in it + 1
+    domain_off: dict[str, int] = {}
+    for t, keymap in KEYED.items():
+        for col, dom in keymap.items():
+            mx = con.execute(f"SELECT max({col}) + 1 FROM '{SRC}/{t}.parquet'").fetchone()[0]
+            domain_off[dom] = max(domain_off.get(dom, 0), mx)
+    for t, keymap in KEYED.items():
         cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
-        mx = {
-            k: con.execute(f"SELECT max({k}) + 1 FROM '{SRC}/{t}.parquet'").fetchone()[0]
-            for k in keys
-        }
         sels = []
         for i in range(N):
             proj = ", ".join(
-                f"{c} + {i * mx[c]} AS {c}" if c in mx else c for c in cols
+                f"{c} + {i * domain_off[keymap[c]]} AS {c}" if c in keymap else c
+                for c in cols
             )
             sels.append(f"SELECT {proj} FROM '{SRC}/{t}.parquet'")
         con.execute(
