@@ -172,12 +172,33 @@ def sessionize_stream(
     )
 
 
-def _drain_stateful(spark: SparkSession, streaming_df: DataFrame, name: str) -> DataFrame:
+def _drain_stateful(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    name: str,
+    timeout_seconds: float = 300.0,
+) -> DataFrame:
     """Start an append-mode memory sink and run until the source is
     exhausted AND the state store is empty (every open session flushed by
     its timeout) — the well-defined completion point for a stateful
     stream; availableNow alone stops at 'no more input', which would drop
-    still-open state."""
+    still-open state.
+
+    Completion protocol (race-free, scanned over `recentProgress` so a
+    fast batch cadence cannot hide ticks from a slower poller). Done
+    requires ALL of, on a completed batch's progress:
+    1. some earlier batch actually consumed input (`numInputRows > 0`)
+       — an idle tick before the source listing can never look "done";
+    2. no source reports a backlog (`latestOffset == endOffset`);
+    3. the state operator reports ZERO live rows — every open session
+       was flushed by its processing-time timeout and committed to the
+       sink before that batch's progress was published. A tick with no
+       state-operator entry counts as not-done, never as done.
+    On deadline expiry this RAISES instead of returning a silently
+    incomplete table. (`processAllAvailable()` is NOT usable here: with
+    processing-time timeouts pending, the engine keeps constructing
+    no-data batches and the call never observes quiescence — measured
+    minutes of churn on a one-file source.)"""
     import time
 
     q = (
@@ -186,13 +207,45 @@ def _drain_stateful(spark: SparkSession, streaming_df: DataFrame, name: str) -> 
         .queryName(name)
         .start()
     )
-    deadline = time.time() + 300
-    while time.time() < deadline:
-        p = q.lastProgress
-        if p and p["stateOperators"] and p["stateOperators"][0]["numRowsTotal"] == 0 and p["numInputRows"] == 0:
-            break
-        time.sleep(0.5)
-    q.stop()
+
+    def _backlog(p: dict) -> bool:
+        # offsets arrive stringified; sources that don't report a latest
+        # offset (the file source renders it as "None") can't be backlog-
+        # checked — rely on the zero-state condition alone for those
+        for s in p.get("sources", []):
+            lo, eo = s.get("latestOffset"), s.get("endOffset")
+            if lo in (None, "None") or eo in (None, "None"):
+                continue
+            if lo != eo:
+                return True
+        return False
+
+    try:
+        deadline = time.time() + timeout_seconds
+        seen_input = False
+        while True:
+            progresses = q.recentProgress
+            seen_input = seen_input or any(
+                p.get("numInputRows", 0) > 0 for p in progresses
+            )
+            latest = progresses[-1] if progresses else None
+            ops = (latest or {}).get("stateOperators") or []
+            if (
+                seen_input
+                and ops
+                and ops[0].get("numRowsTotal", -1) == 0
+                and not _backlog(latest)
+            ):
+                break
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"stateful stream {name!r} did not drain within "
+                    f"{timeout_seconds}s; seen_input={seen_input} "
+                    f"lastProgress={latest}"
+                )
+            time.sleep(0.2)
+    finally:
+        q.stop()
     q.awaitTermination()
     return spark.table(name)
 
