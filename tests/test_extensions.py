@@ -57,6 +57,46 @@ def test_minhash_candidates_cover_true_pairs(spark, docs):
     assert recall >= 0.9, f"LSH recall {recall}"
 
 
+def test_ngram_boilerplate_demotion_exact_and_bounded(spark, docs):
+    """Appending identical boilerplate to every doc is the adversarial
+    case for prefix indexing (every doc shares frequent shingles). The
+    hot-code demotion must (a) keep the output EXACTLY equal to the
+    brute-force pair set at the threshold and (b) keep prefix posting
+    lists off the boilerplate codes — pinned here by the pair set; the
+    bucket-bound measurement lives in README 'Measured scaling'."""
+    bp = (
+        " this document is provided as is without warranty of any kind"
+        " please review the terms and conditions before redistribution"
+    )
+    noisy = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(bp)).alias("text")
+    ).where(F.col("doc_id") < 200)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            noisy, threshold=0.8, hot_sample_mod=1
+        ).collect()
+    }
+    # brute force on the same shingle codes
+    base = D.with_shingle_codes(noisy, out="_sc").select(
+        "doc_id", F.array_distinct(F.col("_sc")).alias("codes")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            D.jaccard(F.col("a.codes"), F.col("b.codes")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    assert got == brute
+    assert brute, "boilerplate corpus should still contain true near-dups"
+
+
 def test_simhash_flags_near_dups(spark, docs):
     near = D.ngram_jaccard_pairs(docs, threshold=0.9).collect()
     if not near:
