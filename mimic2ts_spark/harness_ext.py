@@ -437,6 +437,24 @@ FROM i GROUP BY user_id, island
 """
 
 
+def q_stream_clamp(spark, sf_dir):
+    """Streaming early-clamp bucket mean (SURVEY §2.12 completion):
+    stream-static broadcast join against the derived stay dim, native
+    clamp/bucket/late-drop columns, stateful per-stay integer-cents
+    accumulation — drained result equals the batch q_agg_mean_bucket, so
+    that query's SQL is the oracle."""
+    from mimic2ts_spark.streaming import run_clamped_bucket_available_now
+
+    return run_clamped_bucket_available_now(spark, sf_dir)
+
+
+# harness defines this SQL before importing harness_ext at its bottom, so
+# the partially-initialized module already carries the attribute
+from mimic2ts_spark import harness as _h  # noqa: E402
+
+Q_STREAM_CLAMP_SQL = _h.Q_AGG_MEAN_BUCKET_SQL
+
+
 EXT_REGISTRY = {
     "q_text_stats": (q_text_stats, Q_TEXT_STATS_SQL),
     "q_text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
@@ -453,4 +471,5 @@ EXT_REGISTRY = {
     "q_multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "q_stream_tumbling": (q_stream_tumbling, Q_STREAM_TUMBLING_SQL),
     "q_stream_sessionize": (q_stream_sessionize, Q_STREAM_SESSIONIZE_SQL),
+    "q_stream_clamp": (q_stream_clamp, Q_STREAM_CLAMP_SQL),
 }

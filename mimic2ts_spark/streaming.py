@@ -254,3 +254,115 @@ def run_sessionize_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionize the events stream and drain it to a static result."""
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     return _drain_stateful(spark, sessionize_stream(events_stream(spark, sf_dir)), name)
+
+
+# --- streaming early-clamp bucket aggregation (SURVEY §2.12 completion) ----
+
+_CLAMP_OUT = (
+    "user_id long, event_type string, tidx long, mean_value double, n_events long"
+)
+_CLAMP_STATE = T.StructType(
+    [
+        T.StructField("etypes", T.ArrayType(T.StringType())),
+        T.StructField("tidxs", T.ArrayType(T.LongType())),
+        T.StructField("cents", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def clamped_bucket_stream(
+    stream: DataFrame, stays: DataFrame, timestep: int = 3600, scale: int = 100
+) -> DataFrame:
+    """Streaming form of the reference's per-stay clamp semantics
+    (/root/reference/src/mimic2ts/__init__.py:154-165: E6 bucket, E7
+    early-clamp to bucket 0, P4 late-drop) + the A3 bucket MEAN, keyed by
+    stay:
+
+    - the stay dimension is a STATIC DataFrame broadcast into the stream
+      (stream-static join — the J1 analogue; per-key origins can't come
+      from the stream itself causally);
+    - clamp/bucket/late-drop are native Column expressions on the joined
+      stream (no state needed for row-local semantics);
+    - the per-(stay, feature, bucket) mean accumulates in
+      applyInPandasWithState as integer cents + counts (order-independent,
+      so the incremental result is bit-equal to the batch GROUP BY),
+      emitted exactly once per stay when the drain timeout closes it.
+
+    Scale: state is O(active stays × features × buckets-per-stay) — the
+    same cardinality the batch aggregation's hash table holds; one
+    shuffle on user_id; Arrow batches per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mimic2ts_spark.operators.time_ops import (
+        bucket_index,
+        clamp_floor,
+        epoch_seconds,
+    )
+
+    joined = stream.join(F.broadcast(stays), "user_id")
+    b = joined.withColumn(
+        "tidx", clamp_floor(bucket_index(epoch_seconds("ts"), F.col("intime"), timestep))
+    ).where(F.col("tidx") <= F.col("total_windows"))
+    prepped = b.select(
+        "user_id",
+        "event_type",
+        "tidx",
+        F.round(F.col("value") * scale, 0).cast("long").alias("c"),
+    )
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                et, ti, ce, ns = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": uid,
+                        "event_type": list(et),
+                        "tidx": list(ti),
+                        "mean_value": [
+                            c / float(n * scale) for c, n in zip(ce, ns)
+                        ],
+                        "n_events": list(ns),
+                    }
+                )
+            return
+        cells: dict[tuple[str, int], list[int]] = {}
+        if state.exists:
+            et, ti, ce, ns = state.get
+            for e, t, c, n in zip(et, ti, ce, ns):
+                cells[(e, int(t))] = [int(c), int(n)]
+        rows = pd.concat(list(pdfs))
+        for e, t, c in zip(rows["event_type"], rows["tidx"], rows["c"]):
+            cur = cells.setdefault((e, int(t)), [0, 0])
+            cur[0] += int(c)
+            cur[1] += 1
+        keys = sorted(cells)
+        state.update(
+            (
+                [k[0] for k in keys],
+                [k[1] for k in keys],
+                [cells[k][0] for k in keys],
+                [cells[k][1] for k in keys],
+            )
+        )
+        state.setTimeoutDuration(1000)
+
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        fn, _CLAMP_OUT, _CLAMP_STATE, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
+def run_clamped_bucket_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-clamp the events table and drain to a static result equal to
+    the batch q_agg_mean_bucket."""
+    from mimic2ts_spark import harness  # lazy: harness imports harness_ext
+
+    name = f"clamp_{uuid.uuid4().hex[:8]}"
+    stays = harness.derived_stays(spark, sf_dir)
+    return _drain_stateful(
+        spark, clamped_bucket_stream(events_stream(spark, sf_dir), stays), name
+    )

@@ -177,6 +177,25 @@ def test_multimodal_features_long_matches_stub(spark, docs):
         assert r.byte_len == len(payload)
 
 
+def test_stream_clamp_equals_batch_bucket_mean(spark):
+    """The drained streaming clamp (stream-static stay join + stateful
+    integer-cents bucket mean) must equal the batch q_agg_mean_bucket
+    exactly — same clamp/late-drop semantics, order-independent sums."""
+    from mimic2ts_spark import harness
+    from mimic2ts_spark.streaming import run_clamped_bucket_available_now
+
+    stream_rows = {
+        (r.user_id, r.event_type, r.tidx): (r.mean_value, r.n_events)
+        for r in run_clamped_bucket_available_now(spark, SF).collect()
+    }
+    batch_rows = {
+        (r.user_id, r.event_type, r.tidx): (r.mean_value, r.n_events)
+        for r in harness.q_agg_mean_bucket(spark, SF).collect()
+    }
+    assert stream_rows == batch_rows
+    assert stream_rows, "fixture should produce buckets"
+
+
 def test_stream_tumbling_equals_batch(spark):
     from mimic2ts_spark.streaming import run_tumbling_available_now
 
