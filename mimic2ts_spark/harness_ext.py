@@ -176,6 +176,36 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
 """
 
 
+def q_dedup_ngram_blocked(spark, sf_dir):
+    """ngram_jaccard_pairs with a blocking key (`source`): buckets are
+    additionally bounded by the block — the unconditional hot-bucket
+    dial for corpora whose boilerplate exceeds the sampled hot set.
+    Pairs never span blocks (mirrored in the oracle)."""
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), block_col="source", threshold=0.8
+    )
+
+
+Q_DEDUP_NGRAM_BLOCKED_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, source, {D.sql_token_codes('text')} AS tc FROM documents
+),
+codes_t AS (
+    SELECT doc_id, source,
+           list_distinct({D.sql_shingle_codes_from_tc('tc')}) AS codes
+    FROM tok
+),
+codes2 AS (SELECT * FROM codes_t WHERE len(codes) > 0),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {D.SQL_JACCARD.format(a='a.codes', b='b.codes')} AS jaccard
+    FROM codes2 a JOIN codes2 b
+      ON a.doc_id < b.doc_id AND a.source = b.source
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
@@ -462,6 +492,7 @@ EXT_REGISTRY = {
     "q_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "q_dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
     "q_dedup_ngram": (q_dedup_ngram, Q_DEDUP_NGRAM_SQL),
+    "q_dedup_ngram_blocked": (q_dedup_ngram_blocked, Q_DEDUP_NGRAM_BLOCKED_SQL),
     "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
     "q_dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "q_dedup_embedding": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
