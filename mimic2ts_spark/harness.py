@@ -626,6 +626,120 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# --- time-series joins (as-of, range) --------------------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: attach each non-purchase event's most recent
+    purchase value (union-merge window form — one shuffle on user_id, no
+    range explosion; see operators/joins.py). Build side pre-aggregated
+    to one row per (user, second) with max(value) — order-independent —
+    so the tie winner is defined on both engines."""
+    from mimic2ts_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", epoch_seconds("ts"))
+    build = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts_s").alias("bts"))
+        .agg(F.max("value").alias("quote"))
+    )
+    probe = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts_s", "event_id", "event_type"
+    )
+    return asof_join(
+        probe,
+        build,
+        on=["user_id"],
+        probe_ts="ts_s",
+        build_ts="bts",
+        value_cols=["quote"],
+        matched_ts="asof_ts",
+    )
+
+
+Q_ASOF_JOIN_SQL = """
+WITH build AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS bts, max(value) AS quote
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+),
+probe AS (
+    SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+    FROM events WHERE event_type <> 'purchase'
+)
+SELECT p.user_id, p.ts_s, p.event_id, p.event_type,
+       b.quote AS quote, b.bts AS asof_ts
+FROM probe p ASOF LEFT JOIN build b
+  ON p.user_id = b.user_id AND p.ts_s >= b.bts
+"""
+
+
+RANGE_W = 4 * H  # purchase attribution window [ts, ts+4h)
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join as a bucketed equi-join (no nested-loop):
+    clicks attributed to the 4h window after each purchase, aggregated
+    per interval with an exact integer-cents sum. Empty windows kept
+    via a final left join (n_points = 0)."""
+    from mimic2ts_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", epoch_seconds("ts"))
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts_s").alias("s"),
+        (F.col("ts_s") + RANGE_W).alias("e"),
+    )
+    points = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_s").alias("t"), "value"
+    )
+    pairs = range_join(
+        points, intervals, on=["user_id"], point_ts="t",
+        start_col="s", end_col="e", bucket_width=RANGE_W,
+    )
+    agg = pairs.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        _sum_exact(F.col("value"), "sum_value"),
+    )
+    return (
+        intervals.select("interval_id")
+        .join(agg, "interval_id", "left")
+        .select(
+            "interval_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_points"),
+            "sum_value",
+        )
+    )
+
+
+Q_RANGE_JOIN_SQL = f"""
+WITH intervals AS (
+    SELECT event_id AS interval_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           CAST(floor(epoch(ts)) AS BIGINT) + {RANGE_W} AS e
+    FROM events WHERE event_type = 'purchase'
+),
+points AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+    FROM events WHERE event_type = 'click'
+),
+matched AS (
+    SELECT i.interval_id, p.value
+    FROM intervals i JOIN points p
+      ON p.user_id = i.user_id AND p.t >= i.s AND p.t < i.e
+),
+agg AS (
+    SELECT interval_id, count(*) AS n, {sql_sum_exact('value')} AS sum_value
+    FROM matched GROUP BY interval_id
+)
+SELECT i.interval_id,
+       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_points,
+       agg.sum_value AS sum_value
+FROM intervals i LEFT JOIN agg ON i.interval_id = agg.interval_id
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -655,6 +769,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
     "q_rollup": (q_rollup, Q_ROLLUP_SQL),
     "q_agg_salted": (q_agg_salted, Q_AGG_SALTED_SQL),
+    "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
+    "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
 }
 
 

@@ -1,0 +1,138 @@
+"""Time-series join operators Spark lacks natively: as-of join and
+range (point-in-interval) join.
+
+Both are expressed as compositions of existing DataFrame ops — no
+Pandas UDF, no nested-loop join — so they stay inside whole-stage
+codegen and scale by partitioning on the join key:
+
+- as-of join: the classic union-merge trick. Tag build rows 0 and probe
+  rows 1, union, and take ``last(value, ignorenulls=True)`` over a
+  (key) window ordered by (time, side). ONE shuffle on the key, linear
+  work, no time-range explosion — the plan a 1000-executor cluster
+  wants. (A range-join formulation would be O(probe × build) per key;
+  pandas ``merge_asof`` per group would leave the JVM.)
+
+- range join: intervals are exploded to the fixed-width time buckets
+  they cover, points land in exactly one bucket, and the match becomes
+  a (key, bucket) EQUI-join plus a residual ``s <= t < e`` filter.
+  Spark would otherwise plan an inequality join as
+  BroadcastNestedLoopJoin — quadratic and executor-OOM at scale. With
+  bucket width >= max interval length each interval lands in <= 2
+  buckets, so the explode is a bounded 2x, and because a point belongs
+  to exactly one bucket no pair is emitted twice (no dedup pass).
+
+Determinism contract (oracle parity): the build side of the as-of join
+must be unique per (key, time) — ties at the same instant have no
+defined winner in either engine. ``asof_join`` does NOT dedup for you;
+callers pre-aggregate (see harness ``q_asof_join``: max(value) per
+(user, second), order-independent and exact).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    probe_ts: str,
+    build_ts: str,
+    value_cols: Sequence[str],
+    matched_ts: str = "asof_ts",
+) -> DataFrame:
+    """For each probe row, attach ``value_cols`` from the most recent
+    build row with the same key and ``build_ts <= probe_ts`` (backward
+    as-of, inclusive), plus that row's time as ``matched_ts``.
+    No match -> NULLs (left-join semantics).
+
+    Requires: build unique per (key, build_ts); probe/build time and
+    value columns distinct from each other and from ``matched_ts``.
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+    probe_cols = [c for c in probe.columns if c not in on and c != probe_ts]
+
+    b = build.select(
+        *on,
+        F.col(build_ts).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(dict(probe.dtypes)[c]).alias(c) for c in probe_cols],
+    )
+    p = probe.select(
+        *on,
+        F.col(probe_ts).alias("_asof_t"),
+        F.lit(1).alias("_asof_side"),
+        *[F.lit(None).cast(dict(build.dtypes)[c]).alias(c) for c in value_cols],
+        *[F.col(c) for c in probe_cols],
+    )
+    u = b.unionByName(p)
+
+    # One window, one shuffle: partition by key, order by (t, side) so a
+    # build row at exactly t sorts before probes at t (inclusive bound).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_asof_t", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+        F.last(
+            F.when(F.col("_asof_side") == 0, F.col("_asof_t")), ignorenulls=True
+        )
+        .over(w)
+        .alias(matched_ts),
+    )
+    return filled.where(F.col("_asof_side") == 1).select(
+        *on,
+        F.col("_asof_t").alias(probe_ts),
+        *probe_cols,
+        *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+        matched_ts,
+    )
+
+
+def explode_interval_buckets(s: Column, e: Column, width: int) -> Column:
+    """Bucket indices the half-open interval [s, e) covers at the given
+    width. Empty/inverted intervals (e <= s) cover no buckets."""
+    return F.when(
+        e > s,
+        F.sequence(F.floor(s / width), F.floor((e - F.lit(1)) / width)),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner join: every (interval, point) pair with matching key and
+    ``start <= t < end`` (half-open), as a (key, bucket) equi-join.
+
+    ``bucket_width`` trades explode factor against bucket selectivity:
+    pick it >= the typical interval length so each interval covers
+    <= 2 buckets. Correct for any width; never emits duplicates (a
+    point is in exactly one bucket).
+    """
+    on = list(on)
+    iv = intervals.withColumn(
+        "_rj_bucket",
+        F.explode(
+            explode_interval_buckets(F.col(start_col), F.col(end_col), bucket_width)
+        ),
+    )
+    pt = points.withColumn("_rj_bucket", F.floor(F.col(point_ts) / bucket_width))
+    joined = pt.join(iv, on=on + ["_rj_bucket"], how="inner").where(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_rj_bucket")

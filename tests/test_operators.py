@@ -119,3 +119,57 @@ def test_pivot_wide(spark):
     wide = pivot_wide(df, pivot_values=[0, 1]).toPandas().set_index("feature_id").sort_index()
     assert list(wide.columns) == ["stay_id", "0", "1"]
     assert wide.loc[8, "0"] == 3.0 and wide.loc[9, "1"] == 2.0
+
+
+# --- time-series joins (operators/joins.py) --------------------------------
+
+
+def test_asof_join_semantics(spark):
+    """Backward inclusive as-of: equal timestamps match; earlier build
+    rows are shadowed by later ones; no prior build row -> NULLs."""
+    from mimic2ts_spark.operators.joins import asof_join
+
+    build = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 15, 900.0)], "k int, bt int, v double"
+    )
+    probe = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 19, "c"), (1, 25, "d"), (2, 14, "e"), (3, 99, "f")],
+        "k int, pt int, tag string",
+    )
+    out = asof_join(probe, build, on=["k"], probe_ts="pt", build_ts="bt",
+                    value_cols=["v"], matched_ts="mt")
+    rows = {(r.k, r.pt): (r.v, r.mt) for r in out.collect()}
+    assert rows == {
+        (1, 5): (None, None),      # before any build row
+        (1, 10): (100.0, 10),      # tie at t: inclusive
+        (1, 19): (100.0, 10),
+        (1, 25): (200.0, 20),      # later build shadows earlier
+        (2, 14): (None, None),
+        (3, 99): (None, None),     # key absent from build
+    }
+    assert out.count() == probe.count()  # left-join row preservation
+
+
+def test_range_join_half_open_and_bucket_edges(spark):
+    """Half-open [s, e): point at s matches, at e doesn't; intervals
+    spanning a bucket edge still match exactly once; empty interval
+    (e <= s) matches nothing."""
+    from mimic2ts_spark.operators.joins import range_join
+
+    intervals = spark.createDataFrame(
+        [(1, 100, 0, 10), (1, 101, 8, 25), (1, 102, 30, 30), (2, 103, 0, 100)],
+        "k int, iid int, s int, e int",
+    )
+    points = spark.createDataFrame(
+        [(1, 0), (1, 9), (1, 10), (1, 24), (1, 25), (1, 30), (2, 99), (2, 100)],
+        "k int, t int",
+    )
+    out = range_join(points, intervals, on=["k"], point_ts="t",
+                     start_col="s", end_col="e", bucket_width=10)
+    pairs = sorted((r.iid, r.t) for r in out.collect())
+    assert pairs == [
+        (100, 0), (100, 9),          # 10 excluded (half-open)
+        (101, 9), (101, 10), (101, 24),  # 8<=t<25 across 3 buckets, once each
+        (103, 99),                   # 100 excluded
+    ]
+    assert "_rj_bucket" not in out.columns

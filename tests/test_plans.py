@@ -156,3 +156,28 @@ def test_bucketed_join_skips_shuffle(utc, tmp_path):
     finally:
         utc.sql("DROP TABLE IF EXISTS t_li_bucketed")
         utc.sql("DROP TABLE IF EXISTS t_od_bucketed")
+
+
+def test_asof_join_is_union_window_no_join(utc):
+    """The as-of join must stay in its union-merge form: zero join
+    operators, exactly one window, and <= 2 exchanges (build-side
+    pre-agg + the key-partitioned window). A range-join or nested-loop
+    formulation here is quadratic per key at scale."""
+    s = _plan(harness.q_asof_join(utc, SF))
+    assert "NestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s and "BroadcastHashJoin" not in s
+    assert _count(r"\(\d+\) Window", s) == 1
+    assert _count(r"\(\d+\) Exchange", s) <= 2
+    assert "BatchEvalPython" not in s
+
+
+def test_range_join_is_bucketed_equi_join(utc):
+    """The interval match must compile to an EQUI-join on (key, bucket)
+    — never a BroadcastNestedLoopJoin/CartesianProduct, which is what
+    Spark plans for a raw inequality join and is O(points x intervals)
+    per key at 100 TB."""
+    s = _plan(harness.q_range_join(utc, SF))
+    assert "NestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s
+    # bounded shuffles: bucket join + per-interval agg (+ AQE variance)
+    assert _count(r"\(\d+\) Exchange", s) <= 3
