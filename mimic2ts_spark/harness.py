@@ -740,6 +740,29 @@ FROM intervals i LEFT JOIN agg ON i.interval_id = agg.interval_id
 """
 
 
+# --- sketches --------------------------------------------------------------
+
+
+def q_sketch_kmv(spark, sf_dir):
+    """KMV distinct-count sketch of users per event_type (plus exact
+    distinct via the same md5-code dedup for error inspection). O(k)
+    state per group, mergeable, bit-exact estimator — see
+    operators/sketch.py for why KMV beats HLL under an oracle gate."""
+    from mimic2ts_spark.operators.sketch import kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_sketch(ev, group_cols=["event_type"], value_col="user_id")
+
+
+def _sketch_sql():
+    from mimic2ts_spark.operators.sketch import kmv_sketch_sql
+
+    return kmv_sketch_sql("events", "event_type", "user_id")
+
+
+Q_SKETCH_KMV_SQL = _sketch_sql()
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -771,6 +794,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_agg_salted": (q_agg_salted, Q_AGG_SALTED_SQL),
     "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
     "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
+    "q_sketch_kmv": (q_sketch_kmv, Q_SKETCH_KMV_SQL),
 }
 
 

@@ -1,0 +1,110 @@
+"""KMV (k-minimum-values) distinct-count sketch — a mergeable
+cardinality estimator with a BIT-EXACT cross-engine contract.
+
+Why KMV and not HyperLogLog here: the estimate must hash-match a DuckDB
+oracle, so every arithmetic step has to be reproducible from SQL.
+KMV's state is just "the k smallest md5-derived codes" — pure integer
+ops plus ONE division at the end — whereas HLL's register updates and
+harmonic-mean bias correction depend on engine-internal hashing and
+float summation order. Same O(k) state, same mergeability (union =
+min-k of the union of code sets), none of the nondeterminism.
+
+Scale shape (100 TB): three narrowing shuffles —
+1. distinct (group, code): hash-aggregate with map-side partial dedup,
+   the only pass that sees raw volume;
+2. salted pre-top-k: row_number over (group, code % SALT_BUCKETS)
+   keeps k per salt bucket, so no single task ever sorts a whole
+   group's distinct set (a billion-distinct group splits into
+   SALT_BUCKETS ordered scans of its shards);
+3. final top-k over (group): at most SALT_BUCKETS*k rows per group —
+   thousands, regardless of input size.
+
+Estimator: with codes uniform on [0, 2^60), the k-th smallest value
+U_k satisfies E[U_k / 2^60] = k / (D + 1), giving the classic
+est = (k - 1) / (U_k / 2^60). When fewer than k distinct values exist
+the sketch is exact (est = n_kept).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators.text import SQL_CODE
+
+KMV_K = 64
+SALT_BUCKETS = 32
+CODE_SPACE = float(1 << 60)  # md5 prefix is 15 hex chars = 60 bits
+
+
+def kmv_code(col: Column) -> Column:
+    """Deterministic 60-bit uniform code (md5-derived; engine-portable —
+    see text.token_code / CLAUDE.md cross-engine hashing rule)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = KMV_K,
+    salt_buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Per-group KMV sketch of distinct ``value_col``: (n_kept,
+    kth_code, est_distinct). est_distinct is exact below k."""
+    group_cols = list(group_cols)
+    codes = df.select(
+        *group_cols, kmv_code(F.col(value_col)).alias("_code")
+    ).distinct()
+
+    w_salt = Window.partitionBy(
+        *group_cols, (F.col("_code") % salt_buckets).alias("_salt")
+    ).orderBy("_code")
+    pre = (
+        codes.withColumn("_rn", F.row_number().over(w_salt))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+    w_group = Window.partitionBy(*group_cols).orderBy("_code")
+    topk = pre.withColumn("_rn", F.row_number().over(w_group)).where(
+        F.col("_rn") <= k
+    )
+
+    agg = topk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("_code").alias("kth_code"),
+    )
+    # One division chain, identical op order in the SQL oracle.
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth_code").cast("double") / F.lit(CODE_SPACE))
+    )
+    return agg.select(*group_cols, "n_kept", "kth_code", est.alias("est_distinct"))
+
+
+def kmv_sketch_sql(
+    table: str, group_col: str, value_col: str, k: int = KMV_K
+) -> str:
+    """DuckDB oracle mirroring kmv_sketch exactly (the salted pre-pass is
+    a superset filter, so the plain row_number form is equivalent)."""
+    code = SQL_CODE.format(tok=f"CAST({value_col} AS VARCHAR)")
+    return f"""
+WITH codes AS (
+    SELECT DISTINCT {group_col}, {code} AS code FROM {table}
+),
+ranked AS (
+    SELECT {group_col}, code,
+           row_number() OVER (PARTITION BY {group_col} ORDER BY code) AS rn
+    FROM codes
+)
+SELECT {group_col},
+       CAST(count(*) AS BIGINT) AS n_kept,
+       max(code) AS kth_code,
+       CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+            ELSE {float(k - 1)} / (CAST(max(code) AS DOUBLE) / {CODE_SPACE})
+       END AS est_distinct
+FROM ranked WHERE rn <= {k}
+GROUP BY {group_col}
+"""

@@ -173,3 +173,21 @@ def test_range_join_half_open_and_bucket_edges(spark):
         (103, 99),                   # 100 excluded
     ]
     assert "_rj_bucket" not in out.columns
+
+
+def test_kmv_sketch_exact_below_k_and_estimates_above(spark):
+    """Below k the sketch is exact; above k the KMV estimate lands
+    within ~3/sqrt(k) relative error (here ~2x margin on one draw)."""
+    from mimic2ts_spark.operators.sketch import kmv_sketch
+
+    rows = [("small", i) for i in range(10)] + [("big", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in kmv_sketch(df, ["g"], "v", k=64).collect()}
+    assert out["small"].n_kept == 10
+    assert out["small"].est_distinct == 10.0
+    assert out["big"].n_kept == 64
+    assert abs(out["big"].est_distinct - 5000) / 5000 < 0.75
+    # duplicates must not perturb the sketch (distinct semantics)
+    df2 = spark.createDataFrame(rows + rows, "g string, v long")
+    out2 = {r.g: r for r in kmv_sketch(df2, ["g"], "v", k=64).collect()}
+    assert out2["big"].kth_code == out["big"].kth_code
