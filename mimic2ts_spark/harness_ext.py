@@ -485,6 +485,51 @@ from mimic2ts_spark import harness as _h  # noqa: E402
 Q_STREAM_CLAMP_SQL = _h.Q_AGG_MEAN_BUCKET_SQL
 
 
+# --- dataset split + chunking ----------------------------------------------
+
+
+def q_split_hash(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by md5 bucket of
+    doc_id, aggregated per (split, source). Pure hash-space cuts:
+    reproducible across engines, retries, and appends (no rand())."""
+    from mimic2ts_spark.operators.split import with_split
+
+    d = _docs(spark, sf_dir)
+    return (
+        with_split(d, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def _split_sql():
+    from mimic2ts_spark.operators.split import split_case_sql
+
+    return f"""
+SELECT {split_case_sql('doc_id')} AS split, source,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+Q_SPLIT_HASH_SQL = _split_sql()
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping fixed-token-window chunking (50-token windows,
+    stride 40) — the training-context packing primitive. Tokenize-once
+    explode; rows carry the chunk md5 instead of the text."""
+    return X.chunk_docs(_docs(spark, sf_dir)).select(
+        "doc_id", "chunk_idx", "start_tok", "n_chunk_tokens", "chunk_hash"
+    )
+
+
+Q_DOC_CHUNKS_SQL = X.chunk_docs_sql()
+
+
 EXT_REGISTRY = {
     "q_text_stats": (q_text_stats, Q_TEXT_STATS_SQL),
     "q_text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
@@ -503,4 +548,6 @@ EXT_REGISTRY = {
     "q_stream_tumbling": (q_stream_tumbling, Q_STREAM_TUMBLING_SQL),
     "q_stream_sessionize": (q_stream_sessionize, Q_STREAM_SESSIONIZE_SQL),
     "q_stream_clamp": (q_stream_clamp, Q_STREAM_CLAMP_SQL),
+    "q_split_hash": (q_split_hash, Q_SPLIT_HASH_SQL),
+    "q_doc_chunks": (q_doc_chunks, Q_DOC_CHUNKS_SQL),
 }

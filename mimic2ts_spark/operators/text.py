@@ -123,3 +123,75 @@ def sql_fingerprint(text: str) -> str:
         f"list_transform({toks}, t -> {code} % {MOD})), "
         f"(acc, x) -> (acc * 131 + x) % {MOD})"
     )
+
+
+# --- chunking (fixed token windows with overlap) ---------------------------
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+def chunk_docs(
+    df,
+    text_col: str = "text",
+    window: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+):
+    """Explode each document into overlapping fixed-size token windows —
+    the context-window packing primitive of an LLM training pipeline.
+
+    Starts are 1, 1+stride, ... while start <= n_tokens, so the tail
+    chunk may be short; chunk_idx = (start-1)/stride is derived from the
+    start itself (order-free, safe under the driver's order-insensitive
+    compare). Tokens are materialized ONCE as a named column before the
+    explode — inlining would let Catalyst re-substitute the split under
+    the generator (same trap as dedup.with_shingle_codes).
+
+    Emits (doc_id passthrough cols, chunk_idx, start_tok,
+    n_chunk_tokens, chunk_hash); the hash stands in for the chunk text
+    to keep the row narrow — downstream consumers re-slice by
+    (start_tok, n_chunk_tokens).
+    """
+    from pyspark.sql import functions as F
+
+    step = df.withColumn("_toks", tokens(F.col(text_col)))
+    step = step.withColumn(
+        "start_tok",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.lit(1), F.size("_toks")), F.lit(stride))),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start_tok"), window)
+    return (
+        step.withColumn("chunk_idx", ((F.col("start_tok") - 1) / stride).cast("long"))
+        .withColumn("start_tok", F.col("start_tok").cast("long"))
+        .withColumn("n_chunk_tokens", F.size(chunk).cast("long"))
+        .withColumn("chunk_hash", F.md5(F.concat_ws(" ", chunk)))
+        .drop("_toks", text_col)
+    )
+
+
+def chunk_docs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    toks = SQL_TOKENS.format(text=text_col)
+    return f"""
+WITH toked AS (
+    SELECT {id_col}, {toks} AS toks FROM {table}
+),
+starts AS (
+    SELECT {id_col}, toks,
+           unnest(generate_series(1, greatest(1, len(toks)), {stride})) AS start_tok
+    FROM toked
+)
+SELECT {id_col},
+       CAST((start_tok - 1) / {stride} AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(list_slice(toks, start_tok, start_tok + {window} - 1)) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, start_tok, start_tok + {window} - 1), ' '))
+         AS chunk_hash
+FROM starts
+"""

@@ -258,3 +258,41 @@ def test_bpe_ish_token_count(spark):
     }
     # don / ' / t / x / 2 / ! = 6; empty = 0; words = 2; a/1/b/2 = 4
     assert got == {1: 6, 2: 0, 3: 2, 4: 4}
+
+
+def test_hash_split_stable_and_complete(spark):
+    """Split labels are a pure function of the id (stable under
+    re-partitioning/appends), cover every row, and roughly honor the
+    80/10/10 cuts."""
+    from mimic2ts_spark.operators.split import with_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = with_split(df, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    # determinism: same ids appended again land in the same splits
+    again = with_split(df.union(df), "doc_id").distinct()
+    assert again.count() == out.distinct().count()
+
+
+def test_chunk_docs_window_semantics(spark):
+    """50/40 windows: a 45-token doc yields starts 1 and 41 (short
+    tail), a 120-token doc yields starts 1/41/81 with sizes 50/50/40;
+    chunk_idx derives from start, not row order."""
+    from mimic2ts_spark.operators.text import chunk_docs
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(45))),
+         (2, " ".join(f"u{i}" for i in range(120))),
+         (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_docs(docs)
+    got = {(r.doc_id, r.chunk_idx): (r.start_tok, r.n_chunk_tokens) for r in out.collect()}
+    assert got == {
+        (1, 0): (1, 45), (1, 1): (41, 5),
+        (2, 0): (1, 50), (2, 1): (41, 50), (2, 2): (81, 40),
+        (3, 0): (1, 1),
+    }
