@@ -626,6 +626,74 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-agg — the predicate-pushdown /
+    column-pruning showcase (no join, no shuffle beyond the final
+    1-row reduce). All three filters reach the parquet reader."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return li.agg(
+        _sum_exact(rev, "revenue", scale=10000),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q_TPCH_Q6_SQL = f"""
+SELECT {sql_sum_exact('l_extendedprice * l_discount', 10000)} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → two fact joins → grouped
+    revenue → top-10. `customer` and `orders` are fact-scale so neither
+    carries a broadcast hint (AQE decides); the limit's tie-break is
+    pinned on l_orderkey so the cut is deterministic cross-engine.
+    (Testdata carries o_orderpriority in the o_shippriority role.)"""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_sum_exact(rev, "revenue", scale=10000))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q_TPCH_Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_sum_exact('l_extendedprice * (1 - l_discount)', 10000)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 # --- time-series joins (as-of, range) --------------------------------------
 
 
@@ -789,6 +857,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_sink_partitioned": (q_sink_partitioned, Q_AGG_SUM_BUCKET_SQL),
     "q_tpch_q1": (q_tpch_q1, Q_TPCH_Q1_SQL),
     "q_tpch_q5": (q_tpch_q5, Q_TPCH_Q5_SQL),
+    "q_tpch_q6": (q_tpch_q6, Q_TPCH_Q6_SQL),
+    "q_tpch_q3": (q_tpch_q3, Q_TPCH_Q3_SQL),
     "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
     "q_rollup": (q_rollup, Q_ROLLUP_SQL),
     "q_agg_salted": (q_agg_salted, Q_AGG_SALTED_SQL),

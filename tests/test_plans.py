@@ -181,3 +181,30 @@ def test_range_join_is_bucketed_equi_join(utc):
     assert "BatchEvalPython" not in s
     # bounded shuffles: bucket join + per-interval agg (+ AQE variance)
     assert _count(r"\(\d+\) Exchange", s) <= 3
+
+
+def test_q6_full_pushdown_pruned_scan(utc):
+    """Q6 is the pushdown showcase: every predicate reaches the parquet
+    reader, the scan reads only the 4 referenced columns, and the only
+    exchange is the final single-row reduce."""
+    s = _plan(harness.q_tpch_q6(utc, SF))
+    assert "PushedFilters" in s
+    for f in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+              "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+              "LessThan(l_quantity,24.0)"):
+        assert f in s, f
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m and len(m.group(1).split(",")) == 4, m.group(1)
+    assert _count(r"\(\d+\) Exchange", s) == 1
+    assert "SortMergeJoin" not in s and "Join" not in s
+
+
+def test_q3_no_forced_broadcast_and_single_agg_shuffle(utc):
+    """Q3's customer/orders are fact-scale: the plan must not contain a
+    forced broadcast hint artifact (ResolvedHint) — AQE decides; and no
+    nested-loop join may appear."""
+    s = _plan(harness.q_tpch_q3(utc, SF))
+    assert "NestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s
+    # filters pushed on all three inputs
+    assert s.count("PushedFilters: [") >= 3
