@@ -485,6 +485,38 @@ from mimic2ts_spark import harness as _h  # noqa: E402
 Q_STREAM_CLAMP_SQL = _h.Q_AGG_MEAN_BUCKET_SQL
 
 
+def q_stream_sliding(spark, sf_dir):
+    """Sliding-window (2h/1h) streaming agg in APPEND mode with a
+    10-minute watermark: trailing windows the watermark never passes are
+    withheld — the batch oracle reproduces the cutoff as
+    window_end*1000 <= max(epoch_ms) - 600000."""
+    from mimic2ts_spark.streaming import run_sliding_available_now
+
+    return run_sliding_available_now(spark, sf_dir)
+
+
+Q_STREAM_SLIDING_SQL = """
+WITH ev AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value FROM events
+),
+wins AS (
+    SELECT (CAST(floor(sec / 3600) AS BIGINT) - offs.o) * 3600 AS window_start,
+           event_type, value
+    FROM ev CROSS JOIN (SELECT unnest([0::BIGINT, 1::BIGINT]) AS o) offs
+),
+agg AS (
+    SELECT window_start, event_type,
+           CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100
+             AS sum_value,
+           count(*) AS n_events
+    FROM wins GROUP BY 1, 2
+),
+wm AS (SELECT epoch_ms(max(ts)) - 600000 AS wm_ms FROM events)
+SELECT a.window_start, a.event_type, a.sum_value, a.n_events
+FROM agg a, wm WHERE (a.window_start + 7200) * 1000 <= wm.wm_ms
+"""
+
+
 # --- dataset split + chunking ----------------------------------------------
 
 
@@ -548,6 +580,7 @@ EXT_REGISTRY = {
     "q_stream_tumbling": (q_stream_tumbling, Q_STREAM_TUMBLING_SQL),
     "q_stream_sessionize": (q_stream_sessionize, Q_STREAM_SESSIONIZE_SQL),
     "q_stream_clamp": (q_stream_clamp, Q_STREAM_CLAMP_SQL),
+    "q_stream_sliding": (q_stream_sliding, Q_STREAM_SLIDING_SQL),
     "q_split_hash": (q_split_hash, Q_SPLIT_HASH_SQL),
     "q_doc_chunks": (q_doc_chunks, Q_DOC_CHUNKS_SQL),
 }

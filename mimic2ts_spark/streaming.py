@@ -84,6 +84,54 @@ def run_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+SLIDE_WINDOW = "2 hours"
+SLIDE_STEP = "1 hour"
+SLIDE_DELAY_SECONDS = 600
+
+
+def sliding_agg(stream: DataFrame, scale: int = 100) -> DataFrame:
+    """Sliding 2h windows every 1h with a 10-minute watermark, per
+    event_type — each event lands in exactly two hour-aligned windows.
+    Append mode + watermark is the REAL late-data contract (unlike the
+    tumbling query's complete mode): a window only emits once the
+    watermark (max event time - delay) passes its end, so the final
+    trailing windows never emit — exactly reproducible in batch as
+    `window_end <= max(ts) - delay` (the q_stream_sliding oracle)."""
+    return (
+        stream.withWatermark("ts", f"{SLIDE_DELAY_SECONDS} seconds")
+        .groupBy(F.window("ts", SLIDE_WINDOW, SLIDE_STEP).alias("w"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * scale, 0).cast("long")).alias("cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            (F.col("cents").cast("double") / scale).alias("sum_value"),
+            "n_events",
+        )
+    )
+
+
+def run_sliding_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the sliding-window stream to completion in APPEND mode: the
+    availableNow trigger drains the file source, then the engine's
+    no-data batch advances the watermark to max(ts) - delay and flushes
+    every closed window; windows still open at that point are correctly
+    withheld (late-data semantics, mirrored by the batch oracle)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        sliding_agg(events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 SESSION_GAP_SECONDS = 1800
 
 _SESSION_OUT = (

@@ -205,6 +205,23 @@ def test_stream_tumbling_equals_batch(spark):
     assert total_stream == total_batch
 
 
+def test_stream_sliding_append_watermark_withholds_tail(spark):
+    """Append mode + watermark: every emitted window has
+    window_end <= max(ts) - delay, events double-count across the 2h/1h
+    overlap, and the trailing open windows are withheld."""
+    from mimic2ts_spark.streaming import SLIDE_DELAY_SECONDS, run_sliding_available_now
+
+    out = run_sliding_available_now(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    max_us = ev.agg(F.max(F.expr("ts div 1000"))).collect()[0][0]  # nanos->micros
+    wm_sec = (max_us // 1000) / 1000.0 - SLIDE_DELAY_SECONDS
+    assert out and all(r.window_start + 7200 <= wm_sec for r in out)
+    # each event lands in exactly 2 windows; only closed windows emit,
+    # so the emitted total is <= 2x rows and > 0
+    total = sum(r.n_events for r in out)
+    assert 0 < total <= 2 * ev.count()
+
+
 def test_stream_sessionize_merges_state_across_batches(spark, tmp_path):
     """A session split across two microbatches must merge through the
     applyInPandasWithState state row and emit exactly once (flushed by the
