@@ -34,6 +34,13 @@ HEADLINE = [
     "q_dedup_embedding",
     "q_ann_lsh",
     "q_ann_ivf",
+    "q_tpch_q6",
+    "q_tpch_q3",
+    "q_asof_join",
+    "q_range_join",
+    "q_sketch_kmv",
+    "q_split_hash",
+    "q_doc_chunks",
 ]
 
 
@@ -85,12 +92,16 @@ def main() -> None:
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        if base.get("sf") == out["sf"]:
-            prev = base.get("queries", {})
+        # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
+        parsed = base.get("parsed", base)
+        if base.get("sf", parsed.get("sf")) == out["sf"]:
+            prev = parsed.get("queries", {})
             out["vs_r01"] = {
                 q: round(t / prev[q], 2) for q, t in timings.items() if prev.get(q)
             }
-            out["vs_r01_total"] = round(total / base["value"], 3)
+            if prev:
+                shared = round(sum(t for q, t in timings.items() if prev.get(q)), 3)
+                out["vs_r01_total"] = round(shared / parsed["value"], 3)
 
     print(json.dumps(out))
 

@@ -369,12 +369,17 @@ def ngram_jaccard_pairs(
     # broadcast-budget choice). Missing a mid-frequency code only leaves
     # a bucket of that code's df — bounded by ~hot_sample_mod× the
     # sample threshold — never corpus-sized.
+    # no ensure_parallelism here: the sample job is fixed-overhead-bound
+    # at small sf (a repartition + 32 reduce tasks cost 0.35 s of a 0.9 s
+    # job; measured), and at real scale the 1/mod sample inherits the
+    # source's native input splits, which is all the parallelism the
+    # sampled md5 pass needs
     sample = df.select(*cols).where(
         (F.col(id_col) % hot_sample_mod == 0)
         & (F.size(tokens(F.col(text_col))) >= SHINGLE_N)
     )
     hot_rows = (
-        with_shingle_codes(ensure_parallelism(sample), out="_sc")
+        with_shingle_codes(sample, out="_sc")
         .select(F.explode(F.array_distinct(F.col("_sc"))).alias("code"))
         .groupBy("code")
         .count()
