@@ -808,6 +808,71 @@ FROM intervals i LEFT JOIN agg ON i.interval_id = agg.interval_id
 """
 
 
+def q_window_funcs(spark, sf_dir):
+    """Analytic window functions over per-series event order: lag/lead
+    neighbors, dense ranking, and a row-level delta — one window spec,
+    one shuffle on the series key, deterministic (event_id tiebreak)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", epoch_seconds("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_s", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_s",
+        "value",
+        prev.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        (F.col("value") - prev).alias("delta"),
+    )
+
+
+Q_WINDOW_FUNCS_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       value - lag(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+"""
+
+
+def q_cube(spark, sf_dir):
+    """CUBE over (event_type, hour-of-day): all four grouping sets in
+    one pass (map-side expansion, single shuffle), exact-cents sums,
+    NULL group keys relabeled for stable order-insensitive compare."""
+    ev = _t(spark, sf_dir, "events").withColumn("hod", F.hour("ts").cast("long"))
+    return (
+        ev.cube("event_type", "hod")
+        .agg(
+            _sum_exact(F.col("value"), "sum_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("hod"), F.lit(-1)).alias("hod"),
+            "sum_value",
+            "n_rows",
+        )
+    )
+
+
+Q_CUBE_SQL = f"""
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(EXTRACT(hour FROM ts) AS BIGINT), -1) AS hod,
+       {sql_sum_exact('value')} AS sum_value,
+       count(*) AS n_rows
+FROM events
+GROUP BY CUBE (event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT))
+"""
+
+
 # --- sketches --------------------------------------------------------------
 
 
@@ -865,6 +930,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
     "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
     "q_sketch_kmv": (q_sketch_kmv, Q_SKETCH_KMV_SQL),
+    "q_window_funcs": (q_window_funcs, Q_WINDOW_FUNCS_SQL),
+    "q_cube": (q_cube, Q_CUBE_SQL),
 }
 
 

@@ -234,6 +234,36 @@ WHERE {S.sql_cosine('a.embedding', 'b.embedding')} >= 0.45
 """
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Beyond-broadcast embedding near-dup: LSH-bucketed candidate join +
+    exact cosine verify (no collect, corpus size unbounded) — the scale
+    path q_dedup_embedding's broadcast form caps out of."""
+    return S.embedding_near_dup_pairs_lsh(_embs(spark, sf_dir), threshold=0.45)
+
+
+_LSH_BANDED_DUP = "\nUNION ALL\n".join(
+    f"SELECT vec_id, embedding, {t} AS tbl, {S.sql_lsh_bucket('embedding', t)} AS bucket FROM e"
+    for t in range(S.LSH_TABLES)
+)
+Q_DEDUP_EMBEDDING_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+banded AS (
+{_LSH_BANDED_DUP}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM banded a JOIN banded b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       {S.sql_cosine('ea.embedding', 'eb.embedding')} AS cosine
+FROM cand c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE {S.sql_cosine('ea.embedding', 'eb.embedding')} >= 0.45
+"""
+
+
 # --- similarity search -----------------------------------------------------
 
 
@@ -517,6 +547,21 @@ FROM agg a, wm WHERE (a.window_start + 7200) * 1000 <= wm.wm_ms
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark, bounded
+    state): drained key set equals the batch SELECT DISTINCT."""
+    from mimic2ts_spark.streaming import run_dedup_available_now
+
+    return run_dedup_available_now(spark, sf_dir)
+
+
+Q_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type,
+       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start
+FROM events
+"""
+
+
 # --- dataset split + chunking ----------------------------------------------
 
 
@@ -573,6 +618,7 @@ EXT_REGISTRY = {
     "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
     "q_dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "q_dedup_embedding": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
+    "q_dedup_embedding_lsh": (q_dedup_embedding_lsh, Q_DEDUP_EMBEDDING_LSH_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
@@ -581,6 +627,7 @@ EXT_REGISTRY = {
     "q_stream_sessionize": (q_stream_sessionize, Q_STREAM_SESSIONIZE_SQL),
     "q_stream_clamp": (q_stream_clamp, Q_STREAM_CLAMP_SQL),
     "q_stream_sliding": (q_stream_sliding, Q_STREAM_SLIDING_SQL),
+    "q_stream_dedup": (q_stream_dedup, Q_STREAM_DEDUP_SQL),
     "q_split_hash": (q_split_hash, Q_SPLIT_HASH_SQL),
     "q_doc_chunks": (q_doc_chunks, Q_DOC_CHUNKS_SQL),
 }

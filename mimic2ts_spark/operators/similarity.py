@@ -267,6 +267,47 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Beyond-broadcast scale path for embedding near-dup (the cap
+    embedding_near_dup_pairs documents): candidate pairs share an LSH
+    bucket in >= 1 of the LSH_TABLES tables, then an exact cosine verify
+    filters to >= threshold. One shuffle on (table, bucket), no
+    collect/broadcast, so corpus size is unbounded.
+
+    Approximate by construction — a true pair no table co-buckets is
+    missed (recall rises with LSH_TABLES) — but DETERMINISTIC: the
+    oracle replays the identical integer-derived plane weights and the
+    same left-to-right cosine fold, so the emitted set hash-matches
+    exactly. For high thresholds (near-dup territory) random-hyperplane
+    collision probability (1 - theta/pi)^planes per table is high, which
+    is what makes LSH the right bucketing for dedup specifically."""
+    def bucketed(ident: str) -> DataFrame:
+        base = vectors.select(
+            F.col(id_col).alias(ident), F.col(vec_col).alias(f"{ident}_vec")
+        )
+        return base.withColumn("_buckets", lsh_buckets_all(f"{ident}_vec")).select(
+            ident, f"{ident}_vec", F.posexplode("_buckets").alias("table", "bucket")
+        )
+
+    a, b = bucketed("vec_a"), bucketed("vec_b")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "vec_a_vec", "vec_b_vec")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        cosine(F.col("vec_a_vec"), F.col("vec_b_vec")).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

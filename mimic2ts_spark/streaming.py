@@ -132,6 +132,44 @@ def run_sliding_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+DEDUP_DELAY_SECONDS = 600
+
+
+def dedup_stream(stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup: at most one row per (user, event_type,
+    hour) via dropDuplicatesWithinWatermark — state for a key is held
+    only until the watermark passes it (bounded state, unlike plain
+    dropDuplicates whose key set grows forever). Only the KEY columns
+    are emitted: which duplicate arrives first is race-dependent, the
+    key set is not — that keeps the drained result deterministic and
+    equal to the batch SELECT DISTINCT."""
+    return (
+        stream.withWatermark("ts", f"{DEDUP_DELAY_SECONDS} seconds")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+            "ts",
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_start"])
+        .select("user_id", "event_type", "hour_start")
+    )
+
+
+def run_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 SESSION_GAP_SECONDS = 1800
 
 _SESSION_OUT = (
