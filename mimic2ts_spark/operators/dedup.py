@@ -321,12 +321,19 @@ def ngram_jaccard_pairs(
       bounded side-job (groupBy(code).count → top-k collect, k rows to
       the driver — a documented broadcast-budget choice) and applied as
       LITERAL arrays via array_except/array_intersect: engine-native,
-      one evaluation per row, no per-element lookups inside a
-      higher-order function (the element_at re-evaluation trap), and no
-      extra shuffle over posting volume (a full df-ordering needs a
-      window + regroup over every posting — measured 2.6× slower at
-      sf0.1 for no additional bucket-bound benefit, since only frequent
-      codes make buckets hot).
+      no per-element lookups inside a higher-order function (the
+      element_at re-evaluation trap), and no extra shuffle over posting
+      volume (a full df-ordering needs a window + regroup over every
+      posting — measured 2.6× slower at sf0.1 for no additional
+      bucket-bound benefit, since only frequent codes make buckets hot).
+      The demoted order is used ONLY for the prefix slice: the exact
+      verify and the length terms are order-insensitive, so the carried
+      `codes` stay in the original sorted order and the demotion
+      expression is single-use — Catalyst's projection collapse would
+      otherwise substitute the per-row hot-set build into every
+      downstream use of `codes` (measured 1.9→1.3 s at sf0.1,
+      hot_k=1024; each array_except/array_intersect against a k-element
+      literal rebuilds a k-entry hash set per evaluation).
     - the POSITIONAL filter (PPJoin) prunes candidate occurrences before
       the exact-Jaccard verify: sharing the code at position pa of a and
       pb of b bounds the overlap by 1 + min(|a|−pa−1, |b|−pb−1); if that
@@ -337,10 +344,10 @@ def ngram_jaccard_pairs(
       drop truths), and `dropDuplicates` keeps a pair if ANY occurrence
       survives.
 
-    The global total order (cold codes ascending, then hot codes by
-    ascending df) is consistent across all docs, which is all the
-    AllPairs prefix-completeness proof needs; the output set is
-    identical to code-order (the exact verify is order-insensitive).
+    The global total order (cold codes ascending, then hot codes
+    ascending) is consistent across all docs, which is all the AllPairs
+    prefix-completeness proof needs; the output set is identical to
+    code-order (the exact verify is order-insensitive).
 
     Shape at scale: bounded hot-code side-job → ONE bucket shuffle on
     prefix codes ((1−t) of posting volume) → in-bucket pairs →
@@ -389,24 +396,23 @@ def ngram_jaccard_pairs(
         .collect()
     )
     if hot_rows:
-        # literal hot array ordered rarest→most-frequent: appended AFTER
-        # the cold codes, it completes the global total order
-        hot_lit = F.array(*[F.lit(r.code) for r in reversed(hot_rows)])
-        ordered = base.select(
-            *keep,
-            F.concat(
-                F.array_sort(F.array_except(F.col("codes"), hot_lit)),
-                F.array_intersect(hot_lit, F.col("codes")),
-            ).alias("codes"),
+        # demoted order = cold codes then hot codes, both ascending
+        # (array_except/array_intersect preserve the left array's sorted
+        # order, so no re-sort). Built only HERE, inside the slice — the
+        # carried `codes` keep the original order.
+        hot_lit = F.array(*[F.lit(r.code) for r in hot_rows])
+        demoted = F.concat(
+            F.array_except(F.col("codes"), hot_lit),
+            F.array_intersect(F.col("codes"), hot_lit),
         )
     else:
-        ordered = base
+        demoted = F.col("codes")
     prefix_len = F.size("codes") - F.ceil(F.lit(threshold) * F.size("codes")) + 1
-    posting = ordered.select(
+    posting = base.select(
         *([] if block_col is None else ["block"]),
         "doc_id",
         "codes",
-        F.posexplode(F.slice(F.col("codes"), 1, prefix_len)).alias("pos", "code"),
+        F.posexplode(F.slice(demoted, 1, prefix_len)).alias("pos", "code"),
     )
     members = F.array_sort(
         F.collect_list(F.struct(F.col("doc_id"), F.col("pos"), F.col("codes")))
