@@ -298,6 +298,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     hot_k: int = 1024,
     hot_sample_mod: int = 20,
+    hot_df_bound: int = 500,
 ) -> DataFrame:
     """Exact pairwise Jaccard — inverted index with AllPairs prefix
     filtering.
@@ -313,13 +314,20 @@ def ngram_jaccard_pairs(
 
     Hot-bucket hardening (the PPJoin/AllPairs dials, Bayardo et al. /
     Xiao et al.):
-    - BOILERPLATE DEMOTION: the top-`hot_k` most document-frequent codes
-      are moved to the TAIL of the global code order, so prefixes hold
-      rare shingles and a boilerplate shingle's posting list never lands
-      in a prefix bucket (unless a doc is almost pure boilerplate —
-      exactly the docs that should pair). The hot set is found by one
-      bounded side-job (groupBy(code).count → top-k collect, k rows to
-      the driver — a documented broadcast-budget choice) and applied as
+    - BOILERPLATE DEMOTION: codes whose estimated document frequency
+      (sampled count × `hot_sample_mod`) exceeds `hot_df_bound` docs are
+      moved to the TAIL of the global code order (top-`hot_k` hottest if
+      more qualify), so prefixes hold rare shingles and a boilerplate
+      shingle's posting list never lands in a prefix bucket (unless a
+      doc is almost pure boilerplate — exactly the docs that should
+      pair). Codes below the bound stay put: their worst-case bucket is
+      already ≤ `hot_df_bound` docs, and demoting them only buys per-row
+      literal-array cost (a boilerplate-free corpus demotes NOTHING and
+      pays nothing — measured 0.4 s of a 1.9 s query at sf0.1 when the
+      top-k was allowed to fill with sampled-count-2 noise). The hot set
+      is found by one bounded side-job (groupBy(code).count → top-k
+      collect, ≤k rows to the driver — a documented broadcast-budget
+      choice) and applied as
       LITERAL arrays via array_except/array_intersect: engine-native,
       no per-element lookups inside a higher-order function (the
       element_at re-evaluation trap), and no extra shuffle over posting
@@ -371,11 +379,11 @@ def ngram_jaccard_pairs(
     # of ids): boilerplate shingles by construction appear in a large
     # fraction of docs, so a sample finds them, while counting the full
     # vocabulary would shuffle every distinct code (measured 3.8 s of a
-    # 1.3 s query at sf0.1). Codes repeated in the sample, most frequent
-    # first, capped at hot_k rows to the driver (a documented
-    # broadcast-budget choice). Missing a mid-frequency code only leaves
-    # a bucket of that code's df — bounded by ~hot_sample_mod× the
-    # sample threshold — never corpus-sized.
+    # 1.3 s query at sf0.1). Only codes whose sampled count projects to
+    # df > hot_df_bound qualify, most frequent first, capped at hot_k
+    # rows to the driver (a documented broadcast-budget choice). Missing
+    # a mid-frequency code only leaves a bucket of that code's df —
+    # bounded by ~hot_df_bound — never corpus-sized.
     # no ensure_parallelism here: the sample job is fixed-overhead-bound
     # at small sf (a repartition + 32 reduce tasks cost 0.35 s of a 0.9 s
     # job; measured), and at real scale the 1/mod sample inherits the
@@ -390,7 +398,7 @@ def ngram_jaccard_pairs(
         .select(F.explode(F.array_distinct(F.col("_sc"))).alias("code"))
         .groupBy("code")
         .count()
-        .where(F.col("count") > 1)
+        .where(F.col("count") >= max(2, -(-hot_df_bound // hot_sample_mod)))
         .orderBy(F.desc("count"), "code")
         .limit(hot_k)
         .collect()

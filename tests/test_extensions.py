@@ -74,7 +74,9 @@ def test_ngram_boilerplate_demotion_exact_and_bounded(spark, docs):
     got = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in D.ngram_jaccard_pairs(
-            noisy, threshold=0.8, hot_sample_mod=1
+            # mod=1 counts the full corpus; bound=50 docs < the 200-doc
+            # boilerplate df, so demotion must trigger here
+            noisy, threshold=0.8, hot_sample_mod=1, hot_df_bound=50
         ).collect()
     }
     # brute force on the same shingle codes
