@@ -41,6 +41,9 @@ HEADLINE = [
     "q_sketch_kmv",
     "q_split_hash",
     "q_doc_chunks",
+    "q_tpch_q18",
+    "q_quantiles",
+    "q_dedup_clusters",
 ]
 
 

@@ -896,6 +896,170 @@ def _sketch_sql():
 Q_SKETCH_KMV_SQL = _sketch_sql()
 
 
+# --- reshape: unpivot / melt ------------------------------------------------
+
+
+def q_unpivot(spark, sf_dir):
+    """Wide → long unpivot (melt) of the four lineitem measures: the
+    inverse of q_pivot_wide. Native `DataFrame.unpivot` — a map-side
+    Expand (4 output rows per input row), no shuffle, raw value
+    pass-through (no arithmetic → bit-exact cross-engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+Q_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
+# --- ordered aggregates: exact quantiles ------------------------------------
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile`,
+    NOT percentile_approx — the approx sketch is engine-specific and
+    can never hash-match an oracle). One shuffle on the group key; the
+    per-group sort is the unavoidable cost of exact quantiles. Both
+    engines interpolate lower + (upper−lower)·frac at frac =
+    p·(n−1) − ⌊·⌋ in IEEE double, so values are bit-exact (verified,
+    all four cut points at sf0.01). At 100 TB the scale path is
+    per-group percentile over a pre-bucketed value histogram or a
+    mergeable sketch — this is the exact baseline those must match
+    within error."""
+    ev = _t(spark, sf_dir, "events")
+    q = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.9))")
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("q"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "event_type",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+            F.col("q")[3].alias("p90"),
+            "n_rows",
+        )
+    )
+
+
+Q_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       quantile_cont(value, 0.9)  AS p90,
+       count(*) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+STRATA_RATES = (
+    ("purchase", 10000),  # keep all of the rare/valuable stratum
+    ("signup", 5000),     # 50 %
+    ("error", 2000),      # 20 %
+    ("click", 500),       # 5 %
+    ("view", 200),        # 2 %
+)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum downsampling at fixed rates by md5 hash bucket of
+    event_id (never rand() — reproducible across engines, retries and
+    appends; CLAUDE.md determinism rule). The rate table is a literal
+    CASE (a real pipeline broadcasts it); the filter is a pure Column
+    expression on the scan — no shuffle, no UDF."""
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    ev = _t(spark, sf_dir, "events")
+    rate = None
+    for label, bps in STRATA_RATES:
+        cond = F.col("event_type") == label
+        rate = F.when(cond, bps) if rate is None else rate.when(cond, bps)
+    return ev.where(kmv_code(F.col("event_id")) % 10000 < rate.otherwise(0)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+def _stratified_sql():
+    from mimic2ts_spark.operators.text import SQL_CODE
+
+    code = SQL_CODE.format(tok="CAST(event_id AS VARCHAR)")
+    whens = " ".join(f"WHEN '{label}' THEN {bps}" for label, bps in STRATA_RATES)
+    return f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE ({code} % 10000) < (CASE event_type {whens} ELSE 0 END)
+"""
+
+
+Q_SAMPLE_STRATIFIED_SQL = _stratified_sql()
+
+
+# --- TPC-H Q18: HAVING subquery + semi join ---------------------------------
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered
+    aggregate as a left-semi join against the fact, then the
+    customer/orders join and re-aggregation. The semi-join build side
+    is the filtered agg output — small by construction (HAVING is
+    selective), so AQE broadcasts it at any SF without a manual hint
+    (the q5 lesson: never force-broadcast a fact-scale input). Ordered
+    cut pinned by unique o_orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_sum_exact(F.col("l_quantity"), "sum_qty"))
+        .where(F.col("sum_qty") > 300)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_sum_exact(F.col("l_quantity"), "sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+Q_TPCH_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {sql_sum_exact('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING {sql_sum_exact('l_quantity')} > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -932,6 +1096,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_sketch_kmv": (q_sketch_kmv, Q_SKETCH_KMV_SQL),
     "q_window_funcs": (q_window_funcs, Q_WINDOW_FUNCS_SQL),
     "q_cube": (q_cube, Q_CUBE_SQL),
+    "q_unpivot": (q_unpivot, Q_UNPIVOT_SQL),
+    "q_quantiles": (q_quantiles, Q_QUANTILES_SQL),
+    "q_sample_stratified": (q_sample_stratified, Q_SAMPLE_STRATIFIED_SQL),
+    "q_tpch_q18": (q_tpch_q18, Q_TPCH_Q18_SQL),
 }
 
 

@@ -607,6 +607,42 @@ def q_doc_chunks(spark, sf_dir):
 Q_DOC_CHUNKS_SQL = X.chunk_docs_sql()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs → clusters: connected components over the MinHash-LSH
+    near-dup pair list (hash-to-min label propagation with pointer
+    jumping, O(log n) rounds — operators/cluster.py), then every doc
+    tagged with its cluster id (min doc_id of the component, self when
+    unpaired). This is the step that turns any pairwise dedup into a
+    keep-one-per-cluster filter. Oracle: DuckDB recursive CTE computing
+    the same transitive closure."""
+    from mimic2ts_spark.operators.cluster import canonical_ids
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    return canonical_ids(docs.select("doc_id"), pairs).select("doc_id", "cluster_id")
+
+
+_MINHASH_BODY = Q_DEDUP_MINHASH_SQL.strip().removeprefix("WITH")
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_BODY.split('SELECT doc_a, doc_b, jaccard')[0].rstrip().rstrip(',')},
+mh AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM mh
+    UNION
+    SELECT doc_b, doc_a FROM mh
+),
+reach(node, lab) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym) AS base(u)
+    UNION
+    SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+),
+comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 EXT_REGISTRY = {
     "q_text_stats": (q_text_stats, Q_TEXT_STATS_SQL),
     "q_text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
@@ -619,6 +655,7 @@ EXT_REGISTRY = {
     "q_dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "q_dedup_embedding": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
     "q_dedup_embedding_lsh": (q_dedup_embedding_lsh, Q_DEDUP_EMBEDDING_LSH_SQL),
+    "q_dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),

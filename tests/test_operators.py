@@ -191,3 +191,42 @@ def test_kmv_sketch_exact_below_k_and_estimates_above(spark):
     df2 = spark.createDataFrame(rows + rows, "g string, v long")
     out2 = {r.g: r for r in kmv_sketch(df2, ["g"], "v", k=64).collect()}
     assert out2["big"].kth_code == out["big"].kth_code
+
+
+def test_connected_components_vs_union_find(spark):
+    """Chains force the pointer-jumping path (neighbor propagation
+    alone needs O(length) rounds); the cross-check oracle is a plain
+    Python union-find over the same edges."""
+    from mimic2ts_spark.operators.cluster import canonical_ids, connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(1, 40)]        # one long chain 1..40
+        + [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]  # clique
+        + [(200, 201), (203, 202), (201, 203)]    # mixed direction
+        + [(300, 300)]                            # self-loop only → dropped
+    )
+    e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.comp for r in connected_components(e).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # re-run find to full compression
+    want = {n: find(n) for n in parent}
+    assert got == want
+    assert 300 not in got  # self-loop-only node has no edges
+
+    docs = spark.createDataFrame([(i,) for i in [1, 5, 40, 104, 500]], "doc_id long")
+    canon = {r.doc_id: r.cluster_id for r in canonical_ids(docs, e).collect()}
+    assert canon == {1: 1, 5: 1, 40: 1, 104: 100, 500: 500}
