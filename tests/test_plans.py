@@ -208,3 +208,40 @@ def test_q3_no_forced_broadcast_and_single_agg_shuffle(utc):
     assert "BatchEvalPython" not in s
     # filters pushed on all three inputs
     assert s.count("PushedFilters: [") >= 3
+
+
+def test_q18_no_forced_broadcast_and_semi_join(utc):
+    """The HAVING agg must reach the fact as a semi join whose build
+    side is AQE-sized (small by construction) — never a manual
+    broadcast hint, and never a plan that re-scans lineitem per probe
+    (one scan per logical use: agg + probe = 2)."""
+    s = _plan(harness.q_tpch_q18(utc, SF))
+    assert "LeftSemi" in s
+    assert "ResolvedHint" not in s
+    assert _count(r"lineitem\.parquet", s) == 2, s
+
+
+def test_unpivot_is_map_side_only(utc):
+    """Unpivot = Expand over the scan: no exchange, no join, and the
+    scan reads only the six projected columns."""
+    s = _plan(harness.q_unpivot(utc, SF))
+    assert "Expand" in s
+    assert _count(r"\(\d+\) Exchange", s) == 0
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m and len(m.group(1).split(",")) == 6, m.group(1)
+
+
+def test_stratified_sample_is_pure_scan_filter(utc):
+    """The stratified sample is a Filter directly over the scan: no
+    shuffle, no Python eval, and the rate CASE folded into one
+    predicate."""
+    s = _plan(harness.q_sample_stratified(utc, SF))
+    assert _count(r"\(\d+\) Exchange", s) == 0
+    assert "BatchEvalPython" not in s
+    assert _count(r"\(\d+\) Filter", s) == 1
+
+
+def test_quantiles_single_shuffle(utc):
+    s = _plan(harness.q_quantiles(utc, SF))
+    assert _count(r"\(\d+\) Exchange", s) == 1
+    assert "BatchEvalPython" not in s
