@@ -607,6 +607,79 @@ def q_doc_chunks(spark, sf_dir):
 Q_DOC_CHUNKS_SQL = X.chunk_docs_sql()
 
 
+def q_source_jsonl(spark, sf_dir):
+    """JSONL source/sink round trip: documents → line-delimited JSON →
+    read back with an EXPLICIT schema (schema-on-read discipline — at
+    100 TB inference re-reads the whole input; an explicit schema makes
+    the read one pass and type-stable). Text fidelity through JSON
+    escaping is pinned by an md5-code checksum per (source, lang):
+    byte-identical text, or the oracle (reading the parquet originals)
+    hash-mismatches. All columns are long/string so the trip is
+    lossless by construction."""
+    import tempfile
+
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    out = tempfile.mkdtemp(prefix="source_jsonl_")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(out)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(kmv_code(F.col("text")) % 1000000007).alias("text_checksum"),
+    )
+
+
+def _jsonl_sql():
+    code = X.SQL_CODE.format(tok="text")
+    return f"""
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum({code} % 1000000007) AS BIGINT) AS text_checksum
+FROM documents GROUP BY source, lang
+"""
+
+
+Q_SOURCE_JSONL_SQL = _jsonl_sql()
+
+
+def q_sample_topk_hash(spark, sf_dir):
+    """Exactly-k-per-stratum deterministic sample: rank docs inside
+    each (source) stratum by md5 code of doc_id and keep the k
+    smallest — a reservoir sample whose 'random' order is a pure hash
+    (reproducible across engines/retries/appends; complements the
+    rate-based q_sample_stratified). Spark ≥3.5 plans the rank filter
+    as WindowGroupLimit: per-partition top-k heaps before the single
+    window shuffle, so the full sort never materializes."""
+    from pyspark.sql import Window
+
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(kmv_code(F.col("doc_id")), "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("source", F.col("rk").cast("long").alias("rk"), "doc_id", "n_chars")
+    )
+
+
+def _topk_hash_sql():
+    code = X.SQL_CODE.format(tok="CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY {code}, doc_id) AS rk
+    FROM documents
+) WHERE rk <= 10
+"""
+
+
+Q_SAMPLE_TOPK_HASH_SQL = _topk_hash_sql()
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Pairs → clusters: connected components over the MinHash-LSH
     near-dup pair list (hash-to-min label propagation with pointer
@@ -656,6 +729,8 @@ EXT_REGISTRY = {
     "q_dedup_embedding": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
     "q_dedup_embedding_lsh": (q_dedup_embedding_lsh, Q_DEDUP_EMBEDDING_LSH_SQL),
     "q_dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
+    "q_source_jsonl": (q_source_jsonl, Q_SOURCE_JSONL_SQL),
+    "q_sample_topk_hash": (q_sample_topk_hash, Q_SAMPLE_TOPK_HASH_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),

@@ -245,3 +245,16 @@ def test_quantiles_single_shuffle(utc):
     s = _plan(harness.q_quantiles(utc, SF))
     assert _count(r"\(\d+\) Exchange", s) == 1
     assert "BatchEvalPython" not in s
+
+
+def test_topk_hash_sample_uses_window_group_limit(utc):
+    """The rank<=k filter must push into WindowGroupLimit (per-partition
+    top-k heaps before the single window shuffle) — without it the plan
+    fully sorts every stratum just to throw away all but k rows."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_sample_topk_hash(utc, SF))
+    assert "WindowGroupLimit" in s
+    # window shuffle + the _docs compute-spread repartition
+    assert _count(r"\(\d+\) Exchange", s) <= 2
+    assert "BatchEvalPython" not in s
