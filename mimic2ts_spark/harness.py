@@ -1060,6 +1060,44 @@ LIMIT 100
 """
 
 
+# --- CDC-style log compaction (latest-wins upsert + tombstones) -------------
+
+
+def q_log_compact(spark, sf_dir):
+    """Upsert-log compaction: the events table read as a change log
+    keyed by user_id — the LATEST row per key wins (ts, then event_id
+    as the deterministic tiebreak), and a key whose latest row is a
+    tombstone (`event_type = 'error'` stands in for a delete marker)
+    drops out entirely. One window shuffle on the key; the rank<=1
+    filter plans as WindowGroupLimit so compaction never fully sorts a
+    key's history — the same shape Delta/Hudi-style merge-on-read
+    compaction needs at 100 TB."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", epoch_seconds("ts"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_s"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", "ts_s", "event_id", "event_type", "value")
+    )
+
+
+Q_LOG_COMPACT_SQL = """
+SELECT user_id, ts_s, event_id, event_type, value FROM (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+           event_type, value,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC
+           ) AS rk
+    FROM events
+) WHERE rk = 1 AND event_type <> 'error'
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1100,6 +1138,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_quantiles": (q_quantiles, Q_QUANTILES_SQL),
     "q_sample_stratified": (q_sample_stratified, Q_SAMPLE_STRATIFIED_SQL),
     "q_tpch_q18": (q_tpch_q18, Q_TPCH_Q18_SQL),
+    "q_log_compact": (q_log_compact, Q_LOG_COMPACT_SQL),
 }
 
 

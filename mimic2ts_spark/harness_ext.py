@@ -562,6 +562,30 @@ FROM events
 """
 
 
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval join (click→purchase attribution within a
+    1-hour lookback, watermarks bounding the buffered state on both
+    sides) drained to completion; an inner join's drained output equals
+    the batch interval join, which is the oracle."""
+    from mimic2ts_spark.streaming import run_attribution_available_now
+
+    return run_attribution_available_now(spark, sf_dir)
+
+
+Q_STREAM_JOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s,
+       p.value AS purchase_value
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
 # --- dataset split + chunking ----------------------------------------------
 
 
@@ -740,6 +764,7 @@ EXT_REGISTRY = {
     "q_stream_clamp": (q_stream_clamp, Q_STREAM_CLAMP_SQL),
     "q_stream_sliding": (q_stream_sliding, Q_STREAM_SLIDING_SQL),
     "q_stream_dedup": (q_stream_dedup, Q_STREAM_DEDUP_SQL),
+    "q_stream_join": (q_stream_join, Q_STREAM_JOIN_SQL),
     "q_split_hash": (q_split_hash, Q_SPLIT_HASH_SQL),
     "q_doc_chunks": (q_doc_chunks, Q_DOC_CHUNKS_SQL),
 }

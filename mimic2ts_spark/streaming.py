@@ -452,3 +452,70 @@ def run_clamped_bucket_available_now(spark: SparkSession, sf_dir: str) -> DataFr
     return _drain_stateful(
         spark, clamped_bucket_stream(events_stream(spark, sf_dir), stays), name
     )
+
+
+JOIN_LOOKBACK = "1 hour"
+JOIN_DELAY = "10 minutes"
+
+
+def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: every (click, purchase) pair of the
+    same user where the click happened within JOIN_LOOKBACK before (or
+    at) the purchase — the classic attribution join. Both sides carry a
+    watermark so the join state is BOUNDED: a buffered click can be
+    evicted once the purchase-side watermark passes click.ts +
+    lookback; without the time-range predicate the state would be
+    all-clicks-ever. Inner join ⇒ drained output equals the batch join
+    (watermarks only bound state/lateness, they never add rows)."""
+    c = (
+        clicks.withWatermark("ts", JOIN_DELAY)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", JOIN_DELAY)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_LOOKBACK}")),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_timestamp("p_ts").alias("purchase_ts_s"),
+        F.unix_timestamp("c_ts").alias("click_ts_s"),
+        "purchase_value",
+    )
+
+
+def run_attribution_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split one event stream into clicks/purchases and drain the
+    stream-stream join to its static result."""
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    ev = events_stream(spark, sf_dir)
+    q = (
+        attribution_join(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

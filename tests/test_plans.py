@@ -258,3 +258,13 @@ def test_topk_hash_sample_uses_window_group_limit(utc):
     # window shuffle + the _docs compute-spread repartition
     assert _count(r"\(\d+\) Exchange", s) <= 2
     assert "BatchEvalPython" not in s
+
+
+def test_log_compact_uses_window_group_limit(utc):
+    """Compaction's rank<=1 must plan as WindowGroupLimit (per-partition
+    latest-row heaps), and the tombstone filter must not add a second
+    shuffle."""
+    s = _plan(harness.q_log_compact(utc, SF))
+    assert "WindowGroupLimit" in s
+    assert _count(r"\(\d+\) Exchange", s) == 1
+    assert "BatchEvalPython" not in s
