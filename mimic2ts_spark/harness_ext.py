@@ -447,6 +447,50 @@ FROM doc d JOIN feats f ON f.doc_id = d.doc_id
 """
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling: every 5th frame of each video payload as a
+    scalar row (mapInPandas; the frame split is the deterministic
+    byte-stripe stub, the plumbing is real). ASCII payloads make the
+    per-frame byte math exactly expressible in DuckDB."""
+    from mimic2ts_spark.operators.multimodal import attach_binary, sample_frames
+
+    return sample_frames(attach_binary(_docs(spark, sf_dir)))
+
+
+def _frames_sql():
+    from mimic2ts_spark.operators.multimodal import FRAME_STRIDE
+
+    return f"""
+WITH v AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n,
+           (doc_id % 30 + 1) AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+),
+fidx AS (
+    SELECT v.doc_id, v.n, v.n_frames,
+           greatest(1, v.n // v.n_frames) AS fs, f.i AS frame_idx
+    FROM v, unnest(range(0, v.n_frames, {FRAME_STRIDE})) AS f(i)
+),
+bytes AS (
+    SELECT v.doc_id, t.i,
+           ascii(substr(v.text, CAST(t.i AS INTEGER) + 1, 1)) AS byte
+    FROM v, unnest(range(v.n)) AS t(i)
+)
+SELECT f.doc_id,
+       CAST(f.n_frames AS BIGINT) AS n_frames,
+       CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       CAST(count(b.byte) AS BIGINT) AS frame_len,
+       CAST(COALESCE(sum(b.byte), 0) % {X.MOD} AS BIGINT) AS frame_checksum
+FROM fidx f LEFT JOIN bytes b
+  ON b.doc_id = f.doc_id
+ AND b.i >= f.frame_idx * f.fs AND b.i < (f.frame_idx + 1) * f.fs
+GROUP BY f.doc_id, f.n_frames, f.frame_idx
+"""
+
+
+Q_MULTIMODAL_FRAMES_SQL = _frames_sql()
+
+
 def q_stream_tumbling(spark, sf_dir):
     """Structured Streaming tumbling-window agg driven to completion; in
     complete mode the result equals the batch GROUP BY, so it IS
@@ -759,6 +803,7 @@ EXT_REGISTRY = {
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
+    "q_multimodal_frames": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
     "q_stream_tumbling": (q_stream_tumbling, Q_STREAM_TUMBLING_SQL),
     "q_stream_sessionize": (q_stream_sessionize, Q_STREAM_SESSIONIZE_SQL),
     "q_stream_clamp": (q_stream_clamp, Q_STREAM_CLAMP_SQL),

@@ -91,6 +91,49 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.mapInPandas(batches, schema=_FEATURES_SCHEMA)
 
 
+FRAME_STRIDE = 5
+
+_FRAMES_SCHEMA = (
+    "doc_id long, n_frames long, frame_idx long, frame_len long, frame_checksum long"
+)
+
+
+def sample_frames(multimodal: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling for video payloads: every `stride`-th frame of the
+    declared n_frames, as one row per sampled frame. The frame SPLIT is
+    the deterministic stub (fixed-size byte stripes — swap for an
+    av/ffmpeg demux in production); the Spark plumbing is real: filter
+    on typed metadata, mapInPandas over Arrow batches, long-form scalar
+    output rows. Decode parallelism follows partition count, so heavy
+    video scans should be repartitioned by size first (see module
+    docstring)."""
+    video = multimodal.where(F.col("media_type") == "video/mp4")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in
+                                    ("doc_id", "n_frames", "frame_idx",
+                                     "frame_len", "frame_checksum")}
+            for doc_id, content, meta in zip(
+                pdf["doc_id"], pdf["content"], pdf["meta"]
+            ):
+                n = len(content)
+                nf = int(meta["n_frames"])
+                fs = max(1, n // nf)
+                for i in range(0, nf, stride):
+                    chunk = content[i * fs : (i + 1) * fs]
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(nf)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_checksum"].append(sum(chunk) % MOD)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return video.mapInPandas(batches, schema=_FRAMES_SCHEMA)
+
+
 def features_long(feats: DataFrame) -> DataFrame:
     """Long-form view: posexplode the feature vector into scalar
     (feature_idx, feature_value) rows.
