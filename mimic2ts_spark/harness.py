@@ -1060,6 +1060,105 @@ LIMIT 100
 """
 
 
+# --- histogram quantiles (the sketch scale path for q_quantiles) ------------
+
+HIST_WIDTH = 1.0  # bucket width == max absolute quantile error
+
+
+def q_quantiles_hist(spark, sf_dir):
+    """Histogram quantile estimation — the 100 TB scale path whose
+    exact baseline is q_quantiles: per-group state is O(#buckets)
+    (fixed-width value buckets), fully mergeable, one shuffle on
+    (group, bucket) plus a per-group cumulative window over ≤500
+    bucket rows. Estimate = lower edge + half width of the first
+    bucket whose cumulative count reaches ⌈p·n⌉; error ≤ bucket
+    width by construction (pinned in tests vs the exact percentiles).
+    Every step is integer/boolean logic + one fixed float multiply,
+    so the DuckDB mirror is bit-exact."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cnt = (
+        ev.groupBy("event_type", F.floor(F.col("value") / HIST_WIDTH).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    x = cnt.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "total", F.sum("c").over(wall)
+    )
+
+    def est(p, alias):
+        crossing = F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("total")), F.col("b"))
+        )
+        return ((crossing + 0.5) * HIST_WIDTH).alias(alias)
+
+    return x.groupBy("event_type").agg(
+        est(0.25, "h25"),
+        est(0.5, "h50"),
+        est(0.75, "h75"),
+        F.max("total").alias("n_rows"),
+    )
+
+
+Q_QUANTILES_HIST_SQL = f"""
+WITH cnt AS (
+    SELECT event_type, CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS b,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+x AS (
+    SELECT event_type, b, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS total
+    FROM cnt
+)
+SELECT event_type,
+       (min(CASE WHEN cum >= ceil(0.25 * total) THEN b END) + 0.5) * {HIST_WIDTH} AS h25,
+       (min(CASE WHEN cum >= ceil(0.5  * total) THEN b END) + 0.5) * {HIST_WIDTH} AS h50,
+       (min(CASE WHEN cum >= ceil(0.75 * total) THEN b END) + 0.5) * {HIST_WIDTH} AS h75,
+       CAST(max(total) AS BIGINT) AS n_rows
+FROM x GROUP BY event_type
+"""
+
+
+# --- skew-safe salted join ---------------------------------------------------
+
+
+def q_join_salted(spark, sf_dir):
+    """Salted equi-join of orders (fact) to customer (dim): the dim is
+    replicated 16× with an explicit salt, the fact salted by a hash of
+    its unique key, so a hot join key spreads over 16 reducers (the
+    beyond-AQE skew dial — see operators/skew.py). The salt never
+    reaches the output, so the oracle is the plain join. Spark's
+    broadcast choice is DISABLED for this query shape only via the
+    shuffle-hash hint on the dim — with a broadcast join there is no
+    reduce-side skew to mitigate and the salt would be dead code."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    from mimic2ts_spark.operators.skew import salted_join
+
+    joined = salted_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        c.hint("shuffle_hash"),
+        key="c_custkey",
+        salt_from=F.col("o_orderkey"),
+    )
+    return joined.select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+Q_JOIN_SALTED_SQL = """
+SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # --- CDC-style log compaction (latest-wins upsert + tombstones) -------------
 
 
@@ -1139,6 +1238,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_sample_stratified": (q_sample_stratified, Q_SAMPLE_STRATIFIED_SQL),
     "q_tpch_q18": (q_tpch_q18, Q_TPCH_Q18_SQL),
     "q_log_compact": (q_log_compact, Q_LOG_COMPACT_SQL),
+    "q_join_salted": (q_join_salted, Q_JOIN_SALTED_SQL),
+    "q_quantiles_hist": (q_quantiles_hist, Q_QUANTILES_HIST_SQL),
 }
 
 

@@ -40,3 +40,27 @@ def salted_sum_exact(
         (F.sum("_partial").cast("double") / F.lit(float(scale))).alias(alias),
         F.sum("_n").alias("n_rows"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_from: Column,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: the dim side is replicated `buckets`× with
+    an explicit salt column and the fact side deterministically salted,
+    so one hot fact key spreads across `buckets` reducers instead of
+    one straggler task. For sort-merge joins AQE's skew split usually
+    suffices — this operator is for the cases it can't touch (shuffled
+    hash joins, aggregations stacked on the join key downstream, or a
+    single key hot enough that splitting map outputs still leaves one
+    reduce partition). Replication multiplies the dim by `buckets`:
+    only use when |dim|·buckets ≪ |fact| — the oracle is the plain
+    join (salting never changes the result set)."""
+    salted_fact = fact.withColumn("_salt", F.pmod(F.hash(salt_from), F.lit(buckets)))
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")

@@ -315,3 +315,19 @@ def test_chunk_docs_window_semantics(spark):
         (2, 0): (1, 50), (2, 1): (41, 50), (2, 2): (81, 40),
         (3, 0): (1, 1),
     }
+
+
+def test_hist_quantiles_within_bucket_width_of_exact(spark):
+    """The histogram estimate must land within one bucket width of the
+    exact interpolated percentile — the contract that lets the sketch
+    replace q_quantiles at scale."""
+    from mimic2ts_spark import harness
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.event_type: r for r in harness.q_quantiles(spark, sf).collect()}
+    hist = {r.event_type: r for r in harness.q_quantiles_hist(spark, sf).collect()}
+    assert exact.keys() == hist.keys()
+    for et, h in hist.items():
+        e = exact[et]
+        for hp, ep in ((h.h25, e.p25), (h.h50, e.p50), (h.h75, e.p75)):
+            assert abs(hp - ep) <= harness.HIST_WIDTH, (et, hp, ep)

@@ -268,3 +268,12 @@ def test_log_compact_uses_window_group_limit(utc):
     assert "WindowGroupLimit" in s
     assert _count(r"\(\d+\) Exchange", s) == 1
     assert "BatchEvalPython" not in s
+
+
+def test_salted_join_is_shuffled_hash_not_broadcast(utc):
+    """The salted join exists to spread reduce-side hot keys, which only
+    happens in a shuffled join — a broadcast plan would make the salt
+    dead code (and the 16x dim replication pure waste)."""
+    s = _plan(harness.q_join_salted(utc, SF))
+    assert "ShuffledHashJoin" in s, s
+    assert "BroadcastHashJoin" not in s
