@@ -1060,6 +1060,51 @@ LIMIT 100
 """
 
 
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): one fact-dim equi-join and a
+    conditional aggregate — the numerator is a CASE inside the same
+    integer-cents sum as the denominator, so both ride one shuffle.
+    part is fact-scale in TPC-H: no broadcast hint, AQE decides."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            _sum_exact(promo, "promo_revenue", scale=10000),
+            _sum_exact(rev, "total_revenue", scale=10000),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+Q_TPCH_Q14_SQL = f"""
+WITH j AS (
+    SELECT CASE WHEN p_type LIKE 'PROMO%'
+                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS promo,
+           l_extendedprice * (1 - l_discount) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+)
+SELECT {sql_sum_exact('promo', 10000)} AS promo_revenue,
+       {sql_sum_exact('rev', 10000)} AS total_revenue,
+       100.0 * ({sql_sum_exact('promo', 10000)})
+             / ({sql_sum_exact('rev', 10000)}) AS promo_pct
+FROM j
+"""
+
+
 # --- histogram quantiles (the sketch scale path for q_quantiles) ------------
 
 HIST_WIDTH = 1.0  # bucket width == max absolute quantile error
@@ -1240,6 +1285,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_log_compact": (q_log_compact, Q_LOG_COMPACT_SQL),
     "q_join_salted": (q_join_salted, Q_JOIN_SALTED_SQL),
     "q_quantiles_hist": (q_quantiles_hist, Q_QUANTILES_HIST_SQL),
+    "q_tpch_q14": (q_tpch_q14, Q_TPCH_Q14_SQL),
 }
 
 

@@ -491,6 +491,45 @@ GROUP BY f.doc_id, f.n_frames, f.frame_idx
 Q_MULTIMODAL_FRAMES_SQL = _frames_sql()
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image resize stub: nearest-neighbor byte taps to a fixed 8×6
+    grid via mapInPandas; ASCII payloads make every tap expressible in
+    DuckDB, so the fixed-size-output contract is hash-checked."""
+    from mimic2ts_spark.operators.multimodal import attach_binary, resize_images
+
+    return resize_images(attach_binary(_docs(spark, sf_dir)))
+
+
+def _resize_sql():
+    from mimic2ts_spark.operators.multimodal import RESIZE_H, RESIZE_W
+
+    n_px = RESIZE_W * RESIZE_H
+    return f"""
+WITH img AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n
+    FROM documents WHERE doc_id % 3 = 0
+),
+taps AS (
+    SELECT i.doc_id,
+           ascii(substr(i.text, CAST(k.k * i.n // {n_px} AS INTEGER) + 1, 1)) AS byte
+    FROM img i, unnest(range({n_px})) AS k(k)
+    WHERE i.n > 0
+)
+SELECT i.doc_id,
+       CAST(i.doc_id % 640 + 1 AS BIGINT) AS width,
+       CAST(i.doc_id % 480 + 1 AS BIGINT) AS height,
+       CAST({RESIZE_W} AS BIGINT) AS out_w,
+       CAST({RESIZE_H} AS BIGINT) AS out_h,
+       CAST(count(t.byte) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(sum(t.byte), 0) % {X.MOD} AS BIGINT) AS resized_checksum
+FROM img i LEFT JOIN taps t ON t.doc_id = i.doc_id
+GROUP BY i.doc_id
+"""
+
+
+Q_MULTIMODAL_RESIZE_SQL = _resize_sql()
+
+
 def q_stream_tumbling(spark, sf_dir):
     """Structured Streaming tumbling-window agg driven to completion; in
     complete mode the result equals the batch GROUP BY, so it IS
@@ -804,6 +843,7 @@ EXT_REGISTRY = {
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "q_multimodal_frames": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
+    "q_multimodal_resize": (q_multimodal_resize, Q_MULTIMODAL_RESIZE_SQL),
     "q_stream_tumbling": (q_stream_tumbling, Q_STREAM_TUMBLING_SQL),
     "q_stream_sessionize": (q_stream_sessionize, Q_STREAM_SESSIONIZE_SQL),
     "q_stream_clamp": (q_stream_clamp, Q_STREAM_CLAMP_SQL),

@@ -134,6 +134,51 @@ def sample_frames(multimodal: DataFrame, stride: int = FRAME_STRIDE) -> DataFram
     return video.mapInPandas(batches, schema=_FRAMES_SCHEMA)
 
 
+RESIZE_W = 8
+RESIZE_H = 6
+
+_RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, out_w long, out_h long, "
+    "n_sampled long, resized_checksum long"
+)
+
+
+def resize_images(
+    multimodal: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_H
+) -> DataFrame:
+    """Image resize plumbing: nearest-neighbor downsample to a fixed
+    out_w × out_h grid. The pixel SAMPLING is the deterministic stub
+    (evenly-spaced byte taps standing in for a PIL `Image.resize` —
+    same data movement, no codec); filter-on-metadata, Arrow batching
+    and the fixed-size output contract are the real pipeline shape a
+    vision-model preprocessor needs."""
+    images = multimodal.where(F.col("media_type") == "image/png")
+    n_px = out_w * out_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in
+                                    ("doc_id", "width", "height", "out_w",
+                                     "out_h", "n_sampled", "resized_checksum")}
+            for doc_id, content, meta in zip(
+                pdf["doc_id"], pdf["content"], pdf["meta"]
+            ):
+                n = len(content)
+                taps = [content[k * n // n_px] for k in range(n_px)] if n else []
+                out["doc_id"].append(doc_id)
+                out["width"].append(int(meta["width"]))
+                out["height"].append(int(meta["height"]))
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["n_sampled"].append(len(taps))
+                out["resized_checksum"].append(sum(taps) % MOD)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return images.mapInPandas(batches, schema=_RESIZE_SCHEMA)
+
+
 def features_long(feats: DataFrame) -> DataFrame:
     """Long-form view: posexplode the feature vector into scalar
     (feature_idx, feature_value) rows.
