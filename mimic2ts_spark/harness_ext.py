@@ -787,6 +787,39 @@ SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars FROM (
 Q_SAMPLE_TOPK_HASH_SQL = _topk_hash_sql()
 
 
+def q_text_normalize(spark, sf_dir):
+    """Text cleaning: lowercase + non-alphanumeric collapse + trim —
+    the normalization pass that precedes tokenization in a training
+    pipeline. Identity pinned by the normalized text's md5 code plus
+    before/after lengths (the gate compares the full cleaned string via
+    its hash without shipping 100 TB of text through the compare)."""
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    t = F.col("text")
+    norm = X.normalize_text(t)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        kmv_code(norm).alias("norm_code"),
+    )
+
+
+def _normalize_sql():
+    norm = X.SQL_NORMALIZE.format(text="text")
+    code = X.SQL_CODE.format(tok=norm)
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length({norm}) AS BIGINT) AS n_chars_norm,
+       {code} AS norm_code
+FROM documents
+"""
+
+
+Q_TEXT_NORMALIZE_SQL = _normalize_sql()
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Pairs → clusters: connected components over the MinHash-LSH
     near-dup pair list (hash-to-min label propagation with pointer
@@ -827,6 +860,7 @@ EXT_REGISTRY = {
     "q_text_stats": (q_text_stats, Q_TEXT_STATS_SQL),
     "q_text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
     "q_text_fingerprint": (q_text_fingerprint, Q_TEXT_FINGERPRINT_SQL),
+    "q_text_normalize": (q_text_normalize, Q_TEXT_NORMALIZE_SQL),
     "q_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "q_dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
     "q_dedup_ngram": (q_dedup_ngram, Q_DEDUP_NGRAM_SQL),

@@ -195,3 +195,16 @@ SELECT {id_col},
          AS chunk_hash
 FROM starts
 """
+
+
+def normalize_text(col: Column) -> Column:
+    """Standard pre-tokenization cleaning: lowercase, every
+    non-[a-z0-9] run → one space, trim. Only literal character classes
+    — no \\s, \\w, or unicode classes, whose semantics differ between
+    Java regex (Spark) and RE2 (DuckDB); with plain classes the two
+    engines agree byte-for-byte on ASCII corpora."""
+    cleaned = F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")
+    return F.trim(cleaned)
+
+
+SQL_NORMALIZE = "trim(regexp_replace(lower({text}), '[^a-z0-9]+', ' ', 'g'))"
