@@ -61,12 +61,15 @@ def main() -> None:
         fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
     harness.flagship(spark, warm_sf).write.format("noop").mode("overwrite").save()
 
-    # Steady-state timing: best of 2 runs at the target sf (C2-tier JIT of
-    # interpreted higher-order-function lambdas needs real invocation
-    # volume — the sf0.001 warm-up alone leaves first runs up to 2× off).
+    # Steady-state timing: best of 3 runs at the target sf. Best-of-N for
+    # two independent noise sources, both measured at 30-50% on this box:
+    # C2-tier JIT of interpreted higher-order-function lambdas needs real
+    # invocation volume (the sf0.001 warm-up alone leaves first runs up to
+    # 2× off), and ambient host load perturbs single runs — the MINIMUM is
+    # the steady-state capability estimate.
     def timed(fn) -> float:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
