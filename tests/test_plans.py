@@ -277,3 +277,25 @@ def test_salted_join_is_shuffled_hash_not_broadcast(utc):
     s = _plan(harness.q_join_salted(utc, SF))
     assert "ShuffledHashJoin" in s, s
     assert "BroadcastHashJoin" not in s
+
+
+def test_q14_pushdown_no_hint(utc):
+    """Q14: the date range reaches the parquet reader, no manual
+    broadcast hint on fact-scale part (AQE sizes the join), one
+    aggregation exchange (+ the join's own, when AQE picks shuffle)."""
+    s = _plan(harness.q_tpch_q14(utc, SF))
+    assert "PushedFilters" in s and "l_shipdate" in s
+    assert "ResolvedHint" not in s
+    assert _count(r"\(\d+\) Exchange", s) <= 3
+
+
+def test_multimodal_frames_resize_no_join_one_exchange(utc):
+    """Frame sampling and resize are a metadata filter + mapInPandas
+    over the scan: no join operator, and the only exchange is the
+    deliberate compute-spread repartition."""
+    from mimic2ts_spark import harness_ext
+
+    for fn in (harness_ext.q_multimodal_frames, harness_ext.q_multimodal_resize):
+        s = _plan(fn(utc, SF))
+        assert "Join" not in s
+        assert _count(r"\(\d+\) Exchange", s) <= 1
