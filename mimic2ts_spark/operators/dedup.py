@@ -298,7 +298,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     hot_k: int = 1024,
     hot_sample_mod: int = 20,
-    hot_df_bound: int = 500,
+    hot_df_bound: int = 200,
 ) -> DataFrame:
     """Exact pairwise Jaccard — inverted index with AllPairs prefix
     filtering.
@@ -324,7 +324,11 @@ def ngram_jaccard_pairs(
       already ≤ `hot_df_bound` docs, and demoting them only buys per-row
       literal-array cost (a boilerplate-free corpus demotes NOTHING and
       pays nothing — measured 0.4 s of a 1.9 s query at sf0.1 when the
-      top-k was allowed to fill with sampled-count-2 noise). The hot set
+      top-k was allowed to fill with sampled-count-2 noise). The default
+      bound is 200 docs: on the 10× duplicate-heavy sweep corpus,
+      leaving df-200–500 codes undemoted tripled the query (8 s → 20 s,
+      identical output) — bucket pair work grows with bound², so set
+      the bound as low as the hot_k literal budget allows. The hot set
       is found by one bounded side-job (groupBy(code).count → top-k
       collect, ≤k rows to the driver — a documented broadcast-budget
       choice) and applied as
