@@ -1173,6 +1173,82 @@ FROM x GROUP BY event_type
 """
 
 
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED
+    scalar subquery — average quantity per part gating each lineitem —
+    submitted through the SQL frontend so Catalyst's decorrelation
+    rewrites it to a per-part aggregate + join (no per-row re-execution;
+    the naive plan is O(rows × parts)). Integer-cents sum, /7.0 in both
+    engines. Also exercises the temp-view SQL surface of the engine."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        f"""
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 / 7.0 AS avg_yearly
+        FROM v_lineitem, v_part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#23'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l_quantity)
+              FROM v_lineitem
+              WHERE l_partkey = p_partkey
+          )
+        """
+    )
+
+
+Q_TPCH_Q17_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+       / 100.0 / 7.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#23'
+  AND l_quantity < (
+      SELECT 0.2 * AVG(l_quantity)
+      FROM lineitem
+      WHERE l_partkey = p_partkey
+  )
+"""
+
+
+def q_window_range(spark, sf_dir):
+    """RANGE-frame window: per-user trailing 1-hour event sum — the
+    time-based moving aggregate (rangeBetween on the epoch-seconds
+    ORDER key, not a row count, so irregular sampling is handled
+    correctly). One shuffle on the partition key; frame scanning is
+    the sorted in-partition pass. Exact integer-cents running sums."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", epoch_seconds("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        (F.sum(cents).over(w).cast("double") / 100).alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
+
+
+Q_WINDOW_RANGE_SQL = """
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS DOUBLE) / 100
+           AS trailing_1h_sum,
+       count(*) OVER w AS trailing_1h_n
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- skew-safe salted join ---------------------------------------------------
 
 
@@ -1286,6 +1362,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_join_salted": (q_join_salted, Q_JOIN_SALTED_SQL),
     "q_quantiles_hist": (q_quantiles_hist, Q_QUANTILES_HIST_SQL),
     "q_tpch_q14": (q_tpch_q14, Q_TPCH_Q14_SQL),
+    "q_tpch_q17": (q_tpch_q17, Q_TPCH_Q17_SQL),
+    "q_window_range": (q_window_range, Q_WINDOW_RANGE_SQL),
 }
 
 

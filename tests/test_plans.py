@@ -299,3 +299,19 @@ def test_multimodal_frames_resize_no_join_one_exchange(utc):
         s = _plan(fn(utc, SF))
         assert "Join" not in s
         assert _count(r"\(\d+\) Exchange", s) <= 1
+
+
+def test_q17_decorrelated_two_fact_scans(utc):
+    """The correlated scalar subquery must be decorrelated into a
+    per-part aggregate joined back (2 lineitem scans total) — never a
+    per-row re-execution (nested loop / cartesian)."""
+    s = _plan(harness.q_tpch_q17(utc, SF))
+    assert _count(r"lineitem\.parquet", s) == 2, s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+
+
+def test_window_range_single_shuffle(utc):
+    s = _plan(harness.q_window_range(utc, SF))
+    assert _count(r"\(\d+\) Window", s) == 1
+    assert _count(r"\(\d+\) Exchange", s) == 1
+    assert "BatchEvalPython" not in s
