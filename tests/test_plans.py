@@ -315,3 +315,42 @@ def test_window_range_single_shuffle(utc):
     assert _count(r"\(\d+\) Window", s) == 1
     assert _count(r"\(\d+\) Exchange", s) == 1
     assert "BatchEvalPython" not in s
+
+
+def test_runtime_bloom_filter_injects_at_scale_thresholds(utc):
+    """Catalyst's runtime bloom filter: a selective filter on the
+    creation side injects might_contain on the application side's scan,
+    pruning fact rows before the shuffle. The application-side scan
+    threshold (default 10 GB) exists so this only fires at real scan
+    sizes — at 100 TB it triggers out of the box; here it is lowered to
+    demonstrate and pin the rewrite, and restored afterwards (leaked
+    conf would perturb every other plan pin)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: utc.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            utc.conf.set(k, v)
+        o = utc.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        li = utc.read.parquet(f"{SF}/lineitem.parquet")
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        s = _plan(j)
+        assert "might_contain" in s, s
+        with_bloom = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                utc.conf.unset(k)
+            else:
+                utc.conf.set(k, v)
+    # the filter is pruning-only: result identical without it
+    o2 = utc.read.parquet(f"{SF}/orders.parquet").where(
+        F.col("o_totalprice") > 400000
+    )
+    li2 = utc.read.parquet(f"{SF}/lineitem.parquet")
+    assert with_bloom == li2.join(o2, F.col("l_orderkey") == F.col("o_orderkey")).count()
