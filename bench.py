@@ -44,6 +44,11 @@ HEADLINE = [
     "q_tpch_q18",
     "q_quantiles",
     "q_dedup_clusters",
+    "q_tpch_q14",
+    "q_tpch_q17",
+    "q_window_range",
+    "q_log_compact",
+    "q_join_salted",
 ]
 
 
