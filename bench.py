@@ -49,6 +49,10 @@ HEADLINE = [
     "q_window_range",
     "q_log_compact",
     "q_join_salted",
+    "q_tpch_q4",
+    "q_tpch_q13",
+    "q_tpch_q19",
+    "q_tpch_q22",
 ]
 
 

@@ -1318,6 +1318,182 @@ SELECT user_id, ts_s, event_id, event_type, value FROM (
 """
 
 
+# --- TPC-H Q4 shape: EXISTS → left-semi join -------------------------------
+
+
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority count gated by EXISTS): the
+    correlated EXISTS becomes a LEFT SEMI join — each order is counted
+    once no matter how many lineitems match, with no post-join dedup.
+    The testdata lacks l_commitdate/l_receiptdate
+    (/root/reference has no TPC-H either), so the reference Q4
+    predicate `l_commitdate < l_receiptdate` is adapted to
+    `l_shipdate > o_orderdate` — same correlated-inequality shape.
+    orders' date filter pushes to its scan; lineitem is fact-scale so
+    no broadcast hint: the semi join shuffles both sides on orderkey
+    (AQE may still pick broadcast at small SF)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- TPC-H Q13 shape: outer-join count distribution ------------------------
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join so zero-order customers survive as c_count=0, then a second
+    aggregation over the first — the two-level agg re-shuffles only
+    |customers| rows, and count(o_orderkey) (not count(*)) is what
+    makes the outer-join null rows count as zero. The join-side filter
+    (`o_orderpriority <> '1-URGENT'`, standing in for the reference's
+    `o_comment NOT LIKE` — testdata has no o_comment) must sit in the
+    JOIN condition, not a WHERE, or the outer rows vanish."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q_TPCH_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --- TPC-H Q19 shape: disjunctive predicate join ---------------------------
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (OR-of-ANDs over a join): Catalyst extracts the
+    common conjuncts of the disjunction — every branch constrains
+    p_brand to a 3-value set and l_quantity/p_size to the union range —
+    and pushes them below the join as scan filters, so the join builds
+    on pre-filtered sides and only the residual OR runs post-join.
+    (p_container/l_shipmode don't exist in testdata; p_size stands in
+    for the container class.) Integer-cents revenue sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    disj = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#23") & sz.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#34") & sz.between(1, 35) & q.between(20, 40))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(disj).agg(
+        _sum_exact(rev, "revenue", scale=10000),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+
+
+Q_TPCH_Q19_SQL = f"""
+SELECT {sql_sum_exact('l_extendedprice * (1 - l_discount)', 10000)} AS revenue,
+       count(*) AS n_matched
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# --- TPC-H Q22 shape: anti join + uncorrelated scalar subquery -------------
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (dormant high-balance customers): an
+    uncorrelated scalar subquery (avg balance of the positive-balance
+    population) gates the filter, and NOT EXISTS becomes a LEFT ANTI
+    join against orders. Adaptations to testdata columns: cntrycode =
+    c_nationkey % 7 (no c_phone), and the anti side is orders SINCE
+    2000-01-01 (every customer has some order, so the unrestricted
+    reference form is empty here). The scalar avg is a 1-row broadcast
+    cross join — exact cents so both engines compare the same double.
+    The anti join shuffles on custkey; the date filter pushes to the
+    orders scan so the anti build side is small."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", (F.col("c_nationkey") % 7).cast("int")
+    )
+    # exact-cents average over the positive-balance population
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        _avg_exact(F.col("c_acctbal"), "avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.where(F.col("cntrycode").isin(0, 1, 2, 3))
+        .join(F.broadcast(avg_bal))  # 1-row scalar: cross join
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _sum_exact(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+Q_TPCH_Q22_SQL = f"""
+WITH avg_bal AS (
+    SELECT {sql_avg_exact('c_acctbal', 'c_acctbal')} AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey % 7 AS INTEGER) AS cntrycode,
+       count(*) AS numcust,
+       {sql_sum_exact('c_acctbal')} AS totacctbal
+FROM customer, avg_bal
+WHERE c_nationkey % 7 IN (0, 1, 2, 3)
+  AND c_acctbal > avg_bal
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1364,6 +1540,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_tpch_q14": (q_tpch_q14, Q_TPCH_Q14_SQL),
     "q_tpch_q17": (q_tpch_q17, Q_TPCH_Q17_SQL),
     "q_window_range": (q_window_range, Q_WINDOW_RANGE_SQL),
+    "q_tpch_q4": (q_tpch_q4, Q_TPCH_Q4_SQL),
+    "q_tpch_q13": (q_tpch_q13, Q_TPCH_Q13_SQL),
+    "q_tpch_q19": (q_tpch_q19, Q_TPCH_Q19_SQL),
+    "q_tpch_q22": (q_tpch_q22, Q_TPCH_Q22_SQL),
 }
 
 

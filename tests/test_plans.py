@@ -354,3 +354,47 @@ def test_runtime_bloom_filter_injects_at_scale_thresholds(utc):
     )
     li2 = utc.read.parquet(f"{SF}/lineitem.parquet")
     assert with_bloom == li2.join(o2, F.col("l_orderkey") == F.col("o_orderkey")).count()
+
+
+def test_q4_exists_is_semi_join_no_dedup(utc):
+    """EXISTS must plan as ONE LeftSemi join — no inner join + distinct
+    (which would shuffle the multi-matched fact rows just to throw them
+    away) and no per-order subquery re-execution."""
+    s = _plan(harness.q_tpch_q4(utc, SF))
+    assert "LeftSemi" in s
+    assert _count(r"\(\d+\) HashAggregate", s) == 2  # partial+final count only
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+
+
+def test_q13_outer_join_filter_stays_in_join(utc):
+    """The orders-side filter must sit below/inside the LEFT OUTER join
+    (pushed to the orders scan), never above it — above would delete the
+    zero-order customers the query exists to count."""
+    s = _plan(harness.q_tpch_q13(utc, SF))
+    assert "LeftOuter" in s
+    m = re.search(r"PushedFilters: \[([^\]]*)", s)
+    # the <> '1-URGENT' predicate reached the orders scan
+    assert "1-URGENT" in s and "Not(EqualTo(o_orderpriority" in s, m
+
+
+def test_q19_disjunction_pushed_per_side(utc):
+    """Catalyst must extract each side's component of the OR-of-ANDs and
+    push it into that side's scan: the lineitem scan gets the quantity
+    ranges, the part scan gets brand/size, and both reads are pruned."""
+    s = _plan(harness.q_tpch_q19(utc, SF))
+    assert _count(r"Or\(", s) >= 2  # pushed disjunctions on both scans
+    assert "l_quantity,1" in s.replace(" ", "")  # quantity bound reached scan
+    assert "p_brand" in s and "Brand#12" in s
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", s)
+    assert any(len(x.split(",")) == 4 for x in m), m  # pruned lineitem read
+
+
+def test_q22_anti_join_and_one_row_scalar(utc):
+    """NOT EXISTS must plan as LeftAnti; the scalar-avg subquery joins as
+    a 1-row broadcast (BroadcastNestedLoopJoin over a single aggregated
+    row is fine — the build side is one row by construction), and the
+    date filter reaches the orders scan so the anti build side is small."""
+    s = _plan(harness.q_tpch_q22(utc, SF))
+    assert "LeftAnti" in s
+    assert "GreaterThanOrEqual(o_orderdate" in s  # pushed to orders scan
+    assert _count(r"CartesianProduct", s) == 0
