@@ -53,6 +53,8 @@ HEADLINE = [
     "q_tpch_q13",
     "q_tpch_q19",
     "q_tpch_q22",
+    "q_scd2",
+    "q_text_repetition",
 ]
 
 

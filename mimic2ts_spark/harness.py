@@ -1318,6 +1318,62 @@ SELECT user_id, ts_s, event_id, event_type, value FROM (
 """
 
 
+# --- SCD2 dimension build --------------------------------------------------
+
+SCD2_OPEN_END = 253402300799  # 9999-12-31T23:59:59Z: open-interval sentinel
+
+
+def q_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build from a change log: treat
+    each user's event stream as attribute updates (event_type = the
+    tracked attribute) and emit one validity interval per CHANGE —
+    consecutive same-value updates collapse (lag-based change
+    detection), then valid_to = next change's valid_from - 1, with the
+    open current row at the sentinel end. Both windows share one
+    partition key, so the whole build is a single shuffle on user_id;
+    ties break on event_id so retries are deterministic. This is the
+    warehouse-side dimension-history op a MERGE/SCD pipeline needs, in
+    pure declarative form."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", epoch_seconds("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    changed = ev.withColumn("prev_state", F.lag("event_type").over(w)).where(
+        F.col("prev_state").isNull()
+        | (F.col("prev_state") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    nxt = F.lead("ts_s").over(w2)
+    return changed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_s").alias("valid_from"),
+        F.coalesce(nxt - 1, F.lit(SCD2_OPEN_END)).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+Q_SCD2_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events
+),
+ch AS (
+    SELECT user_id, event_id, event_type, ts_s FROM (
+        SELECT *, lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_state
+        FROM e
+    ) WHERE prev_state IS NULL OR prev_state <> event_type
+)
+SELECT user_id, event_type AS state, ts_s AS valid_from,
+       coalesce(lead(ts_s) OVER w - 1, {SCD2_OPEN_END}) AS valid_to,
+       lead(ts_s) OVER w IS NULL AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+"""
+
+
 # --- TPC-H Q4 shape: EXISTS → left-semi join -------------------------------
 
 
@@ -1544,6 +1600,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_tpch_q13": (q_tpch_q13, Q_TPCH_Q13_SQL),
     "q_tpch_q19": (q_tpch_q19, Q_TPCH_Q19_SQL),
     "q_tpch_q22": (q_tpch_q22, Q_TPCH_Q22_SQL),
+    "q_scd2": (q_scd2, Q_SCD2_SQL),
 }
 
 

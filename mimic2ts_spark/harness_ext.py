@@ -856,6 +856,92 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted
+    to token granularity — the corpus is single-line so the paper's
+    duplicate-line fractions degenerate): per document,
+      - dup_token_frac: fraction of tokens that are repeats of an
+        earlier token (1 - distinct/total), computed row-local with
+        array_distinct — no shuffle;
+      - top_bigram_n / top_bigram_frac: occurrences of the most
+        frequent word bigram and its share of all bigrams — the
+        boilerplate detector. Bigrams via zip_with over two shifted
+        slices of ONE split pass (never element_at in a HOF lambda —
+        see CLAUDE.md), counted wordcount-style: groupBy (doc, gram)
+        partial-aggregates map-side, then a per-doc max.
+    Short docs (<2 tokens) produce no bigrams and surface as 0 via the
+    left join. All fractions are one integer-over-integer division so
+    both engines emit the same double."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    base = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws("\x01", a, b),
+            )
+        ).alias("g"),
+    )
+    top = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    tb = F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long")
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (
+            (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_token_frac"),
+        tb.alias("top_bigram_n"),
+        (
+            tb.cast("double")
+            / F.greatest(F.col("n_tokens") - 1, F.lit(1)).cast("double")
+        ).alias("top_bigram_frac"),
+    )
+
+
+Q_TEXT_REPETITION_SQL = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+base AS (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+    FROM toks
+),
+idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+),
+grams AS (SELECT doc_id, t[i] || chr(1) || t[i + 1] AS g FROM idx),
+top AS (
+    SELECT doc_id, max(c) AS top_bigram_n
+    FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT b.doc_id, n_tokens, n_distinct,
+       CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           AS dup_token_frac,
+       CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(coalesce(top_bigram_n, 0) AS DOUBLE)
+           / CAST(greatest(n_tokens - 1, 1) AS DOUBLE) AS top_bigram_frac
+FROM base b LEFT JOIN top USING (doc_id)
+"""
+
+
 EXT_REGISTRY = {
     "q_text_stats": (q_text_stats, Q_TEXT_STATS_SQL),
     "q_text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
@@ -886,4 +972,5 @@ EXT_REGISTRY = {
     "q_stream_join": (q_stream_join, Q_STREAM_JOIN_SQL),
     "q_split_hash": (q_split_hash, Q_SPLIT_HASH_SQL),
     "q_doc_chunks": (q_doc_chunks, Q_DOC_CHUNKS_SQL),
+    "q_text_repetition": (q_text_repetition, Q_TEXT_REPETITION_SQL),
 }

@@ -398,3 +398,26 @@ def test_q22_anti_join_and_one_row_scalar(utc):
     assert "LeftAnti" in s
     assert "GreaterThanOrEqual(o_orderdate" in s  # pushed to orders scan
     assert _count(r"CartesianProduct", s) == 0
+
+
+def test_scd2_single_shuffle_shared_sort(utc):
+    """Both SCD2 windows (change-detect lag, interval-close lead) order
+    by the same key, so the build must cost ONE exchange and ONE sort —
+    a second exchange/sort means the window specs drifted apart."""
+    s = _plan(harness.q_scd2(utc, SF))
+    assert _count(r"\(\d+\) Exchange", s) == 1
+    assert _count(r"\(\d+\) Sort\b", s) == 1
+    assert _count(r"\(\d+\) Window\b", s) == 2
+    assert "BatchEvalPython" not in s
+
+
+def test_text_repetition_no_python_no_cartesian(utc):
+    """Repetition signals stay JVM-side: tokenize-once slices + zip_with
+    (no element_at-in-HOF re-evaluation), wordcount-shaped gram count,
+    and a single equi-join back to the row-local stats."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_text_repetition(utc, SF))
+    assert "BatchEvalPython" not in s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+    assert _count(r"element_at", s) == 0
