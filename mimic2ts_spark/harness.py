@@ -1318,6 +1318,49 @@ SELECT user_id, ts_s, event_id, event_type, value FROM (
 """
 
 
+# --- bucketed co-located join ----------------------------------------------
+
+
+def q_join_bucketed(spark, sf_dir):
+    """Pay-the-shuffle-once join (X18 as a driver-gated query): both
+    sides are first persisted as bucketed tables (hash-partitioned AND
+    sorted by the join key at write time — operators/spread.py
+    write_bucketed), so the fact-fact equi-join itself needs ZERO
+    exchanges: each task sort-merges one co-located bucket pair straight
+    off disk. The only shuffle left in the whole query is the final
+    5-group aggregate. At 100 TB this is the difference between
+    re-shuffling the fact table on every star join and never shuffling
+    it again. The bucket write is an eager side effect into a temp dir;
+    the oracle is the plain (bucketing-invisible) join."""
+    import tempfile
+
+    from mimic2ts_spark.operators.spread import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="mimic2ts_bucketed_")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "l_orderkey", "hb_lineitem", 16, f"{base}/li")
+    write_bucketed(od, "o_orderkey", "hb_orders", 16, f"{base}/od")
+    # MERGE hint: at real fact-fact scale SMJ is what Catalyst picks
+    # anyway; at test SF AQE would broadcast the small side and hide the
+    # co-located-bucket property this query exists to demonstrate.
+    j = spark.table("hb_lineitem").hint("merge").join(
+        spark.table("hb_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        _sum_exact(F.col("l_quantity"), "sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q_JOIN_BUCKETED_SQL = f"""
+SELECT o_orderpriority, {sql_sum_exact('l_quantity')} AS sum_qty,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # --- SCD2 dimension build --------------------------------------------------
 
 SCD2_OPEN_END = 253402300799  # 9999-12-31T23:59:59Z: open-interval sentinel
@@ -1601,6 +1644,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_tpch_q19": (q_tpch_q19, Q_TPCH_Q19_SQL),
     "q_tpch_q22": (q_tpch_q22, Q_TPCH_Q22_SQL),
     "q_scd2": (q_scd2, Q_SCD2_SQL),
+    "q_join_bucketed": (q_join_bucketed, Q_JOIN_BUCKETED_SQL),
 }
 
 

@@ -421,3 +421,12 @@ def test_text_repetition_no_python_no_cartesian(utc):
     assert "BatchEvalPython" not in s
     assert "CartesianProduct" not in s and "NestedLoop" not in s
     assert _count(r"element_at", s) == 0
+
+
+def test_join_bucketed_query_single_agg_exchange(utc):
+    """The driver-gated bucketed-join query must read both bucketed
+    tables co-located: a SortMergeJoin with NO exchange below it — the
+    single Exchange in the plan belongs to the final aggregate."""
+    s = _plan(harness.q_join_bucketed(utc, SF))
+    assert "SortMergeJoin" in s
+    assert _count(r"\(\d+\) Exchange", s) == 1, s
