@@ -1361,6 +1361,76 @@ GROUP BY o_orderpriority
 """
 
 
+# --- TPC-H Q21 shape: double-correlated EXISTS / NOT EXISTS ----------------
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who were the sole late supplier in a
+    multi-supplier order): the reference form is a fact self-EXISTS plus
+    a fact self-NOT-EXISTS — three scans and two shuffle joins of
+    lineitem. Re-expressed Spark-first as ONE pass: a window over
+    l_orderkey computes both per-order distinct-supplier sets
+    (`size(collect_set(..))`), so "another supplier exists" becomes
+    n_supp > 1 and "no OTHER supplier is late" becomes n_late_supp = 1
+    on rows that are themselves late. One shuffle-sort on orderkey
+    replaces both correlated subqueries; per-order groups are tiny
+    (~5 lineitems) so collect_set state is bounded. Adaptations to
+    testdata columns: "late" := l_returnflag = 'R' (no
+    l_receiptdate/l_commitdate), nation filter widened to 5 nations
+    (100 suppliers total). supplier⋈nation is a broadcast dim join
+    AFTER the heavy filter, so only qualifying rows reach it."""
+    late = F.col("l_returnflag") == "R"
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.select(
+        "l_suppkey",
+        late.alias("is_late"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)).alias(
+            "n_late_supp"
+        ),
+    ).where(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin([f"NATION_{i}" for i in range(5)])
+    )
+    return (
+        flagged.join(F.broadcast(s), flagged.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q_TPCH_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+  AND s_nationkey = n_nationkey
+  AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+GROUP BY s_name
+"""
+
+
 # --- SCD2 dimension build --------------------------------------------------
 
 SCD2_OPEN_END = 253402300799  # 9999-12-31T23:59:59Z: open-interval sentinel
@@ -1645,6 +1715,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_tpch_q22": (q_tpch_q22, Q_TPCH_Q22_SQL),
     "q_scd2": (q_scd2, Q_SCD2_SQL),
     "q_join_bucketed": (q_join_bucketed, Q_JOIN_BUCKETED_SQL),
+    "q_tpch_q21": (q_tpch_q21, Q_TPCH_Q21_SQL),
 }
 
 

@@ -430,3 +430,14 @@ def test_join_bucketed_query_single_agg_exchange(utc):
     s = _plan(harness.q_join_bucketed(utc, SF))
     assert "SortMergeJoin" in s
     assert _count(r"\(\d+\) Exchange", s) == 1, s
+
+
+def test_q21_single_lineitem_scan_two_exchanges(utc):
+    """Q21's double-correlated EXISTS/NOT-EXISTS must NOT plan as fact
+    self-joins: one lineitem scan feeding one window shuffle, plus the
+    final agg exchange — and every dim join broadcast."""
+    s = _plan(harness.q_tpch_q21(utc, SF))
+    assert _count(r"lineitem\.parquet", s) == 1, "lineitem self-join crept in"
+    assert _count(r"\(\d+\) Exchange", s) == 2, s
+    assert "SortMergeJoin" not in s
+    assert _count(r"- BroadcastExchange \(", s) == 3, "expected 3 broadcast dims"
