@@ -36,19 +36,29 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts → timestamp).
+    """File-source stream over the events parquet.
 
     The file stream source requires a *directory* to monitor; the testdata
     ships a single file, so it is exposed through a symlinked staging dir
-    (a real deployment points this at the landing directory)."""
+    (a real deployment points this at the landing directory).
+
+    `ts` physical type is NOT assumed: the batch reader infers the actual
+    schema (TIMESTAMP(MICROS) reads as timestamp directly; legacy
+    TIMESTAMP(NANOS) reads as long under `nanosAsLong` and is rebuilt to a
+    microsecond timestamp with integer `div` — the same branch the batch
+    loader `harness._t` takes, so stream and oracle always agree)."""
     import os
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
     stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    os.symlink(path, f"{stage}/events.parquet")
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(stage)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_agg(stream: DataFrame, scale: int = 100) -> DataFrame:
