@@ -43,10 +43,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a real deployment points this at the landing directory).
 
     `ts` physical type is NOT assumed: the batch reader infers the actual
-    schema (TIMESTAMP(MICROS) reads as timestamp directly; legacy
-    TIMESTAMP(NANOS) reads as long under `nanosAsLong` and is rebuilt to a
-    microsecond timestamp with integer `div` — the same branch the batch
-    loader `harness._t` takes, so stream and oracle always agree)."""
+    schema over the staged directory (TIMESTAMP(MICROS) reads as a
+    timestamp directly; legacy TIMESTAMP(NANOS) reads as long under
+    `nanosAsLong` and is rebuilt to a microsecond timestamp with integer
+    `div` — the same branch the batch loader `harness._t` takes, so
+    stream and oracle always agree). Either way the column is finally
+    cast to TIMESTAMP (with local time zone): Spark 4 infers
+    no-timezone parquet timestamps as TIMESTAMP_NTZ, and event-time
+    watermarks (`withWatermark`) reject NTZ with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. The session time zone is
+    pinned to UTC (session.py:45), so NTZ → LTZ is value-preserving."""
     import os
     import tempfile
 
@@ -54,11 +60,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(path, f"{stage}/events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = spark.read.parquet(stage).schema
     raw = spark.readStream.schema(schema).parquet(stage)
     if isinstance(schema["ts"].dataType, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_agg(stream: DataFrame, scale: int = 100) -> DataFrame:

@@ -215,13 +215,64 @@ def test_stream_sliding_append_watermark_withholds_tail(spark):
 
     out = run_sliding_available_now(spark, SF).collect()
     ev = spark.read.parquet(f"{SF}/events.parquet")
-    max_us = ev.agg(F.max(F.expr("ts div 1000"))).collect()[0][0]  # nanos->micros
-    wm_sec = (max_us // 1000) / 1000.0 - SLIDE_DELAY_SECONDS
+    # type-agnostic max event time in epoch seconds (ts may read as
+    # TIMESTAMP_NTZ under Spark 4 or long nanos under nanosAsLong)
+    ts = F.col("ts")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    max_sec = ev.agg(F.max(ts.cast("timestamp").cast("double"))).collect()[0][0]
+    wm_sec = max_sec - SLIDE_DELAY_SECONDS
     assert out and all(r.window_start + 7200 <= wm_sec for r in out)
     # each event lands in exactly 2 windows; only closed windows emit,
     # so the emitted total is <= 2x rows and > 0
     total = sum(r.n_events for r in out)
     assert 0 < total <= 2 * ev.count()
+
+
+def test_events_ts_ntz_contract_and_stream_cast(spark):
+    """Pin the Spark-4 NTZ inference contract: the events parquet `ts`
+    (physical timestamp[us], no timezone) reads as TIMESTAMP_NTZ in
+    batch, and `withWatermark` rejects NTZ — so `events_stream` MUST
+    hand out TIMESTAMP (with local time zone). If a future Spark default
+    flips the inference, this test localizes the break instead of three
+    streaming queries throwing EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE."""
+    from pyspark.sql import types as T
+
+    from mimic2ts_spark.streaming import events_stream
+
+    batch_t = spark.read.parquet(f"{SF}/events.parquet").schema["ts"].dataType
+    assert isinstance(batch_t, (T.TimestampNTZType, T.LongType))
+    stream_t = events_stream(spark, SF).schema["ts"].dataType
+    assert type(stream_t) is T.TimestampType
+
+
+def test_events_stream_micros_ts_fixture(spark, tmp_path):
+    """A landing dir whose `ts` is physical TIMESTAMP(MICROS) must take
+    the no-rebuild branch of events_stream (no `div 1000`) and still
+    drain to correct tumbling sums — covers the branch the sfX testdata
+    exercises, with values asserted end-to-end."""
+    import pandas as pd
+
+    from mimic2ts_spark.streaming import run_tumbling_available_now
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                [3600_000_000, 3660_000_000, 7200_000_000], unit="us"
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 2],
+            "event_type": ["x", "x", "y"],
+            "value": [1.5, 2.25, 4.0],
+            "props": ["", "", ""],
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    out = {
+        (r.window_start, r.event_type): (r.sum_value, r.n_events)
+        for r in run_tumbling_available_now(spark, str(tmp_path)).collect()
+    }
+    assert out == {(3600, "x"): (3.75, 2), (7200, "y"): (4.0, 1)}
 
 
 def test_stream_sessionize_merges_state_across_batches(spark, tmp_path):
