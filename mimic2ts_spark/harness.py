@@ -1721,7 +1721,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 from mimic2ts_spark.harness_ext import EXT_REGISTRY  # noqa: E402  (uses REGISTRY above)
 
-REGISTRY.update(EXT_REGISTRY)
+# Registry ORDER is the order the driver's correctness gate runs queries
+# in, and the r02 gate truncated after 50 entries — leaving every
+# EXT_REGISTRY query (dedup/ANN/streaming/multimodal/text) without a
+# driver-verified row two rounds running. Put the ext queries FIRST:
+# the §2 core above is two-rounds driver-stable and can afford to be
+# the truncated tail if a budget ever bites again.
+_CORE_REGISTRY = dict(REGISTRY)
+REGISTRY = {**EXT_REGISTRY, **_CORE_REGISTRY}
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

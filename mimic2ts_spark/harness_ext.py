@@ -159,18 +159,45 @@ def q_dedup_ngram(spark, sf_dir):
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+# Oracle uses the same EXACT candidate pruning as the Spark AllPairs
+# implementation (dedup.py ngram_jaccard_pairs): (1) length filter —
+# J >= t implies min(|A|,|B|) >= ceil(t * max(|A|,|B|)); (2) prefix
+# filter — on a globally sorted code order, any pair with
+# |A∩B| >= ceil(t*|A|) must collide inside the first
+# |A| - ceil(t*|A|) + 1 codes. Both are supersets of the answer, and
+# the final exact-Jaccard verify keeps only J >= t, so the result is
+# identical to the naive all-pairs join (which took 37 s of the 48 s
+# total DuckDB gate budget at sf0.01 — this form runs in well under a
+# second).
 Q_DEDUP_NGRAM_SQL = f"""
 WITH tok AS (
     SELECT doc_id, {D.sql_token_codes('text')} AS tc FROM documents
 ),
 codes_t AS (
-    SELECT doc_id, list_distinct({D.sql_shingle_codes_from_tc('tc')}) AS codes FROM tok
+    SELECT doc_id,
+           list_sort(list_distinct({D.sql_shingle_codes_from_tc('tc')})) AS codes
+    FROM tok
 ),
-codes2 AS (SELECT * FROM codes_t WHERE len(codes) > 0),
+codes2 AS (
+    SELECT doc_id, codes, len(codes) AS n FROM codes_t WHERE len(codes) > 0
+),
+pref AS (
+    SELECT doc_id, n,
+           unnest(codes[1 : n - CAST(ceil(0.8 * n) AS BIGINT) + 1]) AS code
+    FROM codes2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pref a JOIN pref b
+      ON a.code = b.code AND a.doc_id < b.doc_id
+     AND least(a.n, b.n) >= CAST(ceil(0.8 * greatest(a.n, b.n)) AS BIGINT)
+),
 pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {D.SQL_JACCARD.format(a='a.codes', b='b.codes')} AS jaccard
-    FROM codes2 a JOIN codes2 b ON a.doc_id < b.doc_id
+    SELECT c.doc_a, c.doc_b,
+           {D.SQL_JACCARD.format(a='ca.codes', b='cb.codes')} AS jaccard
+    FROM cand c
+    JOIN codes2 ca ON ca.doc_id = c.doc_a
+    JOIN codes2 cb ON cb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
 """
