@@ -474,6 +474,67 @@ FROM doc d JOIN feats f ON f.doc_id = d.doc_id
 """
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL container decode: payloads wrapped as genuine WAV (stdlib
+    `wave`) and PNG (zlib inflate + CRC-checked chunks + all five
+    scanline filters) containers, decoded back by `decode_real`, with a
+    per-row roundtrip proof. The decoded payload equals the utf-8 text
+    bytes by construction, so the stripe-mean features are exactly the
+    byte math DuckDB can compute from `text` — and `roundtrip_ok` must
+    be uniformly true (any codec bug flips rows to false and fails the
+    hash). Video rows pass through raw (demux needs ffmpeg — the one
+    remaining stub)."""
+    from mimic2ts_spark.operators.multimodal import attach_media, decode_features
+
+    feats = decode_features(attach_media(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "payload_len",
+        "roundtrip_ok",
+        F.posexplode("features").alias("feature_idx", "feature_value"),
+    ).withColumn("feature_idx", F.col("feature_idx").cast("long"))
+
+
+Q_MULTIMODAL_DECODE_SQL = f"""
+WITH b AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS n,
+           greatest(1, octet_length(encode(text)) // {_mm.FEATURE_DIM}) AS stripe
+    FROM documents
+),
+bytes AS (
+    SELECT b.doc_id, b.stripe, t.i,
+           ascii(substr(b.text, CAST(t.i AS INTEGER) + 1, 1)) AS byte
+    FROM b, unnest(range(b.n)) AS t(i)
+),
+feat_present AS (
+    SELECT doc_id, i // stripe AS feature_idx,
+           CAST(sum(byte) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS feature_value
+    FROM bytes
+    WHERE i // stripe < {_mm.FEATURE_DIM}
+    GROUP BY doc_id, i // stripe
+),
+feats AS (
+    SELECT b.doc_id, g.i AS feature_idx,
+           COALESCE(f.feature_value, 0.0) AS feature_value
+    FROM b
+    CROSS JOIN unnest(range({_mm.FEATURE_DIM})) AS g(i)
+    LEFT JOIN feat_present f
+      ON f.doc_id = b.doc_id AND f.feature_idx = g.i
+)
+SELECT b.doc_id,
+       CASE WHEN b.doc_id % 3 = 0 THEN 'image/png'
+            WHEN b.doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       b.n AS payload_len,
+       TRUE AS roundtrip_ok,
+       f.feature_idx,
+       f.feature_value
+FROM b JOIN feats f ON f.doc_id = b.doc_id
+"""
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Video frame sampling: every 5th frame of each video payload as a
     scalar row (mapInPandas; the frame split is the deterministic
@@ -989,6 +1050,7 @@ EXT_REGISTRY = {
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
+    "q_multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),
     "q_multimodal_frames": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),
     "q_multimodal_resize": (q_multimodal_resize, Q_MULTIMODAL_RESIZE_SQL),
     "q_stream_tumbling": (q_stream_tumbling, Q_STREAM_TUMBLING_SQL),

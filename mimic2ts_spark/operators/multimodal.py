@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by Arrow-batched pandas UDFs via mapInPandas.
 
-The container ships no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features clearly marked as such; the real-codec entry
-point raises NotImplementedError). Everything Spark-side is real and
-tested: BinaryType schema, metadata struct, mapInPandas batch iteration,
-output schema, and partition behavior — swap `_fake_decode` for a PIL/
-librosa call and the pipeline is production-shaped.
+WAV and PNG get REAL encode/decode built on the standard library alone
+(`wave` for RIFF/PCM, `zlib`+`struct` for PNG chunk walk, IDAT inflate
+and all five scanline filters) — see `encode_wav`/`decode_wav`,
+`encode_png`/`decode_png`, and `decode_real`. Only the video path
+remains a deterministic stub (`_fake_decode`): an mp4 demuxer genuinely
+needs ffmpeg/av, which this container does not ship. Everything
+Spark-side is real and tested: BinaryType schema, metadata struct,
+mapInPandas batch iteration, output schema, and partition behavior.
 
 Scale notes: binary payloads ride the columnar scan (parquet BYTE_ARRAY);
 mapInPandas streams Arrow batches so one task never holds more than
@@ -51,10 +53,181 @@ def attach_binary(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(content: bytes, media_type: str):
-    """The real-codec entry point — not available in this environment."""
+# --- real stdlib codecs (WAV via `wave`, PNG via `zlib`+`struct`) ----------
+#
+# The container ships no third-party media libraries, but WAV and PNG
+# are decodable with the standard library alone — so those two formats
+# get REAL encode/decode (RIFF parsing, IDAT inflate, scanline
+# unfilter for all five PNG filter types). Only video remains a stub
+# (an mp4 demuxer genuinely needs ffmpeg/av).
+
+
+def encode_wav(payload: bytes, sample_rate: int = 8000) -> bytes:
+    """8-bit mono PCM WAV container around raw sample bytes (unsigned
+    8-bit PCM stores samples verbatim, so decode roundtrips exactly)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(payload)
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> dict:
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content)) as w:
+        return {
+            "channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "sample_rate": w.getframerate(),
+            "payload": w.readframes(w.getnframes()),
+        }
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(payload: bytes, width: int = 1) -> bytes:
+    """Grayscale 8-bit PNG whose pixel bytes ARE the payload (width
+    must divide the length; the default width-1 column image preserves
+    any length exactly). Rows cycle through all five PNG filter types
+    so a decoder must implement real unfiltering, not just filter 0."""
+    import struct
+    import zlib
+
+    n = len(payload)
+    if n == 0 or n % width:
+        raise ValueError("payload length must be a positive multiple of width")
+    height = n // width
+    raw = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        row = payload[r * width : (r + 1) * width]
+        ft = r % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(width)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(width)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(row[i - 1] if i else 0, prev[i], prev[i - 1] if i else 0)
+                )
+                & 0xFF
+                for i in range(width)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> dict:
+    """Chunk walk (CRC-verified) → IDAT inflate → per-row unfilter
+    (None/Sub/Up/Average/Paeth) for 8-bit grayscale."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, dims = 8, b"", None
+    while pos + 12 <= len(content):
+        (ln,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", content[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise NotImplementedError("only 8-bit grayscale, no interlace")
+            dims = (w, h)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None:
+        raise ValueError("missing IHDR")
+    w, h = dims
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    if len(raw) != h * stride:
+        raise ValueError("IDAT size mismatch")
+    out = bytearray()
+    prev = bytes(w)
+    for r in range(h):
+        ft = raw[r * stride]
+        line = bytearray(raw[r * stride + 1 : (r + 1) * stride])
+        for i in range(w):
+            a = line[i - 1] if i else 0  # reconstructed left neighbor
+            b, c = prev[i], (prev[i - 1] if i else 0)
+            if ft == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ft == 4:
+                line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad filter type {ft}")
+        out += line
+        prev = bytes(line)
+    return {"width": w, "height": h, "payload": bytes(out)}
+
+
+def decode_real(content: bytes, media_type: str) -> dict:
+    """Real decode for the stdlib-decodable formats; video stays a
+    stub (an mp4 demuxer genuinely needs ffmpeg/av — wire it here)."""
+    if media_type == "audio/wav":
+        return decode_wav(content)
+    if media_type == "image/png":
+        return decode_png(content)
     raise NotImplementedError(
-        "image/audio codecs are not installed; wire PIL/librosa/av here"
+        "video codecs are not installed; wire av/ffmpeg here"
     )
 
 
@@ -177,6 +350,88 @@ def resize_images(
             )
 
     return images.mapInPandas(batches, schema=_RESIZE_SCHEMA)
+
+
+_MEDIA_SCHEMA = "doc_id long, media_type string, content binary, raw binary"
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Build a multimodal table with REAL containers: the utf-8 text
+    payload wrapped as a genuine 8-bit-PCM WAV (doc_id%3==1) or a
+    CRC-valid grayscale PNG with cycling filter types (doc_id%3==0);
+    the video third stays a raw payload (demux is the stub). `raw`
+    carries the original payload so a decode query can assert the
+    container roundtrip row by row. Encoding runs in mapInPandas (the
+    encode side of a media pipeline is a Python-batch UDF too)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media, content = [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
+                m = int(doc_id) % 3
+                if m == 0:
+                    media.append("image/png")
+                    content.append(encode_png(bytes(raw)))
+                elif m == 1:
+                    media.append("audio/wav")
+                    content.append(encode_wav(bytes(raw)))
+                else:
+                    media.append("video/mp4")
+                    content.append(bytes(raw))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": media,
+                    "content": content,
+                    "raw": pdf["raw"],
+                }
+            )
+
+    return docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("raw")
+    ).mapInPandas(batches, schema=_MEDIA_SCHEMA)
+
+
+_DECODE_SCHEMA = (
+    "doc_id long, media_type string, container_len long, payload_len long, "
+    "roundtrip_ok boolean, features array<double>"
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Decode REAL containers (decode_real: stdlib WAV/PNG) and extract
+    the stripe-mean features from the DECODED payload; video payloads
+    pass through raw (demux stub). `roundtrip_ok` compares the decoded
+    bytes against the carried original payload — the per-row proof that
+    the codec path is real, and trivially oracle-checkable (all true,
+    features computable from the text bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "media_type", "container_len", "payload_len",
+                    "roundtrip_ok", "features",
+                )
+            }
+            for doc_id, mt, content, raw in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"], pdf["raw"]
+            ):
+                content, raw = bytes(content), bytes(raw)
+                if mt == "video/mp4":
+                    payload = content  # demux stub: container IS the payload
+                else:
+                    payload = decode_real(content, mt)["payload"]
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                rows["container_len"].append(len(content))
+                rows["payload_len"].append(len(payload))
+                rows["roundtrip_ok"].append(payload == raw)
+                rows["features"].append(_fake_decode(payload))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=_DECODE_SCHEMA)
 
 
 def features_long(feats: DataFrame) -> DataFrame:

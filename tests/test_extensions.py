@@ -179,6 +179,66 @@ def test_multimodal_features_long_matches_stub(spark, docs):
         assert r.byte_len == len(payload)
 
 
+def test_wav_png_codecs_roundtrip():
+    """Stdlib codecs: WAV and PNG containers must roundtrip arbitrary
+    byte payloads exactly — including PNG widths > 1 (exercising the
+    Sub/Average/Paeth left-neighbor arithmetic) and every filter type
+    (encode_png cycles filters 0..4 across rows)."""
+    import zlib
+
+    from mimic2ts_spark.operators.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    payloads = [
+        bytes(range(256)),
+        b"\x00" * 10,
+        b"\xff\x00" * 33,
+        bytes((i * 37 + 11) % 256 for i in range(1000)),
+    ]
+    for p in payloads:
+        got = decode_wav(encode_wav(p))
+        assert got["payload"] == p and got["sample_width"] == 1
+        one = decode_png(encode_png(p, width=1))
+        assert one["payload"] == p and one["width"] == 1 and one["height"] == len(p)
+    wide = bytes((i * 73 + 5) % 256 for i in range(12 * 50))
+    got = decode_png(encode_png(wide, width=12))
+    assert got["payload"] == wide and (got["width"], got["height"]) == (12, 50)
+
+    # corrupt one IDAT byte -> CRC check must reject, not decode garbage
+    enc = bytearray(encode_png(bytes(range(100)), width=10))
+    idat_at = bytes(enc).index(b"IDAT") + 4
+    enc[idat_at + 3] ^= 0xFF
+    try:
+        decode_png(bytes(enc))
+        raise AssertionError("tampered PNG must not decode")
+    except (ValueError, zlib.error):
+        pass
+
+
+def test_decode_features_roundtrip_flags(spark, docs):
+    """decode_features over real containers: every row roundtrips and
+    the features equal the fake-decode of the raw payload (decoded
+    payload == payload by codec correctness)."""
+    from mimic2ts_spark.operators.multimodal import (
+        _fake_decode,
+        attach_media,
+        decode_features,
+    )
+
+    out = decode_features(attach_media(docs.limit(30))).collect()
+    assert out and all(r.roundtrip_ok for r in out)
+    texts = {r.doc_id: r.text for r in docs.limit(30).collect()}
+    for r in out:
+        assert r.payload_len == len(texts[r.doc_id].encode())
+        assert r.features == _fake_decode(texts[r.doc_id].encode())
+        if r.media_type == "image/png":
+            assert r.container_len > r.payload_len  # real container overhead
+
+
 def test_stream_clamp_equals_batch_bucket_mean(spark):
     """The drained streaming clamp (stream-static stay join + stateful
     integer-cents bucket mean) must equal the batch q_agg_mean_bucket
