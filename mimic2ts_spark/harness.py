@@ -67,9 +67,11 @@ def _avg_exact(col: Column, alias: str, scale: int = SCALE) -> F.Column:
     return (s.cast("double") / (n * scale).cast("double")).alias(alias)
 
 
-_SQL_SUM = "CAST(CAST(sum(CAST(round({x} * {s}) AS BIGINT)) AS BIGINT) AS DOUBLE) / {s}.0"
+# ({x}) is parenthesized: compound expressions must bind before the
+# cents scaling, or `a - b * {s}` silently scales only the last term
+_SQL_SUM = "CAST(CAST(sum(CAST(round(({x}) * {s}) AS BIGINT)) AS BIGINT) AS DOUBLE) / {s}.0"
 _SQL_AVG = (
-    "CAST(CAST(sum(CAST(round({x} * {s}) AS BIGINT)) AS BIGINT) AS DOUBLE)"
+    "CAST(CAST(sum(CAST(round(({x}) * {s}) AS BIGINT)) AS BIGINT) AS DOUBLE)"
     " / CAST(count({c}) * {s} AS DOUBLE)"
 )
 
@@ -1663,6 +1665,511 @@ GROUP BY 1
 """
 
 
+# --- round-3 TPC-H completion (Q2/Q7/Q8/Q9/Q10/Q11/Q12/Q15/Q16/Q20) --------
+#
+# The testdata ships no `partsupp` table and trims several spec columns
+# (no l_shipmode/l_commitdate, no o_comment/p_container); where the spec
+# needs them the query keeps the SHAPE (join tree, correlation pattern,
+# aggregate structure) with a documented stand-in, exactly as the
+# existing Q4/Q13/Q17/Q22 adaptations do. With these, all 22 TPC-H
+# query shapes are registered and oracle-checked.
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_SQL_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): the two-nation flow query — lineitem
+    joined to BOTH trading sides (supplier nation and customer nation
+    via orders), a symmetric either-direction filter, and a
+    (nation, nation, year) rollup. nation is broadcast (25 rows); the
+    supplier/customer joins are left to AQE. One shuffle for the final
+    aggregate; the year is computed from l_shipdate, not shuffled in."""
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, "s_nationkey")
+        .join(n2, "c_nationkey")
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_sum_exact(_rev(), "revenue", scale=10000))
+    )
+
+
+Q_TPCH_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+       {sql_sum_exact(_SQL_REV, 10000)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): share of one supplier nation's
+    revenue within a region's customer market, per order year. The
+    share is ONE division of two integer-cents sums accumulated in the
+    same aggregate pass (numerator as a CASE inside the sum), so the
+    whole query is a join tree + a single groupBy shuffle."""
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    nc = _t(spark, sf_dir, "nation").join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    ns = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    j = (
+        _t(spark, sf_dir, "lineitem")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc.select(F.col("n_nationkey").alias("c_nationkey"))), "c_nationkey")
+        .join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ns, "s_nationkey")
+    )
+    cents = F.round(_rev() * 10000, 0).cast("long")
+    target = F.when(F.col("supp_nation") == "NATION_2", cents).otherwise(F.lit(0).cast("long"))
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(target).alias("_nat"), F.sum(cents).alias("_tot")
+    )
+    return agg.select(
+        "o_year",
+        (F.col("_nat").cast("double") / 10000.0).alias("nation_rev"),
+        (F.col("_tot").cast("double") / 10000.0).alias("total_rev"),
+        (F.col("_nat").cast("double") / F.col("_tot").cast("double")).alias("mkt_share"),
+    )
+
+
+Q_TPCH_Q8_SQL = f"""
+WITH j AS (
+    SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(({_SQL_REV}) * 10000) AS BIGINT) AS cents,
+           CASE WHEN n2.n_name = 'NATION_2'
+                THEN CAST(round(({_SQL_REV}) * 10000) AS BIGINT)
+                ELSE 0 END AS nat_cents
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT o_year,
+       CAST(sum(nat_cents) AS DOUBLE) / 10000.0 AS nation_rev,
+       CAST(sum(cents) AS DOUBLE) / 10000.0 AS total_rev,
+       CAST(sum(nat_cents) AS DOUBLE) / CAST(sum(cents) AS DOUBLE) AS mkt_share
+FROM j GROUP BY 1
+"""
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year). The
+    spec's cost term is ps_supplycost×l_quantity; with no partsupp
+    table the stand-in cost is 0.5×p_retailprice×l_quantity — same
+    expression structure (a part-priced quantity term subtracted from
+    discounted revenue), same join tree minus the partsupp hop."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+        )
+    )
+    j = (
+        _t(spark, sf_dir, "lineitem")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, "s_nationkey")
+    )
+    amount = _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        j.groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(_sum_exact(amount, "sum_profit", scale=10000))
+    )
+
+
+Q_TPCH_Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+       {sql_sum_exact(f"({_SQL_REV}) - 0.5 * p_retailprice * l_quantity", 10000)}
+         AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): one quarter of orders,
+    returned lines only, top 20 customers by lost revenue. The top-k
+    is a global sort-limit (TakeOrdered, no full sort materialized);
+    ties are broken by c_custkey so the emitted 20 rows are
+    deterministic in both engines."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+        )
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, "c_nationkey")
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(_sum_exact(_rev(), "revenue", scale=10000))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q_TPCH_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       {sql_sum_exact(_SQL_REV, 10000)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-key value vs a GLOBAL
+    scalar threshold (fraction of the grand total). partsupp stand-in:
+    shipped value per part from one nation's suppliers. The threshold
+    compare happens in integer cents (value_cents × 1000 > total_cents)
+    — an exact integer predicate, identical in both engines. The grand
+    total is a 1-row broadcast cross join, not a global window."""
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3").select(
+            F.col("n_nationkey").alias("s_nationkey")
+        )
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, "s_nationkey")
+    )
+    cents = F.round(_rev() * 10000, 0).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(cents).alias("_cents"))
+    total = per_part.agg(F.sum("_cents").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_cents") * 1000 > F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("_cents").cast("double") / 10000.0).alias("part_value"),
+        )
+    )
+
+
+Q_TPCH_Q11_SQL = f"""
+WITH v AS (
+    SELECT l_partkey, CAST(sum(CAST(round(({_SQL_REV}) * 10000) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    GROUP BY 1
+)
+SELECT l_partkey AS p_partkey,
+       CAST(cents AS DOUBLE) / 10000.0 AS part_value
+FROM v, (SELECT sum(cents) AS total FROM v) t
+WHERE cents * 1000 > total
+"""
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority distribution): per-group
+    counts of high- vs low-priority orders as two CASE-sums in one
+    aggregate pass. The testdata has no l_shipmode/commitdate;
+    l_returnflag stands in as the grouping column and a 1996 shipdate
+    year as the window."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = li.join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return j.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum(high).cast("long").alias("high_line_count"),
+        F.sum(1 - high).cast("long").alias("low_line_count"),
+    )
+
+
+Q_TPCH_Q12_SQL = """
+SELECT l_returnflag AS flag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the supplier(s) whose revenue EQUALS the maximum — the classic
+    view + scalar subquery. Revenue is kept in integer cents through
+    the max/equality compare (exact; no float max boundary), divided
+    back only for output. The max is a 1-row broadcast cross join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cents = F.round(_rev() * 10000, 0).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("_cents"))
+    mx = rev.agg(F.max("_cents").alias("_max"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_cents") == F.col("_max"))
+        .join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("_cents").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+Q_TPCH_Q15_SQL = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(round(({_SQL_REV}) * 10000) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(cents AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE cents = (SELECT max(cents) FROM rev)
+"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (part/supplier relationship counts): distinct
+    suppliers per (brand, type, size) over the part-supplier pairs,
+    with NOT-filters on part attributes and an excluded-supplier anti
+    join. partsupp stand-in: DISTINCT (l_partkey, l_suppkey) observed
+    in lineitem; the spec's complaint-comment exclusion becomes a
+    negative-balance exclusion (no s_comment column)."""
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#9")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 12, 17, 23, 33))
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q_TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 12, 17, 23, 33)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (excess-stock suppliers): the nested
+    semi-join chain — suppliers in one nation having SOME filtered
+    part whose 1996 shipped quantity exceeds half that (supplier,
+    part)'s all-time quantity (the availqty stand-in; no partsupp
+    table). Quantities are integral: summed as longs, and the
+    half-threshold compare is 2×q96 > total — exact integer logic."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "SMALL").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        p, F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    per_sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(qty).alias("total_qty"),
+        F.sum(F.when(in96, qty).otherwise(F.lit(0).cast("long"))).alias("qty96"),
+    )
+    excess = per_sp.where(F.col("qty96") * 2 > F.col("total_qty")).select("l_suppkey").distinct()
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_4").select(
+            F.col("n_nationkey").alias("s_nationkey")
+        )
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(n, "s_nationkey")
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q_TPCH_Q20_SQL = """
+WITH per_sp AS (
+    SELECT l_suppkey, l_partkey,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                         THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS qty96
+    FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+    GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_4'
+WHERE s_suppkey IN (SELECT l_suppkey FROM per_sp WHERE qty96 * 2 > total_qty)
+"""
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for each filtered part,
+    the region's supplier(s) achieving the MINIMUM unit cost — the
+    correlated-min pattern, expressed as one window min over the
+    per-(part, supplier) aggregate (no re-scan, no self-join). Unit
+    cost stand-in: min(l_extendedprice / l_quantity) over that
+    (part, supplier)'s lines (no partsupp). Both engines compute the
+    same IEEE doubles, so the min-equality filter is deterministic;
+    the final top-100 is fully tie-broken (acctbal desc … s_suppkey)."""
+    from pyspark.sql import Window
+
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"))
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation"))
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 23) & (F.col("p_type") == "LARGE")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), "s_nationkey")
+    )
+    cost = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    per_sp = li.groupBy(
+        "p_partkey", "s_suppkey", "s_name", "s_acctbal", "nation"
+    ).agg(F.min(cost).alias("supply_cost"))
+    w = Window.partitionBy("p_partkey")
+    best = per_sp.withColumn("min_cost", F.min("supply_cost").over(w)).where(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    return (
+        best.select("s_acctbal", "s_name", "nation", "p_partkey", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q_TPCH_Q2_SQL = """
+WITH per_sp AS (
+    SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name AS nation,
+           min(l_extendedprice / l_quantity) AS supply_cost
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_size = 23 AND p_type = 'LARGE'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    GROUP BY 1, 2, 3, 4, 5
+)
+SELECT s_acctbal, s_name, nation, p_partkey, supply_cost
+FROM (SELECT *, min(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM per_sp)
+WHERE supply_cost = min_cost
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+"""
+
+
+_TPCH_R3: dict[str, tuple["QueryFn", str | None]] = {
+    "q_tpch_q2": (q_tpch_q2, Q_TPCH_Q2_SQL),
+    "q_tpch_q7": (q_tpch_q7, Q_TPCH_Q7_SQL),
+    "q_tpch_q8": (q_tpch_q8, Q_TPCH_Q8_SQL),
+    "q_tpch_q9": (q_tpch_q9, Q_TPCH_Q9_SQL),
+    "q_tpch_q10": (q_tpch_q10, Q_TPCH_Q10_SQL),
+    "q_tpch_q11": (q_tpch_q11, Q_TPCH_Q11_SQL),
+    "q_tpch_q12": (q_tpch_q12, Q_TPCH_Q12_SQL),
+    "q_tpch_q15": (q_tpch_q15, Q_TPCH_Q15_SQL),
+    "q_tpch_q16": (q_tpch_q16, Q_TPCH_Q16_SQL),
+    "q_tpch_q20": (q_tpch_q20, Q_TPCH_Q20_SQL),
+}
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1728,7 +2235,7 @@ from mimic2ts_spark.harness_ext import EXT_REGISTRY  # noqa: E402  (uses REGISTR
 # the §2 core above is two-rounds driver-stable and can afford to be
 # the truncated tail if a budget ever bites again.
 _CORE_REGISTRY = dict(REGISTRY)
-REGISTRY = {**EXT_REGISTRY, **_CORE_REGISTRY}
+REGISTRY = {**EXT_REGISTRY, **_TPCH_R3, **_CORE_REGISTRY}
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -441,3 +441,32 @@ def test_q21_single_lineitem_scan_two_exchanges(utc):
     assert _count(r"\(\d+\) Exchange", s) == 2, s
     assert "SortMergeJoin" not in s
     assert _count(r"- BroadcastExchange \(", s) == 3, "expected 3 broadcast dims"
+
+
+def test_q10_topk_is_take_ordered(utc):
+    """Q10's deterministic top-20 must plan as TakeOrderedAndProject
+    (per-partition heaps + merge) — never a global Sort of every
+    customer group, which materializes the full sorted set at scale."""
+    s = _plan(harness.q_tpch_q10(utc, SF))
+    assert "TakeOrderedAndProject" in s
+    assert _count(r"\(\d+\) Sort\b", s) == 0, s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+
+
+def test_q2_correlated_min_is_one_window(utc):
+    """Q2's per-part minimum-cost supplier must be ONE window pass over
+    the per-(part,supplier) aggregate — not a groupBy + self-join that
+    re-derives the join tree twice."""
+    s = _plan(harness.q_tpch_q2(utc, SF))
+    assert _count(r"\(\d+\) Window", s) == 1
+    assert _count(r"lineitem\.parquet", s) == 1, "aggregate re-derivation"
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+
+
+def test_q15_scalar_max_is_single_row_broadcast(utc):
+    """Q15's max-revenue threshold is a 1-row broadcast joined back to
+    the per-supplier aggregate: the lineitem scan feeds BOTH the
+    aggregate and the max (two scans max), with no shuffle join."""
+    s = _plan(harness.q_tpch_q15(utc, SF))
+    assert _count(r"lineitem\.parquet", s) <= 2
+    assert "SortMergeJoin" not in s
