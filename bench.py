@@ -55,6 +55,12 @@ HEADLINE = [
     "q_tpch_q22",
     "q_scd2",
     "q_text_repetition",
+    # round 3
+    "q_tpch_q2",
+    "q_tpch_q7",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_multimodal_decode",
 ]
 
 
@@ -102,23 +108,27 @@ def main() -> None:
         "sf": float(sf),
     }
 
-    # Self-baselining: per-query ratio vs the previous round's recorded
+    # Self-baselining: per-query ratio vs each prior round's recorded
     # bench (>1.5x on any query = a regression to explain). Only attached
     # when benching the same sf the baseline was recorded at.
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
-    if os.path.exists(base_path):
+    here = os.path.dirname(os.path.abspath(__file__))
+    for rnd in ("r01", "r02"):
+        base_path = os.path.join(here, f"BENCH_{rnd}.json")
+        if not os.path.exists(base_path):
+            continue
         with open(base_path) as f:
             base = json.load(f)
         # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
         parsed = base.get("parsed", base)
-        if base.get("sf", parsed.get("sf")) == out["sf"]:
-            prev = parsed.get("queries", {})
-            out["vs_r01"] = {
-                q: round(t / prev[q], 2) for q, t in timings.items() if prev.get(q)
-            }
-            if prev:
-                shared = round(sum(t for q, t in timings.items() if prev.get(q)), 3)
-                out["vs_r01_total"] = round(shared / parsed["value"], 3)
+        if base.get("sf", parsed.get("sf")) != out["sf"]:
+            continue
+        prev = parsed.get("queries", {})
+        out[f"vs_{rnd}"] = {
+            q: round(t / prev[q], 2) for q, t in timings.items() if prev.get(q)
+        }
+        if prev:
+            shared = round(sum(t for q, t in timings.items() if prev.get(q)), 3)
+            out[f"vs_{rnd}_total"] = round(shared / parsed["value"], 3)
 
     print(json.dumps(out))
 
