@@ -203,6 +203,52 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Delta-vs-corpus near-dup (the production dedup cadence): docs
+    with doc_id % 10 == 0 play the incoming shard, the rest the
+    accepted corpus; only (new, existing) pairs are emitted. Exact
+    AllPairs pruning (sorted-prefix postings equi-join + length filter
+    + exact verify) mirrored by the oracle."""
+    return D.incremental_ngram_pairs(
+        _docs(spark, sf_dir), is_new=(F.col("doc_id") % 10 == 0), threshold=0.8
+    )
+
+
+Q_DEDUP_INCREMENTAL_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {D.sql_token_codes('text')} AS tc FROM documents
+),
+codes_t AS (
+    SELECT doc_id,
+           list_sort(list_distinct({D.sql_shingle_codes_from_tc('tc')})) AS codes
+    FROM tok
+),
+codes2 AS (
+    SELECT doc_id, (doc_id % 10 = 0) AS is_new, codes, len(codes) AS n
+    FROM codes_t WHERE len(codes) > 0
+),
+pref AS (
+    SELECT doc_id, is_new, n,
+           unnest(codes[1 : n - CAST(ceil(0.8 * n) AS BIGINT) + 1]) AS code
+    FROM codes2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+    FROM pref a JOIN pref b
+      ON a.code = b.code AND a.is_new AND NOT b.is_new
+     AND least(a.n, b.n) >= CAST(ceil(0.8 * greatest(a.n, b.n)) AS BIGINT)
+),
+pairs AS (
+    SELECT c.doc_new, c.doc_old,
+           {D.SQL_JACCARD.format(a='ca.codes', b='cb.codes')} AS jaccard
+    FROM cand c
+    JOIN codes2 ca ON ca.doc_id = c.doc_new
+    JOIN codes2 cb ON cb.doc_id = c.doc_old
+)
+SELECT doc_new, doc_old, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
 def q_dedup_ngram_blocked(spark, sf_dir):
     """ngram_jaccard_pairs with a blocking key (`source`): buckets are
     additionally bounded by the block — the unconditional hot-bucket
@@ -944,6 +990,114 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+PACK_BUDGET = 512
+PACK_SHARDS = 16
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style pretraining sequence packing: documents are
+    concatenated in deterministic (shard, doc_id) order and cut into
+    fixed PACK_BUDGET-token windows; each doc is assigned the sequence
+    index and offset where it STARTS (docs straddle boundaries — that
+    is the standard concat-then-chunk packing, not bin packing). The
+    cumulative position is a per-shard window running sum of exact
+    integer token counts, so the layout is reproducible anywhere.
+
+    Scale: ONE shuffle on the shard key, per-shard sort — the global
+    greedy layout is embarrassingly parallel across shards because
+    packing never crosses a shard. Shard count is the parallelism dial
+    (16 here; thousands at 100 TB)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"start DIV {PACK_BUDGET}").alias("seq_idx"),
+        (F.col("start") % PACK_BUDGET).alias("seq_offset"),
+    )
+
+
+Q_PACK_SEQUENCES_SQL = f"""
+WITH d AS (
+    SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+           {X.SQL_TOKEN_COUNT.format(text='text')} AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS start
+    FROM d
+)
+SELECT doc_id, shard, n_tokens,
+       start // {PACK_BUDGET} AS seq_idx,
+       start % {PACK_BUDGET} AS seq_offset
+FROM c
+"""
+
+
+EMB_STAT_SCALE = 1_000_000
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-(label, dimension) embedding statistics — the feature-wise
+    normalization pass an embedding pipeline runs before training
+    (mean for centering, min/max for clipping). posexplode to scalar
+    (label, dim, value) rows → ONE shuffle keyed (label, dim) with
+    map-side partial aggregation; the 64× row fan-out never leaves the
+    map side as raw rows. Mean is an exact integer-micros sum divided
+    once; min/max compare the same widened float32 doubles in both
+    engines."""
+    e = _embs(spark, sf_dir).select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    v = F.col("v").cast("double")
+    micros = F.round(v * EMB_STAT_SCALE, 0).cast("long")
+    return e.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        (
+            F.sum(micros).cast("double")
+            / (F.count(F.lit(1)) * EMB_STAT_SCALE).cast("double")
+        ).alias("mean_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q_EMBEDDING_STATS_SQL = f"""
+WITH x AS (
+    SELECT CAST(label AS BIGINT) AS label, g.i AS dim,
+           CAST(embedding[CAST(g.i AS INTEGER) + 1] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(len(embedding))) AS g(i)
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(CAST(round(v * {EMB_STAT_SCALE}) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) * {EMB_STAT_SCALE} AS DOUBLE) AS mean_v,
+       min(v) AS min_v,
+       max(v) AS max_v,
+       CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY 1, 2
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted
     to token granularity — the corpus is single-line so the paper's
@@ -1039,6 +1193,9 @@ EXT_REGISTRY = {
     "q_dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
     "q_dedup_ngram": (q_dedup_ngram, Q_DEDUP_NGRAM_SQL),
     "q_dedup_ngram_blocked": (q_dedup_ngram_blocked, Q_DEDUP_NGRAM_BLOCKED_SQL),
+    "q_dedup_incremental": (q_dedup_incremental, Q_DEDUP_INCREMENTAL_SQL),
+    "q_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
+    "q_embedding_stats": (q_embedding_stats, Q_EMBEDDING_STATS_SQL),
     "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
     "q_dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "q_dedup_embedding": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),

@@ -594,3 +594,71 @@ def sql_simhash(text: str, bits: int = SIMHASH_BITS) -> str:
         )
         parts.append(f"(CASE WHEN ({contrib}) > 0 THEN {1 << b} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")::BIGINT"
+
+
+def incremental_ngram_pairs(
+    df: DataFrame,
+    is_new: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup: (new doc, existing doc) pairs with
+    n-gram Jaccard >= threshold -- the PRODUCTION dedup shape: each
+    incoming shard is checked against the accepted corpus, never
+    corpus x corpus again. new-new and old-old pairs are deliberately
+    NOT emitted (in-shard dedup is ngram_jaccard_pairs; the corpus is
+    already deduped by invariant).
+
+    Same exact AllPairs pruning as ngram_jaccard_pairs (sorted-prefix
+    postings + length-ratio filter + exact verify -- candidate superset,
+    identical output to the naive cross join), but candidate generation
+    is an equi-JOIN of the new side's prefix postings against the old
+    side's, not a self-bucket groupBy: the probe side is the small
+    delta, so a steady small-delta cadence shuffles a fraction of the
+    self-join's volume. Both sides come from ONE persisted shingle pass
+    over one scan.
+    """
+    base = (
+        with_shingle_codes(
+            ensure_parallelism(
+                df.select(F.col(id_col).alias("doc_id"), text_col, is_new.alias("is_new"))
+                .where(F.size(tokens(F.col(text_col))) >= SHINGLE_N)
+            ),
+            out="_sc",
+        )
+        .select(
+            "doc_id", "is_new", F.array_sort(F.array_distinct(F.col("_sc"))).alias("codes")
+        )
+        .persist()
+    )
+    prefix_len = F.size("codes") - F.ceil(F.lit(threshold) * F.size("codes")) + 1
+    posting = base.select(
+        "doc_id",
+        "is_new",
+        F.size("codes").alias("n"),
+        "codes",
+        F.explode(F.slice(F.col("codes"), 1, prefix_len)).alias("code"),
+    )
+    newp = posting.where(F.col("is_new")).select(
+        F.col("doc_id").alias("doc_new"), F.col("n").alias("n_a"),
+        F.col("codes").alias("codes_a"), "code",
+    )
+    oldp = posting.where(~F.col("is_new")).select(
+        F.col("doc_id").alias("doc_old"), F.col("n").alias("n_b"),
+        F.col("codes").alias("codes_b"), "code",
+    )
+    length_ok = F.least("n_a", "n_b") >= F.ceil(
+        F.lit(threshold) * F.greatest("n_a", "n_b")
+    )
+    cand = (
+        newp.join(oldp, "code")
+        .where(length_ok)
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    verified = cand.withColumn(
+        "jaccard", _jaccard_from_distinct(F.col("codes_a"), F.col("codes_b"))
+    )
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "doc_new", "doc_old", "jaccard"
+    )

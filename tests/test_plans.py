@@ -470,3 +470,33 @@ def test_q15_scalar_max_is_single_row_broadcast(utc):
     s = _plan(harness.q_tpch_q15(utc, SF))
     assert _count(r"lineitem\.parquet", s) <= 2
     assert "SortMergeJoin" not in s
+
+
+def test_incremental_dedup_one_scan_no_cartesian(utc):
+    """Delta-vs-corpus dedup must derive BOTH posting sides from one
+    persisted shingle pass (a second parquet scan means the cache was
+    bypassed) and pair via the code equi-join — never a cross join."""
+    fn, _ = harness.REGISTRY["q_dedup_incremental"]
+    s = _plan(fn(utc, SF))
+    assert _count(r"\(\d+\) Scan parquet", s) == 1, s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+
+
+def test_pack_sequences_single_shard_shuffle(utc):
+    """Sequence packing is one window over the shard key: exactly one
+    hash-partition exchange on shard and one Window, so the layout
+    parallelizes across shards at scale."""
+    fn, _ = harness.REGISTRY["q_pack_sequences"]
+    s = _plan(fn(utc, SF))
+    assert _count(r"\(\d+\) Window", s) == 1
+    assert _count(r"hashpartitioning\(shard", s) >= 1, s
+
+
+def test_embedding_stats_partial_agg(utc):
+    """The 64x posexplode fan-out must combine map-side: partial
+    HashAggregates before the single (label, dim) exchange."""
+    fn, _ = harness.REGISTRY["q_embedding_stats"]
+    s = _plan(fn(utc, SF))
+    assert _count(r"HashAggregate", s) >= 2
+    assert _count(r"hashpartitioning\(label", s) >= 1, s
+    assert "BatchEvalPython" not in s
