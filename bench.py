@@ -61,6 +61,9 @@ HEADLINE = [
     "q_tpch_q9",
     "q_tpch_q10",
     "q_multimodal_decode",
+    "q_dedup_incremental",
+    "q_pack_sequences",
+    "q_embedding_stats",
 ]
 
 

@@ -179,6 +179,53 @@ def test_multimodal_features_long_matches_stub(spark, docs):
         assert r.byte_len == len(payload)
 
 
+def test_incremental_dedup_emits_only_cross_pairs(spark):
+    """(new, existing) pairs only: a new-new duplicate pair and an
+    old-old duplicate pair must NOT appear; a new doc duplicating an
+    old doc must."""
+    from mimic2ts_spark.operators.dedup import incremental_ngram_pairs
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (10, txt), (20, txt),          # new + new  -> no pair
+            (1, txt),                       # old dup of 10/20 -> pairs
+            (3, "one two three four five six seven"),
+            (7, "one two three four five six seven"),  # old+old -> no pair
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_ngram_pairs(df, is_new=(F.col("doc_id") % 10 == 0)).collect()
+    got = {(r.doc_new, r.doc_old) for r in out}
+    assert got == {(10, 1), (20, 1)}
+    assert all(r.jaccard == 1.0 for r in out)
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-then-chunk semantics: offsets accumulate in doc_id order
+    within a shard, seq_idx advances every PACK_BUDGET tokens, and a
+    doc starting before a boundary straddles it (start offset keeps
+    the doc in its starting sequence)."""
+    from mimic2ts_spark import harness
+    from mimic2ts_spark import harness_ext as HE  # after harness: avoids circular import
+
+    fn, _ = harness.REGISTRY["q_pack_sequences"]
+    rows = {
+        r.doc_id: (r.shard, r.seq_idx, r.seq_offset)
+        for r in fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    from collections import defaultdict
+    cum = defaultdict(int)
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        shard = d.doc_id % HE.PACK_SHARDS
+        start = cum[shard]
+        assert rows[d.doc_id] == (
+            shard, start // HE.PACK_BUDGET, start % HE.PACK_BUDGET
+        ), d.doc_id
+        cum[shard] += len(d.text.split())
+
+
 def test_wav_png_codecs_roundtrip():
     """Stdlib codecs: WAV and PNG containers must roundtrip arbitrary
     byte payloads exactly — including PNG widths > 1 (exercising the
