@@ -528,8 +528,9 @@ def q_multimodal_decode(spark, sf_dir):
     bytes by construction, so the stripe-mean features are exactly the
     byte math DuckDB can compute from `text` — and `roundtrip_ok` must
     be uniformly true (any codec bug flips rows to false and fails the
-    hash). Video rows pass through raw (demux needs ffmpeg — the one
-    remaining stub)."""
+    hash). Video rows demux through a real RIFF/AVI chunk walk; only
+    compressed-codec decode (h264/jpeg/mp3) remains out of reach
+    without ffmpeg."""
     from mimic2ts_spark.operators.multimodal import attach_media, decode_features
 
     feats = decode_features(attach_media(_docs(spark, sf_dir)))
@@ -572,7 +573,7 @@ feats AS (
 SELECT b.doc_id,
        CASE WHEN b.doc_id % 3 = 0 THEN 'image/png'
             WHEN b.doc_id % 3 = 1 THEN 'audio/wav'
-            ELSE 'video/mp4' END AS media_type,
+            ELSE 'video/avi' END AS media_type,
        b.n AS payload_len,
        TRUE AS roundtrip_ok,
        f.feature_idx,

@@ -1,14 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by Arrow-batched pandas UDFs via mapInPandas.
 
-WAV and PNG get REAL encode/decode built on the standard library alone
-(`wave` for RIFF/PCM, `zlib`+`struct` for PNG chunk walk, IDAT inflate
-and all five scanline filters) — see `encode_wav`/`decode_wav`,
-`encode_png`/`decode_png`, and `decode_real`. Only the video path
-remains a deterministic stub (`_fake_decode`): an mp4 demuxer genuinely
-needs ffmpeg/av, which this container does not ship. Everything
-Spark-side is real and tested: BinaryType schema, metadata struct,
-mapInPandas batch iteration, output schema, and partition behavior.
+WAV, PNG, and AVI get REAL encode/decode built on the standard library
+alone (`wave` for RIFF/PCM; `zlib`+`struct` for the PNG chunk walk,
+IDAT inflate and all five scanline filters; a RIFF tree walk pulling
+'00db'/'00dc' frame chunks for AVI) — see `encode_wav`/`decode_wav`,
+`encode_png`/`decode_png`, `encode_avi`/`decode_avi`, and
+`decode_real`. The only remaining stub is COMPRESSED codec decode
+(h264/jpeg/mp3 inside a container), which genuinely needs ffmpeg/av;
+`_fake_decode` marks that seam. Everything Spark-side is real and
+tested: BinaryType schema, metadata struct, mapInPandas batch
+iteration, output schema, and partition behavior.
 
 Scale notes: binary payloads ride the columnar scan (parquet BYTE_ARRAY);
 mapInPandas streams Arrow batches so one task never holds more than
@@ -219,15 +221,85 @@ def decode_png(content: bytes) -> dict:
     return {"width": w, "height": h, "payload": bytes(out)}
 
 
+AVI_FRAME_BYTES = 256
+
+
+def encode_avi(payload: bytes, frame_bytes: int = AVI_FRAME_BYTES) -> bytes:
+    """Minimal RIFF/AVI container whose '00db' (uncompressed DIB) frame
+    chunks carry the payload split into fixed-size frames (last frame
+    short). Structure: RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
+    strf)) LIST('movi' 00db…)) with spec-correct chunk sizes and
+    even-byte padding — a real demuxer can walk it."""
+    import struct
+
+    n = len(payload)
+    if n == 0:
+        raise ValueError("empty payload")
+    frames = [payload[i : i + frame_bytes] for i in range(0, n, frame_bytes)]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I", 40_000, 0, 0, 0x10, len(frames), 0, 1, 0, frame_bytes, 1, 0, 0, 0, 0
+    )
+    strh = struct.pack("<4s4sI2H8I4i", b"vids", b"DIB ", 0, 0, 0, 0, 1, 25,
+                       0, len(frames), frame_bytes, 0, 0, 0, 0, 0, 0)
+    strf = struct.pack("<I2i2H6I", 40, frame_bytes, 1, 1, 8, 0, frame_bytes, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(content: bytes) -> dict:
+    """RIFF walk: verify the RIFF/'AVI ' signature, locate the 'movi'
+    LIST, iterate its '00db'/'00dc' frame chunks (honoring even-byte
+    padding), return the frames and the re-joined payload."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI")
+    (riff_len,) = struct.unpack("<I", content[4:8])
+    if riff_len + 8 != len(content):
+        raise ValueError("RIFF size mismatch")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = content[pos : pos + 4]
+            (ln,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+            data_at = pos + 8
+            if tag == b"LIST":
+                kind = content[data_at : data_at + 4]
+                if kind in (b"movi", b"hdrl", b"strl", b"rec "):
+                    walk(data_at + 4, data_at + ln)
+            elif tag in (b"00db", b"00dc"):
+                frames.append(content[data_at : data_at + ln])
+            pos = data_at + ln + (ln % 2)
+
+    walk(12, len(content))
+    if not frames:
+        raise ValueError("no frame chunks found")
+    return {"n_frames": len(frames), "frames": frames, "payload": b"".join(frames)}
+
+
 def decode_real(content: bytes, media_type: str) -> dict:
-    """Real decode for the stdlib-decodable formats; video stays a
-    stub (an mp4 demuxer genuinely needs ffmpeg/av — wire it here)."""
+    """Real decode for the stdlib-decodable formats. AVI gets a real
+    container DEMUX (frame chunks out of the RIFF tree); decoding
+    *compressed* codecs inside any container (h264/jpeg/mp3) genuinely
+    needs ffmpeg/av — wire it here."""
     if media_type == "audio/wav":
         return decode_wav(content)
     if media_type == "image/png":
         return decode_png(content)
+    if media_type == "video/avi":
+        return decode_avi(content)
     raise NotImplementedError(
-        "video codecs are not installed; wire av/ffmpeg here"
+        "compressed codecs are not installed; wire av/ffmpeg here"
     )
 
 
@@ -357,12 +429,12 @@ _MEDIA_SCHEMA = "doc_id long, media_type string, content binary, raw binary"
 
 def attach_media(docs: DataFrame) -> DataFrame:
     """Build a multimodal table with REAL containers: the utf-8 text
-    payload wrapped as a genuine 8-bit-PCM WAV (doc_id%3==1) or a
-    CRC-valid grayscale PNG with cycling filter types (doc_id%3==0);
-    the video third stays a raw payload (demux is the stub). `raw`
-    carries the original payload so a decode query can assert the
-    container roundtrip row by row. Encoding runs in mapInPandas (the
-    encode side of a media pipeline is a Python-batch UDF too)."""
+    payload wrapped as a genuine 8-bit-PCM WAV (doc_id%3==1), a
+    CRC-valid grayscale PNG with cycling filter types (doc_id%3==0),
+    or a RIFF/AVI whose frame chunks carry the payload (doc_id%3==2).
+    `raw` carries the original payload so a decode query can assert
+    the container roundtrip row by row. Encoding runs in mapInPandas
+    (the encode side of a media pipeline is a Python-batch UDF too)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -376,8 +448,8 @@ def attach_media(docs: DataFrame) -> DataFrame:
                     media.append("audio/wav")
                     content.append(encode_wav(bytes(raw)))
                 else:
-                    media.append("video/mp4")
-                    content.append(bytes(raw))
+                    media.append("video/avi")
+                    content.append(encode_avi(bytes(raw)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -399,12 +471,12 @@ _DECODE_SCHEMA = (
 
 
 def decode_features(media: DataFrame) -> DataFrame:
-    """Decode REAL containers (decode_real: stdlib WAV/PNG) and extract
-    the stripe-mean features from the DECODED payload; video payloads
-    pass through raw (demux stub). `roundtrip_ok` compares the decoded
-    bytes against the carried original payload — the per-row proof that
-    the codec path is real, and trivially oracle-checkable (all true,
-    features computable from the text bytes)."""
+    """Decode REAL containers (decode_real: stdlib WAV/PNG/AVI-demux)
+    and extract the stripe-mean features from the DECODED payload.
+    `roundtrip_ok` compares the decoded bytes against the carried
+    original payload — the per-row proof that the codec path is real,
+    and trivially oracle-checkable (all true, features computable from
+    the text bytes)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -419,10 +491,7 @@ def decode_features(media: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["media_type"], pdf["content"], pdf["raw"]
             ):
                 content, raw = bytes(content), bytes(raw)
-                if mt == "video/mp4":
-                    payload = content  # demux stub: container IS the payload
-                else:
-                    payload = decode_real(content, mt)["payload"]
+                payload = decode_real(content, mt)["payload"]
                 rows["doc_id"].append(doc_id)
                 rows["media_type"].append(mt)
                 rows["container_len"].append(len(content))

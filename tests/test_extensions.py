@@ -255,6 +255,19 @@ def test_wav_png_codecs_roundtrip():
     got = decode_png(encode_png(wide, width=12))
     assert got["payload"] == wide and (got["width"], got["height"]) == (12, 50)
 
+    from mimic2ts_spark.operators.multimodal import decode_avi, encode_avi
+
+    for p in payloads:
+        if not p:
+            continue
+        avi = decode_avi(encode_avi(p, frame_bytes=64))
+        assert avi["payload"] == p
+        assert avi["n_frames"] == (len(p) + 63) // 64
+        assert all(len(f) == 64 for f in avi["frames"][:-1])
+    # odd-length frames exercise RIFF even-byte padding
+    odd = bytes(range(7)) * 3
+    assert decode_avi(encode_avi(odd, frame_bytes=7))["payload"] == odd
+
     # corrupt one IDAT byte -> CRC check must reject, not decode garbage
     enc = bytearray(encode_png(bytes(range(100)), width=10))
     idat_at = bytes(enc).index(b"IDAT") + 4
