@@ -780,6 +780,17 @@ FROM events
 """
 
 
+def q_stream_dedup_incremental(spark, sf_dir):
+    """Ingest-time near-dup gate: a STREAM of incoming docs (the
+    doc_id%10==0 shard) checked against the static accepted corpus via
+    a stream-static prefix-posting join — the streaming form of
+    q_dedup_incremental, whose batch oracle it must equal exactly
+    (same AllPairs pruning, same verify)."""
+    from mimic2ts_spark.streaming import run_incremental_dedup_available_now
+
+    return run_incremental_dedup_available_now(spark, sf_dir)
+
+
 def q_stream_join(spark, sf_dir):
     """Stream-stream interval join (click→purchase attribution within a
     1-hour lookback, watermarks bounding the buffered state on both
@@ -1217,6 +1228,7 @@ EXT_REGISTRY = {
     "q_stream_sliding": (q_stream_sliding, Q_STREAM_SLIDING_SQL),
     "q_stream_dedup": (q_stream_dedup, Q_STREAM_DEDUP_SQL),
     "q_stream_join": (q_stream_join, Q_STREAM_JOIN_SQL),
+    "q_stream_dedup_incremental": (q_stream_dedup_incremental, Q_DEDUP_INCREMENTAL_SQL),
     "q_split_hash": (q_split_hash, Q_SPLIT_HASH_SQL),
     "q_doc_chunks": (q_doc_chunks, Q_DOC_CHUNKS_SQL),
     "q_text_repetition": (q_text_repetition, Q_TEXT_REPETITION_SQL),

@@ -470,6 +470,114 @@ def run_clamped_bucket_available_now(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# --- streaming ingest-time dedup gate --------------------------------------
+
+
+def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (staged directory,
+    like events_stream)."""
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+    schema = spark.read.parquet(stage).schema
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def incremental_dedup_stream(
+    new_docs: DataFrame, corpus: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Ingest-time near-dup gate: a STREAM of incoming documents checked
+    against the STATIC accepted corpus — the streaming form of
+    `dedup.incremental_ngram_pairs`, emitting the same (doc_new,
+    doc_old, jaccard) pairs. All per-row work (tokenize, shingle-hash,
+    sorted prefix) is narrow Column math on the microbatch; candidates
+    come from a stream-static equi-join of prefix postings against the
+    corpus's persisted posting index (built once, reused by every
+    batch); `dropDuplicates` collapses multi-code candidate hits
+    (keyed state — bounded by the emitted pair set, and drained
+    one-shot under availableNow).
+
+    Scale: the static posting index is the corpus-side state a real
+    ingest gate maintains; each microbatch shuffles only the DELTA's
+    prefix postings. Exactness: same AllPairs prefix + length-filter
+    superset + exact verify as the batch operator, so the drained
+    result equals the batch query (the DuckDB oracle)."""
+    from mimic2ts_spark.operators.dedup import (
+        SHINGLE_N,
+        _jaccard_from_distinct,
+        tokens,
+        with_shingle_codes,
+    )
+    from mimic2ts_spark.operators.spread import ensure_parallelism
+
+    def codes_of(df: DataFrame) -> DataFrame:
+        return with_shingle_codes(
+            df.select("doc_id", "text").where(
+                F.size(tokens(F.col("text"))) >= SHINGLE_N
+            ),
+            out="_sc",
+        ).select(
+            "doc_id", F.array_sort(F.array_distinct(F.col("_sc"))).alias("codes")
+        )
+
+    def postings(df: DataFrame) -> DataFrame:
+        prefix_len = (
+            F.size("codes") - F.ceil(F.lit(threshold) * F.size("codes")) + 1
+        )
+        return df.select(
+            "doc_id",
+            F.size("codes").alias("n"),
+            "codes",
+            F.explode(F.slice(F.col("codes"), 1, prefix_len)).alias("code"),
+        )
+
+    corpus_idx = postings(codes_of(ensure_parallelism(corpus))).select(
+        F.col("doc_id").alias("doc_old"), F.col("n").alias("n_b"),
+        F.col("codes").alias("codes_b"), "code",
+    ).persist()
+    new_idx = postings(codes_of(new_docs)).select(
+        F.col("doc_id").alias("doc_new"), F.col("n").alias("n_a"),
+        F.col("codes").alias("codes_a"), "code",
+    )
+    length_ok = F.least("n_a", "n_b") >= F.ceil(
+        F.lit(threshold) * F.greatest("n_a", "n_b")
+    )
+    cand = (
+        new_idx.join(corpus_idx, "code")
+        .where(length_ok)
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    return (
+        cand.withColumn(
+            "jaccard", _jaccard_from_distinct(F.col("codes_a"), F.col("codes_b"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_old", "jaccard")
+    )
+
+
+def run_incremental_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the doc_id%10==0 shard against the static remainder-corpus
+    and drain the pair stream to its static result."""
+    name = f"incdedup_{uuid.uuid4().hex[:8]}"
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 10 != 0
+    )
+    stream_new = docs_stream(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    q = (
+        incremental_dedup_stream(stream_new, corpus)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 JOIN_LOOKBACK = "1 hour"
 JOIN_DELAY = "10 minutes"
 
