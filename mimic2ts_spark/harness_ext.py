@@ -898,6 +898,28 @@ FROM documents GROUP BY source, lang
 Q_SOURCE_JSONL_SQL = _jsonl_sql()
 
 
+def q_source_orc(spark, sf_dir):
+    """ORC source/sink round trip (Spark-native columnar alternative to
+    parquet — zlib-compressed, predicate-pushdown-capable): documents →
+    ORC → explicit-schema read-back, fidelity pinned by the same
+    md5-code checksum oracle as the JSONL trip (DuckDB reads the
+    parquet originals; any ORC write/read corruption hash-mismatches)."""
+    import tempfile
+
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    out = tempfile.mkdtemp(prefix="source_orc_")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode("overwrite").orc(out)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).orc(out)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(kmv_code(F.col("text")) % 1000000007).alias("text_checksum"),
+    )
+
+
 def q_sample_topk_hash(spark, sf_dir):
     """Exactly-k-per-stratum deterministic sample: rank docs inside
     each (source) stratum by md5 code of doc_id and keep the k
@@ -1214,6 +1236,7 @@ EXT_REGISTRY = {
     "q_dedup_embedding_lsh": (q_dedup_embedding_lsh, Q_DEDUP_EMBEDDING_LSH_SQL),
     "q_dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     "q_source_jsonl": (q_source_jsonl, Q_SOURCE_JSONL_SQL),
+    "q_source_orc": (q_source_orc, Q_SOURCE_JSONL_SQL),
     "q_sample_topk_hash": (q_sample_topk_hash, Q_SAMPLE_TOPK_HASH_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),

@@ -279,6 +279,32 @@ def test_wav_png_codecs_roundtrip():
         pass
 
 
+def test_codec_roundtrip_property():
+    """Property: every container codec roundtrips arbitrary non-empty
+    byte payloads exactly (hypothesis-driven — catches filter/padding
+    edge cases the fixed vectors miss)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mimic2ts_spark.operators.multimodal import (
+        decode_avi,
+        decode_png,
+        decode_wav,
+        encode_avi,
+        encode_png,
+        encode_wav,
+    )
+
+    @given(st.binary(min_size=1, max_size=2048))
+    @settings(max_examples=60, deadline=None)
+    def check(payload):
+        assert decode_wav(encode_wav(payload))["payload"] == payload
+        assert decode_png(encode_png(payload))["payload"] == payload
+        assert decode_avi(encode_avi(payload, frame_bytes=17))["payload"] == payload
+
+    check()
+
+
 def test_decode_features_roundtrip_flags(spark, docs):
     """decode_features over real containers: every row roundtrips and
     the features equal the fake-decode of the raw payload (decoded
