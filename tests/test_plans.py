@@ -500,3 +500,31 @@ def test_embedding_stats_partial_agg(utc):
     assert _count(r"HashAggregate", s) >= 2
     assert _count(r"hashpartitioning\(label", s) >= 1, s
     assert "BatchEvalPython" not in s
+
+
+def test_registry_global_plan_invariants(utc):
+    """Whole-registry regression net: NO query may plan a row-wise
+    Python UDF (BatchEvalPython) or an undeclared all-pairs join.
+    BroadcastNestedLoopJoin is allowed only for the three declared
+    1-row-scalar / baseline patterns. Streaming queries (executed on
+    call) and side-effecting source/sink round trips are exercised by
+    the correctness gate instead."""
+    allowed_bnlj = {
+        "q_ann_bruteforce",  # declared all-pairs correctness baseline
+        "q_tpch_q11",        # 1-row grand-total scalar cross join
+        "q_tpch_q22",        # 1-row scalar average cross join
+        "q_tpch_q15",        # 1-row scalar max cross join (AQE may BHJ it)
+    }
+    skip = {"q_sink_partitioned", "q_source_jsonl", "q_source_orc"}
+    problems = []
+    for name, (fn, _) in harness.REGISTRY.items():
+        if name.startswith("q_stream") or name in skip:
+            continue
+        s = _plan(fn(utc, SF))
+        if "BatchEvalPython" in s:
+            problems.append(f"{name}: row-wise Python UDF")
+        if "CartesianProduct" in s:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in s and name not in allowed_bnlj:
+            problems.append(f"{name}: undeclared BroadcastNestedLoopJoin")
+    assert not problems, problems
