@@ -848,6 +848,78 @@ FROM documents GROUP BY 1, 2
 Q_SPLIT_HASH_SQL = _split_sql()
 
 
+def q_corpus_manifest(spark, sf_dir):
+    """The composed corpus-curation pipeline in ONE declarative plan —
+    what a training-data job actually runs end to end: quality +
+    language gate → exact-dedup canonical filter (min doc_id per
+    md5(text), left-semi) → deterministic hash split → per-(split,
+    source) manifest stats (docs, tokens, exact integer-micros mean
+    quality). Every stage is an already-oracle-checked operator; the
+    composition is itself hash-checked against DuckDB running the same
+    four stages. One scan; the only shuffles are the dedup groupBy and
+    the final manifest aggregate — filters and the split label are
+    narrow."""
+    from mimic2ts_spark.operators.split import with_split
+
+    t = F.col("text")
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        "source",
+        X.quality_score(t).alias("q"),
+        X.lang_id(t).alias("lang_pred"),
+        X.token_count(t).alias("n_tokens"),
+    )
+    kept = scored.where((F.col("q") >= 0.25) & (F.col("lang_pred") == "en"))
+    canon = kept.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    kept = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    micros = F.round(F.col("q") * 1_000_000, 0).cast("long")
+    return (
+        with_split(kept, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (
+                F.sum(micros).cast("double")
+                / (F.count(F.lit(1)) * 1_000_000).cast("double")
+            ).alias("mean_quality"),
+        )
+    )
+
+
+def _corpus_manifest_sql():
+    from mimic2ts_spark.operators.split import split_case_sql
+
+    ntok = X.SQL_TOKEN_COUNT.format(text="text")
+    stop = X.SQL_STOP_HITS.format(text="text")
+    quality = (
+        f"least(1.0, CAST({ntok} AS DOUBLE) / 200.0) * 0.5"
+        f" + least(1.0, (CAST({stop} AS DOUBLE) / CAST({ntok} AS DOUBLE)) * 4.0) * 0.5"
+    )
+    return f"""
+WITH scored AS (
+    SELECT doc_id, text, source,
+           {quality} AS q,
+           CASE WHEN {stop} >= 2 THEN 'en' ELSE 'und' END AS lang_pred,
+           {ntok} AS n_tokens
+    FROM documents
+),
+kept AS (SELECT * FROM scored WHERE q >= 0.25 AND lang_pred = 'en'),
+canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+kept2 AS (SELECT k.* FROM kept k JOIN canon c ON c.doc_id = k.doc_id)
+SELECT {split_case_sql('doc_id')} AS split, source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) * 1000000 AS DOUBLE) AS mean_quality
+FROM kept2 GROUP BY 1, 2
+"""
+
+
+Q_CORPUS_MANIFEST_SQL = _corpus_manifest_sql()
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping fixed-token-window chunking (50-token windows,
     stride 40) — the training-context packing primitive. Tokenize-once
@@ -1254,5 +1326,6 @@ EXT_REGISTRY = {
     "q_stream_dedup_incremental": (q_stream_dedup_incremental, Q_DEDUP_INCREMENTAL_SQL),
     "q_split_hash": (q_split_hash, Q_SPLIT_HASH_SQL),
     "q_doc_chunks": (q_doc_chunks, Q_DOC_CHUNKS_SQL),
+    "q_corpus_manifest": (q_corpus_manifest, Q_CORPUS_MANIFEST_SQL),
     "q_text_repetition": (q_text_repetition, Q_TEXT_REPETITION_SQL),
 }
