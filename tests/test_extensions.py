@@ -201,6 +201,31 @@ def test_incremental_dedup_emits_only_cross_pairs(spark):
     assert all(r.jaccard == 1.0 for r in out)
 
 
+def test_incremental_dedup_empty_sides(spark):
+    """No new docs (or no corpus docs) → empty pair set, no crash."""
+    from mimic2ts_spark.operators.dedup import incremental_ngram_pairs
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five"), (3, "six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    assert incremental_ngram_pairs(df, is_new=(F.col("doc_id") % 2 == 0)).count() == 0
+    assert incremental_ngram_pairs(df, is_new=(F.col("doc_id") > 0)).count() == 0
+
+
+def test_connected_components_empty_edges_terminates(spark):
+    """An empty pair set must return an empty labeling quickly (the
+    convergence check may run one extra empty round, never max_iter)."""
+    import time
+
+    from mimic2ts_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
+    t0 = time.time()
+    assert connected_components(pairs).count() == 0
+    assert time.time() - t0 < 30
+
+
 def test_pack_sequences_layout(spark):
     """Concat-then-chunk semantics: offsets accumulate in doc_id order
     within a shard, seq_idx advances every PACK_BUDGET tokens, and a
