@@ -1096,6 +1096,48 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-duplicate documents must
+    land in the SAME split (splitting by doc hash leaks near-dup
+    content from train into eval — the classic contamination bug), so the hash
+    split is applied to the dedup CLUSTER id (connected components over
+    minhash pairs; unpaired docs are their own cluster). Output is the
+    per-split manifest (docs, clusters). By construction no cluster
+    spans splits; the oracle recomputes the same clustering (recursive
+    CTE) and the same hash cut."""
+    from mimic2ts_spark.operators.cluster import canonical_ids
+    from mimic2ts_spark.operators.split import with_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    tagged = canonical_ids(docs.select("doc_id", "text"), pairs)
+    return (
+        with_split(tagged, "cluster_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+    )
+
+
+def _split_leakage_sql():
+    from mimic2ts_spark.operators.split import split_case_sql
+
+    cte = Q_DEDUP_CLUSTERS_SQL.rsplit("SELECT d.doc_id", 1)[0]
+    return f"""{cte}
+SELECT {split_case_sql('cluster_id')} AS split,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id) tagged
+GROUP BY 1
+"""
+
+
+Q_SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
 PACK_BUDGET = 512
 PACK_SHARDS = 16
 
@@ -1325,6 +1367,7 @@ EXT_REGISTRY = {
     "q_stream_join": (q_stream_join, Q_STREAM_JOIN_SQL),
     "q_stream_dedup_incremental": (q_stream_dedup_incremental, Q_DEDUP_INCREMENTAL_SQL),
     "q_split_hash": (q_split_hash, Q_SPLIT_HASH_SQL),
+    "q_split_leakage_safe": (q_split_leakage_safe, Q_SPLIT_LEAKAGE_SQL),
     "q_doc_chunks": (q_doc_chunks, Q_DOC_CHUNKS_SQL),
     "q_corpus_manifest": (q_corpus_manifest, Q_CORPUS_MANIFEST_SQL),
     "q_text_repetition": (q_text_repetition, Q_TEXT_REPETITION_SQL),
