@@ -528,3 +528,48 @@ def test_registry_global_plan_invariants(utc):
         if "BroadcastNestedLoopJoin" in s and name not in allowed_bnlj:
             problems.append(f"{name}: undeclared BroadcastNestedLoopJoin")
     assert not problems, problems
+
+
+def test_aqe_skew_join_splits_hot_key(utc):
+    """The session's AQE skew-join config must actually FIRE: a join
+    whose hot key exceeds the skew threshold is split at runtime
+    (SortMergeJoin(skew=true) + AQEShuffleRead skewed in the FINAL
+    adaptive plan). Thresholds are lowered in-test so a ~2 MB hot
+    partition triggers what a multi-GB partition triggers at scale —
+    this is the mechanism the README's skew story relies on for keys
+    AQE can split (salting covers the rest)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # the shared test session runs 4 shuffle partitions — at 4, the
+        # hot key's partition also holds 1/4 of all cold keys and never
+        # exceeds factor x median; 32 isolates it (as at scale)
+        "spark.sql.shuffle.partitions": "32",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = utc.conf.get(k)
+        except Exception:
+            old[k] = None
+        utc.conf.set(k, v)
+    try:
+        left = utc.range(200000).selectExpr(
+            "CASE WHEN id % 10 = 0 THEN CAST(0 AS BIGINT) ELSE id END AS k",
+            "id AS v",
+            "repeat('x', 64) AS pad",
+        )
+        right = utc.range(1000).selectExpr("id AS k", "id AS w")
+        j = left.join(right, "k")
+        assert len(j.collect()) == 20900
+        s = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in s, s[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                utc.conf.unset(k)
+            else:
+                utc.conf.set(k, v)
