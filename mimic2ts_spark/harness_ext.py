@@ -1138,6 +1138,70 @@ GROUP BY 1
 Q_SPLIT_LEAKAGE_SQL = _split_leakage_sql()
 
 
+MIX_TOKENS_PER_SOURCE = 2000
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Data-mixture sampling — the pretraining mixing op: each source
+    gets a TOKEN budget (uniform here; weights are just per-source
+    budgets) and contributes the docs whose cumulative token count,
+    in deterministic md5-hash order, STARTS inside the budget (the
+    boundary doc is kept whole — whole-document sampling). Pure
+    hash-space selection: reproducible across engines, retries, and
+    appends; no rand(). One shuffle on source, per-source sort;
+    output is the per-source realized mixture (docs, tokens kept).
+
+    Scale: identical shape to sequence packing — a windowed running
+    sum per source key; sources are the parallelism unit and a heavy
+    source can be pre-sharded the same way."""
+    from pyspark.sql import Window
+
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    t = F.col("text")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        X.token_count(t).alias("n_tokens"),
+        kmv_code(F.col("doc_id")).alias("rank_code"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rank_code", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = d.withColumn("cum", F.sum("n_tokens").over(w)).where(
+        F.col("cum") - F.col("n_tokens") < MIX_TOKENS_PER_SOURCE
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+
+
+def _sample_mixture_sql():
+    code = X.SQL_CODE.format(tok="CAST(doc_id AS VARCHAR)")
+    ntok = X.SQL_TOKEN_COUNT.format(text="text")
+    return f"""
+WITH d AS (
+    SELECT doc_id, source, {ntok} AS n_tokens, {code} AS rank_code
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY rank_code, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM d
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+FROM c WHERE cum - n_tokens < {MIX_TOKENS_PER_SOURCE}
+GROUP BY 1
+"""
+
+
+Q_SAMPLE_MIXTURE_SQL = _sample_mixture_sql()
+
+
 PACK_BUDGET = 512
 PACK_SHARDS = 16
 
@@ -1352,6 +1416,7 @@ EXT_REGISTRY = {
     "q_source_jsonl": (q_source_jsonl, Q_SOURCE_JSONL_SQL),
     "q_source_orc": (q_source_orc, Q_SOURCE_JSONL_SQL),
     "q_sample_topk_hash": (q_sample_topk_hash, Q_SAMPLE_TOPK_HASH_SQL),
+    "q_sample_mixture": (q_sample_mixture, Q_SAMPLE_MIXTURE_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
