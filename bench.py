@@ -64,6 +64,7 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_pack_sequences",
     "q_embedding_stats",
+    "q_corpus_manifest",
 ]
 
 
