@@ -67,6 +67,7 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
+    t_start = time.time()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
@@ -112,6 +113,8 @@ def main() -> int:
         n = entrymod.entry(spark).count()
         print(f"entry(): {n} rows at sf0.001")
     print("FAILURES:", n_fail)
+    print(f"TOTAL: {time.time() - t_start:.1f}s for "
+          f"{len(only) if only else len(queries)} queries")
     return 1 if n_fail else 0
 
 
