@@ -14,6 +14,38 @@ from mimic2ts_spark.operators.time_ops import (
 from mimic2ts_spark.operators.intervals import interval_instants, spread_evenly
 from mimic2ts_spark.operators.dense import dense_reindex, forward_fill, zero_fill
 from mimic2ts_spark.operators.reshape import pivot_wide
+from mimic2ts_spark.operators.cluster import canonical_ids, connected_components
+from mimic2ts_spark.operators.dedup import (
+    exact_dedup,
+    incremental_ngram_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from mimic2ts_spark.operators.joins import asof_join, range_join
+from mimic2ts_spark.operators.multimodal import (
+    attach_media,
+    decode_features,
+    decode_real,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from mimic2ts_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
+    ivf_topk,
+    lsh_topk,
+)
+from mimic2ts_spark.operators.sketch import kmv_sketch
+from mimic2ts_spark.operators.split import with_split
+from mimic2ts_spark.operators.text import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    token_count,
+)
 
 __all__ = [
     "epoch_seconds",
@@ -27,4 +59,30 @@ __all__ = [
     "forward_fill",
     "zero_fill",
     "pivot_wide",
+    "canonical_ids",
+    "connected_components",
+    "exact_dedup",
+    "incremental_ngram_pairs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "asof_join",
+    "range_join",
+    "attach_media",
+    "decode_features",
+    "decode_real",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
+    "brute_force_topk",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_lsh",
+    "ivf_topk",
+    "lsh_topk",
+    "kmv_sketch",
+    "with_split",
+    "bpe_ish_token_count",
+    "lang_id",
+    "quality_score",
+    "token_count",
 ]

@@ -486,6 +486,45 @@ def test_stream_sessionize_merges_state_across_batches(spark, tmp_path):
     ]
 
 
+def test_stream_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Restart semantics: a file-sink stream stopped after batch A and
+    restarted from the SAME checkpoint after batch B lands must emit
+    A ∪ B exactly once (the parquet sink's commit log dedups replayed
+    batches) — the recovery contract a production ingest job relies
+    on."""
+    import pandas as pd
+
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+
+    def _file(name, ids):
+        pd.DataFrame({"doc_id": ids, "text": [f"doc {i}" for i in ids]}).to_parquet(
+            src / name
+        )
+
+    def _run():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _file("a.parquet", [1, 2, 3])
+    _run()
+    got_a = sorted(r.doc_id for r in spark.read.parquet(str(sink)).collect())
+    assert got_a == [1, 2, 3]
+
+    _file("b.parquet", [4, 5])
+    _run()
+    got_ab = sorted(r.doc_id for r in spark.read.parquet(str(sink)).collect())
+    assert got_ab == [1, 2, 3, 4, 5], "replay must not duplicate batch A"
+
+
 def test_bpe_ish_token_count(spark):
     df = spark.createDataFrame(
         [(1, "don't x2!"), (2, ""), (3, "  hello   world  "), (4, "a1b2")],
