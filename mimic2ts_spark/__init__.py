@@ -15,7 +15,7 @@ from mimic2ts_spark.pipeline import (
     EventsAggregator,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "get_spark",
