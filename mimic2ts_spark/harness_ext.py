@@ -1138,6 +1138,78 @@ GROUP BY 1
 Q_SPLIT_LEAKAGE_SQL = _split_leakage_sql()
 
 
+ANOM_MIN_HOURS = 8
+
+
+def q_event_anomaly(spark, sf_dir):
+    """Windowed anomaly flags — the monitoring op over event streams:
+    per (user, hour) activity counts, each compared against the
+    trailing 23 observed hours' mean ± 2σ. The z-score test is done in
+    EXACT integer arithmetic (multiply through by n²):
+    (c·n − s)² > 4·(n·ss − s²)  ⇔  (c − mean)² > (2σ)², with
+    n = window hours, s = Σcounts, ss = Σcounts² — no float sqrt, no
+    Welford variance (whose accumulation order differs per engine), so
+    the flags replay bit-exactly in DuckDB. One shuffle on user_id;
+    the trailing frame is a per-user sorted pass."""
+    from pyspark.sql import Window
+
+    ev = _h._t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("user_id").orderBy("hour_start").rowsBetween(-23, -1)
+    stats = hourly.select(
+        "user_id",
+        "hour_start",
+        "c",
+        F.count("c").over(w).alias("n_window"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+    )
+    lhs = (F.col("c") * F.col("n_window") - F.col("s"))
+    rhs = 4 * (F.col("n_window") * F.col("ss") - F.col("s") * F.col("s"))
+    return stats.select(
+        "user_id",
+        "hour_start",
+        "c",
+        "n_window",
+        (
+            (F.col("n_window") >= ANOM_MIN_HOURS)
+            & (lhs > 0)
+            & (lhs * lhs > rhs)
+        ).alias("flagged"),
+    )
+
+
+Q_EVENT_ANOMALY_SQL = f"""
+WITH hourly AS (
+    SELECT user_id,
+           CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT user_id, hour_start, c,
+           count(c) OVER w AS n_window,
+           sum(c) OVER w AS s,
+           sum(c * c) OVER w AS ss
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY hour_start
+                 ROWS BETWEEN 23 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, hour_start, c, CAST(n_window AS BIGINT) AS n_window,
+       (n_window >= {ANOM_MIN_HOURS}
+        AND (c * n_window - s) > 0
+        AND (c * n_window - s) * (c * n_window - s)
+            > 4 * (n_window * ss - s * s)) AS flagged
+FROM stats
+"""
+
+
 MIX_TOKENS_PER_SOURCE = 2000
 
 
@@ -1417,6 +1489,7 @@ EXT_REGISTRY = {
     "q_source_orc": (q_source_orc, Q_SOURCE_JSONL_SQL),
     "q_sample_topk_hash": (q_sample_topk_hash, Q_SAMPLE_TOPK_HASH_SQL),
     "q_sample_mixture": (q_sample_mixture, Q_SAMPLE_MIXTURE_SQL),
+    "q_event_anomaly": (q_event_anomaly, Q_EVENT_ANOMALY_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
