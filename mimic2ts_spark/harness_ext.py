@@ -1138,6 +1138,38 @@ GROUP BY 1
 Q_SPLIT_LEAKAGE_SQL = _split_leakage_sql()
 
 
+def q_sketch_kmv_union(spark, sf_dir):
+    """Sketch MERGEABILITY — the property that makes KMV a distributed
+    aggregate: per-event_type sketch states (k smallest codes each) are
+    merged up to a coarser category WITHOUT touching raw data, and the
+    merged estimate is bit-equal to a from-scratch sketch of the union
+    (the k smallest codes of a union are each among their part's k
+    smallest). The oracle computes the coarse sketch from scratch, so
+    any merge bug hash-mismatches."""
+    from mimic2ts_spark.operators.sketch import kmv_merge, kmv_topk_rows
+
+    ev = _h._t(spark, sf_dir, "events").withColumn(
+        "category",
+        F.when(F.col("event_type").isin("click", "view"), F.lit("engage"))
+        .otherwise(F.lit("convert")),
+    )
+    state = kmv_topk_rows(ev, ["category", "event_type"], "user_id")
+    return kmv_merge(state, ["category"])
+
+
+def _kmv_union_sql():
+    from mimic2ts_spark.operators.sketch import kmv_sketch_sql
+
+    inner = (
+        "(SELECT *, CASE WHEN event_type IN ('click', 'view') THEN 'engage' "
+        "ELSE 'convert' END AS category FROM events)"
+    )
+    return kmv_sketch_sql(inner, "category", "user_id")
+
+
+Q_SKETCH_KMV_UNION_SQL = _kmv_union_sql()
+
+
 ANOM_MIN_HOURS = 8
 
 
@@ -1490,6 +1522,7 @@ EXT_REGISTRY = {
     "q_sample_topk_hash": (q_sample_topk_hash, Q_SAMPLE_TOPK_HASH_SQL),
     "q_sample_mixture": (q_sample_mixture, Q_SAMPLE_MIXTURE_SQL),
     "q_event_anomaly": (q_event_anomaly, Q_EVENT_ANOMALY_SQL),
+    "q_sketch_kmv_union": (q_sketch_kmv_union, Q_SKETCH_KMV_UNION_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),

@@ -108,3 +108,57 @@ SELECT {group_col},
 FROM ranked WHERE rn <= {k}
 GROUP BY {group_col}
 """
+
+
+def kmv_topk_rows(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """The KMV sketch STATE as rows: the k smallest distinct codes per
+    group — the mergeable representation (what executors would ship to
+    a coordinator). Same salted pre-top-k as kmv_sketch."""
+    group_cols = list(group_cols)
+    codes = df.select(
+        *group_cols, kmv_code(F.col(value_col)).alias("_code")
+    ).distinct()
+    w_salt = Window.partitionBy(
+        *group_cols, (F.col("_code") % SALT_BUCKETS).alias("_salt")
+    ).orderBy("_code")
+    pre = (
+        codes.withColumn("_rn", F.row_number().over(w_salt))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w_group = Window.partitionBy(*group_cols).orderBy("_code")
+    return (
+        pre.withColumn("_rn", F.row_number().over(w_group))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(
+    state: DataFrame,
+    merge_to: Sequence[str],
+    k: int = KMV_K,
+) -> DataFrame:
+    """Merge KMV sketch states to a coarser grouping WITHOUT touching
+    the raw data — the defining sketch property. EXACT merge: the k
+    smallest codes of a union are each among the k smallest of their
+    own part, so re-ranking the unioned states reproduces the sketch
+    that a from-scratch pass over the union would build (bit-equal
+    estimate; pinned by the oracle which computes from scratch)."""
+    merge_to = list(merge_to)
+    dedup = state.select(*merge_to, "_code").distinct()
+    w = Window.partitionBy(*merge_to).orderBy("_code")
+    topk = dedup.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    agg = topk.groupBy(*merge_to).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("_code").alias("kth_code"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth_code").cast("double") / F.lit(CODE_SPACE))
+    )
+    return agg.select(*merge_to, "n_kept", "kth_code", est.alias("est_distinct"))
