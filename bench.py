@@ -65,6 +65,8 @@ HEADLINE = [
     "q_pack_sequences",
     "q_embedding_stats",
     "q_corpus_manifest",
+    "q_event_anomaly",
+    "q_sketch_kmv_union",
 ]
 
 
