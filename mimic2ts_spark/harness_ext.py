@@ -1138,6 +1138,75 @@ GROUP BY 1
 Q_SPLIT_LEAKAGE_SQL = _split_leakage_sql()
 
 
+DRIFT_TOP_K = 10
+
+
+def q_source_drift(spark, sf_dir):
+    """Corpus drift / over-representation detector: for each source,
+    the tokens whose observed count deviates most from the
+    global-mixture expectation. The deviation |obs·N − src_total·glob|
+    (the χ² numerator before normalization, and the same ranking as
+    the squared form) stays entirely in int64 — no float divisions or
+    logs whose engine-specific rounding would break the hash — and the
+    per-source top-k plans as WindowGroupLimit. Consumers divide by
+    src_total·glob·N for the actual χ² contribution."""
+    from pyspark.sql import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("token")
+    ).where(F.length("token") > 0)
+    obs = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("obs"))
+    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("src_tokens"))
+    glob = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_global"))
+    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    j = (
+        obs.join(src_tot, "source")
+        .join(glob, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "abs_dev",
+            F.abs(
+                F.col("obs") * F.col("total_tokens")
+                - F.col("src_tokens") * F.col("tok_global")
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("abs_dev"), "token")
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= DRIFT_TOP_K)
+        .select(
+            "source", "token", "obs", "src_tokens", "tok_global",
+            "total_tokens", "abs_dev",
+        )
+    )
+
+
+Q_SOURCE_DRIFT_SQL = f"""
+WITH toks AS (
+    SELECT source, t.tok AS token
+    FROM documents, unnest({X.SQL_TOKENS.format(text='text')}) AS t(tok)
+    WHERE length(t.tok) > 0
+),
+obs AS (SELECT source, token, count(*) AS obs FROM toks GROUP BY 1, 2),
+src_tot AS (SELECT source, count(*) AS src_tokens FROM toks GROUP BY 1),
+gl AS (SELECT token, count(*) AS tok_global FROM toks GROUP BY 1),
+total AS (SELECT count(*) AS total_tokens FROM toks),
+j AS (
+    SELECT o.source, o.token, o.obs, s.src_tokens, g.tok_global, t.total_tokens,
+           abs(o.obs * t.total_tokens - s.src_tokens * g.tok_global) AS abs_dev
+    FROM obs o
+    JOIN src_tot s ON o.source = s.source
+    JOIN gl g ON o.token = g.token
+    CROSS JOIN total t
+)
+SELECT source, token, obs, src_tokens, tok_global, total_tokens, abs_dev
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY abs_dev DESC, token) AS rn FROM j)
+WHERE rn <= {DRIFT_TOP_K}
+"""
+
+
 def q_sketch_kmv_union(spark, sf_dir):
     """Sketch MERGEABILITY — the property that makes KMV a distributed
     aggregate: per-event_type sketch states (k smallest codes each) are
@@ -1523,6 +1592,7 @@ EXT_REGISTRY = {
     "q_sample_mixture": (q_sample_mixture, Q_SAMPLE_MIXTURE_SQL),
     "q_event_anomaly": (q_event_anomaly, Q_EVENT_ANOMALY_SQL),
     "q_sketch_kmv_union": (q_sketch_kmv_union, Q_SKETCH_KMV_UNION_SQL),
+    "q_source_drift": (q_source_drift, Q_SOURCE_DRIFT_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
