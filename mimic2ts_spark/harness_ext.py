@@ -1138,6 +1138,57 @@ GROUP BY 1
 Q_SPLIT_LEAKAGE_SQL = _split_leakage_sql()
 
 
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9]{3}-[0-9]{4}"
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing — the redaction pass every released corpus runs.
+    The word-only synthetic corpus contains no natural PII, so each doc
+    is prefixed with a DETERMINISTIC contact header (email + phone
+    derived from doc_id) that the scrubber must then redact — the
+    replacement path genuinely fires on every row and the oracle
+    rebuilds the identical input. ASCII-literal patterns keep Java and
+    RE2 regex semantics byte-identical; md5 of the scrubbed text pins
+    the exact output, and the match counts are taken BEFORE scrubbing."""
+    d = _docs(spark, sf_dir)
+    contact = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "), F.col("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(contact, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(contact, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(contact, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+Q_TEXT_PII_SCRUB_SQL = f"""
+WITH c AS (
+    SELECT doc_id,
+           'user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text
+             AS contact
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(contact, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(contact, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(contact, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len,
+       md5(regexp_replace(regexp_replace(contact, '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM c
+"""
+
+
 DRIFT_TOP_K = 10
 
 
@@ -1593,6 +1644,7 @@ EXT_REGISTRY = {
     "q_event_anomaly": (q_event_anomaly, Q_EVENT_ANOMALY_SQL),
     "q_sketch_kmv_union": (q_sketch_kmv_union, Q_SKETCH_KMV_UNION_SQL),
     "q_source_drift": (q_source_drift, Q_SOURCE_DRIFT_SQL),
+    "q_text_pii_scrub": (q_text_pii_scrub, Q_TEXT_PII_SCRUB_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
