@@ -514,6 +514,7 @@ def test_registry_global_plan_invariants(utc):
         "q_tpch_q11",        # 1-row grand-total scalar cross join
         "q_tpch_q22",        # 1-row scalar average cross join
         "q_tpch_q15",        # 1-row scalar max cross join (AQE may BHJ it)
+        "q_source_drift",    # 1-row total-token-count scalar cross join
     }
     skip = {"q_sink_partitioned", "q_source_jsonl", "q_source_orc"}
     problems = []
