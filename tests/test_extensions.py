@@ -179,6 +179,92 @@ def test_multimodal_features_long_matches_stub(spark, docs):
         assert r.byte_len == len(payload)
 
 
+def _brute_force_pairs(docs, threshold=0.8):
+    """Independent Python reimplementation of the ngram-Jaccard
+    semantics (no prefix filtering, no demotion — plain all-pairs), as
+    a check on the AllPairs machinery that does NOT share its pruning
+    theorem with the implementation (the DuckDB oracle now does)."""
+    import hashlib
+    import re
+
+    MOD = 1_000_000_007
+
+    def codes_of(text):
+        toks = re.split(r"\s+", text, flags=re.ASCII)
+        tc = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % MOD for t in toks
+        ]
+        out = set()
+        for i in range(len(tc) - 2):
+            k = tc[i]
+            for r in (1, 2):
+                k = (k * 131 + tc[i + r]) % MOD
+            out.add(k)
+        return out
+
+    sets = {
+        i: codes_of(t)
+        for i, t in docs
+        if len(re.split(r"\s+", t, flags=re.ASCII)) >= 3
+    }
+    pairs = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= threshold:
+                pairs[(a, b)] = j
+    return pairs
+
+
+def test_ngram_allpairs_matches_python_bruteforce(spark):
+    """Property: the prefix-filtered + hot-demoted + positional-pruned
+    AllPairs implementation must equal a plain Python all-pairs scan on
+    a randomized corpus with planted near-dup structure."""
+    import random
+
+    from mimic2ts_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))))
+    # planted near-dups: copies with 0-2 token mutations
+    for i in range(40, 60):
+        base_id, base = docs[rng.randrange(40)]
+        toks = base.split()
+        for _ in range(rng.randint(0, 2)):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        docs.append((i, " ".join(toks)))
+
+    expected = _brute_force_pairs(docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-12, k
+
+    # the probabilistic variant may MISS pairs but must never invent or
+    # mis-score one
+    from mimic2ts_spark.operators.dedup import minhash_lsh_pairs
+
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(df, threshold=0.8).collect()
+    }
+    assert set(mh) <= set(expected)
+    for k, v in mh.items():
+        assert abs(expected[k] - v) < 1e-12, k
+
+
 def test_incremental_dedup_emits_only_cross_pairs(spark):
     """(new, existing) pairs only: a new-new duplicate pair and an
     old-old duplicate pair must NOT appear; a new doc duplicating an
