@@ -35,6 +35,29 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
+def _assert_uniform_ts_type(landing_dir: str) -> None:
+    """Footer-only check (no data read) that every parquet file in the
+    landing directory stores `ts` with ONE physical type. The stream's
+    one-time schema inference would otherwise lock in whichever variant
+    it sampled and misinterpret the rest (ADVICE r03)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    seen: dict[str, str] = {}
+    for f in sorted(glob.glob(os.path.join(landing_dir, "*.parquet"))):
+        schema = pq.read_schema(f)
+        idx = schema.get_field_index("ts")
+        if idx >= 0:
+            seen[str(schema.field(idx).type)] = os.path.basename(f)
+    if len(seen) > 1:
+        raise ValueError(
+            f"mixed `ts` parquet types in {landing_dir}: {seen} — "
+            "rewrite the odd files to one timestamp type before streaming"
+        )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet.
 
@@ -52,7 +75,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-timezone parquet timestamps as TIMESTAMP_NTZ, and event-time
     watermarks (`withWatermark`) reject NTZ with
     EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. The session time zone is
-    pinned to UTC (session.py:45), so NTZ → LTZ is value-preserving."""
+    pinned to UTC (session.py:45), so NTZ → LTZ is value-preserving.
+
+    Because the schema is inferred ONCE over the directory, a landing
+    dir that mixes TIMESTAMP(MICROS) and legacy TIMESTAMP(NANOS) files
+    would silently misread whichever variant lost the inference — so
+    `_assert_uniform_ts_type` footer-checks every parquet file up front
+    and raises instead."""
     import os
     import tempfile
 
@@ -60,6 +89,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(path, f"{stage}/events.parquet")
+    _assert_uniform_ts_type(stage)
     schema = spark.read.parquet(stage).schema
     raw = spark.readStream.schema(schema).parquet(stage)
     if isinstance(schema["ts"].dataType, T.LongType):

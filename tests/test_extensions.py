@@ -503,6 +503,27 @@ def test_events_ts_ntz_contract_and_stream_cast(spark):
     assert type(stream_t) is T.TimestampType
 
 
+def test_events_stream_rejects_mixed_ts_landing_dir(tmp_path):
+    """A landing dir mixing TIMESTAMP(MICROS) and long-ns `ts` files must
+    raise up front (one-time schema inference would misread one variant)."""
+    import pandas as pd
+    import pytest
+
+    from mimic2ts_spark.streaming import _assert_uniform_ts_type
+
+    micros = pd.DataFrame(
+        {"ts": pd.to_datetime([3600_000_000], unit="us").astype("datetime64[us]")}
+    )
+    nanos = pd.DataFrame({"ts": [3600 * 10**9]})
+    micros.to_parquet(tmp_path / "a.parquet")
+    nanos.to_parquet(tmp_path / "b.parquet")
+    with pytest.raises(ValueError, match="mixed `ts` parquet types"):
+        _assert_uniform_ts_type(str(tmp_path))
+    # a uniform dir passes
+    micros.to_parquet(tmp_path / "b.parquet")
+    _assert_uniform_ts_type(str(tmp_path))
+
+
 def test_events_stream_micros_ts_fixture(spark, tmp_path):
     """A landing dir whose `ts` is physical TIMESTAMP(MICROS) must take
     the no-rebuild branch of events_stream (no `div 1000`) and still
