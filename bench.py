@@ -67,6 +67,13 @@ HEADLINE = [
     "q_corpus_manifest",
     "q_event_anomaly",
     "q_sketch_kmv_union",
+    # round 4
+    "q_search_bm25",
+    "q_decontaminate",
+    "q_event_funnel",
+    "q_retention_cohort",
+    "q_corpus_diff",
+    "q_embedding_normalize",
 ]
 
 

@@ -2226,8 +2226,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-from mimic2ts_spark.harness_ext import EXT_REGISTRY  # noqa: E402  (uses REGISTRY above)
-
 # Registry ORDER is the order the driver's correctness gate runs queries
 # in, and the r02 gate truncated after 50 entries — leaving every
 # EXT_REGISTRY query (dedup/ANN/streaming/multimodal/text) without a
@@ -2235,7 +2233,27 @@ from mimic2ts_spark.harness_ext import EXT_REGISTRY  # noqa: E402  (uses REGISTR
 # the §2 core above is two-rounds driver-stable and can afford to be
 # the truncated tail if a budget ever bites again.
 _CORE_REGISTRY = dict(REGISTRY)
-REGISTRY = {**EXT_REGISTRY, **_TPCH_R3, **_CORE_REGISTRY}
+
+
+def _compose_registry(ext_registry: dict) -> None:
+    """Final REGISTRY assembly — callable from either side of the
+    harness ⇄ harness_ext import cycle so BOTH import orders work
+    (importing harness_ext first used to die on a partially-initialized
+    module: its line-731 import of harness reached this file's bottom,
+    which demanded harness_ext.EXT_REGISTRY before it existed)."""
+    global REGISTRY
+    REGISTRY = {**ext_registry, **_TPCH_R3, **_CORE_REGISTRY}
+
+
+import sys  # noqa: E402
+
+if sys.modules.get("mimic2ts_spark.harness_ext") is None:
+    # normal order: we finish harness_ext's import right here
+    from mimic2ts_spark.harness_ext import EXT_REGISTRY  # noqa: E402
+else:
+    # harness_ext is mid-import above us on the stack; its bottom line
+    # calls _compose_registry once EXT_REGISTRY exists
+    EXT_REGISTRY = None  # replaced by the composing call
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1620,7 +1620,278 @@ FROM base b LEFT JOIN top USING (doc_id)
 """
 
 
+# --- round-4 additions: retrieval, decontamination, product analytics,
+# --- snapshot diff, feature scaling --------------------------------------
+
+BM25_QUERY_TERMS = ("join", "hash", "vector", "scan")
+
+
+def q_search_bm25(spark, sf_dir):
+    """X78 — integer-exact BM25 top-10 retrieval for a fixed bag-of-words
+    query (see operators/search.py for the exact-rational derivation).
+    One corpus scan; the term filter runs inside the scan's row-local
+    array, so only query-term hits reach the shuffle."""
+    from mimic2ts_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS)
+
+
+def _bm25_sql():
+    from mimic2ts_spark.operators.search import sql_bm25_topk
+
+    return sql_bm25_topk(BM25_QUERY_TERMS)
+
+
+Q_SEARCH_BM25_SQL = _bm25_sql()
+
+
+def q_decontaminate(spark, sf_dir):
+    """X77 — benchmark decontamination: training docs sharing ≥1 word
+    5-gram with the held-out benchmark slice (doc_id % 53 == 0 — the
+    deterministic stand-in for an eval set). On this corpus the hits are
+    exactly the near-duplicate copies of benchmark docs: random 5-grams
+    from the ~30-word vocabulary almost never collide by chance."""
+    from mimic2ts_spark.operators.search import (
+        DECON_BENCH_MOD,
+        benchmark_contamination,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    train = docs.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return benchmark_contamination(train, bench)
+
+
+def _decon_sql():
+    from mimic2ts_spark.operators.search import (
+        DECON_BENCH_MOD,
+        sql_benchmark_contamination,
+    )
+
+    return sql_benchmark_contamination(
+        f"(SELECT * FROM documents WHERE doc_id % {DECON_BENCH_MOD} <> 0)",
+        f"(SELECT * FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0)",
+    )
+
+
+Q_DECONTAMINATE_SQL = _decon_sql()
+
+
+def q_event_funnel(spark, sf_dir):
+    """X79 — ordered conversion funnel (view → click → purchase) per
+    user: t_view = first view; t_click = first click AT OR AFTER that
+    view; t_purchase = first purchase at or after that click. The three
+    dependent mins are three whole-partition Window projects over the
+    SAME user_id partitioning — Catalyst plans ONE exchange + sort, and
+    the final per-user collapse reuses it (no second shuffle). All
+    timestamps as integer epoch seconds → bit-exact oracle."""
+    from pyspark.sql import Window
+
+    ev = _h._t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+    )
+    w = Window.partitionBy("user_id")
+    s = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("t") >= F.col("t1")),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("t") >= F.col("t2")),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+    )
+    stage = (
+        F.col("t_view").isNotNull().cast("int")
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.min("t1").alias("t_view"),
+            F.min("t2").alias("t_click"),
+            F.min("t3").alias("t_purchase"),
+        )
+        .withColumn("stage", stage.cast("long"))
+    )
+
+
+Q_EVENT_FUNNEL_SQL = """
+WITH e AS (
+    SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+    FROM events
+),
+s1 AS (
+    SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+                  OVER (PARTITION BY user_id) AS t1 FROM e
+),
+s2 AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND t >= t1 THEN t END)
+                  OVER (PARTITION BY user_id) AS t2 FROM s1
+),
+s3 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND t >= t2 THEN t END)
+                  OVER (PARTITION BY user_id) AS t3 FROM s2
+)
+SELECT user_id, min(t1) AS t_view, min(t2) AS t_click,
+       min(t3) AS t_purchase,
+       CAST((CASE WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN min(t2) IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS stage
+FROM s3 GROUP BY 1
+"""
+
+RETENTION_WEEK_SECONDS = 604_800
+
+
+def q_retention_cohort(spark, sf_dir):
+    """X80 — weekly cohort retention matrix: users bucketed by their
+    first-active week; n_users = distinct users from cohort c active in
+    week c+offset. (user, week) pairs are deduped FIRST (one shuffle on
+    the pair — the big reduction), the per-user first week is one
+    window pass, and the final (cohort, offset) count is a tiny agg."""
+    from pyspark.sql import Window
+
+    wk = (
+        _h._t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                f"unix_timestamp(ts) div {RETENTION_WEEK_SECONDS}"
+            ).alias("week"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        wk.withColumn("cohort_week", F.min("week").over(w))
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+Q_RETENTION_COHORT_SQL = f"""
+WITH wk AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) // {RETENTION_WEEK_SECONDS} AS week
+    FROM events
+),
+c AS (
+    SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort_week
+    FROM wk
+)
+SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+DIFF_OLD_MOD = 7  # old snapshot: doc_id % 7 != 0
+DIFF_NEW_MOD = 5  # new snapshot: doc_id % 5 != 0
+DIFF_EDIT_MOD = 11  # docs edited between snapshots: doc_id % 11 == 0
+
+
+def q_corpus_diff(spark, sf_dir):
+    """X86 — corpus snapshot diff (operators/diff.py): two snapshot
+    views are derived deterministically from the documents table
+    (membership by doc_id mod; an edit marker appended for changed
+    docs), then diffed with the generic full-outer md5 operator — the
+    plan contains the real shuffle join a production snapshot pair
+    would take."""
+    from mimic2ts_spark.operators.diff import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % DIFF_OLD_MOD != 0)
+    new = docs.where(F.col("doc_id") % DIFF_NEW_MOD != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % DIFF_EDIT_MOD == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+def _corpus_diff_sql():
+    from mimic2ts_spark.operators.diff import sql_snapshot_diff
+
+    new_rel = (
+        "(SELECT doc_id, CASE WHEN doc_id % {e} = 0 THEN text || ' v2' "
+        "ELSE text END AS text FROM documents WHERE doc_id % {n} <> 0)"
+    ).format(e=DIFF_EDIT_MOD, n=DIFF_NEW_MOD)
+    old_rel = f"(SELECT doc_id, text FROM documents WHERE doc_id % {DIFF_OLD_MOD} <> 0)"
+    return sql_snapshot_diff(old_rel, new_rel)
+
+
+Q_CORPUS_DIFF_SQL = _corpus_diff_sql()
+
+
+def q_embedding_normalize(spark, sf_dir):
+    """X84 — per-dimension min-max feature scaling to [0,1], long form:
+    the normalization pass before training/ANN indexing. One posexplode
+    scan; the 64-row per-dim (min,max) table is a broadcast join back;
+    (x − min)/(max − min) is a single float64 division on exactly-
+    representable float32 inputs — bit-identical cross-engine.
+    Constant dims (max == min) map to 0.0."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v_raw")
+    ).select("vec_id", "dim", F.col("v_raw").cast("double").alias("v"))
+    stats = e.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    return (
+        e.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.when(
+                F.col("hi") > F.col("lo"),
+                (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("v_norm"),
+        )
+    )
+
+
+Q_EMBEDDING_NORMALIZE_SQL = """
+WITH x AS (
+    SELECT vec_id, g.i AS dim,
+           CAST(embedding[CAST(g.i AS INTEGER) + 1] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(len(embedding))) AS g(i)
+),
+stats AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY 1)
+SELECT x.vec_id, CAST(x.dim AS BIGINT) AS dim,
+       CASE WHEN s.hi > s.lo THEN (x.v - s.lo) / (s.hi - s.lo)
+            ELSE 0.0 END AS v_norm
+FROM x JOIN stats s ON x.dim = s.dim
+"""
+
+
 EXT_REGISTRY = {
+    # round-4 additions first: registry order = driver-gate execution
+    # order, and never-driver-verified queries must come before the
+    # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).
+    "q_search_bm25": (q_search_bm25, Q_SEARCH_BM25_SQL),
+    "q_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
+    "q_event_funnel": (q_event_funnel, Q_EVENT_FUNNEL_SQL),
+    "q_retention_cohort": (q_retention_cohort, Q_RETENTION_COHORT_SQL),
+    "q_corpus_diff": (q_corpus_diff, Q_CORPUS_DIFF_SQL),
+    "q_embedding_normalize": (q_embedding_normalize, Q_EMBEDDING_NORMALIZE_SQL),
     "q_text_stats": (q_text_stats, Q_TEXT_STATS_SQL),
     "q_text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
     "q_text_fingerprint": (q_text_fingerprint, Q_TEXT_FINGERPRINT_SQL),
@@ -1665,3 +1936,8 @@ EXT_REGISTRY = {
     "q_corpus_manifest": (q_corpus_manifest, Q_CORPUS_MANIFEST_SQL),
     "q_text_repetition": (q_text_repetition, Q_TEXT_REPETITION_SQL),
 }
+
+# close the harness ⇄ harness_ext import cycle from THIS side too, so
+# `import mimic2ts_spark.harness_ext` works standalone (harness's bottom
+# skips its own composition when it finds us mid-import on the stack)
+_h._compose_registry(EXT_REGISTRY)

@@ -1,0 +1,226 @@
+"""Corpus search / retrieval operators for training-data pipelines:
+integer-exact BM25 ranked retrieval and benchmark decontamination
+(n-gram collision against a held-out eval set).
+
+Not part of the reference surface (it has no text search —
+`/root/reference/src/mimic2ts/__init__.py` is numeric ETL only); these
+are the retrieval-side companions to operators/dedup.py, sharing its
+determinism contract: md5-derived token codes, integer arithmetic
+end-to-end, so every result hash-matches the DuckDB oracle bit-exactly.
+
+BM25 exactness: the classic formula
+
+    score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+is float (log + divisions). Engine-private rounding of `log` kills
+cross-engine hashes, so both factors are re-derived as exact integer
+rationals and evaluated with int64 floor division (`div` in Spark,
+`//` in DuckDB — identical for the all-positive operands here):
+
+    idf_scaled(t)  = ⌊SCALE · (2N − 2·df + 1) / (2·df + 1)⌋
+                     (the Robertson (N − df + ½)/(df + ½) idf, scaled)
+    tf_scaled(d,t) = ⌊SCALE · 22·S·tf / (10·S·tf + 3·S + 9·dl·N)⌋
+                     (k1 = 6/5, b = 3/4 cleared of denominators by
+                      multiplying through by 10·S; S = Σ dl, N = docs)
+    score_scaled   = Σ_t idf_scaled · tf_scaled      (int64)
+
+Bounds: idf_scaled ≤ SCALE·(2N+1), tf_scaled ≤ 2.2·SCALE, so the sum
+stays in int64 up to N ≈ 10^8 docs at SCALE = 10^5. Beyond that a real
+deployment drops to float scoring (ranking tolerates it; only the
+cross-engine oracle needs exact integers) or DECIMAL(38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators.text import SQL_TOKENS, tokens
+
+SCALE = 100_000
+# k1 = 6/5, b = 3/4 — the usual BM25 defaults as exact rationals (the
+# integer coefficients 22/10/3/9 in the cleared form derive from them).
+TOP_K = 10
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = TOP_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under integer-exact BM25.
+
+    Shape at scale: ONE corpus scan; term frequencies come from an
+    explode restricted to the query terms BEFORE the shuffle (the filter
+    is inside the per-row array, so non-matching tokens never leave the
+    scan stage); doc length is carried through the explode so tf never
+    joins back to the corpus. The three tiny sides (per-term df, corpus
+    totals) are 1-to-|q|-row aggregates joined by broadcast. Final
+    ranking is a TakeOrderedAndProject (no global sort)."""
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("long").alias("dl"), toks.alias("_toks")
+    )
+    tf = (
+        base.select(
+            id_col,
+            "dl",
+            F.explode(
+                F.filter(F.col("_toks"), lambda t: t.isin(*query_terms))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    totals = df.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("sum_dl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf_scaled",
+            F.expr(f"({SCALE} * (2 * (n_docs - df) + 1)) div (2 * df + 1)"),
+        )
+        .withColumn(
+            "tf_scaled",
+            F.expr(
+                f"({SCALE} * 22 * sum_dl * tf) div "
+                "(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum(F.col("idf_scaled") * F.col("tf_scaled")).alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), id_col)
+        .limit(k)
+    )
+
+
+def sql_bm25_topk(
+    query_terms: tuple[str, ...],
+    k: int = TOP_K,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of bm25_topk — same integer rationals, `//` floor
+    division (positive operands ⇒ identical to Spark's `div`)."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    toks = SQL_TOKENS.format(text=text_col)
+    return f"""
+WITH base AS (
+    SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS dl, {toks} AS toks
+    FROM {table}
+),
+tf AS (
+    SELECT {id_col}, dl, t.term, count(*) AS tf
+    FROM base, unnest(list_filter(toks, x -> x IN ({terms}))) AS t(term)
+    GROUP BY 1, 2, 3
+),
+totals AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.{id_col},
+           (({SCALE} * (2 * (t.n_docs - d.df) + 1)) // (2 * d.df + 1))
+           * (({SCALE} * 22 * t.sum_dl * tf.tf) //
+              (10 * t.sum_dl * tf.tf + 3 * t.sum_dl + 9 * tf.dl * t.n_docs))
+               AS term_score
+    FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN totals t
+)
+SELECT {id_col}, CAST(sum(term_score) AS BIGINT) AS score_scaled
+FROM scored GROUP BY 1
+ORDER BY score_scaled DESC, {id_col} LIMIT {k}
+"""
+
+
+# --- benchmark decontamination --------------------------------------------
+
+DECON_GRAM_N = 5
+DECON_BENCH_MOD = 53  # doc_id % MOD == 0 → held-out benchmark doc
+
+
+def benchmark_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = DECON_GRAM_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training docs sharing ≥1 word n-gram with a benchmark/eval set —
+    the test-set-contamination sweep every pretraining corpus needs
+    (the n-gram-overlap criterion of GPT-3 appx. C / PaLM §C, with the
+    gram length scaled down to the synthetic corpus' short docs).
+
+    Shape at scale: both sides take ONE scan each through the shared
+    cheap-token-hash shingle pass (operators/dedup.py machinery — no
+    per-gram md5 of materialized strings); grams are deduped per side
+    (distinct (doc, code) / distinct code) so the join emits each
+    shared gram once; the benchmark side is tiny by construction and
+    AQE broadcasts it. Rows with fewer than n tokens can't produce a
+    gram and are dropped on a SOURCE predicate before the shingle pass
+    (a derived-column filter would re-inline the hash pass under
+    pushdown — CLAUDE.md round-1 trap).
+
+    Returns (doc_id, n_grams, n_shared_grams): one row per contaminated
+    training doc; n_grams is the doc's distinct-gram count for
+    thresholding a share fraction downstream."""
+    from mimic2ts_spark.operators.dedup import with_shingle_codes
+
+    min_toks = F.size(tokens(F.col(text_col))) >= n
+    t = with_shingle_codes(train.where(min_toks), text_col, "codes", n)
+    b = with_shingle_codes(bench.where(min_toks), text_col, "codes", n)
+    # carry per-doc distinct gram counts without a join back: size() on the
+    # deduped array before the explode, grouped back out after the join
+    t_grams = t.select(
+        F.col(id_col),
+        F.size(F.array_distinct("codes")).alias("n_grams"),
+        F.explode(F.array_distinct("codes")).alias("code"),
+    )
+    b_grams = b.select(F.explode(F.array_distinct("codes")).alias("code")).distinct()
+    return (
+        t_grams.join(b_grams, "code")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def sql_benchmark_contamination(
+    train_rel: str,
+    bench_rel: str,
+    n: int = DECON_GRAM_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from mimic2ts_spark.operators.dedup import (
+        sql_shingle_codes_from_tc,
+        sql_token_codes,
+    )
+
+    toks = SQL_TOKENS.format(text=text_col)
+    tc = sql_token_codes(text_col)
+    grams = sql_shingle_codes_from_tc("tc", n)
+    return f"""
+WITH t_base AS (
+    SELECT {id_col}, {tc} AS tc FROM {train_rel} WHERE len({toks}) >= {n}
+),
+b_base AS (
+    SELECT {id_col}, {tc} AS tc FROM {bench_rel} WHERE len({toks}) >= {n}
+),
+t_grams AS (
+    SELECT {id_col}, CAST(len(list_distinct({grams})) AS BIGINT) AS n_grams,
+           g.code
+    FROM t_base, unnest(list_distinct({grams})) AS g(code)
+),
+b_grams AS (
+    SELECT DISTINCT g.code FROM b_base, unnest({grams}) AS g(code)
+)
+SELECT t.{id_col}, t.n_grams, count(*) AS n_shared_grams
+FROM t_grams t JOIN b_grams b ON t.code = b.code
+GROUP BY 1, 2
+"""

@@ -699,3 +699,133 @@ def test_hist_quantiles_within_bucket_width_of_exact(spark):
         e = exact[et]
         for hp, ep in ((h.h25, e.p25), (h.h50, e.p50), (h.h75, e.p75)):
             assert abs(hp - ep) <= harness.HIST_WIDTH, (et, hp, ep)
+
+
+# --- round-4 operators: search / decontamination / diff / analytics --------
+
+
+def test_bm25_hand_computed_score(spark):
+    """Integer-exact BM25 on a 3-doc corpus, scores checked against the
+    hand-evaluated exact-rational formula (SCALE=1e5, k1=6/5, b=3/4)."""
+    from mimic2ts_spark.operators.search import SCALE, bm25_topk
+
+    rows = [(1, "cat dog cat"), (2, "dog fish"), (3, "bird bird bird")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.score_scaled for r in bm25_topk(df, ("cat",), k=10).collect()}
+    # N=3, S=8, df(cat)=1, doc 1: tf=2, dl=3
+    n, s_tot, dfreq, tf, dl = 3, 8, 1, 2, 3
+    idf = (SCALE * (2 * (n - dfreq) + 1)) // (2 * dfreq + 1)
+    tfp = (SCALE * 22 * s_tot * tf) // (10 * s_tot * tf + 3 * s_tot + 9 * dl * n)
+    assert out == {1: idf * tfp}
+
+
+def test_bm25_ranking_prefers_rare_term_and_short_doc(spark):
+    from mimic2ts_spark.operators.search import bm25_topk
+
+    rows = [
+        (1, "common rare"),
+        (2, "common common common common"),
+        (3, "common filler filler filler filler filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [r.doc_id for r in bm25_topk(df, ("common", "rare"), k=3).collect()]
+    # doc 1 hits the rare term; doc 2 beats doc 3 (higher tf, shorter)
+    assert got == [1, 2, 3]
+
+
+def test_benchmark_contamination_flags_only_overlapping_doc(spark):
+    from mimic2ts_spark.operators.search import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta epsilon y"),  # shares 5-grams
+            (2, "alpha beta gamma delta"),  # only 4 tokens past filter? no: 4 < 5 → dropped
+            (3, "totally different words here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.n_grams, r.n_shared_grams) for r in
+           benchmark_contamination(train, bench).collect()}
+    # doc 1 has 3 distinct 5-grams; exactly one ("alpha beta gamma delta
+    # epsilon") appears among the benchmark doc's 2 grams
+    assert out == {1: (3, 1)}
+
+
+def test_snapshot_diff_statuses(spark):
+    from mimic2ts_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "was this"), (3, "gone")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now this"), (4, "fresh")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_funnel_click_before_view_does_not_convert(spark, tmp_path):
+    """A click that precedes the first view must not count as step 2."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(
+                [1000, 2000, 3000, 4000, 5000], unit="s"
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 2, 2, 2],
+            "event_type": ["click", "view", "view", "click", "purchase"],
+            "value": [0.0] * 5,
+            "props": [""] * 5,
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    from mimic2ts_spark import harness_ext as E
+
+    out = {r.user_id: (r.t_view, r.t_click, r.t_purchase, r.stage)
+           for r in E.q_event_funnel(spark, str(tmp_path)).collect()}
+    assert out == {
+        1: (2000, None, None, 1),   # click at 1000 precedes the view
+        2: (3000, 4000, 5000, 3),
+    }
+
+
+def test_retention_cohort_offsets(spark, tmp_path):
+    import pandas as pd
+
+    wk = 604_800
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(1, 6),
+            "ts": pd.to_datetime(
+                [0, wk, 3 * wk, wk, wk + 1], unit="s"
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["view"] * 5,
+            "value": [0.0] * 5,
+            "props": [""] * 5,
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    from mimic2ts_spark import harness_ext as E
+
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in E.q_retention_cohort(spark, str(tmp_path)).collect()}
+    # user 1: cohort 0, active weeks {0,1,3}; user 2: cohort 1, active {1}
+    assert out == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def test_embedding_normalize_bounds_and_constant_dim(spark):
+    from mimic2ts_spark import harness_ext as E
+
+    out = E.q_embedding_normalize(spark, SF)
+    mn, mx = out.agg(F.min("v_norm"), F.max("v_norm")).first()
+    assert 0.0 <= mn and mx <= 1.0
+    # every non-constant dim attains both 0 and 1
+    per_dim = out.groupBy("dim").agg(F.min("v_norm").alias("lo"),
+                                     F.max("v_norm").alias("hi")).collect()
+    assert all(r.lo == 0.0 and r.hi in (0.0, 1.0) for r in per_dim)

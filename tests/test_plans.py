@@ -29,6 +29,10 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def utc(spark):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # other test modules cache() the harness tables; a cached relation
+    # would replace `Scan parquet` with InMemoryTableScan in every plan
+    # this module pins, so drop all cache entries first
+    spark.catalog.clearCache()
     return spark
 
 
@@ -502,6 +506,74 @@ def test_embedding_stats_partial_agg(utc):
     assert "BatchEvalPython" not in s
 
 
+def test_funnel_single_exchange_three_windows(utc):
+    """The three dependent funnel mins share ONE user_id partitioning:
+    three Window nodes, one Exchange, and the per-user collapse reuses
+    the same partitioning (no second shuffle)."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_event_funnel(utc, SF))
+    assert _count(r"\(\d+\) Window", s) == 3, s
+    assert _count(r"\(\d+\) Exchange", s) == 1, s
+    assert "BatchEvalPython" not in s
+
+
+def test_bm25_take_ordered_no_smj(utc):
+    """Top-k must be TakeOrderedAndProject (per-partition heaps, no
+    global sort); the per-term df side joins by broadcast; the only
+    nested-loop join is the 1-row corpus-totals scalar."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_search_bm25(utc, SF))
+    assert "TakeOrderedAndProject" in s
+    assert "SortMergeJoin" not in s
+    assert _count(r"\(\d+\) BroadcastHashJoin", s) == 1, s
+    # ≤3 corpus scans statically; at runtime AQE reuses the tf exchange
+    # for the df aggregation (verified: ReusedExchange in the final
+    # adaptive plan), so the corpus is read twice (tf + totals)
+    assert _count(r"\(\d+\) Scan parquet", s) <= 3, s
+
+
+def test_decontaminate_two_scans_no_rescans(utc):
+    """One shingle pass per side: exactly 2 corpus scans (train +
+    benchmark), no cartesian, and the md5 token pass must NOT be
+    re-inlined under a pushed filter (the filter is on a source
+    predicate, so no `conv(substring(md5` may appear in PushedFilters
+    or PartitionFilters sections)."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_decontaminate(utc, SF))
+    assert _count(r"\(\d+\) Scan parquet", s) == 2, s
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_corpus_diff_md5_before_join(utc):
+    """Snapshot diff: payload is reduced to md5 BELOW the full-outer
+    join (the Project containing the md5 sits on the scan side), so
+    text bytes never cross the join shuffle."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_corpus_diff(utc, SF))
+    assert _count(r"\(\d+\) Scan parquet", s) == 2, s
+    assert "FullOuter" in s
+    # the join-side exchanges move only (doc_id, md5) — never text bytes
+    exch_inputs = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", s)
+    join_exchs = [e for e in exch_inputs if "md5" in e]
+    assert len(join_exchs) == 2 and all("text" not in e for e in join_exchs), s
+
+
+def test_embedding_normalize_broadcast_stats(utc):
+    """Per-dim (min,max) is a 64-row broadcast join back onto the
+    exploded values — no shuffle of the big side on dim."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_embedding_normalize(utc, SF))
+    assert _count(r"\(\d+\) BroadcastHashJoin", s) == 1, s
+    assert "SortMergeJoin" not in s
+    assert _count(r"\(\d+\) Scan parquet", s) == 2, s
+
+
 def test_registry_global_plan_invariants(utc):
     """Whole-registry regression net: NO query may plan a row-wise
     Python UDF (BatchEvalPython) or an undeclared all-pairs join.
@@ -515,6 +587,7 @@ def test_registry_global_plan_invariants(utc):
         "q_tpch_q22",        # 1-row scalar average cross join
         "q_tpch_q15",        # 1-row scalar max cross join (AQE may BHJ it)
         "q_source_drift",    # 1-row total-token-count scalar cross join
+        "q_search_bm25",     # 1-row corpus-totals (N, sum dl) cross join
     }
     skip = {"q_sink_partitioned", "q_source_jsonl", "q_source_orc"}
     problems = []
