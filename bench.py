@@ -74,6 +74,10 @@ HEADLINE = [
     "q_retention_cohort",
     "q_corpus_diff",
     "q_embedding_normalize",
+    "q_dedup_spans",
+    "q_tfidf_keywords",
+    "q_graph_pagerank",
+    "q_event_transitions",
 ]
 
 

@@ -1882,10 +1882,151 @@ FROM x JOIN stats s ON x.dim = s.dim
 """
 
 
+def q_dedup_spans(spark, sf_dir):
+    """X87 — span-level exact dedup (operators/dedup.py:span_dedup):
+    cross-doc-repeated 5-token spans removed from every doc and the text
+    rebuilt in original order — the discretized form of Lee et al. 2022
+    repeated-substring removal. Three shuffles, all on uniform keys."""
+    from mimic2ts_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_spans_sql():
+    from mimic2ts_spark.operators.dedup import sql_span_dedup
+
+    return sql_span_dedup()
+
+
+Q_DEDUP_SPANS_SQL = _q_dedup_spans_sql()
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """X88 — per-doc top-3 keyword extraction under integer-exact TF-IDF
+    (operators/search.py:tfidf_topk_terms). The per-doc rank window
+    plans as WindowGroupLimit; the vocab join is left to AQE."""
+    from mimic2ts_spark.operators.search import tfidf_topk_terms
+
+    return tfidf_topk_terms(_docs(spark, sf_dir))
+
+
+def _q_tfidf_keywords_sql():
+    from mimic2ts_spark.operators.search import sql_tfidf_topk_terms
+
+    return sql_tfidf_topk_terms()
+
+
+Q_TFIDF_KEYWORDS_SQL = _q_tfidf_keywords_sql()
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """X89 — integer-exact PageRank (operators/graph.py), 3 synchronous
+    rounds over the supplier reorder-transition graph: for each customer
+    the suppliers of their orders in (o_orderdate, o_orderkey,
+    l_linenumber) sequence, an edge supplier→next-supplier. Edges and
+    out-degrees are computed once and persisted; each round is one
+    shuffle join + one hash aggregate; ranks never leave the cluster."""
+    from mimic2ts_spark.operators.graph import build_transition_edges, pagerank_scaled
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    seq = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_custkey", "o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"
+    )
+    # the synthetic lineitem has duplicate (orderkey, linenumber) rows, so
+    # l_suppkey (the node value) closes the order: ties then only permute
+    # identical node values and the transition sequence stays deterministic
+    edges = build_transition_edges(
+        seq,
+        "o_custkey",
+        "l_suppkey",
+        ["o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"],
+    )
+    return pagerank_scaled(edges)
+
+
+def _q_graph_pagerank_sql():
+    from mimic2ts_spark.operators.graph import sql_pagerank, sql_transition_edges
+
+    seq = (
+        "(SELECT o.o_custkey, o.o_orderdate, o.o_orderkey, "
+        "l.l_linenumber, l.l_suppkey "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"
+    )
+    edges = sql_transition_edges(
+        seq,
+        "o_custkey",
+        "l_suppkey",
+        ["o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"],
+    ).strip()
+    return sql_pagerank(edges)
+
+
+Q_GRAPH_PAGERANK_SQL = _q_graph_pagerank_sql()
+
+
+TRANSITION_TOP_K = 5
+
+
+def q_event_transitions(spark, sf_dir):
+    """X90 — per-user event-type Markov transitions: lead() over each
+    user's (ts, event_id)-ordered stream, global (src → dst) counts,
+    then top-5 destinations per source. ONE shuffle on user_id for the
+    window, one hash-agg on the 36-ish (src, dst) pairs; the per-src
+    rank window plans as WindowGroupLimit."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rk = W.partitionBy("src").orderBy(F.desc("n"), F.col("dst"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= TRANSITION_TOP_K)
+        .select("src", "dst", "n", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+Q_EVENT_TRANSITIONS_SQL = f"""
+WITH pairs AS (
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+    ) WHERE dst IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT src, dst, n, CAST(rk AS INTEGER) AS rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rk
+    FROM pairs
+) WHERE rk <= {TRANSITION_TOP_K}
+"""
+
+
 EXT_REGISTRY = {
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).
+    "q_dedup_spans": (q_dedup_spans, Q_DEDUP_SPANS_SQL),
+    "q_tfidf_keywords": (q_tfidf_keywords, Q_TFIDF_KEYWORDS_SQL),
+    "q_graph_pagerank": (q_graph_pagerank, Q_GRAPH_PAGERANK_SQL),
+    "q_event_transitions": (q_event_transitions, Q_EVENT_TRANSITIONS_SQL),
     "q_search_bm25": (q_search_bm25, Q_SEARCH_BM25_SQL),
     "q_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "q_event_funnel": (q_event_funnel, Q_EVENT_FUNNEL_SQL),

@@ -662,3 +662,101 @@ def incremental_ngram_pairs(
     return verified.where(F.col("jaccard") >= threshold).select(
         "doc_new", "doc_old", "jaccard"
     )
+
+
+# --- span-level exact dedup (Lee et al. 2022 "Deduplicating Training
+# Data Makes Language Models Better" — repeated-substring removal,
+# discretized to fixed non-overlapping token windows so membership is an
+# exact hash test instead of a suffix array) -------------------------------
+
+SPAN_W = 5          # tokens per span
+SPAN_MAX_DF = 1     # keep a span only if it appears in <= this many docs
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = SPAN_W,
+    max_df: int = SPAN_MAX_DF,
+) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_dropped): every doc rewritten with
+    its cross-doc-repeated spans removed.
+
+    Each doc is cut into consecutive w-token spans; a span whose
+    distinct-doc frequency exceeds max_df anywhere in the corpus is
+    dropped from EVERY doc; survivors are re-joined in original order.
+
+    Shape at scale: span rows ~= corpus_tokens / w (linear). One
+    hash-aggregate on md5(span) finds the hot spans, one shuffle join
+    tags them, one groupBy(doc) rebuilds the text — three shuffles, all
+    on uniformly-distributed keys (md5 / unique doc ids), no skew, no
+    driver state. Docs whose text is entirely boilerplate still emit a
+    row (clean_text = ''). Precondition: non-empty text (zero-token
+    docs produce no span rows and would vanish)."""
+    toks = tokens(F.col(text_col))
+    segs = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(_t) / {w}.0) AS INT) - 1), "
+                    f"i -> array_join(slice(_t, i * {w} + 1, {w}), ' '))"
+                )
+            ).alias("pos", "seg"),
+        )
+    )
+    hot = (
+        segs.groupBy(F.md5("seg").alias("k"))
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") > max_df)
+        .select("k")
+    )
+    tagged = segs.join(hot, F.md5(segs["seg"]) == hot["k"], "left")
+    keep = F.col("k").isNull()
+    return tagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "seg")))
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+
+
+def sql_span_dedup(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = SPAN_W,
+    max_df: int = SPAN_MAX_DF,
+) -> str:
+    """DuckDB mirror: identical span cut (ceil-div window count,
+    1-based inclusive slice), identical md5-of-span-string keys, rebuild
+    ordered by span position."""
+    toks = SQL_TOKENS.format(text=text_col)
+    return f"""
+WITH base AS (SELECT {id_col} AS doc_id, {toks} AS t FROM {table}),
+segs AS (
+    SELECT doc_id, CAST(g.i AS INTEGER) AS pos,
+           array_to_string(list_slice(t, g.i * {w} + 1, g.i * {w} + {w}), ' ') AS seg
+    FROM base, unnest(range((len(t) + {w} - 1) // {w})) AS g(i)
+),
+hot AS (
+    SELECT md5(seg) AS k FROM segs
+    GROUP BY 1 HAVING count(DISTINCT doc_id) > {max_df}
+)
+SELECT s.doc_id,
+       coalesce(string_agg(s.seg, ' ' ORDER BY s.pos)
+                    FILTER (WHERE h.k IS NULL), '') AS clean_text,
+       CAST(count(*) FILTER (WHERE h.k IS NULL) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE h.k IS NOT NULL) AS BIGINT) AS n_dropped
+FROM segs s LEFT JOIN hot h ON md5(s.seg) = h.k
+GROUP BY 1
+"""

@@ -32,7 +32,7 @@ cross-engine oracle needs exact integers) or DECIMAL(38).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mimic2ts_spark.operators.text import SQL_TOKENS, tokens
@@ -223,4 +223,88 @@ b_grams AS (
 SELECT t.{id_col}, t.n_grams, count(*) AS n_shared_grams
 FROM t_grams t JOIN b_grams b ON t.code = b.code
 GROUP BY 1, 2
+"""
+
+
+# --- per-doc keyword extraction (top-k TF-IDF terms) ----------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = TFIDF_TOP_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term, score_scaled, rk): each doc's top-k terms under
+    integer-exact TF-IDF — the keyword/tagging pass of a corpus indexer.
+
+    score_scaled(d,t) = tf(d,t) · idf_scaled(t), with the same cleared-
+    rational idf as BM25 (⌊SCALE·(2N−2df+1)/(2df+1)⌋ — a monotone
+    integer image of log-idf's ordering). Bounds: tf ≤ doc length,
+    idf ≤ SCALE·(2N+1) — int64-safe to ~10^8 docs at SCALE=1e5 for
+    tf ≤ 10^5.
+
+    Shape at scale: ONE corpus scan/tokenize → hash-agg to (doc, term,
+    tf) → hash-agg to per-term df (vocab-sized; joined back WITHOUT a
+    broadcast hint — at 100 TB the vocab can exceed the broadcast
+    budget, and AQE upgrades the join to broadcast at runtime whenever
+    it actually fits) → per-doc top-k as a rank window, which plans as
+    WindowGroupLimit (per-partition top-k heaps, no global sort).
+    Deterministic tie-break: equal scores rank by term ascending."""
+    toks = tokens(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    totals = df.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "term",
+            F.expr(
+                f"tf * (({SCALE} * (2 * (n_docs - df) + 1)) div (2 * df + 1))"
+            ).alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_scaled"), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", "score_scaled", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def sql_tfidf_topk_terms(
+    k: int = TFIDF_TOP_K,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = SQL_TOKENS.format(text=text_col)
+    return f"""
+WITH tf AS (
+    SELECT {id_col}, t.term, CAST(count(*) AS BIGINT) AS tf
+    FROM {table}, unnest({toks}) AS t(term)
+    GROUP BY 1, 2
+),
+totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {table}),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.{id_col}, tf.term,
+           tf.tf * (({SCALE} * (2 * (t.n_docs - d.df) + 1)) // (2 * d.df + 1))
+               AS score_scaled
+    FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN totals t
+)
+SELECT {id_col}, term, score_scaled, CAST(rk AS INTEGER) AS rk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY {id_col} ORDER BY score_scaled DESC, term
+    ) AS rk
+    FROM scored
+) WHERE rk <= {k}
 """

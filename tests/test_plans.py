@@ -574,6 +574,64 @@ def test_embedding_normalize_broadcast_stats(utc):
     assert _count(r"\(\d+\) Scan parquet", s) == 2, s
 
 
+def test_span_dedup_two_scans_no_window(utc):
+    """Span dedup is pure hash machinery: the wordcount-then-join shape
+    re-derives the cheap span cut instead of persisting a corpus-sized
+    cache (2 scans), joins on uniform md5 keys (no SMJ at this scale,
+    no cartesian), and rebuilds docs in ONE aggregate — no Window, no
+    Python."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_dedup_spans(utc, SF))
+    assert _count(r"\(\d+\) Scan parquet", s) == 2, s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+    assert _count(r"\(\d+\) Window", s) == 0
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_tfidf_topk_is_window_group_limit(utc):
+    """The per-doc top-k rank must plan as WindowGroupLimit
+    (per-partition heaps — never a full per-doc sort materialized), and
+    the vocab join must carry NO broadcast hint (AQE decides): exactly
+    one BroadcastHashJoin (the 1-row totals after AQE upgrade) at this
+    scale, zero ResolvedHint(broadcast) beyond the totals."""
+    from mimic2ts_spark import harness_ext
+
+    df = harness_ext.q_tfidf_keywords(utc, SF)
+    s = _plan(df)
+    assert "WindowGroupLimit" in s
+    assert "CartesianProduct" not in s
+    logical = str(df._jdf.queryExecution().logical())
+    assert logical.count("ResolvedHint (strategy=broadcast)") == 1, logical
+
+
+def test_pagerank_single_edge_derivation(utc):
+    """The PageRank loop must derive the edge list ONCE (persisted —
+    exactly one lineitem and one orders scan in the 3-round plan) and
+    never plan an all-pairs join; rank state stays distributed (no
+    collect-shaped 1-partition exchange)."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_graph_pagerank(utc, SF))
+    assert _count(r"lineitem\.parquet", s) == 1, s
+    assert _count(r"orders\.parquet", s) == 1, s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+    assert "SinglePartition" not in s, "rank state collapsed to one partition"
+
+
+def test_event_transitions_one_user_shuffle_then_wgl(utc):
+    """Transitions: the lead() window shuffles on user_id once; the
+    per-src top-k plans as WindowGroupLimit; nothing else shuffles
+    beyond the tiny (src, dst) agg + rank repartition."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_event_transitions(utc, SF))
+    assert _count(r"hashpartitioning\(user_id", s) >= 1, s
+    assert "WindowGroupLimit" in s
+    assert _count(r"\(\d+\) Exchange", s) <= 3, s
+    assert "BatchEvalPython" not in s
+
+
 def test_registry_global_plan_invariants(utc):
     """Whole-registry regression net: NO query may plan a row-wise
     Python UDF (BatchEvalPython) or an undeclared all-pairs join.
@@ -588,6 +646,7 @@ def test_registry_global_plan_invariants(utc):
         "q_tpch_q15",        # 1-row scalar max cross join (AQE may BHJ it)
         "q_source_drift",    # 1-row total-token-count scalar cross join
         "q_search_bm25",     # 1-row corpus-totals (N, sum dl) cross join
+        "q_tfidf_keywords",  # 1-row corpus-count scalar cross join
     }
     skip = {"q_sink_partitioned", "q_source_jsonl", "q_source_orc"}
     problems = []
