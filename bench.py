@@ -78,6 +78,9 @@ HEADLINE = [
     "q_tfidf_keywords",
     "q_graph_pagerank",
     "q_event_transitions",
+    "q_incremental_agg",
+    "q_event_ema",
+    "q_zorder_layout",
 ]
 
 

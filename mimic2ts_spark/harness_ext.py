@@ -2019,10 +2019,115 @@ SELECT src, dst, n, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+INCR_CUTOFF = "2024-01-22 00:00:00"
+
+
+def q_incremental_agg(spark, sf_dir):
+    """X91 — incremental aggregate maintenance
+    (operators/incremental.py): the per-(user, event_type) rollup kept
+    as mergeable (count, cents) state; the query absorbs the post-cutoff
+    delta into the pre-cutoff state and the oracle recomputes from
+    scratch — equality IS the incremental-correctness contract. Both
+    scans carry pushed ts predicates (plan-pinned); at 100 TB the delta
+    side is partition-pruned to the new files and history is never
+    re-shuffled."""
+    from mimic2ts_spark.operators.incremental import (
+        merge_mean_states,
+        partial_mean_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    keys = ["user_id", "event_type"]
+    old = partial_mean_state(ev.where(F.col("ts") < INCR_CUTOFF), keys)
+    delta = partial_mean_state(ev.where(F.col("ts") >= INCR_CUTOFF), keys)
+    return merge_mean_states(old, delta, keys)
+
+
+def _q_incremental_agg_sql():
+    from mimic2ts_spark.operators.incremental import sql_merged_mean
+
+    return sql_merged_mean(
+        "events",
+        ["user_id", "event_type"],
+        "value",
+        f"ts >= TIMESTAMP '{INCR_CUTOFF}'",
+    )
+
+
+Q_INCREMENTAL_AGG_SQL = _q_incremental_agg_sql()
+
+
+def q_event_ema(spark, sf_dir):
+    """X92 — per-user exponential moving average as a JVM-side ordered
+    fold (operators/time_ops.py:ema_final): ONE shuffle to co-locate
+    each user's events, array_sort for the (ts, event_id) order, then a
+    single left-to-right float64 fold — the inherently-sequential
+    recurrence without a Python UDF or a quadratic running window."""
+    from mimic2ts_spark.operators.time_ops import ema_final
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    return ev.groupBy("user_id").agg(ema_final(vals).alias("ema"))
+
+
+def _q_event_ema_sql():
+    from mimic2ts_spark.operators.time_ops import sql_ema_final
+
+    fold = sql_ema_final("list(value ORDER BY ts, event_id)")
+    return f"SELECT user_id, {fold} AS ema FROM events GROUP BY user_id"
+
+
+Q_EVENT_EMA_SQL = _q_event_ema_sql()
+
+
+ZORDER_BITS = 16        # per-dimension bits AFTER range normalization
+ZORDER_BUCKET_LOG2 = 8  # 256 Z-buckets ~ "files" the layout would write
+
+
+def q_zorder_layout(spark, sf_dir):
+    """X93 — Z-order layout keys + data-skipping report
+    (operators/layout.py): range-normalize then Morton-interleave
+    (l_partkey, l_suppkey), bucket by the top 8 key bits (the rows one
+    OPTIMIZE'd file would hold) and report per-bucket min/max of BOTH
+    columns — tight ranges on both = file-level pruning works for
+    predicates on either. The (min,max) scalar is a 1-row broadcast;
+    key math is per-row bit expressions (no shuffle); the only exchange
+    is the 256-group stats aggregate."""
+    from mimic2ts_spark.operators.layout import zorder_bucket_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    return zorder_bucket_stats(
+        li, "l_partkey", "l_suppkey", ZORDER_BUCKET_LOG2, ZORDER_BITS
+    )
+
+
+def _q_zorder_layout_sql():
+    from mimic2ts_spark.operators.layout import sql_zorder_bucket_stats
+
+    return sql_zorder_bucket_stats(
+        "lineitem", "l_partkey", "l_suppkey", ZORDER_BUCKET_LOG2, ZORDER_BITS
+    )
+
+
+Q_ZORDER_LAYOUT_SQL = _q_zorder_layout_sql()
+
+
 EXT_REGISTRY = {
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).
+    "q_incremental_agg": (q_incremental_agg, Q_INCREMENTAL_AGG_SQL),
+    "q_event_ema": (q_event_ema, Q_EVENT_EMA_SQL),
+    "q_zorder_layout": (q_zorder_layout, Q_ZORDER_LAYOUT_SQL),
     "q_dedup_spans": (q_dedup_spans, Q_DEDUP_SPANS_SQL),
     "q_tfidf_keywords": (q_tfidf_keywords, Q_TFIDF_KEYWORDS_SQL),
     "q_graph_pagerank": (q_graph_pagerank, Q_GRAPH_PAGERANK_SQL),

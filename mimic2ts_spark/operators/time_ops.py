@@ -57,3 +57,36 @@ def clamp_floor(c: Column, lo: int = 0) -> Column:
     Parity: `x if x > 0 else 0` (/root/reference/src/mimic2ts/__init__.py:160-162).
     """
     return F.greatest(F.lit(lo).cast("long"), c)
+
+
+# --- ordered-fold smoothing (EMA) -----------------------------------------
+
+EMA_ALPHA_NUM = 1
+EMA_ALPHA_DEN = 8  # alpha = 1/8
+
+
+def ema_final(values_sorted: Column) -> Column:
+    """Final exponential moving average of an ORDERED double array as a
+    single left-to-right fold: ema' = ema + (v − ema)·(1/8), seeded 0.0.
+
+    Why a fold and not a window: the recurrence is inherently
+    sequential, but per KEY — `aggregate` over the key's sorted value
+    array runs it JVM-side in one pass with zero Python and zero extra
+    shuffles (the groupBy that built the array already co-located the
+    key). Float64 with a fixed op order is bit-identical to DuckDB's
+    list_reduce over the same ordering (CLAUDE.md: left-to-right only —
+    no reassociation exists in a fold)."""
+    return F.aggregate(
+        values_sorted,
+        F.lit(0.0),
+        lambda acc, v: acc + (v - acc) * (F.lit(EMA_ALPHA_NUM) / F.lit(EMA_ALPHA_DEN)),
+    )
+
+
+def sql_ema_final(list_expr: str) -> str:
+    """DuckDB mirror: list_reduce over the same ordered list, seeded by
+    prepending 0.0 (list_reduce has no init parameter)."""
+    return (
+        f"list_reduce(list_prepend(0.0, {list_expr}), "
+        f"(acc, v) -> acc + (v - acc) * ({EMA_ALPHA_NUM} / {EMA_ALPHA_DEN}.0))"
+    )

@@ -912,3 +912,56 @@ def test_transition_edges_deterministic_under_tied_order(spark):
     # grp 1 ordered: (10,100),(10,100),(20,100),(20,200) -> 100,100,100,200
     # (self-loops dropped); grp 2: 300,300 -> self-loop only
     assert edges == {(100, 200)}
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """State-merge over an arbitrary split == single-pass aggregate —
+    including keys present on only one side of the split."""
+    from mimic2ts_spark.operators.incremental import (
+        merge_mean_states,
+        partial_mean_state,
+    )
+
+    rows = [(1, "a", 1.25), (1, "a", 2.75), (1, "b", 3.0), (2, "a", -1.5)]
+    df = spark.createDataFrame(rows, "k long, t string, value double")
+    old = partial_mean_state(df.where("value < 2"), ["k", "t"])
+    delta = partial_mean_state(df.where("value >= 2"), ["k", "t"])
+    got = {
+        (r["k"], r["t"]): (r["n"], r["sum_cents"], r["mean"])
+        for r in merge_mean_states(old, delta, ["k", "t"]).collect()
+    }
+    assert got == {
+        (1, "a"): (2, 400, 2.0),
+        (1, "b"): (1, 300, 3.0),
+        (2, "a"): (1, -150, -1.5),
+    }
+
+
+def test_ema_fold_matches_python(spark):
+    """The JVM fold reproduces the left-to-right Python recurrence
+    bit-for-bit."""
+    from mimic2ts_spark.operators.time_ops import ema_final
+
+    vals = [3.0, 1.5, -2.25, 10.0, 0.125]
+    df = spark.createDataFrame([(vals,)], "v array<double>")
+    got = df.select(ema_final(F.col("v")).alias("e")).collect()[0]["e"]
+    ema = 0.0
+    for v in vals:
+        ema = ema + (v - ema) * (1 / 8)
+    assert got == ema  # exact float equality, fixed op order
+
+
+def test_zorder_buckets_are_local_in_both_dims(spark):
+    """Data-skipping contract: with 256 top-bit buckets over a uniform
+    grid, every bucket's span in EACH dimension is <= 1/16 of that
+    dimension's range (top 8 key bits = 4 high bits per dim)."""
+    from mimic2ts_spark.operators.layout import zorder_bucket_stats
+
+    rows = [(a, b) for a in range(0, 512, 8) for b in range(0, 128, 2)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    stats = zorder_bucket_stats(df, "a", "b", 8).collect()
+    a_span = 511 / 16 + 8  # normalization floor slack of one grid step
+    b_span = 127 / 16 + 2
+    for r in stats:
+        assert r["a_max"] - r["a_min"] <= a_span, r
+        assert r["b_max"] - r["b_min"] <= b_span, r

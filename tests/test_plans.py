@@ -632,6 +632,43 @@ def test_event_transitions_one_user_shuffle_then_wgl(utc):
     assert "BatchEvalPython" not in s
 
 
+def test_incremental_agg_pushes_both_cutoff_predicates(utc):
+    """State-merge must prune at the SCAN: the history side pushes
+    ts < cutoff and the delta side pushes ts >= cutoff (at 100 TB the
+    delta scan is the only fresh I/O). Union of two partial aggs +
+    one merge agg — no join anywhere."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_incremental_agg(utc, SF))
+    assert "PushedFilters: [IsNotNull(ts), LessThan(ts" in s, s
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in s, s
+    assert "Join" not in s, s
+
+
+def test_event_ema_single_shuffle_no_python(utc):
+    """The sequential EMA recurrence must run as a JVM fold: one
+    user_id exchange for the groupBy, zero Window nodes, zero Python
+    evaluation."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_event_ema(utc, SF))
+    assert _count(r"\(\d+\) Exchange", s) <= 2, s
+    assert _count(r"\(\d+\) Window", s) == 0
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_zorder_layout_scan_side_key_math(utc):
+    """The Morton key is per-row expression math over a 1-row broadcast
+    range scalar: exactly 2 lineitem scans (ranges + facts), no shuffle
+    join, and the stats agg is the only hash-partition exchange."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_zorder_layout(utc, SF))
+    assert _count(r"lineitem\.parquet", s) == 2, s
+    assert "SortMergeJoin" not in s
+    assert _count(r"hashpartitioning\(zbucket", s) == 1, s
+
+
 def test_registry_global_plan_invariants(utc):
     """Whole-registry regression net: NO query may plan a row-wise
     Python UDF (BatchEvalPython) or an undeclared all-pairs join.
@@ -647,6 +684,7 @@ def test_registry_global_plan_invariants(utc):
         "q_source_drift",    # 1-row total-token-count scalar cross join
         "q_search_bm25",     # 1-row corpus-totals (N, sum dl) cross join
         "q_tfidf_keywords",  # 1-row corpus-count scalar cross join
+        "q_zorder_layout",   # 1-row (min,max) range scalar cross join
     }
     skip = {"q_sink_partitioned", "q_source_jsonl", "q_source_orc"}
     problems = []
