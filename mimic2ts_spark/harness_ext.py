@@ -2019,6 +2019,26 @@ SELECT src, dst, n, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+def q_stream_kmv(spark, sf_dir):
+    """X94 — streaming KMV distinct-count sketch (streaming.py
+    kmv_stream): the stateful-stream form of q_sketch_kmv. State IS the
+    mergeable sketch (<= k smallest distinct codes per event_type), so
+    the drained result is batching-independent and bit-equals the batch
+    operator — whose DuckDB SQL is the oracle."""
+    from mimic2ts_spark.streaming import run_kmv_available_now
+
+    return run_kmv_available_now(spark, sf_dir)
+
+
+def _q_stream_kmv_sql():
+    from mimic2ts_spark.operators.sketch import kmv_sketch_sql
+
+    return kmv_sketch_sql("events", "event_type", "user_id")
+
+
+Q_STREAM_KMV_SQL = _q_stream_kmv_sql()
+
+
 INCR_CUTOFF = "2024-01-22 00:00:00"
 
 
@@ -2125,6 +2145,7 @@ EXT_REGISTRY = {
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).
+    "q_stream_kmv": (q_stream_kmv, Q_STREAM_KMV_SQL),
     "q_incremental_agg": (q_incremental_agg, Q_INCREMENTAL_AGG_SQL),
     "q_event_ema": (q_event_ema, Q_EVENT_EMA_SQL),
     "q_zorder_layout": (q_zorder_layout, Q_ZORDER_LAYOUT_SQL),

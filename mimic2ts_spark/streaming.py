@@ -673,3 +673,77 @@ def run_attribution_available_now(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- streaming KMV distinct-count sketch -----------------------------------
+
+_KMV_OUT = "event_type string, n_kept long, kth_code long, est_distinct double"
+_KMV_STATE = T.StructType([T.StructField("codes", T.ArrayType(T.LongType()))])
+
+
+def kmv_stream(stream: DataFrame, k: int = None) -> DataFrame:
+    """Streaming KMV cardinality sketch per event_type
+    (applyInPandasWithState): the state is EXACTLY the sketch — the <=k
+    smallest distinct md5-derived codes — so updates are a sorted-merge
+    truncation and the result is order- and batching-independent: the
+    drained stream bit-equals batch operators/sketch.py:kmv_sketch
+    (which is the DuckDB oracle). The code column is computed JVM-side
+    BEFORE the stateful operator; Python only merges int arrays.
+
+    Scale: O(k) state per group, one shuffle on the group key; this is
+    the sketch production streams keep per tenant/metric for live
+    distinct counts — and states from disjoint streams union by the
+    same min-k merge (mergeability is the KMV contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mimic2ts_spark.operators.sketch import CODE_SPACE, KMV_K
+
+    if k is None:
+        k = KMV_K
+
+    def fn(key, pdfs, state):
+        et = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                codes = sorted(state.get[0])
+                state.remove()
+                n = len(codes)
+                kth = codes[-1]
+                est = (
+                    float(n)
+                    if n < k
+                    else float(k - 1) / (float(kth) / CODE_SPACE)
+                )
+                yield pd.DataFrame(
+                    {
+                        "event_type": [et],
+                        "n_kept": [n],
+                        "kth_code": [kth],
+                        "est_distinct": [est],
+                    }
+                )
+            return
+        new = pd.concat(list(pdfs))["code"].to_numpy()
+        old = np.array(state.get[0], dtype=np.int64) if state.exists else np.array([], dtype=np.int64)
+        merged = np.unique(np.concatenate([old, new]))[:k]
+        state.update(([int(x) for x in merged],))
+        state.setTimeoutDuration(1000)
+        return
+        yield  # pragma: no cover — make fn a generator on the update path
+
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    prepped = stream.select(
+        "event_type", kmv_code(F.col("user_id")).alias("code")
+    )
+    return prepped.groupBy("event_type").applyInPandasWithState(
+        fn, _KMV_OUT, _KMV_STATE, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
+def run_kmv_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the streaming KMV sketch to its final static sketch rows."""
+    name = f"kmv_{uuid.uuid4().hex[:8]}"
+    return _drain_stateful(spark, kmv_stream(events_stream(spark, sf_dir)), name)

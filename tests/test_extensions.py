@@ -965,3 +965,21 @@ def test_zorder_buckets_are_local_in_both_dims(spark):
     for r in stats:
         assert r["a_max"] - r["a_min"] <= a_span, r
         assert r["b_max"] - r["b_min"] <= b_span, r
+
+
+def test_stream_kmv_equals_batch_sketch(spark):
+    """The drained streaming sketch must bit-equal the batch KMV
+    operator: state = the sketch, so batching can't change the result."""
+    from mimic2ts_spark.operators.sketch import kmv_sketch
+    from mimic2ts_spark.streaming import run_kmv_available_now
+
+    got = {
+        r["event_type"]: (r["n_kept"], r["kth_code"], r["est_distinct"])
+        for r in run_kmv_available_now(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = {
+        r["event_type"]: (r["n_kept"], r["kth_code"], r["est_distinct"])
+        for r in kmv_sketch(ev, ["event_type"], "user_id").collect()
+    }
+    assert got == want
