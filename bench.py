@@ -81,6 +81,8 @@ HEADLINE = [
     "q_incremental_agg",
     "q_event_ema",
     "q_zorder_layout",
+    "q_kmeans",
+    "q_dedup_semantic",
 ]
 
 

@@ -2019,6 +2019,49 @@ SELECT src, dst, n, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+SEMDEDUP_THRESHOLD = 0.45  # matches the synthetic embedding near-dup band (see q_dedup_embedding)
+
+
+def q_kmeans(spark, sf_dir):
+    """X95 — quantized integer-exact k-means (operators/kmeans.py): two
+    Lloyd rounds over the embeddings; output (cid, n, inertia) with
+    exact int64 inertia. Assignment = 8-row broadcast join + struct-min
+    hash agg; update = the posexplode (cid, dim) hash-agg shape; fixed
+    rounds keep lineage linear (no checkpoints)."""
+    from mimic2ts_spark.operators.kmeans import kmeans_cluster_stats
+
+    return kmeans_cluster_stats(_embs(spark, sf_dir))
+
+
+def _q_kmeans_sql():
+    from mimic2ts_spark.operators.kmeans import sql_kmeans_cluster_stats
+
+    return sql_kmeans_cluster_stats()
+
+
+Q_KMEANS_SQL = _q_kmeans_sql()
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """X96 — SemDeDup (Abbas et al. 2023): k-means clusters as the
+    blocking key, exact-cosine pairwise only within clusters — the
+    clustering-blocked scale path that turns corpus-wide O(n²) into
+    Σ O(|cluster|²). k must grow with the corpus (k ≈ n / target
+    cluster size); the harness pins k=8 for the oracle."""
+    from mimic2ts_spark.operators.kmeans import semantic_near_dup_pairs
+
+    return semantic_near_dup_pairs(_embs(spark, sf_dir), SEMDEDUP_THRESHOLD)
+
+
+def _q_dedup_semantic_sql():
+    from mimic2ts_spark.operators.kmeans import sql_semantic_near_dup_pairs
+
+    return sql_semantic_near_dup_pairs(SEMDEDUP_THRESHOLD)
+
+
+Q_DEDUP_SEMANTIC_SQL = _q_dedup_semantic_sql()
+
+
 def q_stream_kmv(spark, sf_dir):
     """X94 — streaming KMV distinct-count sketch (streaming.py
     kmv_stream): the stateful-stream form of q_sketch_kmv. State IS the
@@ -2145,6 +2188,8 @@ EXT_REGISTRY = {
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).
+    "q_kmeans": (q_kmeans, Q_KMEANS_SQL),
+    "q_dedup_semantic": (q_dedup_semantic, Q_DEDUP_SEMANTIC_SQL),
     "q_stream_kmv": (q_stream_kmv, Q_STREAM_KMV_SQL),
     "q_incremental_agg": (q_incremental_agg, Q_INCREMENTAL_AGG_SQL),
     "q_event_ema": (q_event_ema, Q_EVENT_EMA_SQL),

@@ -1,0 +1,248 @@
+"""Integer-exact quantized k-means (Lloyd iterations) and SemDeDup-style
+semantic dedup (Abbas et al. 2023: cluster the embedding space, then
+pairwise-compare only within clusters).
+
+Why quantized: Lloyd's update is a float mean — a distributed sum whose
+accumulation order Spark does not fix, so float centroids can't meet the
+bit-exact oracle contract (CLAUDE.md). Instead every embedding is
+quantized once to integer units (floor(v · 2^20) — exact on float32
+inputs in both engines) and the centroid update is the FLOOR-DIV mean
+(sum div count, per dimension): integer in, integer out, order-free.
+Quantization error is ≤ 2^-20 of the coordinate range per update —
+semantically irrelevant for clustering, decisive for reproducibility.
+Distances are int64-safe: 64 dims · (2·2^20)^2 ≈ 2^48.
+
+Shape at scale:
+- assignment: the centroid table is k rows — a broadcast join; the
+  argmin is a lexicographic struct-min hash aggregate (map-side
+  partials), not a window. One shuffle on vec_id per round.
+- update: the per-dim sums reuse the posexplode + (cid, dim) hash-agg
+  shape of embedding_stats — map-side combine absorbs the 64× fan-out.
+- rounds are FIXED (2) ⇒ linear lineage, no checkpointing needed.
+- semantic near-dup: the final clusters are the blocking key — the
+  pairwise cosine self-join runs per cluster, turning the corpus-wide
+  O(n²) into Σ O(|cluster|²), the entire point of SemDeDup.
+
+Empty clusters simply drop out of the next centroid table (both engines
+derive them from the same assignment, so the oracle stays exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1 << 20  # integer units per 1.0 of embedding coordinate
+KM_K = 8         # centroids
+KM_ROUNDS = 2    # Lloyd updates (fixed — lineage stays linear)
+
+
+def quantize(vec: Column) -> Column:
+    """float32 array → int64 units: floor(double(v) · 2^20), exact in
+    Spark and DuckDB (floor then cast; DuckDB CAST alone would round)."""
+    return F.transform(vec, lambda v: F.floor(v.cast("double") * F.lit(QUANT)))
+
+
+def _dist2(x: Column, m: Column) -> Column:
+    d = F.zip_with(x, m, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(d, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, x, cid): nearest centroid by exact int distance;
+    ties break to the lowest cid via lexicographic struct-min."""
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "x", F.struct(_dist2(F.col("x"), F.col("m")).alias("d"), "cid").alias("s")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("s").alias("s"), F.first("x").alias("x"))
+        .select("vec_id", "x", F.col("s.cid").alias("cid"), F.col("s.d").alias("d"))
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """(cid, m): floor-div mean per dimension."""
+    # floor-div via double division + floor on BOTH engines: Spark `div`
+    # truncates toward zero but DuckDB `//` floors, and per-dim sums go
+    # NEGATIVE here. s and n are ≪ 2^53 and true quotients are rationals
+    # with denominator n, never within an ulp of an integer unless exact,
+    # so floor(double(s)/n) is the same integer in both engines.
+    per_dim = (
+        assigned.select("cid", F.posexplode("x").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cid",
+            "dim",
+            F.floor(F.col("s").cast("double") / F.col("n")).alias("mv"),
+        )
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mv"))), lambda s: s["mv"]
+        ).alias("m")
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = KM_K,
+    rounds: int = KM_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cid, d): cluster assignment (and final int distance)
+    after `rounds` quantized Lloyd updates seeded by the k lowest-id
+    vectors (the oracle contract forbids trainable state; the ITERATION
+    is the machinery under test — contrast ivf_topk's static seeds)."""
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
+    ).persist()
+    cents = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("x").alias("m"))
+    )
+    assigned = _assign(base, cents)
+    for _ in range(rounds):
+        cents = _update(assigned)
+        assigned = _assign(base, cents)
+    return assigned.select("vec_id", "cid", "d")
+
+
+def kmeans_cluster_stats(
+    vectors: DataFrame, k: int = KM_K, rounds: int = KM_ROUNDS
+) -> DataFrame:
+    """(cid, n, inertia): cluster sizes and exact integer inertia after
+    the fixed Lloyd rounds — the convergence scoreboard."""
+    a = kmeans_assign(vectors, k, rounds)
+    return a.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("d").alias("inertia")
+    )
+
+
+def semantic_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    k: int = KM_K,
+    rounds: int = KM_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: (vec_a, vec_b, cid, cosine) for same-cluster pairs with
+    cosine ≥ threshold. The cluster id is the blocking key of the
+    pairwise join; cosine uses the exact float64 expression shared with
+    the ANN oracle paths. Misses only pairs k-means separates — the
+    accepted recall trade of clustering-blocked dedup (X24's LSH path
+    is the recall-bounded alternative)."""
+    from mimic2ts_spark.operators.similarity import cosine
+
+    a = kmeans_assign(vectors, k, rounds, id_col, vec_col)
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    sides = a.select("vec_id", "cid").join(v, "vec_id")
+    lhs = sides.select(
+        F.col("vec_id").alias("vec_a"), F.col("cid"), F.col("vec").alias("va")
+    )
+    rhs = sides.select(
+        F.col("vec_id").alias("vec_b"), F.col("cid"), F.col("vec").alias("vb")
+    )
+    pairs = lhs.join(rhs, "cid").where(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a", "vec_b", "cid", cosine(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+# --- SQL mirrors -----------------------------------------------------------
+
+
+def _sql_quant(vec: str) -> str:
+    return (
+        f"list_transform({vec}, v -> CAST(floor(CAST(v AS DOUBLE) * {QUANT}) AS BIGINT))"
+    )
+
+
+_SQL_DIST = (
+    "list_aggregate(list_transform(generate_series(1, len(x)), "
+    "i -> (x[i] - m[i]) * (x[i] - m[i])), 'sum')"
+)
+
+
+def _sql_assign(base: str, cents: str) -> str:
+    return f"""(
+    SELECT vec_id, x, cid, d FROM (
+        SELECT b.vec_id, b.x, c.cid, {_SQL_DIST} AS d,
+               row_number() OVER (
+                   PARTITION BY b.vec_id ORDER BY {_SQL_DIST}, c.cid
+               ) AS rn
+        FROM {base} b CROSS JOIN {cents} c
+    ) WHERE rn = 1
+)"""
+
+
+def _sql_update(assigned: str) -> str:
+    return f"""(
+    SELECT cid, list(mv ORDER BY dim) AS m FROM (
+        SELECT a.cid, g.i AS dim,
+               CAST(floor(CAST(sum(a.x[CAST(g.i AS INTEGER)]) AS DOUBLE)
+                          / count(*)) AS BIGINT) AS mv
+        FROM {assigned} a, unnest(generate_series(1, len(a.x))) AS g(i)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+)"""
+
+
+def sql_kmeans_assign(
+    table: str = "embeddings",
+    k: int = KM_K,
+    rounds: int = KM_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Unrolled CTE mirror of kmeans_assign (same quantization, same
+    floor-div update, same (d, cid) tie-break)."""
+    parts = [
+        f"base AS (SELECT {id_col} AS vec_id, {_sql_quant(vec_col)} AS x FROM {table})",
+        f"c0 AS (SELECT vec_id AS cid, x AS m FROM base ORDER BY vec_id LIMIT {k})",
+        f"a0 AS {_sql_assign('base', 'c0')}",
+    ]
+    for r in range(rounds):
+        parts.append(f"c{r + 1} AS {_sql_update(f'a{r}')}")
+        parts.append(f"a{r + 1} AS {_sql_assign('base', f'c{r + 1}')}")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cid, d FROM a{rounds}"
+
+
+def sql_kmeans_cluster_stats(
+    table: str = "embeddings", k: int = KM_K, rounds: int = KM_ROUNDS
+) -> str:
+    inner = sql_kmeans_assign(table, k, rounds)
+    return (
+        f"SELECT cid, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum(d) AS BIGINT) AS inertia FROM ({inner}) GROUP BY cid"
+    )
+
+
+def sql_semantic_near_dup_pairs(
+    threshold: float,
+    table: str = "embeddings",
+    k: int = KM_K,
+    rounds: int = KM_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    from mimic2ts_spark.operators.similarity import sql_cosine
+
+    assign = sql_kmeans_assign(table, k, rounds, id_col, vec_col)
+    cos = sql_cosine("l.vec", "r.vec")
+    return f"""
+WITH sides AS (
+    SELECT a.vec_id, a.cid, t.{vec_col} AS vec
+    FROM ({assign}) a JOIN {table} t ON a.vec_id = t.{id_col}
+)
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.cid, {cos} AS cosine
+FROM sides l JOIN sides r ON l.cid = r.cid AND l.vec_id < r.vec_id
+WHERE {cos} >= {threshold}
+"""

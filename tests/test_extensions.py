@@ -983,3 +983,50 @@ def test_stream_kmv_equals_batch_sketch(spark):
         for r in kmv_sketch(ev, ["event_type"], "user_id").collect()
     }
     assert got == want
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Two well-separated blobs, seeds one per blob -> after the Lloyd
+    rounds every point sits with its blob and inertia is the exact
+    integer sum of quantized distances."""
+    from mimic2ts_spark.operators.kmeans import kmeans_assign
+
+    # seeding is the k lowest ids — id 0 in blob A, id 1 in blob B puts
+    # one seed per blob (Lloyd then just tightens each centroid)
+    rows = [
+        (0, [1.0, 1.0, 0.0]),
+        (1, [-1.0, -1.0, 0.5]),
+        (2, [1.1, 0.9, 0.0]),
+        (3, [-1.1, -0.9, 0.5]),
+        (4, [0.9, 1.1, 0.0]),
+        (5, [-0.9, -1.1, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cid"] for r in kmeans_assign(df, k=2, rounds=2).collect()}
+    assert len({got[0], got[2], got[4]}) == 1
+    assert len({got[1], got[3], got[5]}) == 1
+    assert got[0] != got[1]
+
+
+def test_semantic_pairs_subset_of_bruteforce(spark, embs):
+    """Cluster blocking may MISS pairs but can never invent one: every
+    SemDeDup pair must appear in the unblocked X5 pair set with the
+    identical cosine, and on this fixture recall should be useful."""
+    from mimic2ts_spark.operators.kmeans import semantic_near_dup_pairs
+
+    # k=2: coarse blocking — the recall/precision trade is dialable by k
+    # (finer clusters block away more of the 0.45 band on these near-
+    # random synthetic vectors; the harness pins k=8 and accepts that)
+    sem = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in semantic_near_dup_pairs(embs, 0.45, k=2).collect()
+    }
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in S.embedding_near_dup_pairs(embs, threshold=0.45).collect()
+    }
+    assert set(sem) <= set(brute)
+    for p, c in sem.items():
+        assert c == brute[p]  # identical exact-cosine expression
+    if brute:
+        assert len(sem) / len(brute) >= 0.3, (len(sem), len(brute))

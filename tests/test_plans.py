@@ -669,6 +669,20 @@ def test_zorder_layout_scan_side_key_math(utc):
     assert _count(r"hashpartitioning\(zbucket", s) == 1, s
 
 
+def test_kmeans_persisted_base_no_cartesian(utc):
+    """The Lloyd loop must reuse ONE persisted quantized base
+    (InMemoryTableScan in every round's assignment — never a re-scan
+    lineage per round) and the only join is the k-row centroid
+    broadcast: no CartesianProduct, no SortMergeJoin, no Python."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_kmeans(utc, SF))
+    assert "InMemoryTableScan" in s, "quantized base not persisted"
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
 def test_registry_global_plan_invariants(utc):
     """Whole-registry regression net: NO query may plan a row-wise
     Python UDF (BatchEvalPython) or an undeclared all-pairs join.
@@ -685,6 +699,8 @@ def test_registry_global_plan_invariants(utc):
         "q_search_bm25",     # 1-row corpus-totals (N, sum dl) cross join
         "q_tfidf_keywords",  # 1-row corpus-count scalar cross join
         "q_zorder_layout",   # 1-row (min,max) range scalar cross join
+        "q_kmeans",          # k-row centroid broadcast cross join (declared)
+        "q_dedup_semantic",  # same centroid cross join inside kmeans_assign
     }
     skip = {"q_sink_partitioned", "q_source_jsonl", "q_source_orc"}
     problems = []
