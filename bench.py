@@ -83,6 +83,8 @@ HEADLINE = [
     "q_zorder_layout",
     "q_kmeans",
     "q_dedup_semantic",
+    "q_skew_report",
+    "q_quality_gate",
 ]
 
 

@@ -2019,6 +2019,108 @@ SELECT src, dst, n, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+SKEW_TOP_K = 10
+SKEW_SCALE = 1000  # per-mille
+
+
+def q_skew_report(spark, sf_dir):
+    """X97 — key-skew diagnostics: the pre-join report that decides
+    broadcast vs salt vs AQE-split. Per-key counts (one hash-agg over
+    the fact), global top-10 hottest keys as TakeOrderedAndProject, and
+    each key's integer per-mille share of total rows via a 1-row scalar
+    broadcast. Output (key, n, permille)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_suppkey")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = li.select(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key", "n", F.expr(f"({SKEW_SCALE} * n) div total").alias("permille")
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(SKEW_TOP_K)
+    )
+
+
+Q_SKEW_REPORT_SQL = f"""
+WITH c AS (
+    SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem)
+SELECT key, n, CAST(({SKEW_SCALE} * n) // total AS BIGINT) AS permille
+FROM c, t
+ORDER BY n DESC, key LIMIT {SKEW_TOP_K}
+"""
+
+
+def q_quality_gate(spark, sf_dir):
+    """X98 — data-quality gate: typed validation rules evaluated in ONE
+    scan, reported long-form as (rule, n_violations) plus the
+    'any'-quarantine row — the admission check a production pipeline
+    runs before letting a batch into the lake. Rules are native boolean
+    Columns folded through a stack() unpivot: no second scan per rule,
+    no Python. Rule bounds are pinned against the synthetic
+    distribution so every rule actually fires (an all-zero report
+    would only test the plumbing)."""
+    ev = _h._t(spark, sf_dir, "events").select("user_id", "event_type", "value", "ts")
+    rules = {
+        "value_null": F.col("value").isNull(),
+        "value_out_of_range": F.col("value").isNotNull()
+        & ~F.col("value").between(0.0, 250.0),
+        "bad_event_type": ~F.col("event_type").isin(
+            "click", "view", "purchase", "signup"
+        ),
+        "user_null": F.col("user_id").isNull(),
+        "ts_out_of_window": ~F.col("ts").between("2024-01-03", "2030-01-01"),
+    }
+    flagged = ev.select(
+        *[v.cast("int").alias(k) for k, v in rules.items()],
+        F.greatest(*[v.cast("int") for v in rules.values()]).alias("any_rule"),
+    )
+    cols = [*rules.keys(), "any_rule"]
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    return (
+        flagged.select(
+            F.expr(f"stack({len(cols)}, {stack}) AS (rule, hit)")
+        )
+        .groupBy("rule")
+        .agg(F.sum("hit").cast("long").alias("n_violations"))
+    )
+
+
+Q_QUALITY_GATE_SQL = """
+WITH f AS (
+    SELECT CASE WHEN value IS NULL THEN 1 ELSE 0 END AS value_null,
+           CASE WHEN value IS NOT NULL
+                     AND NOT (value BETWEEN 0.0 AND 250.0) THEN 1 ELSE 0 END
+               AS value_out_of_range,
+           CASE WHEN event_type NOT IN
+                     ('click','view','purchase','signup')
+                THEN 1 ELSE 0 END AS bad_event_type,
+           CASE WHEN user_id IS NULL THEN 1 ELSE 0 END AS user_null,
+           CASE WHEN NOT (ts BETWEEN TIMESTAMP '2024-01-03'
+                                 AND TIMESTAMP '2030-01-01')
+                THEN 1 ELSE 0 END AS ts_out_of_window
+    FROM events
+),
+lf AS (
+    SELECT u.rule, u.hit FROM f, LATERAL (VALUES
+        ('value_null', value_null),
+        ('value_out_of_range', value_out_of_range),
+        ('bad_event_type', bad_event_type),
+        ('user_null', user_null),
+        ('ts_out_of_window', ts_out_of_window),
+        ('any_rule', greatest(value_null, value_out_of_range,
+                              bad_event_type, user_null, ts_out_of_window))
+    ) AS u(rule, hit)
+)
+SELECT rule, CAST(sum(hit) AS BIGINT) AS n_violations FROM lf GROUP BY 1
+"""
+
+
 SEMDEDUP_THRESHOLD = 0.45  # matches the synthetic embedding near-dup band (see q_dedup_embedding)
 
 
@@ -2188,6 +2290,8 @@ EXT_REGISTRY = {
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).
+    "q_skew_report": (q_skew_report, Q_SKEW_REPORT_SQL),
+    "q_quality_gate": (q_quality_gate, Q_QUALITY_GATE_SQL),
     "q_kmeans": (q_kmeans, Q_KMEANS_SQL),
     "q_dedup_semantic": (q_dedup_semantic, Q_DEDUP_SEMANTIC_SQL),
     "q_stream_kmv": (q_stream_kmv, Q_STREAM_KMV_SQL),

@@ -669,6 +669,28 @@ def test_zorder_layout_scan_side_key_math(utc):
     assert _count(r"hashpartitioning\(zbucket", s) == 1, s
 
 
+def test_skew_report_take_ordered(utc):
+    """The global top-10 must be TakeOrderedAndProject (per-partition
+    heaps), never a full sort of the per-key counts."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_skew_report(utc, SF))
+    assert "TakeOrderedAndProject" in s
+    assert _count(r"\(\d+\) Sort\b", s) == 0, s
+
+
+def test_quality_gate_one_scan(utc):
+    """Every rule must evaluate in the SAME scan: one parquet scan, one
+    Expand/stack, one aggregate exchange — a scan per rule is the
+    anti-pattern this operator exists to avoid."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_quality_gate(utc, SF))
+    assert _count(r"\(\d+\) Scan parquet", s) == 1, s
+    assert "Join" not in s
+    assert "BatchEvalPython" not in s
+
+
 def test_kmeans_persisted_base_no_cartesian(utc):
     """The Lloyd loop must reuse ONE persisted quantized base
     (InMemoryTableScan in every round's assignment — never a re-scan
@@ -701,6 +723,7 @@ def test_registry_global_plan_invariants(utc):
         "q_zorder_layout",   # 1-row (min,max) range scalar cross join
         "q_kmeans",          # k-row centroid broadcast cross join (declared)
         "q_dedup_semantic",  # same centroid cross join inside kmeans_assign
+        "q_skew_report",     # 1-row total-count scalar cross join
     }
     skip = {"q_sink_partitioned", "q_source_jsonl", "q_source_orc"}
     problems = []
