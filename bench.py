@@ -96,6 +96,16 @@ def main() -> None:
 
     # Warm JVM JIT + codegen on the exact plan shapes at the smallest sf so
     # measured times reflect steady-state execution, not first-run compile.
+    # Warm the OS page cache for the target-sf files too: cold-cache
+    # first-touch I/O otherwise lands on whichever queries run first
+    # (measured 4x one-shot inflation on the early events-table queries),
+    # and best-of-3 within one ordering can't average it away.
+    for entry in os.scandir(sf_dir):
+        if entry.is_file():
+            with open(entry.path, "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
     warm_sf = "/root/testdata/sf0.001"
     for name in HEADLINE:
         fn, _ = harness.REGISTRY[name]

@@ -136,23 +136,56 @@ def semantic_near_dup_pairs(
     the ANN oracle paths. Misses only pairs k-means separates — the
     accepted recall trade of clustering-blocked dedup (X24's LSH path
     is the recall-bounded alternative)."""
-    from mimic2ts_spark.operators.similarity import cosine
+    import numpy as np
+    import pandas as pd
 
     a = kmeans_assign(vectors, k, rounds, id_col, vec_col)
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    sides = a.select("vec_id", "cid").join(v, "vec_id")
-    lhs = sides.select(
-        F.col("vec_id").alias("vec_a"), F.col("cid"), F.col("vec").alias("va")
-    )
-    rhs = sides.select(
-        F.col("vec_id").alias("vec_b"), F.col("cid"), F.col("vec").alias("vb")
-    )
-    pairs = lhs.join(rhs, "cid").where(F.col("vec_a") < F.col("vec_b"))
-    return (
-        pairs.select(
-            "vec_a", "vec_b", "cid", cosine(F.col("va"), F.col("vb")).alias("cosine")
+    grouped = a.select("vec_id", "cid").join(v, "vec_id")
+
+    # Per-cluster Arrow gram kernel (applyInPandas): the cluster IS the
+    # SemDeDup unit of work — the paper sizes clusters to a batch, and k
+    # growing with the corpus bounds |cluster| (a huge cluster means k is
+    # too small, not that this operator needs sub-blocking). The join-
+    # shaped alternative (pair rows + per-pair cosine expression) paid
+    # ~5s at sf0.1 in interpreted HOF evaluation for the same math.
+    # Accumulation is the dim-by-dim left-to-right loop shared with
+    # similarity.py's kernels, so cosines bit-match sql_cosine; the
+    # neighbor axis is tiled to keep the accumulator cache-resident.
+    TILE = 1024
+
+    def score(key, pdf):
+        cid = int(key[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        n = len(ids)
+        norm2 = np.zeros(n, dtype=np.float64)
+        for d in range(mat.shape[1]):  # left-to-right, matches SQL_DOT
+            norm2 += mat[:, d] * mat[:, d]
+        norms = np.sqrt(norm2)
+        out_a, out_b, out_c = [], [], []
+        for t0 in range(0, n, TILE):
+            t1 = min(t0 + TILE, n)
+            dot = np.zeros((n, t1 - t0), dtype=np.float64)
+            for d in range(mat.shape[1]):
+                dot += mat[:, d, None] * mat[None, t0:t1, d]
+            cos = dot / (norms[:, None] * norms[None, t0:t1])
+            keep = (ids[:, None] < ids[None, t0:t1]) & (cos >= threshold)
+            ai, bj = np.nonzero(keep)
+            out_a.append(ids[ai])
+            out_b.append(ids[t0:t1][bj])
+            out_c.append(cos[ai, bj])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                "vec_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                "cid": cid,
+                "cosine": np.concatenate(out_c) if out_c else np.array([], np.float64),
+            }
         )
-        .where(F.col("cosine") >= threshold)
+
+    return grouped.groupBy("cid").applyInPandas(
+        score, schema="vec_a long, vec_b long, cid long, cosine double"
     )
 
 
