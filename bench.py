@@ -85,6 +85,8 @@ HEADLINE = [
     "q_dedup_semantic",
     "q_skew_report",
     "q_quality_gate",
+    "q_rolling_actives",
+    "q_winsorize",
 ]
 
 

@@ -2019,6 +2019,110 @@ SELECT src, dst, n, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+ROLLING_WINDOW_DAYS = 7
+
+
+def q_rolling_actives(spark, sf_dir):
+    """X99 — rolling 7-day distinct active users per day: the
+    engagement-dashboard staple that needs distinct-over-a-sliding-set
+    (NOT a sum — windows overlap, so per-day counts can't be added).
+    Exact form: dedup to (user, day) — the only pass that sees raw
+    volume — then explode each active day to the ≤7 window days it
+    contributes to (a bounded 7× fan-out of the already-tiny distinct
+    set) and count distinct users per window day. Days with no history
+    before them still report (partial leading windows included).
+    Output (day, n_active)."""
+    ev = _h._t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    ud = ev.distinct()
+    contributed = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(day, date_add(day, {ROLLING_WINDOW_DAYS - 1}))"
+            )
+        ).alias("win_day"),
+    )
+    # clip to days that actually occur (no phantom trailing days)
+    days = ev.select("day").distinct().withColumnRenamed("day", "win_day")
+    return (
+        contributed.join(days, "win_day")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .select(F.col("win_day").cast("string").alias("day"), "n_active")
+    )
+
+
+Q_ROLLING_ACTIVES_SQL = f"""
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS win_day FROM events),
+contributed AS (
+    SELECT user_id, day + CAST(g.i AS INTEGER) AS win_day
+    FROM ud, unnest(range({ROLLING_WINDOW_DAYS})) AS g(i)
+)
+SELECT CAST(c.win_day AS VARCHAR) AS day,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
+FROM contributed c JOIN days d ON c.win_day = d.win_day
+GROUP BY 1
+"""
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def q_winsorize(spark, sf_dir):
+    """X100 — per-group winsorization: clip values at the exact
+    interpolated p05/p95 (the outlier-trim preprocessing pass), report
+    per event_type (n, n_clipped_lo, n_clipped_hi, integer-cents mean
+    of the clipped values). The cut points come from ONE exact-quantile
+    aggregate (the q_quantiles shape) broadcast back onto the fact —
+    group count is tiny, fact never re-shuffles beyond its one agg."""
+    ev = _h._t(spark, sf_dir, "events").select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        "value",
+        F.greatest("lo", F.least("hi", F.col("value"))).alias("w"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clipped_lo"),
+        F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clipped_hi"),
+        F.sum(F.expr("CAST(round(w * 100) AS BIGINT)")).alias("sum_cents"),
+    )
+
+
+Q_WINSORIZE_SQL = f"""
+WITH cuts AS (
+    SELECT event_type,
+           quantile_cont(value, {WINSOR_LO}) AS lo,
+           quantile_cont(value, {WINSOR_HI}) AS hi
+    FROM events GROUP BY 1
+),
+clipped AS (
+    SELECT e.event_type, c.lo, c.hi, e.value,
+           greatest(c.lo, least(c.hi, e.value)) AS w
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_lo,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_hi,
+       CAST(sum(CAST(round(w * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM clipped
+GROUP BY 1
+"""
+
+
 SKEW_TOP_K = 10
 SKEW_SCALE = 1000  # per-mille
 
@@ -2290,6 +2394,8 @@ EXT_REGISTRY = {
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).
+    "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),
+    "q_winsorize": (q_winsorize, Q_WINSORIZE_SQL),
     "q_skew_report": (q_skew_report, Q_SKEW_REPORT_SQL),
     "q_quality_gate": (q_quality_gate, Q_QUALITY_GATE_SQL),
     "q_kmeans": (q_kmeans, Q_KMEANS_SQL),

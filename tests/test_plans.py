@@ -669,6 +669,32 @@ def test_zorder_layout_scan_side_key_math(utc):
     assert _count(r"hashpartitioning\(zbucket", s) == 1, s
 
 
+def test_winsorize_broadcast_cuts(utc):
+    """The per-group cut points must come back as a BROADCAST join (the
+    cut table is |groups| rows); the fact is scanned for cuts + clip
+    (2 scans), never shuffled for the join."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_winsorize(utc, SF))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert _count(r"\(\d+\) Scan parquet", s) == 2, s
+
+
+def test_rolling_actives_bounded_fanout_no_cartesian(utc):
+    """The sliding-distinct explode is the bounded 7x fan-out of the
+    DEDUPED (user, day) set — applied after the distinct aggregate, not
+    to raw events — and the day-clip join must not be a nested loop."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_rolling_actives(utc, SF))
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+    assert "Generate" in s
+    # (user, day) distinct agg + day-dim distinct + final count-distinct
+    # (each two-phase) — the dedup-then-explode structure
+    assert _count(r"HashAggregate", s) >= 5, s
+
+
 def test_skew_report_take_ordered(utc):
     """The global top-10 must be TakeOrderedAndProject (per-partition
     heaps), never a full sort of the per-key counts."""
