@@ -87,6 +87,7 @@ HEADLINE = [
     "q_quality_gate",
     "q_rolling_actives",
     "q_winsorize",
+    "q_bpe_train",
 ]
 
 

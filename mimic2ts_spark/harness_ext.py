@@ -2019,6 +2019,28 @@ SELECT src, dst, n, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+def q_bpe_train(spark, sf_dir):
+    """X101 — BPE tokenizer-training rounds (operators/bpe.py): two
+    pair-count → argmax → greedy-merge rounds over the corpus word
+    counts. The weighted pair wordcount is the only heavy pass (hash-agg
+    over the persisted vocab table); each round's merge rule is a 1-row
+    TakeOrdered collected into the next plan as a literal — exactly a
+    real tokenizer's merge table. Output: the learned merges plus the
+    strictly-decreasing corpus symbol count."""
+    from mimic2ts_spark.operators.bpe import bpe_train_summary
+
+    return bpe_train_summary(_docs(spark, sf_dir))
+
+
+def _q_bpe_train_sql():
+    from mimic2ts_spark.operators.bpe import sql_bpe_train_summary
+
+    return sql_bpe_train_summary()
+
+
+Q_BPE_TRAIN_SQL = _q_bpe_train_sql()
+
+
 ROLLING_WINDOW_DAYS = 7
 
 
@@ -2394,6 +2416,7 @@ EXT_REGISTRY = {
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).
+    "q_bpe_train": (q_bpe_train, Q_BPE_TRAIN_SQL),
     "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),
     "q_winsorize": (q_winsorize, Q_WINSORIZE_SQL),
     "q_skew_report": (q_skew_report, Q_SKEW_REPORT_SQL),

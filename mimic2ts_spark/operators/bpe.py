@@ -1,0 +1,197 @@
+"""BPE tokenizer-training rounds (Sennrich et al. 2016): the pair-count
+→ argmax → greedy-merge loop, distributed and bit-exact cross-engine.
+
+What a training run actually does at corpus scale: the expensive pass is
+counting adjacent symbol pairs over every word occurrence — a classic
+weighted wordcount (map-side combined hash-agg over the word-count
+table, which is itself the only pass that sees raw volume). The argmax
+is a 1-row TakeOrdered; applying the merge rule is a per-row fold over
+each word's symbol array. State per round = one (pair) literal — the
+merge table of a real tokenizer — so a fixed number of rounds keeps
+lineage linear over the persisted word-count base.
+
+Greedy merge semantics (the standard): occurrences are merged
+left-to-right and a symbol produced by THIS round's merge never
+re-merges with the following symbol ('aaa' + rule (a,a) → ('aa','a')).
+Implemented as a single fold carrying (out, last-was-merged); the DuckDB
+mirror encodes the same fold over a plain VARCHAR list (flag sentinel at
+index 1) because DuckDB 1.0's list_reduce mis-executes struct
+accumulators produced by list_transform (returns the last element
+unreduced — verified in this environment; the flag-list form is
+bit-equivalent).
+
+Determinism: pair keys are `a || US || b` strings (US = \\x1f, absent
+from the corpus), tie-break on (count DESC, key ASC) — identical ASCII
+ordering in both engines. The per-round argmax is collected to the
+driver (1 bounded row, like the IVF centroid seeds) so the next round's
+merge rule is a literal in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators.text import SQL_TOKENS, tokens
+
+US = "\x1f"
+BPE_ROUNDS = 2
+
+
+def word_symbol_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt, syms): corpus word counts with char-symbol arrays —
+    the only pass over raw text; everything after runs on the
+    vocabulary-sized table."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select("word", "cnt", F.split("word", "").alias("syms"))
+    )
+
+
+def pair_counts(wsc: DataFrame) -> DataFrame:
+    """(pk, total): weighted adjacent-pair counts; pk = a||US||b."""
+    n = F.size("syms")
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, n - 1),
+        F.slice(F.col("syms"), 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(US), y),
+    )
+    return (
+        wsc.select("cnt", F.explode(pairs).alias("pk"))
+        .groupBy("pk")
+        .agg(F.sum("cnt").alias("total"))
+    )
+
+
+def best_pair(wsc: DataFrame) -> tuple[str, str, int]:
+    """argmax pair under the deterministic (total DESC, pk ASC) order —
+    ONE collected row (the merge rule becomes a plan literal)."""
+    row = pair_counts(wsc).orderBy(F.desc("total"), "pk").limit(1).collect()[0]
+    a, b = row["pk"].split(US)
+    return a, b, int(row["total"])
+
+
+def merged_syms(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right single-rule merge as a fold carrying
+    (out: array<string>, lm: last-was-merged)."""
+    init = F.expr("named_struct('out', CAST(array() AS array<string>), 'lm', false)")
+
+    def step(acc, s):
+        cond = (
+            (F.size(acc["out"]) > 0)
+            & (~acc["lm"])
+            & (F.element_at(acc["out"], -1) == F.lit(a))
+            & (s == F.lit(b))
+        )
+        merged = F.struct(
+            F.concat(
+                F.slice(acc["out"], F.lit(1), F.size(acc["out"]) - 1),
+                F.array(F.lit(a + b)),
+            ).alias("out"),
+            F.lit(True).alias("lm"),
+        )
+        kept = F.struct(
+            F.concat(acc["out"], F.array(s)).alias("out"),
+            F.lit(False).alias("lm"),
+        )
+        return F.when(cond, merged).otherwise(kept)
+
+    return F.aggregate(syms, init, step)["out"]
+
+
+def bpe_train_summary(
+    df: DataFrame, rounds: int = BPE_ROUNDS, text_col: str = "text"
+) -> DataFrame:
+    """(round, sym_a, sym_b, pair_count, total_syms_after): the learned
+    merge table plus the corpus symbol count after each round (the
+    compression scoreboard — total_syms_after strictly decreases by
+    pair_count each round by construction)."""
+    spark = df.sparkSession
+    wsc = word_symbol_counts(df, text_col).persist()
+    summaries = []
+    for r in range(rounds):
+        a, b, total = best_pair(wsc)
+        wsc = wsc.select(
+            "word", "cnt", merged_syms(F.col("syms"), a, b).alias("syms")
+        )
+        summaries.append(
+            wsc.agg(
+                F.sum(F.size("syms") * F.col("cnt")).cast("long").alias(
+                    "total_syms_after"
+                )
+            ).select(
+                F.lit(r).cast("int").alias("round"),
+                F.lit(a).alias("sym_a"),
+                F.lit(b).alias("sym_b"),
+                F.lit(total).cast("long").alias("pair_count"),
+                "total_syms_after",
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+# --- SQL mirror ------------------------------------------------------------
+
+
+def _sql_fold(prev: str, b: str) -> str:
+    """The flag-encoded greedy merge fold (see module docstring)."""
+    return f"""(
+    SELECT word, cnt, list_slice(f, 2, len(f)) AS syms FROM (
+        SELECT w.word, w.cnt,
+               list_reduce(
+                   list_transform(w.syms, s -> ['0', s]),
+                   (acc, x) -> CASE
+                       WHEN len(acc) - 1 > 0 AND acc[1] = '0'
+                            AND acc[-1] = {b}.ma AND x[2] = {b}.mb
+                       THEN list_concat(['1'],
+                            list_concat(list_slice(acc, 2, len(acc) - 1),
+                                        [{b}.ma || {b}.mb]))
+                       ELSE list_concat(['0'],
+                            list_concat(list_slice(acc, 2, len(acc)), [x[2]]))
+                   END
+               ) AS f
+        FROM {prev} w CROSS JOIN {b}
+    )
+)"""
+
+
+def sql_bpe_train_summary(
+    table: str = "documents", rounds: int = BPE_ROUNDS, text_col: str = "text"
+) -> str:
+    toks = SQL_TOKENS.format(text=text_col)
+    parts = [
+        f"""w0 AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt, string_split(word, '') AS syms
+    FROM (SELECT unnest({toks}) AS word FROM {table}) GROUP BY 1
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""p{r} AS (
+    SELECT pk, sum(cnt) AS total FROM (
+        SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
+               i -> syms[i] || chr(31) || syms[i + 1])) AS pk
+        FROM w{r})
+    GROUP BY 1
+),
+b{r} AS (
+    SELECT string_split(pk, chr(31))[1] AS ma,
+           string_split(pk, chr(31))[2] AS mb, total
+    FROM p{r} ORDER BY total DESC, pk LIMIT 1
+),
+w{r + 1} AS {_sql_fold(f'w{r}', f'b{r}')},
+s{r} AS (
+    SELECT {r} AS round, b.ma AS sym_a, b.mb AS sym_b,
+           CAST(b.total AS BIGINT) AS pair_count,
+           (SELECT CAST(sum(len(syms) * cnt) AS BIGINT) FROM w{r + 1})
+               AS total_syms_after
+    FROM b{r} b
+)"""
+        )
+    selects = " UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(rounds))
+    return "WITH " + ",\n".join(parts) + "\n" + selects

@@ -1030,3 +1030,63 @@ def test_semantic_pairs_subset_of_bruteforce(spark, embs):
         assert c == brute[p]  # identical exact-cosine expression
     if brute:
         assert len(sem) / len(brute) >= 0.3, (len(sem), len(brute))
+
+
+def _py_greedy_merge(syms, a, b):
+    out, lm = [], False
+    for s in syms:
+        if out and not lm and out[-1] == a and s == b:
+            out[-1] = a + b
+            lm = True
+        else:
+            out.append(s)
+            lm = False
+    return out
+
+
+def test_bpe_merge_fold_matches_python_reference(spark):
+    """The fold must implement standard greedy left-to-right BPE merge:
+    overlapping occurrences consume left-first and a merged symbol never
+    re-merges within the round ('aaaa' + (a,a) -> aa,aa)."""
+    from mimic2ts_spark.operators.bpe import merged_syms
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["b", "a", "a", "b"], "a", "a"),
+        (["x"], "a", "b"),
+        (["a", "b", "b"], "a", "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)],
+        "i long, syms array<string>",
+    )
+    for i, (syms, a, b) in enumerate(cases):
+        got = (
+            df.where(F.col("i") == i)
+            .select(merged_syms(F.col("syms"), a, b).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got == _py_greedy_merge(syms, a, b), (syms, a, b, got)
+
+
+def test_bpe_summary_invariant(spark, docs):
+    """Each merge round shrinks the corpus symbol count by EXACTLY the
+    merged pair's occurrence count (every merged occurrence removes one
+    symbol) — a cross-check tying the argmax, the fold, and the count
+    together."""
+    from mimic2ts_spark.operators.bpe import bpe_train_summary, word_symbol_counts
+
+    base_total = (
+        word_symbol_counts(docs)
+        .agg(F.sum(F.size("syms") * F.col("cnt")).alias("t"))
+        .collect()[0]["t"]
+    )
+    rows = sorted(
+        bpe_train_summary(docs, rounds=2).collect(), key=lambda r: r["round"]
+    )
+    prev = base_total
+    for r in rows:
+        assert r["total_syms_after"] == prev - r["pair_count"], (prev, dict(r.asDict()))
+        prev = r["total_syms_after"]
