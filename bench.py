@@ -88,6 +88,8 @@ HEADLINE = [
     "q_rolling_actives",
     "q_winsorize",
     "q_bpe_train",
+    "q_scd2_lookup",
+    "q_feature_bins",
 ]
 
 

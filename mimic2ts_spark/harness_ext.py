@@ -2019,6 +2019,98 @@ SELECT src, dst, n, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+def q_scd2_lookup(spark, sf_dir):
+    """X102 — point-in-time dimension lookup: every purchase event is
+    enriched with the SCD2 state valid AT its timestamp — the
+    temporal-join composition (X51 dimension build → X19 as-of join)
+    every warehouse fact pipeline runs. Zero-length validity ranges
+    (two changes in the same second) are dropped so (user, valid_from)
+    is unique and the as-of match equals the BETWEEN-range semantics
+    the oracle states declaratively."""
+    from mimic2ts_spark.operators.joins import asof_join
+
+    dim = (
+        _h.q_scd2(spark, sf_dir)
+        .where(F.col("valid_from") <= F.col("valid_to"))
+        .select("user_id", F.col("valid_from").alias("vts"), "state")
+    )
+    ev = _h._t(spark, sf_dir, "events").withColumn(
+        "ts_s", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    probe = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_s"
+    )
+    out = asof_join(
+        probe,
+        dim,
+        on=["user_id"],
+        probe_ts="ts_s",
+        build_ts="vts",
+        value_cols=["state"],
+        matched_ts="state_since",
+    )
+    return out.where(F.col("state").isNotNull()).select(
+        "event_id", "user_id", "ts_s", "state", "state_since"
+    )
+
+
+def _q_scd2_lookup_sql():
+    scd2 = _h.REGISTRY["q_scd2"][1]
+    return f"""
+WITH dim AS (
+    SELECT user_id, state, valid_from, valid_to FROM ({scd2})
+    WHERE valid_from <= valid_to
+),
+probe AS (
+    SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts_s, d.state,
+       d.valid_from AS state_since
+FROM probe p JOIN dim d
+  ON p.user_id = d.user_id AND p.ts_s BETWEEN d.valid_from AND d.valid_to
+"""
+
+
+FEATURE_BINS = 4
+
+
+def q_feature_bins(spark, sf_dir):
+    """X103 — quantile feature binning: per event_type, NTILE(4) over
+    (value, event_id) — the equi-populated bucketing a feature
+    pipeline uses for discretization. The tie-break column makes the
+    tile assignment deterministic cross-engine (ntile over a non-unique
+    order is engine-ambiguous). One shuffle; per-bin (n, lo, hi)."""
+    from pyspark.sql import Window as W
+
+    ev = _h._t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("bin", F.ntile(FEATURE_BINS).over(w))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select("event_type", F.col("bin").cast("int").alias("bin"), "n", "lo", "hi")
+    )
+
+
+Q_FEATURE_BINS_SQL = f"""
+SELECT event_type, CAST(bin AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n, min(value) AS lo, max(value) AS hi
+FROM (
+    SELECT event_type, value,
+           ntile({FEATURE_BINS}) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+           ) AS bin
+    FROM events
+)
+GROUP BY 1, 2
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """X101 — BPE tokenizer-training rounds (operators/bpe.py): two
     pair-count → argmax → greedy-merge rounds over the corpus word
@@ -2417,6 +2509,8 @@ EXT_REGISTRY = {
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).
     "q_bpe_train": (q_bpe_train, Q_BPE_TRAIN_SQL),
+    "q_scd2_lookup": (q_scd2_lookup, _q_scd2_lookup_sql()),
+    "q_feature_bins": (q_feature_bins, Q_FEATURE_BINS_SQL),
     "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),
     "q_winsorize": (q_winsorize, Q_WINSORIZE_SQL),
     "q_skew_report": (q_skew_report, Q_SKEW_REPORT_SQL),
