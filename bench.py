@@ -90,6 +90,7 @@ HEADLINE = [
     "q_bpe_train",
     "q_scd2_lookup",
     "q_feature_bins",
+    "q_fuzzy_vocab",
 ]
 
 

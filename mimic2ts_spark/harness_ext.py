@@ -2019,6 +2019,92 @@ SELECT src, dst, n, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+FUZZY_DIRTY_MOD = 7  # docs contributing the "dirty" vocab side
+
+
+def q_fuzzy_vocab(spark, sf_dir):
+    """X104 — fuzzy dictionary matching (edit distance ≤ 1): a dirty
+    vocabulary (deterministic last-char truncation — the OCR/typo
+    stand-in) matched against the canonical corpus vocabulary with
+    Spark's built-in levenshtein. Blocking makes it scale: a lev≤1 pair
+    (both sides ≥3 chars) must agree on the FIRST or the LAST character
+    and differ ≤1 in length (a single edit at position 0 leaves the
+    tail — hence the last char — intact; anywhere else leaves the
+    first), so candidates come from two equi-joins on
+    (end-char, length-bucket) instead of dirty×canon. The DuckDB oracle
+    is deliberately the NAIVE cross join + lev filter — it does not
+    share the blocking theorem, so a blocking hole would hash-mismatch."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("w")
+    )
+    canon = (
+        toks.where(F.length("w") >= 3)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumnRenamed("w", "canon_w")
+    )
+    dirty = (
+        toks.where(F.col("doc_id") % FUZZY_DIRTY_MOD == 0)
+        .select(
+            F.when(
+                F.length("w") >= 4, F.expr("substring(w, 1, length(w) - 1)")
+            )
+            .otherwise(F.col("w"))
+            .alias("dirty_w")
+        )
+        .where(F.length("dirty_w") >= 3)
+        .distinct()
+    )
+
+    def keyed(df, col, explode_lens):
+        ln = F.length(col)
+        first = F.substring(col, 1, 1)
+        last = F.expr(f"substring({col}, length({col}), 1)")
+        lens = (
+            F.explode(F.array(ln - 1, ln, ln + 1)) if explode_lens else ln
+        )
+        return df.select(
+            "*",
+            F.posexplode(F.array(first, last)).alias("side", "ch"),
+        ).select("*", lens.alias("lb"))
+
+    probe = keyed(dirty, "dirty_w", explode_lens=False)
+    build = keyed(canon, "canon_w", explode_lens=True)
+    cand = probe.join(build, ["side", "ch", "lb"]).dropDuplicates(
+        ["dirty_w", "canon_w"]
+    )
+    return (
+        cand.where(F.levenshtein("dirty_w", "canon_w") <= 1)
+        .select(
+            "dirty_w",
+            "canon_w",
+            "cnt",
+            F.levenshtein("dirty_w", "canon_w").cast("int").alias("dist"),
+        )
+    )
+
+
+Q_FUZZY_VOCAB_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+    FROM documents
+),
+canon AS (
+    SELECT w AS canon_w, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks WHERE len(w) >= 3 GROUP BY 1
+),
+dirty AS (
+    SELECT DISTINCT CASE WHEN len(w) >= 4 THEN substring(w, 1, len(w) - 1)
+                         ELSE w END AS dirty_w
+    FROM toks WHERE doc_id % {FUZZY_DIRTY_MOD} = 0
+)
+SELECT d.dirty_w, c.canon_w, c.cnt,
+       CAST(levenshtein(d.dirty_w, c.canon_w) AS INTEGER) AS dist
+FROM dirty d, canon c
+WHERE len(d.dirty_w) >= 3 AND levenshtein(d.dirty_w, c.canon_w) <= 1
+"""
+
+
 def q_scd2_lookup(spark, sf_dir):
     """X102 — point-in-time dimension lookup: every purchase event is
     enriched with the SCD2 state valid AT its timestamp — the
@@ -2510,6 +2596,7 @@ EXT_REGISTRY = {
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).
     "q_bpe_train": (q_bpe_train, Q_BPE_TRAIN_SQL),
     "q_scd2_lookup": (q_scd2_lookup, _q_scd2_lookup_sql()),
+    "q_fuzzy_vocab": (q_fuzzy_vocab, Q_FUZZY_VOCAB_SQL),
     "q_feature_bins": (q_feature_bins, Q_FEATURE_BINS_SQL),
     "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),
     "q_winsorize": (q_winsorize, Q_WINSORIZE_SQL),
