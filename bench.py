@@ -91,6 +91,8 @@ HEADLINE = [
     "q_scd2_lookup",
     "q_feature_bins",
     "q_fuzzy_vocab",
+    "q_basket_pairs",
+    "q_graph_triangles",
 ]
 
 

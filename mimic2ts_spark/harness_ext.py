@@ -2019,6 +2019,124 @@ SELECT src, dst, n, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+BASKET_TOP_K = 20
+
+
+def q_basket_pairs(spark, sf_dir):
+    """X105 — market-basket co-occurrence: the top-20 part pairs bought
+    together in one order. Per-order distinct parts self-join within
+    the order key — the fan-out is Σ(basket_i choose 2), bounded by
+    basket size, never corpus² — then a pair hash-agg and a 1-row-per-
+    pair TakeOrdered top-k. Tie-break (n DESC, part_a, part_b)."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "o")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )
+
+
+Q_BASKET_PAIRS_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM li a JOIN li b ON a.o = b.o AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n DESC, part_a, part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
+def q_graph_triangles(spark, sf_dir):
+    """X106 — per-node triangle counts over the undirected supplier
+    transition graph: the clustering-coefficient numerator. Edges are
+    canonicalized (lo < hi) and deduped; wedges come from ONE edge
+    self-join on the shared endpoint and close against a third edge
+    lookup — the standard two-join distributed form (no matrix, no
+    driver graph). Each triangle (a<b<c) is found exactly once and
+    credited to all three vertices via a 3-way role union."""
+    from mimic2ts_spark.operators.graph import build_transition_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    seq = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_custkey", "o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"
+    )
+    directed = build_transition_edges(
+        seq,
+        "o_custkey",
+        "l_suppkey",
+        ["o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"],
+    )
+    und = directed.select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).distinct()
+    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "b")  # a < b < c by construction
+    e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = wedges.join(e3, ["a", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_node
+
+
+def _q_graph_triangles_sql():
+    from mimic2ts_spark.operators.graph import sql_transition_edges
+
+    seq = (
+        "(SELECT o.o_custkey, o.o_orderdate, o.o_orderkey, "
+        "l.l_linenumber, l.l_suppkey "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"
+    )
+    edges = sql_transition_edges(
+        seq,
+        "o_custkey",
+        "l_suppkey",
+        ["o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"],
+    ).strip()
+    return f"""
+WITH directed AS ({edges}),
+und AS (
+    SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+    FROM directed
+),
+tri AS (
+    SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+    FROM und e1
+    JOIN und e2 ON e1.hi = e2.lo
+    JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY 1
+"""
+
+
+Q_GRAPH_TRIANGLES_SQL = _q_graph_triangles_sql()
+
+
 FUZZY_DIRTY_MOD = 7  # docs contributing the "dirty" vocab side
 
 
@@ -2597,6 +2715,8 @@ EXT_REGISTRY = {
     "q_bpe_train": (q_bpe_train, Q_BPE_TRAIN_SQL),
     "q_scd2_lookup": (q_scd2_lookup, _q_scd2_lookup_sql()),
     "q_fuzzy_vocab": (q_fuzzy_vocab, Q_FUZZY_VOCAB_SQL),
+    "q_basket_pairs": (q_basket_pairs, Q_BASKET_PAIRS_SQL),
+    "q_graph_triangles": (q_graph_triangles, Q_GRAPH_TRIANGLES_SQL),
     "q_feature_bins": (q_feature_bins, Q_FEATURE_BINS_SQL),
     "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),
     "q_winsorize": (q_winsorize, Q_WINSORIZE_SQL),
