@@ -120,26 +120,30 @@ def main() -> None:
         fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
     harness.flagship(spark, warm_sf).write.format("noop").mode("overwrite").save()
 
-    # Steady-state timing: best of 3 runs at the target sf. Best-of-N for
-    # two independent noise sources, both measured at 30-50% on this box:
-    # C2-tier JIT of interpreted higher-order-function lambdas needs real
-    # invocation volume (the sf0.001 warm-up alone leaves first runs up to
-    # 2× off), and ambient host load perturbs single runs — the MINIMUM is
-    # the steady-state capability estimate.
-    def timed(fn) -> float:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        return round(best, 3)
+    # Steady-state timing: best of 3 INTERLEAVED rounds over the whole
+    # headline list at the target sf. Best-of-N for two independent noise
+    # sources, both measured at 30-50% on this box: C2-tier JIT of
+    # interpreted higher-order-function lambdas needs real invocation
+    # volume (the sf0.001 warm-up alone leaves first runs up to 2× off),
+    # and ambient host load perturbs single runs — the MINIMUM is the
+    # steady-state capability estimate. Rounds are interleaved (A B C,
+    # A B C, ...) rather than per-query (A A A, B B B): consecutive
+    # samples of one query land inside the same multi-minute ambient load
+    # spike, which best-of-3 then cannot reject — interleaving spreads a
+    # query's 3 samples minutes apart (a 2-4x tail-query artifact in
+    # consecutive mode, reproduced across recordings on this box).
+    def run_once(fn) -> float:
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _ = harness.REGISTRY[name]
-        timings[name] = timed(fn)
-
-    timings["flagship_dense_matrix"] = timed(harness.flagship)
+    plan = [(name, harness.REGISTRY[name][0]) for name in HEADLINE]
+    plan.append(("flagship_dense_matrix", harness.flagship))
+    timings: dict[str, float] = {name: float("inf") for name, _ in plan}
+    for _ in range(3):
+        for name, fn in plan:
+            timings[name] = min(timings[name], run_once(fn))
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -2056,15 +2056,21 @@ LIMIT {BASKET_TOP_K}
 """
 
 
+TRI_MIN_MULT = 3  # strong edges only: transition observed >= 3 times
+
+
 def q_graph_triangles(spark, sf_dir):
-    """X106 — per-node triangle counts over the undirected supplier
-    transition graph: the clustering-coefficient numerator. Edges are
-    canonicalized (lo < hi) and deduped; wedges come from ONE edge
-    self-join on the shared endpoint and close against a third edge
-    lookup — the standard two-join distributed form (no matrix, no
-    driver graph). Each triangle (a<b<c) is found exactly once and
-    credited to all three vertices via a 3-way role union."""
-    from mimic2ts_spark.operators.graph import build_transition_edges
+    """X106 — per-node triangle counts over the undirected STRONG
+    supplier transition graph (transition multiplicity ≥ 3 — raw
+    transitions form a near-complete graph whose C(n,3) triangles are
+    noise, and a graph-analytics pass always thresholds first): the
+    clustering-coefficient numerator. Edges are canonicalized (lo < hi)
+    and deduped; wedges come from ONE edge self-join on the shared
+    endpoint and close against a third edge lookup — the standard
+    two-join distributed form (no matrix, no driver graph). Each
+    triangle (a<b<c) is found exactly once and credited to all three
+    vertices via a 3-way role union."""
+    from pyspark.sql import Window as W
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_suppkey", "l_linenumber"
@@ -2075,11 +2081,18 @@ def q_graph_triangles(spark, sf_dir):
     seq = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
         "o_custkey", "o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"
     )
-    directed = build_transition_edges(
-        seq,
-        "o_custkey",
-        "l_suppkey",
-        ["o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"],
+    w = W.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"
+    )
+    directed = (
+        seq.select(
+            F.col("l_suppkey").alias("src"),
+            F.lead("l_suppkey").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= TRI_MIN_MULT)
     )
     und = directed.select(
         F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
@@ -2100,19 +2113,18 @@ def q_graph_triangles(spark, sf_dir):
 
 
 def _q_graph_triangles_sql():
-    from mimic2ts_spark.operators.graph import sql_transition_edges
-
-    seq = (
-        "(SELECT o.o_custkey, o.o_orderdate, o.o_orderkey, "
-        "l.l_linenumber, l.l_suppkey "
-        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"
-    )
-    edges = sql_transition_edges(
-        seq,
-        "o_custkey",
-        "l_suppkey",
-        ["o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"],
-    ).strip()
+    edges = f"""
+SELECT src, dst FROM (
+    SELECT src, dst, count(*) AS m FROM (
+        SELECT l_suppkey AS src,
+               lead(l_suppkey) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey, l_linenumber, l_suppkey
+               ) AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) WHERE dst IS NOT NULL AND src <> dst
+    GROUP BY 1, 2
+) WHERE m >= {TRI_MIN_MULT}
+""".strip()
     return f"""
 WITH directed AS ({edges}),
 und AS (
