@@ -2152,6 +2152,21 @@ Q_GRAPH_TRIANGLES_SQL = _q_graph_triangles_sql()
 FUZZY_DIRTY_MOD = 7  # docs contributing the "dirty" vocab side
 
 
+def _fuzzy_keyed(df, col, explode_lens):
+    """Blocking keys for the lev<=1 join: (side, end-char, length
+    bucket), side 0 = first char, 1 = last. The build side explodes
+    length to {len-1, len, len+1} so probes meet builds within one
+    edit's length difference."""
+    ln = F.length(col)
+    first = F.substring(col, 1, 1)
+    last = F.expr(f"substring({col}, length({col}), 1)")
+    lens = F.explode(F.array(ln - 1, ln, ln + 1)) if explode_lens else ln
+    return df.select(
+        "*",
+        F.posexplode(F.array(first, last)).alias("side", "ch"),
+    ).select("*", lens.alias("lb"))
+
+
 def q_fuzzy_vocab(spark, sf_dir):
     """X104 — fuzzy dictionary matching (edit distance ≤ 1): a dirty
     vocabulary (deterministic last-char truncation — the OCR/typo
@@ -2186,20 +2201,8 @@ def q_fuzzy_vocab(spark, sf_dir):
         .distinct()
     )
 
-    def keyed(df, col, explode_lens):
-        ln = F.length(col)
-        first = F.substring(col, 1, 1)
-        last = F.expr(f"substring({col}, length({col}), 1)")
-        lens = (
-            F.explode(F.array(ln - 1, ln, ln + 1)) if explode_lens else ln
-        )
-        return df.select(
-            "*",
-            F.posexplode(F.array(first, last)).alias("side", "ch"),
-        ).select("*", lens.alias("lb"))
-
-    probe = keyed(dirty, "dirty_w", explode_lens=False)
-    build = keyed(canon, "canon_w", explode_lens=True)
+    probe = _fuzzy_keyed(dirty, "dirty_w", explode_lens=False)
+    build = _fuzzy_keyed(canon, "canon_w", explode_lens=True)
     cand = probe.join(build, ["side", "ch", "lb"]).dropDuplicates(
         ["dirty_w", "canon_w"]
     )

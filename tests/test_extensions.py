@@ -1090,3 +1090,39 @@ def test_bpe_summary_invariant(spark, docs):
     for r in rows:
         assert r["total_syms_after"] == prev - r["pair_count"], (prev, dict(r.asDict()))
         prev = r["total_syms_after"]
+
+
+def test_fuzzy_blocking_covers_every_single_edit(spark):
+    """Blocking-completeness edge cases: substitution/insert/delete at
+    the FIRST character (first-char blocking alone would miss these),
+    at the LAST character, and in the middle — every lev<=1 variant of
+    a >=3-char dictionary word must be matched."""
+    from mimic2ts_spark import harness_ext as hx
+
+    canon_words = ["table", "scan"]
+    dirty_variants = {
+        "mable": "table",   # substitution at first char
+        "able": "table",    # delete first char
+        "xtable": "table",  # insert at front
+        "table": "table",   # delete middle char
+        "tablx": "table",   # substitution at last char
+        "scans": "scan",    # insert at end
+        "scan": "scan",     # exact
+    }
+    # drive the REAL blocking helper the query uses on crafted tables
+    canon = spark.createDataFrame(
+        [(w, 1) for w in canon_words], "canon_w string, cnt long"
+    )
+    dirty = spark.createDataFrame(
+        [(w,) for w in dirty_variants], "dirty_w string"
+    )
+    cand = (
+        hx._fuzzy_keyed(dirty, "dirty_w", False)
+        .join(hx._fuzzy_keyed(canon, "canon_w", True), ["side", "ch", "lb"])
+        .dropDuplicates(["dirty_w", "canon_w"])
+        .where(F.levenshtein("dirty_w", "canon_w") <= 1)
+    )
+    got = {(r["dirty_w"], r["canon_w"]) for r in cand.collect()}
+    assert got >= set(dirty_variants.items()), (
+        set(dirty_variants.items()) - got
+    )

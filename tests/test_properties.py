@@ -155,3 +155,106 @@ def test_prefix_filter_jaccard_is_complete(spark, docs, threshold):
     assert set(got) == set(want), (set(got) ^ set(want), docs)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12
+
+
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_span_dedup_matches_python_reference(spark, corpus):
+    """span_dedup == an independent Python reimplementation of the
+    spec (cut to w-token windows, drop spans in >max_df docs, rebuild
+    in order) over arbitrary tiny corpora with heavy span collisions
+    (4-symbol alphabet forces them)."""
+    from mimic2ts_spark.operators.dedup import SPAN_MAX_DF, SPAN_W, span_dedup
+
+    def py_spans(text):
+        toks = text.split()
+        return [
+            " ".join(toks[i : i + SPAN_W]) for i in range(0, len(toks), SPAN_W)
+        ]
+
+    df_counts: dict[str, set[int]] = {}
+    for i, text in enumerate(corpus):
+        for s in set(py_spans(text)):
+            df_counts.setdefault(s, set()).add(i)
+    hot = {s for s, d in df_counts.items() if len(d) > SPAN_MAX_DF}
+    want = {}
+    for i, text in enumerate(corpus):
+        spans = py_spans(text)
+        kept = [s for s in spans if s not in hot]
+        want[i] = (" ".join(kept), len(kept), len(spans) - len(kept))
+
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in span_dedup(df).collect()
+    }
+    assert got == want
+
+
+@given(
+    words=st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=6).map("".join),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(**_SETTINGS)
+def test_bpe_round_matches_python_reference(spark, words):
+    """One full BPE round (pair argmax + greedy merge over the corpus)
+    == an independent Python implementation, over adversarial 2-symbol
+    corpora (maximal overlap pressure: aaaa…, abab…)."""
+    from collections import Counter
+
+    from mimic2ts_spark.operators.bpe import (
+        US,
+        best_pair,
+        merged_syms,
+        word_symbol_counts,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    wsc = word_symbol_counts(df)
+
+    # python reference: weighted pair counts over distinct words
+    wcnt = Counter(words)
+    pc = Counter()
+    for w, c in wcnt.items():
+        for x, y in zip(w[:-1], w[1:]):
+            pc[(x, y)] += c
+    if not pc:
+        return  # all words single-char: no pairs, nothing to assert
+    # deterministic tie-break: count DESC then pair-key ASC
+    cands = sorted(
+        pc.items(), key=lambda kv: (-kv[1], kv[0][0] + US + kv[0][1])
+    )
+    a, b = cands[0][0]
+    ga, gb, gtotal = best_pair(wsc)
+    assert (ga, gb, gtotal) == (a, b, cands[0][1])
+
+    got = {
+        r["word"]: r["m"]
+        for r in wsc.select(
+            "word", merged_syms(F.col("syms"), ga, gb).alias("m")
+        ).collect()
+    }
+    for w in wcnt:
+        out, lm = [], False
+        for s in w:
+            if out and not lm and out[-1] == ga and s == gb:
+                out[-1] = ga + gb
+                lm = True
+            else:
+                out.append(s)
+                lm = False
+        assert got[w] == out, (w, ga, gb, got[w], out)
