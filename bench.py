@@ -93,6 +93,7 @@ HEADLINE = [
     "q_fuzzy_vocab",
     "q_basket_pairs",
     "q_graph_triangles",
+    "q_sample_weighted",
 ]
 
 

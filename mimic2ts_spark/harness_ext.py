@@ -2019,6 +2019,52 @@ SELECT src, dst, n, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+WEIGHTED_SAMPLE_K = 8
+
+
+def q_sample_weighted(spark, sf_dir):
+    """X107 — deterministic weighted sampling (priority sampling,
+    Duffield–Lund–Thorup): per event_type keep the k rows with highest
+    priority w/u, u = (md5_code+1)/2^60 — heavy rows are
+    proportionally more likely in, yet the sample is a pure function of
+    the data (retry/engine/append stable, no rand(); the md5 code is
+    the CLAUDE.md cross-engine hash rule). Ordering key is the single
+    IEEE division u_scaled/w — identical in both engines; event_id
+    breaks exact ties. Plans as WindowGroupLimit per group."""
+    from pyspark.sql import Window as W
+
+    from mimic2ts_spark.operators.sketch import CODE_SPACE, kmv_code
+
+    ev = _h._t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    # ascending (code+1)/w  ==  descending priority w/u (u = (code+1)/2^60)
+    pri = (kmv_code(F.col("event_id")) + 1).cast("double") / F.col("value")
+    w = W.partitionBy("event_type").orderBy(pri.asc(), F.col("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= WEIGHTED_SAMPLE_K)
+        .select("event_type", "event_id", "value", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _q_sample_weighted_sql():
+    from mimic2ts_spark.operators.text import SQL_CODE
+
+    code = SQL_CODE.format(tok="CAST(event_id AS VARCHAR)")
+    return f"""
+SELECT event_type, event_id, value, CAST(rk AS INTEGER) AS rk FROM (
+    SELECT event_type, event_id, value,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(({code}) + 1 AS DOUBLE) / value, event_id
+           ) AS rk
+    FROM events
+) WHERE rk <= {WEIGHTED_SAMPLE_K}
+"""
+
+
+Q_SAMPLE_WEIGHTED_SQL = _q_sample_weighted_sql()
+
+
 BASKET_TOP_K = 20
 
 
@@ -2731,6 +2777,7 @@ EXT_REGISTRY = {
     "q_scd2_lookup": (q_scd2_lookup, _q_scd2_lookup_sql()),
     "q_fuzzy_vocab": (q_fuzzy_vocab, Q_FUZZY_VOCAB_SQL),
     "q_basket_pairs": (q_basket_pairs, Q_BASKET_PAIRS_SQL),
+    "q_sample_weighted": (q_sample_weighted, Q_SAMPLE_WEIGHTED_SQL),
     "q_graph_triangles": (q_graph_triangles, Q_GRAPH_TRIANGLES_SQL),
     "q_feature_bins": (q_feature_bins, Q_FEATURE_BINS_SQL),
     "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),
