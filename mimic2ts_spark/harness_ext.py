@@ -2028,16 +2028,21 @@ def q_sample_weighted(spark, sf_dir):
     priority w/u, u = (md5_code+1)/2^60 — heavy rows are
     proportionally more likely in, yet the sample is a pure function of
     the data (retry/engine/append stable, no rand(); the md5 code is
-    the CLAUDE.md cross-engine hash rule). Ordering key is the single
-    IEEE division u_scaled/w — identical in both engines; event_id
-    breaks exact ties. Plans as WindowGroupLimit per group."""
+    the CLAUDE.md cross-engine hash rule). Weights are floored at 0.01
+    (a zero/negative weight has zero inclusion probability in DLT;
+    ANSI Spark errors on the division, DuckDB returns inf — the floor
+    sidesteps both, identically). Ordering key is the single IEEE
+    division u_scaled/w — identical in both engines; event_id breaks
+    exact ties. Plans as WindowGroupLimit per group."""
     from pyspark.sql import Window as W
 
     from mimic2ts_spark.operators.sketch import CODE_SPACE, kmv_code
 
     ev = _h._t(spark, sf_dir, "events").select("event_type", "event_id", "value")
     # ascending (code+1)/w  ==  descending priority w/u (u = (code+1)/2^60)
-    pri = (kmv_code(F.col("event_id")) + 1).cast("double") / F.col("value")
+    pri = (kmv_code(F.col("event_id")) + 1).cast("double") / F.greatest(
+        F.col("value"), F.lit(0.01)
+    )
     w = W.partitionBy("event_type").orderBy(pri.asc(), F.col("event_id"))
     return (
         ev.withColumn("rk", F.row_number().over(w))
@@ -2055,7 +2060,8 @@ SELECT event_type, event_id, value, CAST(rk AS INTEGER) AS rk FROM (
     SELECT event_type, event_id, value,
            row_number() OVER (
                PARTITION BY event_type
-               ORDER BY CAST(({code}) + 1 AS DOUBLE) / value, event_id
+               ORDER BY CAST(({code}) + 1 AS DOUBLE) / greatest(value, 0.01),
+                        event_id
            ) AS rk
     FROM events
 ) WHERE rk <= {WEIGHTED_SAMPLE_K}
