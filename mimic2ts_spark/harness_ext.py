@@ -970,6 +970,41 @@ FROM documents GROUP BY source, lang
 Q_SOURCE_JSONL_SQL = _jsonl_sql()
 
 
+def q_source_csv_gz(spark, sf_dir):
+    """X108 — gzip-compressed CSV source/sink round trip: documents →
+    csv.gz (headered, quoted) → explicit-schema read-back. Exercises
+    the two remaining scan axes in one query: the text-format escaping
+    discipline (quotes/delimiters survive or the md5-code checksum
+    mismatches) and codec-wrapped input (gzip is NOT splittable — at
+    100 TB that means one task per file, so the writer must bound file
+    size; the read here inherits the write's partitioning). Fidelity
+    oracle = the same checksum over the parquet originals."""
+    import tempfile
+
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    out = tempfile.mkdtemp(prefix="source_csvgz_")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(kmv_code(F.col("text")) % 1000000007).alias("text_checksum"),
+    )
+
+
 def q_source_orc(spark, sf_dir):
     """ORC source/sink round trip (Spark-native columnar alternative to
     parquet — zlib-compressed, predicate-pushdown-capable): documents →
@@ -2784,6 +2819,7 @@ EXT_REGISTRY = {
     "q_fuzzy_vocab": (q_fuzzy_vocab, Q_FUZZY_VOCAB_SQL),
     "q_basket_pairs": (q_basket_pairs, Q_BASKET_PAIRS_SQL),
     "q_sample_weighted": (q_sample_weighted, Q_SAMPLE_WEIGHTED_SQL),
+    "q_source_csv_gz": (q_source_csv_gz, Q_SOURCE_JSONL_SQL),
     "q_graph_triangles": (q_graph_triangles, Q_GRAPH_TRIANGLES_SQL),
     "q_feature_bins": (q_feature_bins, Q_FEATURE_BINS_SQL),
     "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),

@@ -751,7 +751,12 @@ def test_registry_global_plan_invariants(utc):
         "q_dedup_semantic",  # same centroid cross join inside kmeans_assign
         "q_skew_report",     # 1-row total-count scalar cross join
     }
-    skip = {"q_sink_partitioned", "q_source_jsonl", "q_source_orc"}
+    skip = {
+        "q_sink_partitioned",
+        "q_source_jsonl",
+        "q_source_orc",
+        "q_source_csv_gz",
+    }
     problems = []
     for name, (fn, _) in harness.REGISTRY.items():
         if name.startswith("q_stream") or name in skip:
