@@ -90,21 +90,28 @@ def pagerank_scaled(
     the per-node contribution sum is bounded by N·scale (mass is only
     ever split, never amplified), so int64 holds to N ≈ 9·10^12 docs at
     scale 1e6 — far beyond any real corpus."""
-    edges = edges.persist()
+    # out-degree is fused into the persisted edge list ONCE (a window
+    # over the src partition — no extra join), so each round pays a
+    # single shuffle join (rank × edges on src) instead of two; nodes
+    # derive from the SAME persisted relation (a second derivation of
+    # the raw edge lineage would re-scan the fact tables)
+    from pyspark.sql import Window as _W
+
+    edges = edges.withColumn(
+        "outdeg", F.count(F.lit(1)).over(_W.partitionBy("src"))
+    ).persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     base = (15 * scale) // 100
 
     pr = nodes.withColumn("pr", F.lit(scale).cast("long"))
     for _ in range(iters):
         contribs = (
             edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
             .select(F.col("dst").alias("node"), F.expr("pr div outdeg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
