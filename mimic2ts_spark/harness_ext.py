@@ -2688,6 +2688,16 @@ def _q_dedup_semantic_sql():
 Q_DEDUP_SEMANTIC_SQL = _q_dedup_semantic_sql()
 
 
+def q_stream_rollup(spark, sf_dir):
+    """X109 — streaming incremental rollup (streaming.py rollup_stream):
+    the live form of X91 — per-(user, event_type) state IS the
+    mergeable (count, cents) partial, so the drained stream bit-equals
+    the batch full recompute, whose SQL is the oracle."""
+    from mimic2ts_spark.streaming import run_rollup_available_now
+
+    return run_rollup_available_now(spark, sf_dir)
+
+
 def q_stream_kmv(spark, sf_dir):
     """X94 — streaming KMV distinct-count sketch (streaming.py
     kmv_stream): the stateful-stream form of q_sketch_kmv. State IS the
@@ -2829,6 +2839,7 @@ EXT_REGISTRY = {
     "q_kmeans": (q_kmeans, Q_KMEANS_SQL),
     "q_dedup_semantic": (q_dedup_semantic, Q_DEDUP_SEMANTIC_SQL),
     "q_stream_kmv": (q_stream_kmv, Q_STREAM_KMV_SQL),
+    "q_stream_rollup": (q_stream_rollup, Q_INCREMENTAL_AGG_SQL),
     "q_incremental_agg": (q_incremental_agg, Q_INCREMENTAL_AGG_SQL),
     "q_event_ema": (q_event_ema, Q_EVENT_EMA_SQL),
     "q_zorder_layout": (q_zorder_layout, Q_ZORDER_LAYOUT_SQL),

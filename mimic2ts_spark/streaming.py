@@ -747,3 +747,66 @@ def run_kmv_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the streaming KMV sketch to its final static sketch rows."""
     name = f"kmv_{uuid.uuid4().hex[:8]}"
     return _drain_stateful(spark, kmv_stream(events_stream(spark, sf_dir)), name)
+
+
+# --- streaming incremental rollup (X91's stream form) -----------------------
+
+_ROLLUP_OUT = (
+    "user_id long, event_type string, n long, sum_cents long, mean double"
+)
+_ROLLUP_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+)
+
+
+def rollup_stream(stream: DataFrame) -> DataFrame:
+    """Streaming incremental per-key rollup (applyInPandasWithState):
+    the state is EXACTLY operators/incremental.py's mergeable
+    (count, integer-cents) partial, so absorbing a batch is addition —
+    order- and batching-independent — and the drained stream bit-equals
+    the batch full recompute (q_incremental_agg's oracle). This is the
+    live form of the nightly state-merge cadence: the same state rows a
+    batch job would persist, maintained continuously."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        uid, et = key
+        if state.hasTimedOut:
+            if state.exists:
+                n, cents = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [uid],
+                        "event_type": [et],
+                        "n": [n],
+                        "sum_cents": [cents],
+                        "mean": [cents / 100.0 / n],
+                    }
+                )
+            return
+        add_n, add_c = 0, 0
+        for pdf in pdfs:
+            add_n += len(pdf)
+            add_c += int(pdf["cents"].sum())
+        n, cents = state.get if state.exists else (0, 0)
+        state.update((n + add_n, cents + add_c))
+        state.setTimeoutDuration(1000)
+        return
+        yield  # pragma: no cover
+
+    prepped = stream.select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    return prepped.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn, _ROLLUP_OUT, _ROLLUP_STATE, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
+def run_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the streaming rollup to its final state rows."""
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    return _drain_stateful(spark, rollup_stream(events_stream(spark, sf_dir)), name)
