@@ -1,0 +1,175 @@
+"""Corpus-build CLI: the end-to-end training-data cleaning pipeline as a
+runnable tool —
+
+    python -m mimic2ts_spark.corpus SRC_DIR DST_DIR \\
+        [--quality-min 0.25] [--near-dup-threshold 0.8] [--no-span-dedup]
+
+chaining the engine's operators in the order a production corpus build
+runs them (cheap row-local filters first, corpus-wide passes on the
+survivors):
+
+  1. normalize      text.normalize_text (casefold/collapse/trim)
+  2. quality gate   text.quality_score >= --quality-min
+  3. exact dedup    keep the min doc_id per md5(text)
+  4. near-dup       MinHash-LSH pairs -> connected components ->
+                    keep the min doc_id per cluster
+  5. span dedup     dedup.span_dedup — spans repeated across DISTINCT
+                    surviving docs (boilerplate) removed, empty
+                    survivors dropped
+  6. split          deterministic md5 train/val/test (80/10/10)
+  7. write          parquet partitioned by split under DST_DIR/corpus,
+                    plus DST_DIR/manifest.json with per-stage counts,
+                    per-split doc/token totals, and the config echo.
+
+Stage ORDER is load-bearing (both misorders were caught by the stage
+counts on the synthetic corpus): exact dedup must precede span dedup —
+an exact-duplicate pair shares every span, so span-first guts BOTH
+copies instead of keeping one canonical — and document-level fuzzy
+dedup must precede span removal, which otherwise strips exactly the
+shared content MinHash needs to see the near-duplication. This is the
+RefinedWeb/Gopher ordering.
+
+Every stage is the library operator the harness oracle-checks; the CLI
+adds only orchestration. Determinism: the whole pipeline is a pure
+function of the input bytes (md5 everywhere, no rand()), so re-runs
+produce identical corpora — pinned by tests/test_corpus_cli.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_corpus(
+    spark: SparkSession,
+    src_dir: str,
+    quality_min: float = 0.25,
+    near_dup_threshold: float = 0.8,
+    span_dedup_on: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Returns (final docs DataFrame with `split` column, stage-count
+    manifest dict). Stage counts force one action per stage — the
+    price of an auditable manifest; each stage's output is persisted so
+    the count and the next stage share the computation."""
+    from mimic2ts_spark.operators.cluster import canonical_ids
+    from mimic2ts_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        span_dedup,
+    )
+    from mimic2ts_spark.operators.split import with_split
+    from mimic2ts_spark.operators.spread import ensure_parallelism
+    from mimic2ts_spark.operators.text import normalize_text, quality_score
+
+    stages: dict[str, int] = {}
+
+    docs = ensure_parallelism(
+        spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    )
+    stages["input"] = docs.count()
+
+    normed = docs.select(
+        "doc_id", "lang", "source", normalize_text(F.col("text")).alias("text")
+    )
+
+    quality = normed.where(quality_score(F.col("text")) >= quality_min).persist()
+    stages["quality_pass"] = quality.count()
+
+    exact = (
+        exact_dedup(quality)
+        .select(F.col("keep_id").alias("doc_id"))
+        .join(quality, "doc_id")
+        .persist()
+    )
+    stages["exact_dedup_pass"] = exact.count()
+
+    pairs = minhash_lsh_pairs(exact, threshold=near_dup_threshold)
+    clusters = canonical_ids(exact.select("doc_id"), pairs)
+    keep = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    near = exact.join(keep, "doc_id").persist()
+    stages["near_dedup_pass"] = near.count()
+
+    if span_dedup_on:
+        deduped = (
+            span_dedup(near)
+            .where(F.col("n_kept") > 0)
+            .withColumnRenamed("clean_text", "text")
+            .join(near.select("doc_id", "lang", "source"), "doc_id")
+            .select("doc_id", "lang", "source", "text")
+            .persist()
+        )
+        stages["span_dedup_pass"] = deduped.count()
+    else:
+        deduped = near.select("doc_id", "lang", "source", "text")
+        stages["span_dedup_pass"] = stages["near_dedup_pass"]
+
+    final = with_split(deduped, "doc_id")
+    return final, stages
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(
+        prog="python -m mimic2ts_spark.corpus", description=__doc__.split("\n")[0]
+    )
+    ap.add_argument("src", help="directory containing documents.parquet")
+    ap.add_argument("dst", help="output directory (corpus/ + manifest.json)")
+    ap.add_argument("--quality-min", type=float, default=0.25)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument("--no-span-dedup", action="store_true")
+    args = ap.parse_args(argv)
+
+    from mimic2ts_spark.session import get_spark
+
+    t0 = time.time()
+    spark = get_spark("mimic2ts_spark_corpus")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    final, stages = build_corpus(
+        spark,
+        args.src,
+        quality_min=args.quality_min,
+        near_dup_threshold=args.near_dup_threshold,
+        span_dedup_on=not args.no_span_dedup,
+    )
+
+    from mimic2ts_spark.operators.text import bpe_ish_token_count
+
+    out_dir = os.path.join(args.dst, "corpus")
+    final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+
+    written = spark.read.parquet(out_dir)
+    per_split = {
+        r["split"]: {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+        for r in written.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_ish_token_count(F.col("text"))).alias("n_tokens"),
+        )
+        .collect()
+    }
+
+    manifest = {
+        "tool": "mimic2ts_spark.corpus",
+        "config": {
+            "quality_min": args.quality_min,
+            "near_dup_threshold": args.near_dup_threshold,
+            "span_dedup": not args.no_span_dedup,
+        },
+        "stages": stages,
+        "splits": per_split,
+        "runtime_seconds": round(time.time() - t0, 3),
+    }
+    os.makedirs(args.dst, exist_ok=True)
+    with open(os.path.join(args.dst, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    print(json.dumps({k: v for k, v in manifest.items() if k != "config"}))
+
+
+if __name__ == "__main__":
+    main()
