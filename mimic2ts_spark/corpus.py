@@ -17,9 +17,14 @@ survivors):
                     surviving docs (boilerplate) removed, empty
                     survivors dropped
   6. split          deterministic md5 train/val/test (80/10/10)
-  7. write          parquet partitioned by split under DST_DIR/corpus,
+  7. pack           (--pack N) GPT-style concat-then-chunk layout: per
+                    split, each doc gets (shard, seq_idx, seq_offset)
+                    for N-token sequences — the reproducible training
+                    input layout (one shuffle per split on the shard
+                    key; shard count is the parallelism dial)
+  8. write          parquet partitioned by split under DST_DIR/corpus,
                     plus DST_DIR/manifest.json with per-stage counts,
-                    per-split doc/token totals, and the config echo.
+                    per-split doc/token/sequence totals + config echo.
 
 Stage ORDER is load-bearing (both misorders were caught by the stage
 counts on the synthetic corpus): exact dedup must precede span dedup —
@@ -122,6 +127,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--quality-min", type=float, default=0.25)
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
     ap.add_argument("--no-span-dedup", action="store_true")
+    ap.add_argument(
+        "--pack",
+        type=int,
+        default=0,
+        metavar="N",
+        help="emit GPT-style packing columns for N-token sequences",
+    )
     args = ap.parse_args(argv)
 
     from mimic2ts_spark.session import get_spark
@@ -140,6 +152,28 @@ def main(argv: list[str] | None = None) -> None:
 
     from mimic2ts_spark.operators.text import bpe_ish_token_count
 
+    if args.pack:
+        from pyspark.sql import Window
+
+        from mimic2ts_spark.operators.text import token_count
+
+        shards = 16
+        w = (
+            Window.partitionBy("split", "shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        final = (
+            final.withColumn("shard", F.col("doc_id") % shards)
+            .withColumn("n_tokens", token_count(F.col("text")))
+            .withColumn(
+                "start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+            )
+            .withColumn("seq_idx", F.expr(f"start DIV {args.pack}"))
+            .withColumn("seq_offset", F.col("start") % args.pack)
+            .drop("start")
+        )
+
     out_dir = os.path.join(args.dst, "corpus")
     final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
 
@@ -153,6 +187,16 @@ def main(argv: list[str] | None = None) -> None:
         )
         .collect()
     }
+    if args.pack:
+        # sequence index space is PER SHARD: total = sum over shards
+        seqs = (
+            written.groupBy("split", "shard")
+            .agg((F.max("seq_idx") + 1).alias("s"))
+            .groupBy("split")
+            .agg(F.sum("s").alias("n_sequences"))
+        )
+        for r in seqs.collect():
+            per_split[r["split"]]["n_sequences"] = r["n_sequences"]
 
     manifest = {
         "tool": "mimic2ts_spark.corpus",
@@ -160,6 +204,7 @@ def main(argv: list[str] | None = None) -> None:
             "quality_min": args.quality_min,
             "near_dup_threshold": args.near_dup_threshold,
             "span_dedup": not args.no_span_dedup,
+            "pack": args.pack,
         },
         "stages": stages,
         "splits": per_split,

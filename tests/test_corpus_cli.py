@@ -39,3 +39,33 @@ def test_corpus_cli_stages_and_determinism(tmp_path):
     m2 = _run(str(tmp_path / "b"))
     assert m1["stages"] == m2["stages"]
     assert m1["splits"] == m2["splits"]
+
+
+def test_corpus_cli_pack_layout(tmp_path):
+    """--pack emits per-shard (seq_idx, seq_offset) packing columns and
+    the manifest's n_sequences accounts per-shard sequence spaces:
+    each split needs at least ceil(tokens/N) sequences and every
+    offset lies inside the budget."""
+    import pyarrow.dataset as ds
+
+    dst = str(tmp_path / "p")
+    subprocess.run(
+        [
+            sys.executable, "-m", "mimic2ts_spark.corpus",
+            "/root/testdata/sf0.001", dst, "--pack", "256",
+        ],
+        check=True,
+        capture_output=True,
+        cwd="/root/repo",
+    )
+    with open(f"{dst}/manifest.json") as f:
+        m = json.load(f)
+    rows = ds.dataset(f"{dst}/corpus", format="parquet", partitioning="hive").to_table(
+        columns=["seq_offset", "n_tokens"]
+    ).to_pydict()
+    assert all(0 <= o < 256 for o in rows["seq_offset"])
+    for split, v in m["splits"].items():
+        # manifest n_tokens is the bpe-ish count (>= the whitespace count
+        # packing uses), so only the upper bound is tokenization-safe:
+        # at most one partial sequence per shard
+        assert 1 <= v["n_sequences"] <= v["n_tokens"] // 256 + 16
