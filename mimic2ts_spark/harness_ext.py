@@ -1005,6 +1005,47 @@ def q_source_csv_gz(spark, sf_dir):
     )
 
 
+SORTED_LO, SORTED_HI = 40, 59  # the probed user range
+
+
+def q_layout_sorted(spark, sf_dir):
+    """X111 — range-sorted write + data-skipping readback: events are
+    written repartitionByRange(user_id) + sortWithinPartitions(user_id,
+    ts) — the 1-D companion to the Z-order layout (X93): every file
+    covers a tight user range, so a user predicate prunes whole files
+    via parquet min/max stats AND row groups within them. The readback
+    aggregates a 20-user band; the filter must reach the scan
+    (plan-pinned as pushed filters on the sorted files). Oracle: the
+    same aggregate over the original unsorted table — layout can never
+    change results, only I/O."""
+    import tempfile
+
+    ev = _h._t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = tempfile.mkdtemp(prefix="layout_sorted_")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(
+        F.col("user_id").between(SORTED_LO, SORTED_HI)
+    )
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sum_cents"),
+    )
+
+
+Q_LAYOUT_SORTED_SQL = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE user_id BETWEEN {SORTED_LO} AND {SORTED_HI}
+GROUP BY 1
+"""
+
+
 def q_source_orc(spark, sf_dir):
     """ORC source/sink round trip (Spark-native columnar alternative to
     parquet — zlib-compressed, predicate-pushdown-capable): documents →
@@ -2830,6 +2871,7 @@ EXT_REGISTRY = {
     "q_basket_pairs": (q_basket_pairs, Q_BASKET_PAIRS_SQL),
     "q_sample_weighted": (q_sample_weighted, Q_SAMPLE_WEIGHTED_SQL),
     "q_source_csv_gz": (q_source_csv_gz, Q_SOURCE_JSONL_SQL),
+    "q_layout_sorted": (q_layout_sorted, Q_LAYOUT_SORTED_SQL),
     "q_graph_triangles": (q_graph_triangles, Q_GRAPH_TRIANGLES_SQL),
     "q_feature_bins": (q_feature_bins, Q_FEATURE_BINS_SQL),
     "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),

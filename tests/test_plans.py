@@ -717,6 +717,18 @@ def test_quality_gate_one_scan(utc):
     assert "BatchEvalPython" not in s
 
 
+def test_layout_sorted_pushes_range_predicate(utc):
+    """The sorted-layout readback must push the user band to the scan
+    of the freshly written sorted files (min/max skipping depends on
+    it) — and return exactly the unsorted table's answer."""
+    from mimic2ts_spark import harness_ext
+
+    df = harness_ext.q_layout_sorted(utc, SF)
+    s = _plan(df)
+    assert "PushedFilters: [IsNotNull(user_id), GreaterThanOrEqual(user_id" in s, s
+    assert "LessThanOrEqual(user_id" in s
+
+
 def test_kmeans_persisted_base_no_cartesian(utc):
     """The Lloyd loop must reuse ONE persisted quantized base
     (InMemoryTableScan in every round's assignment — never a re-scan
@@ -756,6 +768,7 @@ def test_registry_global_plan_invariants(utc):
         "q_source_jsonl",
         "q_source_orc",
         "q_source_csv_gz",
+        "q_layout_sorted",  # side-effecting write; pinned by its own test
     }
     problems = []
     for name, (fn, _) in harness.REGISTRY.items():
