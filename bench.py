@@ -94,6 +94,7 @@ HEADLINE = [
     "q_basket_pairs",
     "q_graph_triangles",
     "q_sample_weighted",
+    "q_lang_confusion",
 ]
 
 

@@ -1005,6 +1005,51 @@ def q_source_csv_gz(spark, sf_dir):
     )
 
 
+def q_lang_confusion(spark, sf_dir):
+    """X112 — language-ID confusion matrix: the eval-diagnostic every
+    classifier in a filter pipeline needs before its output gates data.
+    Labeled lang × predicted lang counts plus the integer per-mille hit
+    rate of each true-label row (one scan, one tiny hash-agg, a
+    label-count window for the rate — rates as exact integer per-mille,
+    no float division)."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir).select(
+        "lang", X.lang_id(F.col("text")).alias("lang_pred")
+    )
+    cells = d.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = W.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.expr("(1000 * n)").cast("long").alias("_num"),
+        F.sum("n").over(tot).alias("_den"),
+    ).select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.expr("_num div _den").alias("permille_of_label"),
+    )
+
+
+Q_LANG_CONFUSION_SQL = f"""
+WITH cells AS (
+    SELECT lang,
+           CASE WHEN {X.SQL_STOP_HITS.format(text='text')} >= 2
+                THEN 'en' ELSE 'und' END AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+)
+SELECT lang, lang_pred, n,
+       CAST((1000 * n) // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+           AS permille_of_label
+FROM cells
+"""
+
+
 SORTED_LO, SORTED_HI = 40, 59  # the probed user range
 
 
@@ -2872,6 +2917,7 @@ EXT_REGISTRY = {
     "q_sample_weighted": (q_sample_weighted, Q_SAMPLE_WEIGHTED_SQL),
     "q_source_csv_gz": (q_source_csv_gz, Q_SOURCE_JSONL_SQL),
     "q_layout_sorted": (q_layout_sorted, Q_LAYOUT_SORTED_SQL),
+    "q_lang_confusion": (q_lang_confusion, Q_LANG_CONFUSION_SQL),
     "q_graph_triangles": (q_graph_triangles, Q_GRAPH_TRIANGLES_SQL),
     "q_feature_bins": (q_feature_bins, Q_FEATURE_BINS_SQL),
     "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),
