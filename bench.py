@@ -95,6 +95,7 @@ HEADLINE = [
     "q_graph_triangles",
     "q_sample_weighted",
     "q_lang_confusion",
+    "q_dataset_card",
 ]
 
 

@@ -1005,6 +1005,59 @@ def q_source_csv_gz(spark, sf_dir):
     )
 
 
+def q_dataset_card(spark, sf_dir):
+    """X113 — per-source dataset card in ONE pass: the datasheet a
+    corpus release ships (doc/token counts, quality mass as
+    order-independent integer micro-units, exact median doc length,
+    predicted-English per-mille). One scan, one hash-agg — the point is
+    that the whole card is a single multi-aggregate job, not a metric
+    per pass."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        X.token_count(F.col("text")).alias("n_tok"),
+        (X.quality_score(F.col("text")) * 1000000).alias("q_micro_raw"),
+        (X.lang_id(F.col("text")) == "en").cast("long").alias("is_en"),
+    ).select(
+        "source",
+        "n_tok",
+        F.expr("CAST(round(q_micro_raw) AS BIGINT)").alias("q_micro"),
+        "is_en",
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("q_micro").alias("sum_quality_micro"),
+        F.expr("percentile(n_tok, 0.5)").alias("p50_tokens"),
+        F.expr("(1000 * sum(is_en)) div count(*)").alias("permille_en"),
+    )
+
+
+def _q_dataset_card_sql():
+    tc = X.SQL_TOKEN_COUNT.format(text="text")
+    sh = X.SQL_STOP_HITS.format(text="text")
+    quality = (
+        f"least(1.0, CAST({tc} AS DOUBLE) / 200.0) * 0.5 "
+        f"+ least(1.0, (CAST({sh} AS DOUBLE) / CAST({tc} AS DOUBLE)) * 4.0) * 0.5"
+    )
+    return f"""
+WITH d AS (
+    SELECT source, {tc} AS n_tok,
+           CAST(round(({quality}) * 1000000) AS BIGINT) AS q_micro,
+           CASE WHEN {sh} >= 2 THEN 1 ELSE 0 END AS is_en
+    FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(q_micro) AS BIGINT) AS sum_quality_micro,
+       quantile_cont(n_tok, 0.5) AS p50_tokens,
+       CAST((1000 * sum(is_en)) // count(*) AS BIGINT) AS permille_en
+FROM d GROUP BY 1
+"""
+
+
+Q_DATASET_CARD_SQL = _q_dataset_card_sql()
+
+
 def q_lang_confusion(spark, sf_dir):
     """X112 — language-ID confusion matrix: the eval-diagnostic every
     classifier in a filter pipeline needs before its output gates data.
@@ -2918,6 +2971,7 @@ EXT_REGISTRY = {
     "q_source_csv_gz": (q_source_csv_gz, Q_SOURCE_JSONL_SQL),
     "q_layout_sorted": (q_layout_sorted, Q_LAYOUT_SORTED_SQL),
     "q_lang_confusion": (q_lang_confusion, Q_LANG_CONFUSION_SQL),
+    "q_dataset_card": (q_dataset_card, Q_DATASET_CARD_SQL),
     "q_graph_triangles": (q_graph_triangles, Q_GRAPH_TRIANGLES_SQL),
     "q_feature_bins": (q_feature_bins, Q_FEATURE_BINS_SQL),
     "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),
