@@ -96,6 +96,8 @@ HEADLINE = [
     "q_sample_weighted",
     "q_lang_confusion",
     "q_dataset_card",
+    "q_interarrival",
+    "q_dup_histogram",
 ]
 
 

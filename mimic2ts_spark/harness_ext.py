@@ -1005,6 +1005,74 @@ def q_source_csv_gz(spark, sf_dir):
     )
 
 
+def q_interarrival(spark, sf_dir):
+    """X114 — per-event-type inter-arrival statistics: the burstiness /
+    rate diagnostic for event streams (capacity planning, anomaly
+    baselines). Per user+type consecutive gaps via ONE lag window
+    (shuffle on user), then exact p50/p90 gap seconds and the exact
+    integer mean-gap numerator per event_type. Tie-safe ordering via
+    event_id."""
+    from pyspark.sql import Window as W
+
+    ev = _h._t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec")
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    gaps = ev.withColumn("gap", F.col("sec") - F.lag("sec").over(w)).where(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sum_gap_s"),
+        F.expr("percentile(gap, 0.5)").alias("p50_gap_s"),
+        F.expr("percentile(gap, 0.9)").alias("p90_gap_s"),
+    )
+
+
+Q_INTERARRIVAL_SQL = """
+WITH g AS (
+    SELECT event_type,
+           sec - lag(sec) OVER (
+               PARTITION BY user_id, event_type ORDER BY sec, event_id
+           ) AS gap
+    FROM (SELECT user_id, event_type, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+       quantile_cont(gap, 0.5) AS p50_gap_s,
+       quantile_cont(gap, 0.9) AS p90_gap_s
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_dup_histogram(spark, sf_dir):
+    """X115 — duplicate-cluster size histogram: dedup observability —
+    how duplicated IS the corpus (the number the 10× sweep's exact
+    10:1 collapse shows up in). exact_dedup's per-hash copy counts
+    re-aggregated into (cluster_size, n_clusters, docs_affected);
+    two tiny hash-aggs after the one corpus scan."""
+    from mimic2ts_spark.operators.dedup import exact_dedup
+
+    groups = exact_dedup(_docs(spark, sf_dir))
+    return groups.groupBy(F.col("n_copies").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n_copies").cast("long").alias("docs_affected"),
+    )
+
+
+Q_DUP_HISTOGRAM_SQL = """
+WITH groups AS (
+    SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+)
+SELECT n_copies AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_copies) AS BIGINT) AS docs_affected
+FROM groups GROUP BY 1
+"""
+
+
 def q_dataset_card(spark, sf_dir):
     """X113 — per-source dataset card in ONE pass: the datasheet a
     corpus release ships (doc/token counts, quality mass as
@@ -2972,6 +3040,8 @@ EXT_REGISTRY = {
     "q_layout_sorted": (q_layout_sorted, Q_LAYOUT_SORTED_SQL),
     "q_lang_confusion": (q_lang_confusion, Q_LANG_CONFUSION_SQL),
     "q_dataset_card": (q_dataset_card, Q_DATASET_CARD_SQL),
+    "q_interarrival": (q_interarrival, Q_INTERARRIVAL_SQL),
+    "q_dup_histogram": (q_dup_histogram, Q_DUP_HISTOGRAM_SQL),
     "q_graph_triangles": (q_graph_triangles, Q_GRAPH_TRIANGLES_SQL),
     "q_feature_bins": (q_feature_bins, Q_FEATURE_BINS_SQL),
     "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),
