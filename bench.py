@@ -98,6 +98,7 @@ HEADLINE = [
     "q_dataset_card",
     "q_interarrival",
     "q_dup_histogram",
+    "q_rolling_actives_kmv",
 ]
 
 

@@ -2695,6 +2695,88 @@ GROUP BY 1
 """
 
 
+def q_rolling_actives_kmv(spark, sf_dir):
+    """X116 — approximate rolling 7-day actives via KMV sketch union:
+    the at-scale path for X99. Each active day's distinct-user codes
+    feed the window days exactly as the exact form, but the per-window
+    state is the KMV sketch (k smallest codes) — and because the
+    sketch of a union IS the min-k of the union of code sets, this is
+    equivalent to merging 7 per-day sketches: O(k) per window instead
+    of O(distinct users). The exact count is joined alongside so the
+    estimator error is visible in the result. Everything is the same
+    md5 code space as X21, so the DuckDB oracle replays it exactly."""
+    from mimic2ts_spark.operators.sketch import kmv_sketch
+
+    ev = _h._t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    ud = ev.distinct()
+    contributed = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {ROLLING_WINDOW_DAYS - 1}))")
+        ).alias("win_day"),
+    )
+    days = ev.select("day").distinct().withColumnRenamed("day", "win_day")
+    windowed = contributed.join(days, "win_day")
+    sk = kmv_sketch(windowed, ["win_day"], "user_id")
+    exact = windowed.groupBy("win_day").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        sk.join(exact, "win_day")
+        .select(
+            F.col("win_day").cast("string").alias("day"),
+            "n_kept",
+            "kth_code",
+            "est_distinct",
+            "n_exact",
+        )
+    )
+
+
+def _q_rolling_actives_kmv_sql():
+    from mimic2ts_spark.operators.sketch import CODE_SPACE, KMV_K
+    from mimic2ts_spark.operators.text import SQL_CODE
+
+    code = SQL_CODE.format(tok="CAST(user_id AS VARCHAR)")
+    return f"""
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS win_day FROM events),
+windowed AS (
+    SELECT u.user_id, u.day + CAST(g.i AS INTEGER) AS win_day
+    FROM ud u, unnest(range({ROLLING_WINDOW_DAYS})) AS g(i)
+),
+w2 AS (SELECT w.user_id, w.win_day FROM windowed w JOIN days d
+       ON w.win_day = d.win_day),
+codes AS (SELECT DISTINCT win_day, {code} AS c FROM w2),
+ranked AS (
+    SELECT win_day, c,
+           row_number() OVER (PARTITION BY win_day ORDER BY c) AS rn
+    FROM codes
+),
+sk AS (
+    SELECT win_day, CAST(count(*) AS BIGINT) AS n_kept,
+           max(c) AS kth_code,
+           CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                ELSE {float(KMV_K - 1)} / (CAST(max(c) AS DOUBLE) / {CODE_SPACE})
+           END AS est_distinct
+    FROM ranked WHERE rn <= {KMV_K}
+    GROUP BY 1
+),
+exact AS (
+    SELECT win_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM w2 GROUP BY 1
+)
+SELECT CAST(s.win_day AS VARCHAR) AS day, s.n_kept, s.kth_code,
+       s.est_distinct, e.n_exact
+FROM sk s JOIN exact e ON s.win_day = e.win_day
+"""
+
+
+Q_ROLLING_ACTIVES_KMV_SQL = _q_rolling_actives_kmv_sql()
+
+
 WINSOR_LO = 0.05
 WINSOR_HI = 0.95
 
@@ -3045,6 +3127,7 @@ EXT_REGISTRY = {
     "q_graph_triangles": (q_graph_triangles, Q_GRAPH_TRIANGLES_SQL),
     "q_feature_bins": (q_feature_bins, Q_FEATURE_BINS_SQL),
     "q_rolling_actives": (q_rolling_actives, Q_ROLLING_ACTIVES_SQL),
+    "q_rolling_actives_kmv": (q_rolling_actives_kmv, Q_ROLLING_ACTIVES_KMV_SQL),
     "q_winsorize": (q_winsorize, Q_WINSORIZE_SQL),
     "q_skew_report": (q_skew_report, Q_SKEW_REPORT_SQL),
     "q_quality_gate": (q_quality_gate, Q_QUALITY_GATE_SQL),

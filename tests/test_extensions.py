@@ -1126,3 +1126,17 @@ def test_fuzzy_blocking_covers_every_single_edit(spark):
     assert got >= set(dirty_variants.items()), (
         set(dirty_variants.items()) - got
     )
+
+
+def test_rolling_kmv_estimates_near_exact(spark):
+    """The merged-window KMV estimate must actually estimate: within
+    50% of the exact count on every window (k=64 -> ~13% stderr; the
+    bound is loose on purpose, the oracle pins exact reproducibility)."""
+    from mimic2ts_spark import harness_ext as hx
+
+    rows = hx.q_rolling_actives_kmv(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est_distinct"] - r["n_exact"]) <= 0.5 * r["n_exact"], dict(
+            r.asDict()
+        )
