@@ -258,3 +258,44 @@ def test_bpe_round_matches_python_reference(spark, words):
                 out.append(s)
                 lm = False
         assert got[w] == out, (w, ga, gb, got[w], out)
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@settings(**_SETTINGS)
+def test_pagerank_matches_python_reference(spark, edges):
+    """Integer PageRank over arbitrary small digraphs == an independent
+    Python implementation of the same scaled floor-div recurrence
+    (dangling leak, damping 85/100, 3 rounds)."""
+    from mimic2ts_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        pagerank_scaled,
+    )
+
+    edge_list = sorted(edges)
+    nodes = sorted({n for e in edge_list for n in e})
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (15 * PR_SCALE) // 100
+    pr = {n: PR_SCALE for n in nodes}
+    for _ in range(PR_ITERS):
+        in_mass = {n: 0 for n in nodes}
+        for s, d in edge_list:
+            in_mass[d] += pr[s] // outdeg[s]
+        pr = {n: base + (PR_DAMP_NUM * in_mass[n]) // PR_DAMP_DEN for n in nodes}
+
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["pr_scaled"] for r in pagerank_scaled(df).collect()}
+    assert got == pr
