@@ -138,10 +138,18 @@ def main() -> None:
     # spike, which best-of-3 then cannot reject — interleaving spreads a
     # query's 3 samples minutes apart (a 2-4x tail-query artifact in
     # consecutive mode, reproduced across recordings on this box).
+    from mimic2ts_spark.session import release_storage
+
     def run_once(fn) -> float:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # storage hygiene BETWEEN queries (outside the timed span): without
+        # it, persisted relations from ~80 queries x 3 rounds accumulate and
+        # late-list queries (flagship ran last: 1.03 s -> 1.25 s r02->r03)
+        # pay the eviction/GC pressure of everything before them.
+        release_storage(spark)
+        return dt
 
     plan = [(name, harness.REGISTRY[name][0]) for name in HEADLINE]
     plan.append(("flagship_dense_matrix", harness.flagship))
@@ -159,30 +167,64 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    vs_totals: dict[str, float] = {}
 
     # Self-baselining: per-query ratio vs each prior round's recorded
     # bench (>1.5x on any query = a regression to explain). Only attached
     # when benching the same sf the baseline was recorded at.
     here = os.path.dirname(os.path.abspath(__file__))
-    for rnd in ("r01", "r02"):
+    for rnd in ("r01", "r02", "r03"):
         base_path = os.path.join(here, f"BENCH_{rnd}.json")
+        alt_path = os.path.join(here, f"BENCH_DETAIL_{rnd}.json")
+        if os.path.exists(alt_path):
+            base_path = alt_path
         if not os.path.exists(base_path):
             continue
         with open(base_path) as f:
             base = json.load(f)
         # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
-        parsed = base.get("parsed", base)
+        parsed = base.get("parsed") or base
         if base.get("sf", parsed.get("sf")) != out["sf"]:
             continue
         prev = parsed.get("queries", {})
         out[f"vs_{rnd}"] = {
             q: round(t / prev[q], 2) for q, t in timings.items() if prev.get(q)
         }
-        if prev:
+        if prev and parsed.get("value"):
             shared = round(sum(t for q, t in timings.items() if prev.get(q)), 3)
-            out[f"vs_{rnd}_total"] = round(shared / parsed["value"], 3)
+            vs_totals[f"vs_{rnd}_total"] = round(shared / parsed["value"], 3)
+    out.update(vs_totals)
 
+    # Full detail (per-query vs maps, 3-decimal timings) goes to a file and
+    # an EARLY stdout line. The FINAL stdout line is the driver-facing
+    # metric and must fit the driver's 2000-byte tail capture in full —
+    # r03's 5 KB line landed "parsed": null. Compact separators, 2-decimal
+    # per-query floats, scalar vs totals only, and a hard size guard that
+    # sheds optional fields before ever exceeding the window.
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(out, f)
     print(json.dumps(out))
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {q: round(t, 2) for q, t in timings.items()},
+        "sf": out["sf"],
+        **vs_totals,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1850:  # shed vs totals first, then truncate to slowest
+        compact = {k: v for k, v in compact.items() if not k.startswith("vs_")}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1850:
+        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+        while len(line) > 1850 and len(keep) > 1:
+            keep.pop(next(reversed(keep)))
+            compact["queries"] = {q: round(t, 2) for q, t in keep.items()}
+            compact["queries_truncated_to_slowest"] = len(keep)
+            line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -177,13 +177,25 @@ def main(argv: list[str] | None = None) -> None:
     out_dir = os.path.join(args.dst, "corpus")
     final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
 
+    from mimic2ts_spark.operators.text import token_count as _ws_token_count
+
+    # Two token units, both reported: n_tokens (BPE-ish, the training-size
+    # estimate) and n_tokens_ws (whitespace — the unit --pack's
+    # seq_idx/seq_offset are laid out in, so ceil(n_tokens_ws/N) per shard
+    # reconciles with n_sequences; previously only the BPE count appeared
+    # and the two were silently incomparable).
     written = spark.read.parquet(out_dir)
     per_split = {
-        r["split"]: {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+        r["split"]: {
+            "n_docs": r["n_docs"],
+            "n_tokens": r["n_tokens"],
+            "n_tokens_ws": r["n_tokens_ws"],
+        }
         for r in written.groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(bpe_ish_token_count(F.col("text"))).alias("n_tokens"),
+            F.sum(_ws_token_count(F.col("text"))).alias("n_tokens_ws"),
         )
         .collect()
     }
@@ -214,6 +226,10 @@ def main(argv: list[str] | None = None) -> None:
     with open(os.path.join(args.dst, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     print(json.dumps({k: v for k, v in manifest.items() if k != "config"}))
+
+    from mimic2ts_spark.session import release_storage
+
+    release_storage(spark)  # all stage persists are write-complete by here
 
 
 if __name__ == "__main__":

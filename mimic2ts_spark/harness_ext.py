@@ -487,7 +487,7 @@ bytes AS (
 ),
 doc AS (
     SELECT b.doc_id, b.n AS byte_len,
-           COALESCE(sum(y.byte), 0) % {X.MOD} AS checksum
+           CAST(COALESCE(sum(y.byte), 0) % {X.MOD} AS BIGINT) AS checksum
     FROM b LEFT JOIN bytes y ON y.doc_id = b.doc_id
     GROUP BY b.doc_id, b.n
 ),
@@ -989,6 +989,8 @@ def q_source_csv_gz(spark, sf_dir):
         .write.mode("overwrite")
         .option("header", True)
         .option("compression", "gzip")
+        .option("quote", '"')
+        .option("escape", '"')  # RFC-4180 doubled quotes, pinned both sides
         .csv(out)
     )
     back = (
@@ -996,6 +998,14 @@ def q_source_csv_gz(spark, sf_dir):
             "doc_id long, text string, lang string, source string, n_chars long"
         )
         .option("header", True)
+        # lossless by construction, not by current-corpus luck: a text field
+        # containing an embedded newline is written quoted-multiline and
+        # would otherwise be parsed as two records; pin the quote/escape
+        # discipline the writer used. (multiLine forfeits intra-file split
+        # parallelism, but gzip input is one-task-per-file anyway.)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
         .csv(out)
     )
     return back.groupBy("source", "lang").agg(
@@ -1725,8 +1735,8 @@ c AS (
     FROM d
 )
 SELECT doc_id, shard, n_tokens,
-       start // {PACK_BUDGET} AS seq_idx,
-       start % {PACK_BUDGET} AS seq_offset
+       CAST(start // {PACK_BUDGET} AS BIGINT) AS seq_idx,
+       CAST(start % {PACK_BUDGET} AS BIGINT) AS seq_offset
 FROM c
 """
 
@@ -2222,7 +2232,7 @@ def q_event_transitions(spark, sf_dir):
     rank window plans as WindowGroupLimit."""
     from pyspark.sql import Window as W
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _h._t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3024,7 +3034,7 @@ def q_incremental_agg(spark, sf_dir):
         partial_mean_state,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _h._t(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "value"
     )
     keys = ["user_id", "event_type"]
@@ -3055,7 +3065,7 @@ def q_event_ema(spark, sf_dir):
     recurrence without a Python UDF or a quadratic running window."""
     from mimic2ts_spark.operators.time_ops import ema_final
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _h._t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
     vals = F.transform(

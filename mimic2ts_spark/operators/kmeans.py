@@ -33,8 +33,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 QUANT = 1 << 20  # integer units per 1.0 of embedding coordinate
-KM_K = 8         # centroids
+KM_K = 8         # MINIMUM centroid count (the k used below this floor)
 KM_ROUNDS = 2    # Lloyd updates (fixed — lineage stays linear)
+
+# SemDeDup's contract says k must GROW with the corpus so cluster size —
+# and the O(Σ cluster²) verify — stays bounded (a constant k went 2.7×
+# super-linear on the 10× sweep). k = max(KM_K, n // KM_TARGET_CLUSTER):
+# 256-vector target clusters keep sf0.01 (500 vecs) and sf0.1 (2000) at
+# the historical k=8 (oracle hashes unchanged) while a 10× sweep corpus
+# (20k) derives k=78. Pass an int k to pin it explicitly (tests do).
+KM_TARGET_CLUSTER = 256
+
+
+def derived_k(n: int) -> int:
+    """Shared Python-side formula; sql_derived_k is the DuckDB mirror.
+    Both floor-divide non-negative counts, so they agree exactly."""
+    return max(KM_K, n // KM_TARGET_CLUSTER)
+
+
+def sql_derived_k(table: str) -> str:
+    return f"(SELECT greatest({KM_K}, count(*) // {KM_TARGET_CLUSTER}) FROM {table})"
 
 
 def quantize(vec: Column) -> Column:
@@ -87,7 +105,7 @@ def _update(assigned: DataFrame) -> DataFrame:
 
 def kmeans_assign(
     vectors: DataFrame,
-    k: int = KM_K,
+    k: int | None = None,
     rounds: int = KM_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -95,10 +113,15 @@ def kmeans_assign(
     """(vec_id, cid, d): cluster assignment (and final int distance)
     after `rounds` quantized Lloyd updates seeded by the k lowest-id
     vectors (the oracle contract forbids trainable state; the ITERATION
-    is the machinery under test — contrast ivf_topk's static seeds)."""
+    is the machinery under test — contrast ivf_topk's static seeds).
+
+    k=None (default) derives k from the corpus size via derived_k — one
+    count() job up front (a scalar, not a collect of data)."""
     base = vectors.select(
         F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
     ).persist()
+    if k is None:
+        k = derived_k(base.count())
     cents = (
         base.orderBy("vec_id")
         .limit(k)
@@ -112,7 +135,7 @@ def kmeans_assign(
 
 
 def kmeans_cluster_stats(
-    vectors: DataFrame, k: int = KM_K, rounds: int = KM_ROUNDS
+    vectors: DataFrame, k: int | None = None, rounds: int = KM_ROUNDS
 ) -> DataFrame:
     """(cid, n, inertia): cluster sizes and exact integer inertia after
     the fixed Lloyd rounds — the convergence scoreboard."""
@@ -125,7 +148,7 @@ def kmeans_cluster_stats(
 def semantic_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,
-    k: int = KM_K,
+    k: int | None = None,
     rounds: int = KM_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -230,13 +253,15 @@ def _sql_update(assigned: str) -> str:
 
 def sql_kmeans_assign(
     table: str = "embeddings",
-    k: int = KM_K,
+    k: int | str | None = None,
     rounds: int = KM_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
     """Unrolled CTE mirror of kmeans_assign (same quantization, same
     floor-div update, same (d, cid) tie-break)."""
+    if k is None:
+        k = sql_derived_k(table)  # DuckDB: scalar-subquery LIMIT
     parts = [
         f"base AS (SELECT {id_col} AS vec_id, {_sql_quant(vec_col)} AS x FROM {table})",
         f"c0 AS (SELECT vec_id AS cid, x AS m FROM base ORDER BY vec_id LIMIT {k})",
@@ -249,7 +274,7 @@ def sql_kmeans_assign(
 
 
 def sql_kmeans_cluster_stats(
-    table: str = "embeddings", k: int = KM_K, rounds: int = KM_ROUNDS
+    table: str = "embeddings", k: int | str | None = None, rounds: int = KM_ROUNDS
 ) -> str:
     inner = sql_kmeans_assign(table, k, rounds)
     return (
@@ -261,7 +286,7 @@ def sql_kmeans_cluster_stats(
 def sql_semantic_near_dup_pairs(
     threshold: float,
     table: str = "embeddings",
-    k: int = KM_K,
+    k: int | str | None = None,
     rounds: int = KM_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -55,3 +55,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_storage(spark: SparkSession) -> None:
+    """Drop every cached relation and persisted/localCheckpointed RDD.
+
+    Several operators persist() mid-plan (pagerank edges, k-means base,
+    BPE word counts, corpus stages) and the returned LAZY plan still
+    references the cache, so they cannot unpersist before returning.
+    Harness drivers that run many queries in one session (bench, the
+    correctness gate, corpus main after its final write) call this
+    between queries so cached blocks are bounded per-query instead of
+    accumulating for the whole 135-query session and leaning on LRU
+    eviction. Only call AFTER the query's result is materialized."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    rdds = jsc.getPersistentRDDs()
+    it = rdds.iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)

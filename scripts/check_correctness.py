@@ -17,7 +17,7 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 import __spark_entry__ as entrymod  # noqa: E402
-from mimic2ts_spark.session import get_spark  # noqa: E402
+from mimic2ts_spark.session import get_spark, release_storage  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -86,6 +86,7 @@ def main() -> int:
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
+            release_storage(spark)  # bound cached blocks per-query
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
@@ -94,7 +95,24 @@ def main() -> int:
             print(f"ROWS {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            oracle_pdf = con.sql(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            # Driver-hash parity: DuckDB HUGEINT/DECIMAL outputs coerce to
+            # float64 in .df() and slip past the float comparison below, but
+            # the driver's value-hash distinguishes the representation from
+            # Spark's LONG (r03: q_pack_sequences). Fail loudly pre-commit.
+            bad_types = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, [str(t).upper() for t in rel.types])
+                if "HUGEINT" in t or t.startswith("DECIMAL")
+            ]
+            if bad_types:
+                print(
+                    f"FAIL {name}: oracle emits driver-unsafe dtypes "
+                    f"{bad_types} — CAST to BIGINT/DOUBLE in the SQL"
+                )
+                n_fail += 1
+                continue
+            oracle_pdf = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
