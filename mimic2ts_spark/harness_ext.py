@@ -2360,7 +2360,17 @@ LIMIT {BASKET_TOP_K}
 """
 
 
-TRI_MIN_MULT = 3  # strong edges only: transition observed >= 3 times
+TRI_MIN_MULT = 3  # FLOOR for the strong-edge threshold (see below)
+
+# The strong-edge cut must SCALE with corpus multiplicity: a constant 3 on
+# a duplicate-heavy corpus (every transition ~10x) passes nearly every
+# edge and the near-complete graph's C(n,3) triangles go quadratic-plus
+# (33 s at the 10x sweep). Derived threshold = greatest(3, ceil(1.5 x
+# mean multiplicity)), computed in EXACT integer math shared by both
+# engines: ceil(3s / 2c) = (3s + 2c - 1) // (2c) on positive ints (Spark
+# div == DuckDB // on non-negatives). sf0.1 derives 3 (bench-stable);
+# sf0.01 derives 9; a 10x duplicate-heavy sweep derives ~1.5x its
+# inflated mean and the graph density stays bounded.
 
 
 def q_graph_triangles(spark, sf_dir):
@@ -2388,7 +2398,7 @@ def q_graph_triangles(spark, sf_dir):
     w = W.partitionBy("o_custkey").orderBy(
         "o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"
     )
-    directed = (
+    multiplicity = (
         seq.select(
             F.col("l_suppkey").alias("src"),
             F.lead("l_suppkey").over(w).alias("dst"),
@@ -2396,20 +2406,43 @@ def q_graph_triangles(spark, sf_dir):
         .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") >= TRI_MIN_MULT)
     )
-    und = directed.select(
-        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
-    ).distinct()
+    # 1-row corpus-stats broadcast, not a collect: the threshold rides the
+    # plan, and the multiplicity agg's shuffle is reused by both subtrees.
+    stats = multiplicity.agg(
+        F.sum("m").alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    directed = (
+        multiplicity.crossJoin(F.broadcast(stats))
+        .where(
+            F.col("m")
+            >= F.greatest(
+                F.lit(TRI_MIN_MULT).cast("long"),
+                F.expr("(3 * _s + 2 * _c - 1) div (2 * _c)"),
+            )
+        )
+        .drop("_s", "_c")
+    )
+    # und is referenced by all three join roles: persist it so the
+    # scan→join→window→agg lineage runs ONCE (unpersisted plan copies ran
+    # it 9x — 3 und refs x 3 tri refs — 18 Window nodes in the physical
+    # plan; harness drivers release_storage() between queries).
+    und = (
+        directed.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+        .persist()
+    )
     e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     wedges = e1.join(e2, "b")  # a < b < c by construction
     e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     tri = wedges.join(e3, ["a", "c"])
+    # single tri subtree: explode the three roles instead of a 3-way
+    # union (which would re-evaluate the wedge joins per branch)
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
@@ -2418,7 +2451,12 @@ def q_graph_triangles(spark, sf_dir):
 
 def _q_graph_triangles_sql():
     edges = f"""
-SELECT src, dst FROM (
+SELECT src, dst FROM multiplicity
+WHERE m >= (SELECT greatest({TRI_MIN_MULT}, (3 * sum(m) + 2 * count(*) - 1) // (2 * count(*)))
+            FROM multiplicity)
+""".strip()
+    return f"""
+WITH multiplicity AS (
     SELECT src, dst, count(*) AS m FROM (
         SELECT l_suppkey AS src,
                lead(l_suppkey) OVER (PARTITION BY o_custkey
@@ -2427,10 +2465,8 @@ SELECT src, dst FROM (
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ) WHERE dst IS NOT NULL AND src <> dst
     GROUP BY 1, 2
-) WHERE m >= {TRI_MIN_MULT}
-""".strip()
-    return f"""
-WITH directed AS ({edges}),
+),
+directed AS ({edges}),
 und AS (
     SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
     FROM directed

@@ -372,18 +372,21 @@ def ngram_jaccard_pairs(
         cols.insert(0, F.col(block_col).alias("block"))
         gkeys.insert(0, "block")
     keep = (["block"] if block_col is not None else []) + ["doc_id"]
+
     # cheap pre-filter instead of size(codes) > 0 — see minhash_lsh_pairs.
-    # The shingle-coded base is PERSISTED (memory-and-disk): the hot-set
-    # side-job below and the main posting pass both consume it, so the
-    # tokenize+md5 pass runs exactly once instead of 1 + 1/mod times
-    # (measured 2.12 → 1.79 s best-of-5 at sf0.1, and first-run 9.9 →
-    # 3.5 s since the side-job now warms the cache the main pass reads).
-    # No explicit unpersist: the returned plan references the cached
-    # relation, and Spark's ContextCleaner drops the blocks when the
-    # result goes out of scope; under memory pressure the store evicts
-    # to disk, never recomputes-per-join. At 100 TB the cached form
-    # (doc_id + int64 code arrays, ~1% of raw text bytes) is the same
-    # data the bucket shuffle must carry anyway.
+    # The shingle-coded base is PERSISTED (memory-and-disk) and the hot-set
+    # side-job below samples the CACHE. This is load-bearing twice over:
+    # the side-job and the main posting pass share one tokenize+md5 pass,
+    # AND the cache pins `codes` to a single evaluation inside the posting
+    # select — unpersisted, CollapseProject substitutes the md5-shingle
+    # expression into every use of `codes` (the carried payload, the
+    # prefix slice, both size() terms) and the pass runs ~3x (measured:
+    # a source-sampled probe + fused unpersisted main = 3.37 s best-of-5
+    # vs 1.50 s for this form, interleaved, sf0.1 — r04). No explicit
+    # unpersist: the returned plan references the cached relation; harness
+    # drivers call release_storage() between queries. At 100 TB the
+    # cached form (doc_id + int64 code arrays, ~1% of raw text bytes) is
+    # the same data the bucket shuffle must carry anyway.
     base = (
         with_shingle_codes(
             ensure_parallelism(
