@@ -3155,7 +3155,29 @@ def _q_zorder_layout_sql():
 Q_ZORDER_LAYOUT_SQL = _q_zorder_layout_sql()
 
 
+def q_dsir_weights(spark, sf_dir):
+    """X117 — DSIR importance weighting (Xie et al. 2023): score raw docs
+    by hashed-unigram similarity to the English subset and keep the
+    top-50 by normalized integer importance score (operators/dsir.py —
+    integer ratio proxy for the paper's log-likelihood ratio; log() is
+    not bit-stable cross-engine). B-row bucket stats broadcast; one
+    doc_id shuffle; TakeOrdered top-k."""
+    from mimic2ts_spark.operators.dsir import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+def _q_dsir_weights_sql():
+    from mimic2ts_spark.operators.dsir import sql_dsir_weights
+
+    return sql_dsir_weights("lang = 'en'")
+
+
+Q_DSIR_WEIGHTS_SQL = _q_dsir_weights_sql()
+
+
 EXT_REGISTRY = {
+    "q_dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).

@@ -94,7 +94,11 @@ def pagerank_scaled(
     # over the src partition — no extra join), so each round pays a
     # single shuffle join (rank × edges on src) instead of two; nodes
     # derive from the SAME persisted relation (a second derivation of
-    # the raw edge lineage would re-scan the fact tables)
+    # the raw edge lineage would re-scan the fact tables).
+    # Retention contract: no unpersist here — the returned LAZY plan
+    # still references both caches. Multi-query harness sessions call
+    # session.release_storage() between queries; one-shot consumers get
+    # ContextCleaner GC. (Deliberate session-budget choice per CLAUDE.md.)
     from pyspark.sql import Window as _W
 
     edges = edges.withColumn(

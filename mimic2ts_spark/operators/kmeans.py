@@ -66,6 +66,18 @@ def _dist2(x: Column, m: Column) -> Column:
     return F.aggregate(d, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+# Above this k, assignment switches from the k-row broadcast crossJoin
+# (interpreted HOF distance — fine for constant-ish k, and the best of
+# the expression forms per CLAUDE.md's rejected-experiments list) to an
+# Arrow mapInPandas numpy kernel: n·k·dim integer ops go vectorized-C
+# instead of interpreted (the derived k makes assignment O(n²/256) in
+# corpus size, which the HOF form cannot survive — the 100× sweep's
+# k=781 ran >15 min interpreted vs seconds vectorized). Integer distances
+# are ASSOCIATIVE, so numpy's accumulation order is irrelevant and both
+# paths are bit-identical (pinned by test_kmeans_kernel_matches_crossjoin).
+KM_KERNEL_MIN_K = 32
+
+
 def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, x, cid): nearest centroid by exact int distance;
     ties break to the lowest cid via lexicographic struct-min."""
@@ -76,6 +88,44 @@ def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
         scored.groupBy("vec_id")
         .agg(F.min("s").alias("s"), F.first("x").alias("x"))
         .select("vec_id", "x", F.col("s.cid").alias("cid"), F.col("s.d").alias("d"))
+    )
+
+
+def _assign_kernel(base: DataFrame, cents_rows: list) -> DataFrame:
+    """Large-k assignment: centroids as a driver-side int64 matrix
+    (k·dim values — bounded, a documented broadcast-budget choice like
+    bpe's per-round argmax), distances d = |x|² + |c|² − 2x·c via int64
+    matmul in a mapInPandas kernel. Exact: every term < 2^50, int64
+    arithmetic is associative, and np.argmin's first-minimum tie-break
+    equals the struct-min's lowest-cid rule because `cents_rows` arrive
+    sorted by cid ascending."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([r.cid for r in cents_rows], dtype=np.int64)
+    M = np.array([list(r.m) for r in cents_rows], dtype=np.int64)  # (k, dim)
+    m_norm = (M * M).sum(axis=1)  # (k,)
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["x"]), dtype=np.int64)  # (n, dim)
+            dots = X @ M.T
+            x_norm = (X * X).sum(axis=1)
+            D = x_norm[:, None] + m_norm[None, :] - 2 * dots
+            j = np.argmin(D, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "x": pdf["x"],
+                    "cid": cids[j],
+                    "d": D[np.arange(len(j)), j],
+                }
+            )
+
+    return base.mapInPandas(
+        score, schema="vec_id long, x array<bigint>, cid long, d long"
     )
 
 
@@ -127,10 +177,19 @@ def kmeans_assign(
         .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("x").alias("m"))
     )
-    assigned = _assign(base, cents)
-    for _ in range(rounds):
-        cents = _update(assigned)
+    if k >= KM_KERNEL_MIN_K:
+        # kernel path: centroids collect per round (k rows, bounded);
+        # assignment lineage stays FLAT (base + literal matrix), so
+        # rounds never stack join plans.
+        assigned = _assign_kernel(base, cents.orderBy("cid").collect())
+        for _ in range(rounds):
+            cents_rows = _update(assigned).orderBy("cid").collect()
+            assigned = _assign_kernel(base, cents_rows)
+    else:
         assigned = _assign(base, cents)
+        for _ in range(rounds):
+            cents = _update(assigned)
+            assigned = _assign(base, cents)
     return assigned.select("vec_id", "cid", "d")
 
 

@@ -416,6 +416,33 @@ def test_codec_roundtrip_property():
     check()
 
 
+def test_decode_real_codec_routing():
+    """decode_real: stdlib formats decode without any extra; compressed
+    codecs route to PyAV when importable, otherwise raise the documented
+    NotImplementedError naming the optional extra (never a bare
+    ImportError escaping the boundary)."""
+    import pytest
+
+    from mimic2ts_spark.operators.multimodal import decode_real, encode_wav
+
+    assert decode_real(encode_wav(b"abc"), "audio/wav")["payload"] == b"abc"
+
+    try:
+        import av  # noqa: F401
+
+        have_av = True
+    except ImportError:
+        have_av = False
+
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32  # header only, not decodable
+    if not have_av:
+        with pytest.raises(NotImplementedError, match="av"):
+            decode_real(jpeg_ish, "image/jpeg")
+    else:  # pragma: no cover - container has no av
+        with pytest.raises(Exception):  # real av rejects the truncated body
+            decode_real(jpeg_ish, "image/jpeg")
+
+
 def test_decode_features_roundtrip_flags(spark, docs):
     """decode_features over real containers: every row roundtrips and
     the features equal the fake-decode of the raw payload (decoded
@@ -983,6 +1010,29 @@ def test_stream_kmv_equals_batch_sketch(spark):
         for r in kmv_sketch(ev, ["event_type"], "user_id").collect()
     }
     assert got == want
+
+
+def test_kmeans_kernel_matches_crossjoin(spark, monkeypatch):
+    """The large-k numpy assignment kernel must BIT-EQUAL the broadcast
+    crossJoin+struct-min path on the same data and k — integer distances
+    are associative, and argmin's first-minimum tie-break must reproduce
+    the (d, cid) lexicographic struct-min. Run the full Lloyd iteration
+    both ways at a k above the kernel threshold."""
+    from mimic2ts_spark.operators import kmeans as KM
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    k = max(KM.KM_KERNEL_MIN_K, 40)
+
+    kernel = {
+        (r["vec_id"]): (r["cid"], r["d"])
+        for r in KM.kmeans_assign(vecs, k=k).collect()
+    }
+    monkeypatch.setattr(KM, "KM_KERNEL_MIN_K", 10**9)  # force crossJoin path
+    crossjoin = {
+        (r["vec_id"]): (r["cid"], r["d"])
+        for r in KM.kmeans_assign(vecs, k=k).collect()
+    }
+    assert kernel == crossjoin and len(kernel) > 0
 
 
 def test_kmeans_separates_planted_clusters(spark):

@@ -743,6 +743,22 @@ def test_kmeans_persisted_base_no_cartesian(utc):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
 
 
+def test_dsir_broadcast_stats_take_ordered(utc):
+    """DSIR importance weights: the B-row bucket-stats table must join by
+    broadcast (map-side scoring), top-k must be per-partition heaps, and
+    no Python evaluation anywhere. Two corpus scans by design (stats
+    pass + scoring pass — cheaper than persisting a token-level
+    intermediate at corpus scale)."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_dsir_weights(utc, SF))
+    assert "TakeOrderedAndProject" in s
+    assert _count(r"\(\d+\) BroadcastHashJoin", s) == 1, s
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+    assert _count(r"\(\d+\) Scan parquet", s) == 2, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
 def test_registry_global_plan_invariants(utc):
     """Whole-registry regression net: NO query may plan a row-wise
     Python UDF (BatchEvalPython) or an undeclared all-pairs join.
@@ -762,6 +778,7 @@ def test_registry_global_plan_invariants(utc):
         "q_kmeans",          # k-row centroid broadcast cross join (declared)
         "q_dedup_semantic",  # same centroid cross join inside kmeans_assign
         "q_skew_report",     # 1-row total-count scalar cross join
+        "q_graph_triangles",  # 1-row multiplicity-stats scalar cross join (r04 derived threshold)
     }
     skip = {
         "q_sink_partitioned",
