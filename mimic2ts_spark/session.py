@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # 128 MiB input splits: good default for parquet at any scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Whole-stage codegen emits a class per plan; a many-query session
+        # (82-query bench x 3 rounds) fills the JVM's default 240 MB
+        # reserved code cache, JIT compilation stalls, and late-running
+        # queries degrade ~15-40% (flagship in-session: 1.15 s default vs
+        # 0.99 s with 512 MB — measured r04). Same flag matters on real
+        # executors serving many queries.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
     )
     if extra_conf:
         for k, v in extra_conf.items():
