@@ -101,6 +101,7 @@ HEADLINE = [
     "q_rolling_actives_kmv",
     # round 4 (continuous-build round 4)
     "q_dsir_weights",
+    "q_bpe_apply",
 ]
 
 

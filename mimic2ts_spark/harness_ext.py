@@ -3155,6 +3155,26 @@ def _q_zorder_layout_sql():
 Q_ZORDER_LAYOUT_SQL = _q_zorder_layout_sql()
 
 
+def q_bpe_apply(spark, sf_dir):
+    """X118 — apply the trained BPE merge table to the corpus (the
+    tokenization pass between q_bpe_train and q_pack_sequences): per-doc
+    post-merge token counts + a position-weighted token-stream checksum.
+    Merges apply once per VOCAB word (the persisted train table), then
+    one word-join shuffle + one doc_id shuffle (operators/bpe.py)."""
+    from mimic2ts_spark.operators.bpe import bpe_apply_doc_stats
+
+    return bpe_apply_doc_stats(_docs(spark, sf_dir))
+
+
+def _q_bpe_apply_sql():
+    from mimic2ts_spark.operators.bpe import sql_bpe_apply_doc_stats
+
+    return sql_bpe_apply_doc_stats()
+
+
+Q_BPE_APPLY_SQL = _q_bpe_apply_sql()
+
+
 def q_dsir_weights(spark, sf_dir):
     """X117 — DSIR importance weighting (Xie et al. 2023): score raw docs
     by hashed-unigram similarity to the English subset and keep the
@@ -3178,6 +3198,7 @@ Q_DSIR_WEIGHTS_SQL = _q_dsir_weights_sql()
 
 EXT_REGISTRY = {
     "q_dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
+    "q_bpe_apply": (q_bpe_apply, Q_BPE_APPLY_SQL),
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).

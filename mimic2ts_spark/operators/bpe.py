@@ -135,6 +135,69 @@ def bpe_train_summary(
     return out
 
 
+def bpe_apply_doc_stats(
+    df: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with the merges learned by the train loop:
+    (doc_id, n_words, n_tokens, checksum) where n_tokens counts the
+    post-merge symbols of every word occurrence and checksum is a
+    position-weighted integer hash of the full token stream (pinning
+    both segmentation AND order cross-engine).
+
+    Scale shape — the tokenizer-application pass of a training-data
+    pipeline: merges are applied ONCE PER VOCABULARY WORD (the same
+    persisted word table training used — vocab-sized, not corpus-sized),
+    then one shuffle joins word→(n_syms, word_hash) onto the exploded
+    doc word stream and one doc_id shuffle aggregates. The merge rules
+    are plan literals (the trained tokenizer's merge table), exactly how
+    a production tokenizer ships."""
+    from mimic2ts_spark.operators.text import MOD, token_code
+
+    wsc = word_symbol_counts(df, text_col).persist()
+    rules = []
+    work = wsc
+    for _ in range(rounds):
+        a, b, _total = best_pair(work)
+        rules.append((a, b))
+        work = work.select("word", "cnt", merged_syms(F.col("syms"), a, b).alias("syms"))
+
+    # position-weighted hash of the word's own symbol sequence
+    sym_codes = F.transform(F.col("syms"), lambda s: token_code(s) % MOD)
+    word_hash = F.aggregate(
+        F.zip_with(
+            sym_codes,
+            F.sequence(F.lit(1), F.size("syms")),
+            lambda c, i: c * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc + v) % MOD,
+    )
+    vocab = work.select(
+        "word",
+        F.size("syms").cast("long").alias("n_syms"),
+        word_hash.alias("word_hash"),
+    )
+
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    return (
+        occ.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+            (
+                F.sum((F.col("pos") + 1) * F.col("word_hash")) % MOD
+            ).cast("long").alias("checksum"),
+        )
+    )
+
+
 # --- SQL mirror ------------------------------------------------------------
 
 
@@ -160,9 +223,9 @@ def _sql_fold(prev: str, b: str) -> str:
 )"""
 
 
-def sql_bpe_train_summary(
-    table: str = "documents", rounds: int = BPE_ROUNDS, text_col: str = "text"
-) -> str:
+def _sql_train_parts(table: str, rounds: int, text_col: str) -> list[str]:
+    """Shared CTE chain w0 → (p{r}, b{r}, w{r+1}, s{r})* — the training
+    iteration both the summary and the apply mirror build on."""
     toks = SQL_TOKENS.format(text=text_col)
     parts = [
         f"""w0 AS (
@@ -193,5 +256,57 @@ s{r} AS (
     FROM b{r} b
 )"""
         )
+    return parts
+
+
+def sql_bpe_train_summary(
+    table: str = "documents", rounds: int = BPE_ROUNDS, text_col: str = "text"
+) -> str:
+    parts = _sql_train_parts(table, rounds, text_col)
     selects = " UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(rounds))
     return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+def sql_bpe_apply_doc_stats(
+    table: str = "documents",
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Mirror of bpe_apply_doc_stats: the same trained w{rounds} vocab,
+    the same position-weighted step-modular hash."""
+    from mimic2ts_spark.operators.text import MOD, SQL_CODE
+
+    toks = SQL_TOKENS.format(text=text_col)
+    code = SQL_CODE.format(tok="syms[CAST(i AS INTEGER)]")
+    parts = _sql_train_parts(table, rounds, text_col)
+    parts.append(
+        f"""vocab AS (
+    SELECT word, CAST(len(syms) AS BIGINT) AS n_syms,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, len(syms)),
+                       i -> ({code} % {MOD}) * i)),
+               (acc, v) -> (acc + v) % {MOD}) AS word_hash
+    FROM w{rounds}
+)"""
+    )
+    parts.append(
+        f"""occ AS (
+    SELECT {id_col} AS doc_id, g.i - 1 AS pos,
+           ({toks})[CAST(g.i AS INTEGER)] AS word
+    FROM {table}, unnest(generate_series(1, len({toks}))) AS g(i)
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(v.n_syms) AS BIGINT) AS n_tokens,
+       CAST(sum((o.pos + 1) * v.word_hash) % {MOD} AS BIGINT) AS checksum
+FROM occ o JOIN vocab v ON o.word = v.word
+GROUP BY o.doc_id
+"""
+    )
