@@ -66,16 +66,18 @@ def _dist2(x: Column, m: Column) -> Column:
     return F.aggregate(d, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-# Above this k, assignment switches from the k-row broadcast crossJoin
-# (interpreted HOF distance — fine for constant-ish k, and the best of
-# the expression forms per CLAUDE.md's rejected-experiments list) to an
-# Arrow mapInPandas numpy kernel: n·k·dim integer ops go vectorized-C
-# instead of interpreted (the derived k makes assignment O(n²/256) in
-# corpus size, which the HOF form cannot survive — the 100× sweep's
-# k=781 ran >15 min interpreted vs seconds vectorized). Integer distances
-# are ASSOCIATIVE, so numpy's accumulation order is irrelevant and both
-# paths are bit-identical (pinned by test_kmeans_kernel_matches_crossjoin).
-KM_KERNEL_MIN_K = 32
+# At/above this k, assignment uses the Arrow mapInPandas numpy kernel:
+# n·k·dim integer ops go vectorized-C instead of interpreted HOF (the
+# derived k makes assignment O(n²/256) in corpus size, which the HOF
+# form cannot survive — the 100× sweep's k=781 ran >15 min interpreted
+# vs 7 s vectorized). Integer distances are ASSOCIATIVE, so numpy's
+# accumulation order is irrelevant and both paths are bit-identical
+# (pinned by test_kmeans_kernel_matches_crossjoin). Default 0 = always:
+# the kernel also wins at k=8 (1.92 vs 2.07 s best-of-5, sf0.1) despite
+# its per-round centroid collects. The broadcast crossJoin+struct-min
+# form remains as the expression-shaped reference implementation (and
+# was itself the best of the pure-expression forms — CLAUDE.md).
+KM_KERNEL_MIN_K = 0
 
 
 def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
