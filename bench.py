@@ -102,6 +102,8 @@ HEADLINE = [
     # round 4 (continuous-build round 4)
     "q_dsir_weights",
     "q_bpe_apply",
+    "q_pq_encode",
+    "q_ann_pq",
 ]
 
 
@@ -212,13 +214,16 @@ def main() -> None:
         json.dump(out, f)
     print(json.dumps(out))
 
+    latest_vs = (
+        {k: vs_totals[k] for k in [sorted(vs_totals)[-1]]} if vs_totals else {}
+    )
     compact = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
         "queries": {q: round(t, 2) for q, t in timings.items()},
         "sf": out["sf"],
-        **vs_totals,
+        **latest_vs,
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1940:  # shed vs totals first, then truncate to slowest

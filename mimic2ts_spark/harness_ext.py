@@ -3175,6 +3175,35 @@ def _q_bpe_apply_sql():
 Q_BPE_APPLY_SQL = _q_bpe_apply_sql()
 
 
+def q_pq_encode(spark, sf_dir):
+    """X119 — product-quantization encoding (Jégou et al. 2011): M=4
+    per-subspace codebooks (integer-exact k-means) → (vec_id, 4 codes,
+    distortion). The compression side of ANN scale: ~64x fewer bytes
+    per candidate through any shuffle (operators/pq.py)."""
+    from mimic2ts_spark.operators.pq import pq_encode
+
+    return pq_encode(_embs(spark, sf_dir))
+
+
+def q_ann_pq(spark, sf_dir):
+    """X120 — ADC top-k over the PQ-encoded corpus: query = lowest-id
+    vector's exact subvectors vs the k·M-entry codebook distance table
+    (a bounded plan literal); scoring is one scan + M map lookups per
+    row, zero joins; top-k as TakeOrdered."""
+    from mimic2ts_spark.operators.pq import pq_adc_topk
+
+    return pq_adc_topk(_embs(spark, sf_dir))
+
+
+def _q_pq_sqls():
+    from mimic2ts_spark.operators.pq import sql_pq_adc_topk, sql_pq_encode
+
+    return sql_pq_encode(), sql_pq_adc_topk()
+
+
+Q_PQ_ENCODE_SQL, Q_ANN_PQ_SQL = _q_pq_sqls()
+
+
 def q_dsir_weights(spark, sf_dir):
     """X117 — DSIR importance weighting (Xie et al. 2023): score raw docs
     by hashed-unigram similarity to the English subset and keep the
@@ -3199,6 +3228,8 @@ Q_DSIR_WEIGHTS_SQL = _q_dsir_weights_sql()
 EXT_REGISTRY = {
     "q_dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
     "q_bpe_apply": (q_bpe_apply, Q_BPE_APPLY_SQL),
+    "q_pq_encode": (q_pq_encode, Q_PQ_ENCODE_SQL),
+    "q_ann_pq": (q_ann_pq, Q_ANN_PQ_SQL),
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).

@@ -312,6 +312,32 @@ def _sql_update(assigned: str) -> str:
 )"""
 
 
+def sql_kmeans_parts(
+    table: str,
+    k: int | str | None = None,
+    rounds: int = KM_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix: str = "",
+) -> tuple[list[str], str, str]:
+    """CTE chain for one unrolled Lloyd run; returns (parts,
+    final_assign_cte, final_cents_cte) so composites (PQ's M subspace
+    runs, ADC tables against the trained codebook) can reuse it under a
+    name prefix."""
+    if k is None:
+        k = sql_derived_k(table)  # DuckDB: scalar-subquery LIMIT
+    p = prefix
+    parts = [
+        f"{p}base AS (SELECT {id_col} AS vec_id, {_sql_quant(vec_col)} AS x FROM {table})",
+        f"{p}c0 AS (SELECT vec_id AS cid, x AS m FROM {p}base ORDER BY vec_id LIMIT {k})",
+        f"{p}a0 AS {_sql_assign(f'{p}base', f'{p}c0')}",
+    ]
+    for r in range(rounds):
+        parts.append(f"{p}c{r + 1} AS {_sql_update(f'{p}a{r}')}")
+        parts.append(f"{p}a{r + 1} AS {_sql_assign(f'{p}base', f'{p}c{r + 1}')}")
+    return parts, f"{p}a{rounds}", f"{p}c{rounds}"
+
+
 def sql_kmeans_assign(
     table: str = "embeddings",
     k: int | str | None = None,
@@ -321,17 +347,8 @@ def sql_kmeans_assign(
 ) -> str:
     """Unrolled CTE mirror of kmeans_assign (same quantization, same
     floor-div update, same (d, cid) tie-break)."""
-    if k is None:
-        k = sql_derived_k(table)  # DuckDB: scalar-subquery LIMIT
-    parts = [
-        f"base AS (SELECT {id_col} AS vec_id, {_sql_quant(vec_col)} AS x FROM {table})",
-        f"c0 AS (SELECT vec_id AS cid, x AS m FROM base ORDER BY vec_id LIMIT {k})",
-        f"a0 AS {_sql_assign('base', 'c0')}",
-    ]
-    for r in range(rounds):
-        parts.append(f"c{r + 1} AS {_sql_update(f'a{r}')}")
-        parts.append(f"a{r + 1} AS {_sql_assign('base', f'c{r + 1}')}")
-    return "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cid, d FROM a{rounds}"
+    parts, final_a, _ = sql_kmeans_parts(table, k, rounds, id_col, vec_col)
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cid, d FROM {final_a}"
 
 
 def sql_kmeans_cluster_stats(

@@ -1012,6 +1012,31 @@ def test_stream_kmv_equals_batch_sketch(spark):
     assert got == want
 
 
+def test_pq_adc_duplicate_of_query_identity(spark):
+    """PQ contract on real vectors: for an exact DUPLICATE of the query
+    vector, the ADC distance equals that vector's own quantization
+    distortion (both measure query-subvector -> assigned-centroid), and
+    the duplicate ranks at the top of the ADC result."""
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.operators.pq import pq_adc_topk, pq_encode
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = vecs.orderBy("vec_id").limit(1).collect()[0]
+    dup_id = 10**9
+    dup = spark.createDataFrame(
+        [(dup_id, q["embedding"])], "vec_id long, embedding array<float>"
+    )
+    both = vecs.select("vec_id", "embedding").unionByName(dup)
+
+    enc = {r["vec_id"]: r for r in pq_encode(both).collect()}
+    top = pq_adc_topk(both).collect()
+    assert top[0]["vec_id"] == dup_id, top[:3]
+    assert top[0]["adc_dist2"] == enc[dup_id]["distortion"]
+    # every ADC distance is a non-negative integer
+    assert all(r["adc_dist2"] >= 0 for r in top)
+
+
 def test_kmeans_kernel_matches_crossjoin(spark, monkeypatch):
     """The large-k numpy assignment kernel must BIT-EQUAL the broadcast
     crossJoin+struct-min path on the same data and k — integer distances
@@ -1119,6 +1144,36 @@ def test_bpe_merge_fold_matches_python_reference(spark):
             .collect()[0]["m"]
         )
         assert got == _py_greedy_merge(syms, a, b), (syms, a, b, got)
+
+
+def test_bpe_apply_hand_fixture(spark):
+    """Tokenizer application against an independently hand-derived
+    result: corpus 'ab ab ab c' x2 docs + 'c c' — round 1 merges (a,b)
+    [pair count 6 beats (b,US-sep) nothing else], round 2 merges the
+    next-best pair; n_tokens per doc then counts post-merge symbols per
+    word occurrence."""
+    from mimic2ts_spark.operators.bpe import bpe_apply_doc_stats
+
+    df = spark.createDataFrame(
+        [(0, "ab ab ab c"), (1, "ab ab ab c"), (2, "c c")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bpe_apply_doc_stats(df, rounds=1).collect()}
+    # round 1: pair (a,b) occurs 6x (word 'ab' count 6) — merged.
+    # 'ab' -> ['ab'] (1 sym), 'c' -> ['c'] (1 sym)
+    assert got[0]["n_words"] == 4 and got[0]["n_tokens"] == 4
+    assert got[1]["n_tokens"] == 4
+    assert got[2]["n_words"] == 2 and got[2]["n_tokens"] == 2
+    # identical docs -> identical checksums; different doc -> different
+    assert got[0]["checksum"] == got[1]["checksum"] != got[2]["checksum"]
+
+    # word-order sensitivity: same multiset of words, different order
+    df2 = spark.createDataFrame(
+        [(0, "ab c ab"), (1, "c ab ab")], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r for r in bpe_apply_doc_stats(df2, rounds=1).collect()}
+    assert got2[0]["n_tokens"] == got2[1]["n_tokens"]
+    assert got2[0]["checksum"] != got2[1]["checksum"]
 
 
 def test_bpe_summary_invariant(spark, docs):

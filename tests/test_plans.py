@@ -759,6 +759,20 @@ def test_dsir_broadcast_stats_take_ordered(utc):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
 
 
+def test_bpe_apply_vocab_join_shape(utc):
+    """Tokenizer application: the vocab side must come from the
+    PERSISTED train table (InMemoryTableScan — merges run once per vocab
+    word, not per occurrence), the doc-stream join is a shuffle on word
+    (either join family is fine; no cartesian), and no row-wise Python
+    appears (the merge fold is a JVM HOF over vocab rows)."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_bpe_apply(utc, SF))
+    assert "InMemoryTableScan" in s, "train vocab not persisted"
+    assert "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
 def test_registry_global_plan_invariants(utc):
     """Whole-registry regression net: NO query may plan a row-wise
     Python UDF (BatchEvalPython) or an undeclared all-pairs join.
