@@ -104,6 +104,8 @@ HEADLINE = [
     "q_bpe_apply",
     "q_pq_encode",
     "q_ann_pq",
+    "q_corpus_ngrams",
+    "q_mixture_temperature",
 ]
 
 

@@ -3175,6 +3175,138 @@ def _q_bpe_apply_sql():
 Q_BPE_APPLY_SQL = _q_bpe_apply_sql()
 
 
+CORPUS_NGRAM_TOP_K = 30
+
+
+def q_corpus_ngrams(spark, sf_dir):
+    """X121 — corpus-level repeated n-gram mining (the Gopher/RefinedWeb
+    "duplicated n-grams" observability signal, cross-document — contrast
+    q_text_repetition's within-doc ratios): top-30 shingle codes by
+    total occurrences with their document frequency. Two hash-agg
+    shuffles (code×doc then code — partitioning by MORE keys does not
+    satisfy grouping by fewer, so the second exchange is real), top-k as
+    TakeOrdered."""
+    from mimic2ts_spark.operators.dedup import with_shingle_codes
+
+    # Single shuffle: sort each doc's codes, flag FIRST occurrences via
+    # the shifted-slice zip (no per-element array_position scans — that
+    # form is O(n²) per doc), then one explode feeds one hash agg where
+    # count(*) = total occurrences and sum(flag) = doc frequency. The
+    # earlier (code, doc_id) pre-aggregation shuffled every posting
+    # twice for the same answer (3.0 → 1.5 s at sf0.1).
+    from mimic2ts_spark.operators.dedup import SHINGLE_N
+    from mimic2ts_spark.operators.text import tokens as _tokens
+
+    # cheap SOURCE predicate (not a derived-column filter): drops
+    # shingle-less docs BEFORE the md5 pass, and keeps zip_with off
+    # empty arrays (Spark zip_with pads the shorter side with nulls —
+    # an empty cs would yield a spurious null-code row per short doc)
+    base = with_shingle_codes(
+        _docs(spark, sf_dir).where(F.size(_tokens(F.col("text"))) >= SHINGLE_N)
+    ).select("doc_id", F.array_sort("codes").alias("cs"))
+    prev = F.concat(
+        F.array(F.lit(None).cast("long")),
+        F.slice(F.col("cs"), 1, F.greatest(F.lit(0), F.size("cs") - 1)),
+    )
+    flagged = F.zip_with(
+        F.col("cs"),
+        prev,
+        lambda c, p: F.struct(
+            c.alias("code"),
+            F.when(p.isNull() | (c != p), 1).otherwise(0).cast("long").alias("f"),
+        ),
+    )
+    occ = base.select(F.explode(flagged).alias("x")).select(
+        F.col("x.code").alias("code"), F.col("x.f").alias("f")
+    )
+    return (
+        occ.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.sum("f").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "code")
+        .limit(CORPUS_NGRAM_TOP_K)
+    )
+
+
+def _q_corpus_ngrams_sql():
+    from mimic2ts_spark.operators.dedup import (
+        sql_shingle_codes_from_tc,
+        sql_token_codes,
+    )
+
+    shingles = sql_shingle_codes_from_tc("tc")
+    return f"""
+WITH t AS (SELECT doc_id, {sql_token_codes('text')} AS tc FROM documents),
+occ AS (SELECT doc_id, unnest({shingles}) AS code FROM t),
+per_doc AS (SELECT code, doc_id, count(*) AS c FROM occ GROUP BY 1, 2)
+SELECT code, CAST(sum(c) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY code
+ORDER BY n_occurrences DESC, code
+LIMIT {CORPUS_NGRAM_TOP_K}
+"""
+
+
+Q_CORPUS_NGRAMS_SQL = _q_corpus_ngrams_sql()
+
+
+MIXTURE_SHARE_SCALE = 1000
+
+
+def q_mixture_temperature(spark, sf_dir):
+    """X122 — temperature-scaled mixture weights (the α=0.5 sampling
+    rebalance of multilingual/multi-source training mixes: weight ∝
+    n_tokens^α flattens the head): per-source token totals →
+    floor(sqrt(n_tokens)) integer weights (IEEE sqrt is correctly
+    rounded, so the floor is bit-safe cross-engine — unlike log/exp) →
+    per-mille allocation shares. One B-bounded agg + a 1-row total
+    broadcast."""
+    d = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = d.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    tot = w.agg(F.sum("weight").alias("_tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            F.expr(f"weight * {MIXTURE_SHARE_SCALE} div _tw").alias("share_pm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_mixture_temperature_sql():
+    tc = X.SQL_TOKEN_COUNT.format(text="text")
+    return f"""
+WITH d AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({tc}) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+w AS (
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+    FROM d
+)
+SELECT source, n_docs, n_tokens, weight,
+       CAST(weight * {MIXTURE_SHARE_SCALE} // (SELECT sum(weight) FROM w) AS BIGINT)
+           AS share_pm
+FROM w ORDER BY source
+"""
+
+
+Q_MIXTURE_TEMPERATURE_SQL = _q_mixture_temperature_sql()
+
+
 def q_pq_encode(spark, sf_dir):
     """X119 — product-quantization encoding (Jégou et al. 2011): M=4
     per-subspace codebooks (integer-exact k-means) → (vec_id, 4 codes,
@@ -3230,6 +3362,8 @@ EXT_REGISTRY = {
     "q_bpe_apply": (q_bpe_apply, Q_BPE_APPLY_SQL),
     "q_pq_encode": (q_pq_encode, Q_PQ_ENCODE_SQL),
     "q_ann_pq": (q_ann_pq, Q_ANN_PQ_SQL),
+    "q_corpus_ngrams": (q_corpus_ngrams, Q_CORPUS_NGRAMS_SQL),
+    "q_mixture_temperature": (q_mixture_temperature, Q_MIXTURE_TEMPERATURE_SQL),
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).

@@ -793,6 +793,7 @@ def test_registry_global_plan_invariants(utc):
         "q_dedup_semantic",  # same centroid cross join inside kmeans_assign
         "q_skew_report",     # 1-row total-count scalar cross join
         "q_graph_triangles",  # 1-row multiplicity-stats scalar cross join (r04 derived threshold)
+        "q_mixture_temperature",  # 1-row total-weight scalar cross join
     }
     skip = {
         "q_sink_partitioned",
