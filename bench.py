@@ -106,6 +106,7 @@ HEADLINE = [
     "q_ann_pq",
     "q_corpus_ngrams",
     "q_mixture_temperature",
+    "q_ann_ivfpq",
 ]
 
 

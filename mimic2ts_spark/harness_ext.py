@@ -3327,13 +3327,26 @@ def q_ann_pq(spark, sf_dir):
     return pq_adc_topk(_embs(spark, sf_dir))
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """X123 — IVF-PQ composed: IVF cells bound WHICH vectors the query
+    touches, PQ codes bound the BYTES per candidate — the full ANN scale
+    stack (operators/pq.py:ivfpq_topk)."""
+    from mimic2ts_spark.operators.pq import ivfpq_topk
+
+    return ivfpq_topk(_embs(spark, sf_dir))
+
+
 def _q_pq_sqls():
-    from mimic2ts_spark.operators.pq import sql_pq_adc_topk, sql_pq_encode
+    from mimic2ts_spark.operators.pq import (
+        sql_ivfpq_topk,
+        sql_pq_adc_topk,
+        sql_pq_encode,
+    )
 
-    return sql_pq_encode(), sql_pq_adc_topk()
+    return sql_pq_encode(), sql_pq_adc_topk(), sql_ivfpq_topk()
 
 
-Q_PQ_ENCODE_SQL, Q_ANN_PQ_SQL = _q_pq_sqls()
+Q_PQ_ENCODE_SQL, Q_ANN_PQ_SQL, Q_ANN_IVFPQ_SQL = _q_pq_sqls()
 
 
 def q_dsir_weights(spark, sf_dir):
@@ -3364,6 +3377,7 @@ EXT_REGISTRY = {
     "q_ann_pq": (q_ann_pq, Q_ANN_PQ_SQL),
     "q_corpus_ngrams": (q_corpus_ngrams, Q_CORPUS_NGRAMS_SQL),
     "q_mixture_temperature": (q_mixture_temperature, Q_MIXTURE_TEMPERATURE_SQL),
+    "q_ann_ivfpq": (q_ann_ivfpq, Q_ANN_IVFPQ_SQL),
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).

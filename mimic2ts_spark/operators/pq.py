@@ -125,6 +125,17 @@ def pq_adc_topk(
     lowest-id vector, by ADC over the learned codebooks. Python-side
     distance-table arithmetic is pure int — bit-equal to the SQL
     mirror's integer expressions."""
+    q_id, q_vec = _query_row(vectors, id_col, vec_col)
+    enc, dist_expr = _encode_with_adc(vectors, q_vec, id_col, vec_col)
+    return (
+        enc.where(F.col("vec_id") != q_id)
+        .select("vec_id", dist_expr.cast("long").alias("adc_dist2"))
+        .orderBy("adc_dist2", "vec_id")
+        .limit(top_k)
+    )
+
+
+def _query_row(vectors: DataFrame, id_col: str, vec_col: str) -> tuple[int, list]:
     q_row = (
         vectors.select(
             F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qx")
@@ -133,8 +144,12 @@ def pq_adc_topk(
         .limit(1)
         .collect()[0]
     )
-    q_id, q_vec = int(q_row["vec_id"]), [int(v) for v in q_row["qx"]]
+    return int(q_row["vec_id"]), [int(v) for v in q_row["qx"]]
 
+
+def _encode_with_adc(vectors, q_vec, id_col, vec_col):
+    """(enc_df, adc_dist_expr): codes joined across subspaces plus the
+    literal-map ADC distance expression for the given quantized query."""
     trained = _train_all(vectors, id_col, vec_col)
     enc = None
     dist_expr = None
@@ -155,10 +170,69 @@ def pq_adc_topk(
         )
         term = F.element_at(mapping, F.col(f"code_{m}"))
         dist_expr = term if dist_expr is None else dist_expr + term
+    return enc, dist_expr
 
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = PQ_TOP_K,
+) -> DataFrame:
+    """IVF-PQ: the two ANN scale halves composed — the IVF cell
+    structure bounds WHICH vectors the query touches (nprobe/n_centroids
+    of the corpus), PQ bounds the BYTES per touched vector (M codes +
+    map lookups, no float vectors in the candidate stream). Cell
+    assignment/probing reuses similarity.py's centroid-cosine kernel
+    (bit-equal to the SQL cosine); candidate ranking is the ADC
+    expression. Production IVF-PQ encodes residuals-vs-cell-centroid;
+    here codebooks are global (the oracle contract forbids trainable
+    state) — the DISTRIBUTED SHAPE (probe-limited candidate join +
+    code-table ranking) is the part that matters at scale."""
+    import numpy as np
+
+    from mimic2ts_spark.operators.similarity import (
+        IVF_K,
+        IVF_NPROBE,
+        _centroid_scores_udf,
+    )
+
+    cents = (
+        vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(IVF_K)
+        .collect()
+    )
+    cent_ids = np.array([r.cid for r in cents], dtype=np.int64)
+    cent_mat = np.array([list(r.cvec) for r in cents], dtype=np.float64)
+    cent_norm2 = np.zeros(len(cents), dtype=np.float64)
+    for d in range(cent_mat.shape[1]):
+        cent_norm2 += cent_mat[:, d] * cent_mat[:, d]
+    cent_norms = np.sqrt(cent_norm2)
+
+    assign = _centroid_scores_udf(cent_ids, cent_mat, cent_norms, 1)
+    probe = _centroid_scores_udf(cent_ids, cent_mat, cent_norms, IVF_NPROBE)
+
+    # probed cells of the query — through the SAME kernel, so the cell
+    # choice is bit-identical to the corpus assignment path
+    probed = [
+        int(c)
+        for c in vectors.orderBy(id_col)
+        .limit(1)
+        .select(probe(F.col(vec_col)).alias("cells"))
+        .collect()[0]["cells"]
+    ]
+
+    q_id, q_vec = _query_row(vectors, id_col, vec_col)
+    enc, dist_expr = _encode_with_adc(vectors, q_vec, id_col, vec_col)
+    cells = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+    )
     return (
-        enc.where(F.col("vec_id") != q_id)
-        .select("vec_id", dist_expr.cast("long").alias("adc_dist2"))
+        enc.join(cells, "vec_id")
+        .where(F.col("cell").isin(probed) & (F.col("vec_id") != q_id))
+        .select("vec_id", "cell", dist_expr.cast("long").alias("adc_dist2"))
         .orderBy("adc_dist2", "vec_id")
         .limit(top_k)
     )
@@ -204,6 +278,83 @@ def sql_pq_encode(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT e0.vec_id, {codes}, CAST({dist} AS BIGINT) AS distortion"
         + f"\nFROM {finals[0]} e0 {joins}"
+    )
+
+
+def sql_ivfpq_topk(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = PQ_TOP_K,
+) -> str:
+    """Mirror of ivfpq_topk: the IVF cell/probe CTEs (exact cosine
+    argmax, same as the q_ann_ivf oracle) gating the PQ ADC ranking."""
+    from mimic2ts_spark.operators.similarity import IVF_K, IVF_NPROBE, sql_cosine
+
+    parts: list[str] = []
+    finals = []
+    for m in range(PQ_M):
+        p, final_a, final_c = _sql_subspace_parts(table, m, id_col, vec_col)
+        parts.extend(p)
+        q_sub = _sql_quant(_sql_sub(vec_col, m))
+        parts.append(
+            f"q{m} AS (SELECT {q_sub} AS qx FROM {table} ORDER BY {id_col} LIMIT 1)"
+        )
+        parts.append(
+            f"""adc{m} AS (
+    SELECT c.cid,
+           list_aggregate(list_transform(generate_series(1, len(c.m)),
+               i -> (q.qx[CAST(i AS INTEGER)] - c.m[CAST(i AS INTEGER)])
+                    * (q.qx[CAST(i AS INTEGER)] - c.m[CAST(i AS INTEGER)])),
+               'sum') AS d2
+    FROM {final_c} c CROSS JOIN q{m} q
+)"""
+        )
+        finals.append(final_a)
+    cos = sql_cosine(f"v.{vec_col}", "c.cvec")
+    parts.append(f"ivf_v AS (SELECT {id_col} AS vec_id, {vec_col} FROM {table})")
+    parts.append(
+        f"ivf_c AS (SELECT vec_id AS cid, {vec_col} AS cvec FROM ivf_v "
+        f"ORDER BY vec_id LIMIT {IVF_K})"
+    )
+    parts.append(
+        f"""ivf_score AS (
+    SELECT v.vec_id, c.cid, {sql_cosine(f'v.{vec_col}', 'c.cvec')} AS cs
+    FROM ivf_v v CROSS JOIN ivf_c c
+)"""
+    )
+    parts.append(
+        """cell_of AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM ivf_score
+    ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""probes AS (
+    SELECT cid AS cell FROM (
+        SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rn
+        FROM ivf_score
+        WHERE vec_id = (SELECT min({id_col}) FROM {table})
+    ) WHERE rn <= {IVF_NPROBE}
+)"""
+    )
+    joins = " ".join(
+        f"JOIN {finals[m]} e{m} ON e0.vec_id = e{m}.vec_id" for m in range(1, PQ_M)
+    ) + " " + " ".join(f"JOIN adc{m} ON adc{m}.cid = e{m}.cid" for m in range(PQ_M))
+    dist = " + ".join(f"adc{m}.d2" for m in range(PQ_M))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT e0.vec_id, co.cell, CAST({dist} AS BIGINT) AS adc_dist2
+FROM {finals[0]} e0 {joins}
+JOIN cell_of co ON co.vec_id = e0.vec_id
+JOIN probes pr ON pr.cell = co.cell
+WHERE e0.vec_id != (SELECT min({id_col}) FROM {table})
+ORDER BY adc_dist2, e0.vec_id
+LIMIT {top_k}"""
     )
 
 
