@@ -3327,6 +3327,70 @@ def q_ann_pq(spark, sf_dir):
     return pq_adc_topk(_embs(spark, sf_dir))
 
 
+def q_merge_upsert(spark, sf_dir):
+    """X124 — MERGE/upsert with partition-pruned rewrite
+    (operators/merge.py): base = documents minus every doc_id % 10 == 3
+    (so the batch both updates and inserts), update batch = doc_id % 7
+    == 0 with ' v2' text. Only the update keys' md5-bucket partitions
+    are read (PartitionFilters) and rewritten (dynamic partition
+    overwrite); the result is the merged table aggregated per bucket —
+    full-outer-join-expressible, so the oracle checks the exact final
+    state."""
+    import tempfile
+
+    from mimic2ts_spark.operators.merge import merge_upsert, write_base
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    d = _docs(spark, sf_dir)
+    base = d.where(F.col("doc_id") % 10 != 3)
+    updates = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))
+    ).withColumn("n_chars", F.col("n_chars") + 3)
+
+    path = tempfile.mkdtemp(prefix="merge_upsert_")
+    write_base(base, path, "doc_id")
+    merge_upsert(spark, path, updates, "doc_id")
+
+    final = spark.read.parquet(path)
+    return (
+        final.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(kmv_code(F.col("text")) % 1000000007)
+            .cast("long")
+            .alias("text_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _q_merge_upsert_sql():
+    from mimic2ts_spark.operators.merge import sql_key_bucket
+
+    code = X.SQL_CODE.format(tok="text")
+    bucket = sql_key_bucket("doc_id")
+    return f"""
+WITH upd AS (
+    SELECT doc_id, text || ' v2' AS text, lang, source, n_chars + 3 AS n_chars
+    FROM documents WHERE doc_id % 7 = 0
+),
+kept AS (
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id % 10 != 3 AND doc_id % 7 != 0
+),
+final AS (SELECT * FROM upd UNION ALL SELECT * FROM kept)
+SELECT {bucket} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum({code} % 1000000007) AS BIGINT) AS text_checksum
+FROM final GROUP BY 1 ORDER BY 1
+"""
+
+
+Q_MERGE_UPSERT_SQL = _q_merge_upsert_sql()
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """X123 — IVF-PQ composed: IVF cells bound WHICH vectors the query
     touches, PQ codes bound the BYTES per candidate — the full ANN scale
@@ -3378,6 +3442,7 @@ EXT_REGISTRY = {
     "q_corpus_ngrams": (q_corpus_ngrams, Q_CORPUS_NGRAMS_SQL),
     "q_mixture_temperature": (q_mixture_temperature, Q_MIXTURE_TEMPERATURE_SQL),
     "q_ann_ivfpq": (q_ann_ivfpq, Q_ANN_IVFPQ_SQL),
+    "q_merge_upsert": (q_merge_upsert, Q_MERGE_UPSERT_SQL),
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).

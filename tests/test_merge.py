@@ -1,0 +1,89 @@
+"""MERGE/upsert partition-pruned rewrite (operators/merge.py): the
+copy-on-write contract — an update batch must only READ and only
+REWRITE the bucket partitions its keys hash into."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators.merge import (
+    key_bucket,
+    merge_upsert,
+    write_base,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _partition_state(path: str) -> dict[int, set[tuple[str, float]]]:
+    out: dict[int, set[tuple[str, float]]] = {}
+    for d in os.listdir(path):
+        if not d.startswith("bucket="):
+            continue
+        b = int(d.split("=")[1])
+        full = os.path.join(path, d)
+        out[b] = {
+            (f, os.path.getmtime(os.path.join(full, f)))
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "base")
+    write_base(docs, path, "doc_id", n_buckets=8)
+    before = _partition_state(path)
+    assert len(before) == 8  # 500 keys cover all 8 buckets
+
+    # a 3-key update batch: touches at most 3 buckets
+    updates = docs.where(F.col("doc_id").isin([1, 2, 3])).withColumn(
+        "text", F.lit("updated")
+    )
+    audit = merge_upsert(spark, path, updates, "doc_id", n_buckets=8)
+    assert audit["n_updates"] == 3
+    assert 1 <= len(audit["affected_buckets"]) <= 3
+
+    after = _partition_state(path)
+    for b in before:
+        if b in audit["affected_buckets"]:
+            assert after[b] != before[b], f"affected bucket {b} not rewritten"
+        else:
+            assert after[b] == before[b], f"untouched bucket {b} was rewritten"
+
+    # merge semantics: updated rows replaced, inserts appended, row count
+    # = base + brand-new keys (none here: 1,2,3 exist in the base)
+    final = spark.read.parquet(path)
+    assert final.count() == docs.count()
+    got = {
+        r["doc_id"]: r["text"]
+        for r in final.where(F.col("doc_id").isin([1, 2, 3])).collect()
+    }
+    assert got == {1: "updated", 2: "updated", 3: "updated"}
+
+    # a genuinely NEW key inserts into its bucket
+    new = spark.createDataFrame(
+        [(10**9, "brand new", "en", "src", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    merge_upsert(spark, path, new, "doc_id", n_buckets=8)
+    assert spark.read.parquet(path).count() == docs.count() + 1
+
+
+def test_merge_base_scan_prunes_partitions(spark, tmp_path):
+    """The affected-bucket read must reach the scan as PartitionFilters
+    (partition pruning), not a post-scan filter."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "base")
+    write_base(docs, path, "doc_id", n_buckets=8)
+
+    pruned = spark.read.parquet(path).where(F.col("bucket").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # the deterministic bucket function agrees with what's on disk
+    b = docs.select(key_bucket(F.col("doc_id"), 8).alias("bucket")).distinct()
+    assert {r["bucket"] for r in b.collect()} <= set(range(8))
