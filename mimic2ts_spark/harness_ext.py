@@ -2925,6 +2925,23 @@ def q_quality_gate(spark, sf_dir):
     distribution so every rule actually fires (an all-zero report
     would only test the plumbing)."""
     ev = _h._t(spark, sf_dir, "events").select("user_id", "event_type", "value", "ts")
+    return quality_report(quality_flagged(ev))
+
+
+QUALITY_RULES = (
+    "value_null",
+    "value_out_of_range",
+    "bad_event_type",
+    "user_null",
+    "ts_out_of_window",
+)
+
+
+def quality_flagged(ev):
+    """The shared rule set — one int flag column per rule plus any_rule.
+    Used by the batch gate above AND streaming.quality_gate_stream (the
+    two MUST evaluate identical expressions so the drained stream
+    bit-equals the batch oracle)."""
     rules = {
         "value_null": F.col("value").isNull(),
         "value_out_of_range": F.col("value").isNotNull()
@@ -2935,11 +2952,15 @@ def q_quality_gate(spark, sf_dir):
         "user_null": F.col("user_id").isNull(),
         "ts_out_of_window": ~F.col("ts").between("2024-01-03", "2030-01-01"),
     }
-    flagged = ev.select(
+    assert tuple(rules) == QUALITY_RULES
+    return ev.select(
         *[v.cast("int").alias(k) for k, v in rules.items()],
         F.greatest(*[v.cast("int") for v in rules.values()]).alias("any_rule"),
     )
-    cols = [*rules.keys(), "any_rule"]
+
+
+def quality_report(flagged):
+    cols = [*QUALITY_RULES, "any_rule"]
     stack = ", ".join(f"'{c}', {c}" for c in cols)
     return (
         flagged.select(
@@ -2981,6 +3002,17 @@ SELECT rule, CAST(sum(hit) AS BIGINT) AS n_violations FROM lf GROUP BY 1
 
 
 SEMDEDUP_THRESHOLD = 0.45  # matches the synthetic embedding near-dup band (see q_dedup_embedding)
+
+
+def q_stream_quality(spark, sf_dir):
+    """X125 — streaming admission control: the batch quality-gate rule
+    set evaluated on the LIVE event stream (shared Column expressions,
+    complete-mode per-rule counters), drained to its final counts —
+    which bit-equal the batch gate, so this entry shares the batch
+    oracle SQL (streaming.quality_gate_stream)."""
+    from mimic2ts_spark import streaming as ST
+
+    return ST.run_quality_gate_available_now(spark, sf_dir)
 
 
 def q_kmeans(spark, sf_dir):
@@ -3443,6 +3475,7 @@ EXT_REGISTRY = {
     "q_mixture_temperature": (q_mixture_temperature, Q_MIXTURE_TEMPERATURE_SQL),
     "q_ann_ivfpq": (q_ann_ivfpq, Q_ANN_IVFPQ_SQL),
     "q_merge_upsert": (q_merge_upsert, Q_MERGE_UPSERT_SQL),
+    "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).

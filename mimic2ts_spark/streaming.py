@@ -810,3 +810,36 @@ def run_rollup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the streaming rollup to its final state rows."""
     name = f"rollup_{uuid.uuid4().hex[:8]}"
     return _drain_stateful(spark, rollup_stream(events_stream(spark, sf_dir)), name)
+
+
+def quality_gate_stream(stream: DataFrame) -> DataFrame:
+    """Live admission control: the batch quality gate's EXACT rule set
+    (harness_ext.quality_flagged — shared expressions, not a copy)
+    applied to the event stream and aggregated per rule. Complete-mode
+    aggregation: the per-rule counters are the state a production
+    ingest monitor keeps, updated per microbatch; the drained result
+    bit-equals the batch gate, so the registry entry shares the batch
+    oracle SQL."""
+    from mimic2ts_spark.harness_ext import (  # lazy: harness_ext imports us
+        quality_flagged,
+        quality_report,
+    )
+
+    return quality_report(
+        quality_flagged(stream.select("user_id", "event_type", "value", "ts"))
+    )
+
+
+def run_quality_gate_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the streaming quality gate to its final per-rule counts."""
+    name = f"qgate_{uuid.uuid4().hex[:8]}"
+    q = (
+        quality_gate_stream(events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
