@@ -160,7 +160,18 @@ def bpe_apply_doc_stats(
     rules = []
     work = wsc
     for _ in range(rounds):
-        a, b, _total = best_pair(work)
+        # a pair-less corpus (all single-symbol words) trains an empty
+        # merge table and tokenization degrades to characters. NOTE the
+        # SQL mirror does NOT cover this degenerate case (its per-round
+        # CROSS JOIN against an empty b{r} empties the vocab) — any real
+        # text corpus has >= rounds mergeable pairs; the guard exists for
+        # adversarial property-test inputs, not the oracle path.
+        top = (
+            pair_counts(work).orderBy(F.desc("total"), "pk").limit(1).collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["pk"].split(US)
         rules.append((a, b))
         work = work.select("word", "cnt", merged_syms(F.col("syms"), a, b).alias("syms"))
 

@@ -299,3 +299,98 @@ def test_pagerank_matches_python_reference(spark, edges):
     df = spark.createDataFrame(edge_list, "src long, dst long")
     got = {r["node"]: r["pr_scaled"] for r in pagerank_scaled(df).collect()}
     assert got == pr
+
+
+@given(
+    base_keys=st.sets(st.integers(0, 40), min_size=3, max_size=20),
+    upd_keys=st.sets(st.integers(0, 50), min_size=1, max_size=10),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_upsert_matches_dict_reference(spark, tmp_path_factory, base_keys, upd_keys):
+    """MERGE semantics against the obvious dict upsert: for ANY base/update
+    key sets, the final table equals {**base, **updates} — updates win,
+    new keys insert, untouched rows survive partition-selective rewrite."""
+    import tempfile
+
+    from mimic2ts_spark.operators.merge import merge_upsert, write_base
+
+    base = spark.createDataFrame(
+        [(k, f"base-{k}") for k in sorted(base_keys)], "doc_id long, text string"
+    )
+    updates = spark.createDataFrame(
+        [(k, f"upd-{k}") for k in sorted(upd_keys)], "doc_id long, text string"
+    )
+    path = tempfile.mkdtemp(prefix="merge_prop_", dir=str(tmp_path_factory.mktemp("m")))
+    write_base(base, path, "doc_id", n_buckets=4)
+    merge_upsert(spark, path, updates, "doc_id", n_buckets=4)
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(path).select("doc_id", "text").collect()
+    }
+    want = {k: f"base-{k}" for k in base_keys}
+    want.update({k: f"upd-{k}" for k in upd_keys})
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=6
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_apply_matches_python_reference(spark, docs):
+    """Tokenizer application against an independent pure-Python BPE:
+    train the same greedy rounds on the corpus word counts, apply the
+    merges per word, and compare every doc's n_words/n_tokens."""
+    from collections import Counter
+
+    from mimic2ts_spark.operators.bpe import bpe_apply_doc_stats
+
+    texts = [" ".join(words) for words in docs]
+
+    # --- independent python reference ---------------------------------
+    def py_merge(syms, a, b):
+        out, last = [], False
+        for s in syms:
+            if out and not last and out[-1] == a and s == b:
+                out[-1] = a + b
+                last = True
+            else:
+                out.append(s)
+                last = False
+        return out
+
+    wc = Counter(w for words in docs for w in words)
+    vocab = {w: list(w) for w in wc}
+    for _ in range(2):  # BPE_ROUNDS
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += wc[w]
+        if not pairs:
+            break
+        # tie-break: count DESC then pair key ASC with the US separator
+        (a, b), _n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x1f" + kv[0][1])
+        )
+        vocab = {w: py_merge(s, a, b) for w, s in vocab.items()}
+    want = {
+        i: (len(words), sum(len(vocab[w]) for w in words))
+        for i, words in enumerate(docs)
+    }
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_apply_doc_stats(df).collect()
+    }
+    assert got == want
