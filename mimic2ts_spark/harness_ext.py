@@ -3423,6 +3423,37 @@ FROM final GROUP BY 1 ORDER BY 1
 Q_MERGE_UPSERT_SQL = _q_merge_upsert_sql()
 
 
+def q_stream_merge(spark, sf_dir):
+    """X126 — streaming MERGE sink (foreachBatch → partition-pruned
+    upsert): the q_merge_upsert scenario driven through Structured
+    Streaming — same base, the update batch arriving as a stream, each
+    microbatch MERGEd into the bucketed base. Unique update keys make
+    the final state batching-invariant, so this entry shares
+    q_merge_upsert's oracle verbatim (streaming.run_merge_sink_available_now)."""
+    import tempfile
+
+    from mimic2ts_spark import streaming as ST
+    from mimic2ts_spark.operators.merge import write_base
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    base = _docs(spark, sf_dir).where(F.col("doc_id") % 10 != 3)
+    path = tempfile.mkdtemp(prefix="stream_merge_")
+    write_base(base, path, "doc_id")
+
+    final = ST.run_merge_sink_available_now(spark, sf_dir, path)
+    return (
+        final.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(kmv_code(F.col("text")) % 1000000007)
+            .cast("long")
+            .alias("text_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """X123 — IVF-PQ composed: IVF cells bound WHICH vectors the query
     touches, PQ codes bound the BYTES per candidate — the full ANN scale
@@ -3476,6 +3507,7 @@ EXT_REGISTRY = {
     "q_ann_ivfpq": (q_ann_ivfpq, Q_ANN_IVFPQ_SQL),
     "q_merge_upsert": (q_merge_upsert, Q_MERGE_UPSERT_SQL),
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
+    "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).

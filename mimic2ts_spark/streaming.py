@@ -843,3 +843,35 @@ def run_quality_gate_available_now(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_merge_sink_available_now(
+    spark: SparkSession, sf_dir: str, base_path: str
+) -> DataFrame:
+    """Streaming MERGE sink — the canonical lakehouse ingest pattern:
+    a document stream drains through foreachBatch, each microbatch
+    applied to the bucket-partitioned base via the partition-pruned
+    upsert (operators/merge.py). Batching cannot change the result:
+    update keys are unique, so any microbatch split applies the same
+    per-key writes — the final table equals the one-shot batch MERGE
+    (the oracle). Returns the final table."""
+    from mimic2ts_spark.operators.merge import merge_upsert
+
+    stream_updates = docs_stream(spark, sf_dir).where(
+        F.col("doc_id") % 7 == 0
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" v2"))).withColumn(
+        "n_chars", F.col("n_chars") + 3
+    )
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert(spark, base_path, batch_df, "doc_id")
+
+    q = (
+        stream_updates.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(base_path)
