@@ -3423,6 +3423,48 @@ FROM final GROUP BY 1 ORDER BY 1
 Q_MERGE_UPSERT_SQL = _q_merge_upsert_sql()
 
 
+def q_compact_files(spark, sf_dir):
+    """X127 — small-file compaction (the OPTIMIZE side of table
+    maintenance): the q_merge_upsert scenario fragments the base's
+    bucket partitions, compact_buckets rewrites each bucket to ONE file
+    (repartition co-location + dynamic overwrite), and the output is the
+    per-bucket content aggregate — byte-identical to pre-compaction, so
+    this entry shares the MERGE oracle verbatim; the file-count drop
+    itself is pinned in tests/test_merge.py."""
+    import tempfile
+
+    from mimic2ts_spark.operators.merge import (
+        compact_buckets,
+        merge_upsert,
+        write_base,
+    )
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    d = _docs(spark, sf_dir)
+    base = d.where(F.col("doc_id") % 10 != 3)
+    updates = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))
+    ).withColumn("n_chars", F.col("n_chars") + 3)
+
+    path = tempfile.mkdtemp(prefix="compact_files_")
+    write_base(base, path, "doc_id")
+    merge_upsert(spark, path, updates, "doc_id")
+    compact_buckets(spark, path)
+
+    final = spark.read.parquet(path)
+    return (
+        final.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(kmv_code(F.col("text")) % 1000000007)
+            .cast("long")
+            .alias("text_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_stream_merge(spark, sf_dir):
     """X126 — streaming MERGE sink (foreachBatch → partition-pruned
     upsert): the q_merge_upsert scenario driven through Structured
@@ -3508,6 +3550,7 @@ EXT_REGISTRY = {
     "q_merge_upsert": (q_merge_upsert, Q_MERGE_UPSERT_SQL),
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
+    "q_compact_files": (q_compact_files, Q_MERGE_UPSERT_SQL),
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).

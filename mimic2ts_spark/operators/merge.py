@@ -101,3 +101,42 @@ def merge_upsert(
         "n_updates": n_updates,
         "rows_rewritten": rewritten,
     }
+
+
+def bucket_file_counts(path: str) -> dict[int, int]:
+    """Driver-side audit: parquet files per bucket partition."""
+    import os
+
+    out: dict[int, int] = {}
+    for d in os.listdir(path):
+        if d.startswith("bucket="):
+            full = os.path.join(path, d)
+            out[int(d.split("=")[1])] = sum(
+                1 for f in os.listdir(full) if f.endswith(".parquet")
+            )
+    return out
+
+
+def compact_buckets(spark: SparkSession, path: str) -> dict:
+    """Small-file compaction — the OPTIMIZE side of table maintenance.
+    Repeated partition-pruned MERGEs leave each bucket with one file per
+    task per write; at 100 TB the resulting file-count explosion is what
+    kills scan planning (and object-store listing). One
+    repartition("bucket") co-locates every bucket on a single task, so
+    the dynamic-overwrite rewrite lands exactly one file per bucket —
+    content-identical by construction (pure repartition, no
+    expressions). Returns {files_before, files_after}."""
+    before = bucket_file_counts(path)
+    df = spark.read.parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "files_before": sum(before.values()),
+        "files_after": sum(bucket_file_counts(path).values()),
+    }

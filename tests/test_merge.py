@@ -73,6 +73,37 @@ def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
     assert spark.read.parquet(path).count() == docs.count() + 1
 
 
+def test_compaction_reduces_files_preserves_content(spark, tmp_path):
+    """compact_buckets: one file per bucket afterwards, contents
+    byte-identical (sorted rows compare equal)."""
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.operators.merge import (
+        bucket_file_counts,
+        compact_buckets,
+        merge_upsert,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "base")
+    write_base(docs.repartition(4), path, "doc_id", n_buckets=4)
+    # several merges fragment the buckets
+    for k in (1, 2, 3):
+        upd = docs.where(F.col("doc_id") == k).withColumn("text", F.lit(f"u{k}"))
+        merge_upsert(spark, path, upd, "doc_id", n_buckets=4)
+    assert sum(bucket_file_counts(path).values()) > 4
+
+    before_rows = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(path).collect()
+    )
+    audit = compact_buckets(spark, path)
+    assert audit["files_after"] == 4 < audit["files_before"]
+    after_rows = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+
+
 def test_merge_base_scan_prunes_partitions(spark, tmp_path):
     """The affected-bucket read must reach the scan as PartitionFilters
     (partition pruning), not a post-scan filter."""
