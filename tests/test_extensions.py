@@ -1245,3 +1245,44 @@ def test_rolling_kmv_estimates_near_exact(spark):
         assert abs(r["est_distinct"] - r["n_exact"]) <= 0.5 * r["n_exact"], dict(
             r.asDict()
         )
+
+
+def test_scale_dial_formulas():
+    """The derived scale dials are pure functions — pin the values the
+    sweeps were validated at (a silent formula change re-opens the
+    super-linear failure modes the r04 sweeps closed)."""
+    from mimic2ts_spark.operators.kmeans import derived_k
+
+    assert derived_k(500) == 8       # sf0.01 — historical k preserved
+    assert derived_k(2000) == 8      # sf0.1 — bench-stable
+    assert derived_k(20000) == 78    # 10x sweep
+    assert derived_k(200000) == 781  # 100x sweep
+
+    # triangle threshold: greatest(3, ceil(3s / 2c)) in exact int math
+    thr = lambda s, c: max(3, (3 * s + 2 * c - 1) // (2 * c))
+    assert thr(584397, 439417) == 3   # sf0.1 transition stats -> unchanged
+    assert thr(57900, 9863) == 9      # sf0.01 -> adapts
+    assert thr(10 * 584397, 439417) == 20  # 10x multiplicity inflation
+
+
+def test_pq_adc_recall_floor(spark):
+    """ADC ranking must stay CORRELATED with exact similarity: among the
+    ADC top-20 for the min-id query, at least 20% must appear in the
+    exact cosine top-20 (measured 40-50% — the floor catches a broken
+    distance table or code join, not codebook-quality drift)."""
+    import numpy as np
+
+    from mimic2ts_spark.operators.pq import ivfpq_topk, pq_adc_topk
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = vecs.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    q = M[0]
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    exact_top = [int(ids[i]) for i in np.argsort(-cos) if ids[i] != ids[0]][:20]
+
+    for fn in (pq_adc_topk, ivfpq_topk):
+        got = [r["vec_id"] for r in fn(vecs).collect()]
+        overlap = len(set(got) & set(exact_top)) / 20
+        assert overlap >= 0.2, (fn.__name__, overlap)
