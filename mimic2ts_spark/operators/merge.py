@@ -117,23 +117,31 @@ def bucket_file_counts(path: str) -> dict[int, int]:
     return out
 
 
-def compact_buckets(spark: SparkSession, path: str) -> dict:
+def compact_buckets(
+    spark: SparkSession,
+    path: str,
+    max_records_per_file: int | None = None,
+) -> dict:
     """Small-file compaction — the OPTIMIZE side of table maintenance.
     Repeated partition-pruned MERGEs leave each bucket with one file per
     task per write; at 100 TB the resulting file-count explosion is what
-    kills scan planning (and object-store listing). One
-    repartition("bucket") co-locates every bucket on a single task, so
-    the dynamic-overwrite rewrite lands exactly one file per bucket —
-    content-identical by construction (pure repartition, no
-    expressions). Returns {files_before, files_after}."""
+    kills scan planning (and object-store listing). repartition on the
+    partition column co-locates each bucket, so the dynamic-overwrite
+    rewrite lands one file per bucket — content-identical by
+    construction (pure repartition, no expressions). At real scale a
+    bucket is not one file's worth of data: pass max_records_per_file
+    (the writer's deterministic intra-task splitter) so output files hit
+    the parquet sweet spot instead of bucket size. Returns
+    {files_before, files_after}."""
     before = bucket_file_counts(path)
     df = spark.read.parquet(path)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        df.repartition("bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(path)
+        writer = df.repartition("bucket").write.mode("overwrite")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("bucket").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {

@@ -103,6 +103,15 @@ def test_compaction_reduces_files_preserves_content(spark, tmp_path):
     )
     assert after_rows == before_rows
 
+    # scale form: maxRecordsPerFile splits each bucket deterministically
+    # (500 docs / 4 buckets ≈ 125 per bucket → ≥3 files per bucket at 50)
+    audit2 = compact_buckets(spark, path, max_records_per_file=50)
+    assert audit2["files_after"] >= 12
+    rows3 = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(path).collect()
+    )
+    assert rows3 == before_rows
+
 
 def test_merge_base_scan_prunes_partitions(spark, tmp_path):
     """The affected-bucket read must reach the scan as PartitionFilters
