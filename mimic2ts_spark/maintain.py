@@ -1,0 +1,83 @@
+"""Table-maintenance CLI: MERGE an update batch into a bucket-partitioned
+base and/or compact its small files — the operational surface over
+operators/merge.py (X124/X127).
+
+Usage:
+    python -m mimic2ts_spark.maintain init   BASE_DIR SRC_PARQUET --key doc_id
+    python -m mimic2ts_spark.maintain merge  BASE_DIR UPD_PARQUET --key doc_id
+    python -m mimic2ts_spark.maintain compact BASE_DIR [--max-records-per-file N]
+
+Each command prints ONE JSON audit line (bucket/file/row counts) — the
+same auditability contract as the corpus CLI's manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(
+        prog="python -m mimic2ts_spark.maintain",
+        description=__doc__.split("\n")[0],
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_init = sub.add_parser("init", help="write SRC as a bucketed merge base")
+    p_init.add_argument("base_dir")
+    p_init.add_argument("src")
+    p_init.add_argument("--key", default="doc_id")
+    p_init.add_argument("--buckets", type=int, default=32)
+
+    p_merge = sub.add_parser("merge", help="upsert an update batch into BASE")
+    p_merge.add_argument("base_dir")
+    p_merge.add_argument("updates")
+    p_merge.add_argument("--key", default="doc_id")
+    p_merge.add_argument("--buckets", type=int, default=32)
+
+    p_comp = sub.add_parser("compact", help="compact BASE's bucket files")
+    p_comp.add_argument("base_dir")
+    p_comp.add_argument("--max-records-per-file", type=int, default=None)
+
+    args = ap.parse_args(argv)
+
+    from mimic2ts_spark.operators.merge import (
+        bucket_file_counts,
+        compact_buckets,
+        merge_upsert,
+        write_base,
+    )
+    from mimic2ts_spark.session import get_spark, release_storage
+
+    t0 = time.time()
+    spark = get_spark("mimic2ts_spark_maintain")
+    audit: dict = {"cmd": args.cmd, "base_dir": args.base_dir}
+
+    if args.cmd == "init":
+        df = spark.read.parquet(args.src)
+        write_base(df, args.base_dir, args.key, n_buckets=args.buckets)
+        audit["n_rows"] = spark.read.parquet(args.base_dir).count()
+        audit["n_files"] = sum(bucket_file_counts(args.base_dir).values())
+    elif args.cmd == "merge":
+        updates = spark.read.parquet(args.updates)
+        audit.update(
+            merge_upsert(
+                spark, args.base_dir, updates, args.key, n_buckets=args.buckets
+            )
+        )
+    else:  # compact
+        audit.update(
+            compact_buckets(
+                spark, args.base_dir, max_records_per_file=args.max_records_per_file
+            )
+        )
+
+    audit["runtime_seconds"] = round(time.time() - t0, 3)
+    print(json.dumps(audit))
+    release_storage(spark)
+
+
+if __name__ == "__main__":
+    main()
