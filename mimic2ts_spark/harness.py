@@ -2246,7 +2246,7 @@ _GATE_PRIORITY = [
     "q_bpe_apply", "q_pq_encode", "q_ann_pq",
     "q_corpus_ngrams", "q_mixture_temperature", "q_ann_ivfpq",
     "q_merge_upsert", "q_stream_quality", "q_stream_merge",
-    "q_compact_files",
+    "q_compact_files", "q_dedup_representatives",
     "q_multimodal_decode", "q_multimodal_frames", "q_multimodal_resize",
     "q_source_jsonl", "q_source_orc", "q_sample_topk_hash",
     "q_sample_mixture", "q_event_anomaly", "q_sketch_kmv_union",

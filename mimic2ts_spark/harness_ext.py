@@ -1348,6 +1348,68 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+def q_dedup_representatives(spark, sf_dir):
+    """X128 — cluster representative selection by QUALITY: a real
+    dedup pipeline keeps the best member of each near-dup cluster, not
+    the min-id one. Connected components over the MinHash pairs, then
+    per-cluster argmax on (quality_score DESC, doc_id) via
+    row_number=1 (plans as WindowGroupLimit — per-partition top-1
+    heaps, no full sort) plus the cluster size. The quality float rides
+    the shared fixed expression tree, so it hashes bit-equal."""
+    from pyspark.sql import Window as W
+
+    from mimic2ts_spark.operators.cluster import canonical_ids
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    labeled = canonical_ids(docs.select("doc_id"), pairs).join(
+        docs.select("doc_id", X.quality_score(F.col("text")).alias("q")), "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("q"), "doc_id")
+    rep = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("q").alias("rep_quality"),
+        )
+    )
+    counts = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return rep.join(counts, "cluster_id")
+
+
+def _q_dedup_reps_sql():
+    quality = (
+        f"least(1.0, CAST({X.SQL_TOKEN_COUNT.format(text='d.text')} AS DOUBLE) / 200.0) * 0.5"
+        f" + least(1.0, (CAST({X.SQL_STOP_HITS.format(text='d.text')} AS DOUBLE)"
+        f" / CAST({X.SQL_TOKEN_COUNT.format(text='d.text')} AS DOUBLE)) * 4.0) * 0.5"
+    )
+    body = Q_DEDUP_CLUSTERS_SQL.rsplit("SELECT d.doc_id", 1)[0].rstrip()
+    return f"""{body},
+labeled AS (
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id, {quality} AS q
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+    FROM labeled
+),
+counts AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM labeled GROUP BY 1
+)
+SELECT r.cluster_id, r.doc_id AS rep_doc_id, r.q AS rep_quality, c.n_members
+FROM ranked r JOIN counts c USING (cluster_id)
+WHERE r.rn = 1
+"""
+
+
+Q_DEDUP_REPS_SQL = _q_dedup_reps_sql()
+
+
 def q_split_leakage_safe(spark, sf_dir):
     """Leakage-safe train/val/test split: near-duplicate documents must
     land in the SAME split (splitting by doc hash leaks near-dup
@@ -3551,6 +3613,7 @@ EXT_REGISTRY = {
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
     "q_compact_files": (q_compact_files, Q_MERGE_UPSERT_SQL),
+    "q_dedup_representatives": (q_dedup_representatives, Q_DEDUP_REPS_SQL),
     # round-4 additions first: registry order = driver-gate execution
     # order, and never-driver-verified queries must come before the
     # long-stable tail (CLAUDE.md — the r02 gate truncated at 50).
