@@ -3405,10 +3405,13 @@ def q_pq_encode(spark, sf_dir):
     """X119 — product-quantization encoding (Jégou et al. 2011): M=4
     per-subspace codebooks (integer-exact k-means) → (vec_id, 4 codes,
     distortion). The compression side of ANN scale: ~64x fewer bytes
-    per candidate through any shuffle (operators/pq.py)."""
+    per candidate through any shuffle (operators/pq.py). Codebooks are
+    artifacts: cache_key=sf_dir shares ONE training across this and the
+    other PQ queries of a run (at real scale a codebook is persisted by
+    the maintain CLI's `codebook` command, not retrained per query)."""
     from mimic2ts_spark.operators.pq import pq_encode
 
-    return pq_encode(_embs(spark, sf_dir))
+    return pq_encode(_embs(spark, sf_dir), cache_key=sf_dir)
 
 
 def q_ann_pq(spark, sf_dir):
@@ -3418,7 +3421,7 @@ def q_ann_pq(spark, sf_dir):
     row, zero joins; top-k as TakeOrdered."""
     from mimic2ts_spark.operators.pq import pq_adc_topk
 
-    return pq_adc_topk(_embs(spark, sf_dir))
+    return pq_adc_topk(_embs(spark, sf_dir), cache_key=sf_dir)
 
 
 def q_merge_upsert(spark, sf_dir):
@@ -3559,12 +3562,13 @@ def q_stream_merge(spark, sf_dir):
 
 
 def q_ann_ivfpq(spark, sf_dir):
-    """X123 — IVF-PQ composed: IVF cells bound WHICH vectors the query
-    touches, PQ codes bound the BYTES per candidate — the full ANN scale
-    stack (operators/pq.py:ivfpq_topk)."""
+    """X123 — IVF-PQ composed the production way: TRAINED coarse cells
+    (k-means) bound WHICH vectors the query touches, RESIDUAL PQ codes
+    (x − cell centroid, int-exact) bound the BYTES per candidate — the
+    full ANN scale stack (operators/pq.py:ivfpq_topk)."""
     from mimic2ts_spark.operators.pq import ivfpq_topk
 
-    return ivfpq_topk(_embs(spark, sf_dir))
+    return ivfpq_topk(_embs(spark, sf_dir), cache_key=sf_dir)
 
 
 def _q_pq_sqls():

@@ -6,9 +6,15 @@ Usage:
     python -m mimic2ts_spark.maintain init   BASE_DIR SRC_PARQUET --key doc_id
     python -m mimic2ts_spark.maintain merge  BASE_DIR UPD_PARQUET --key doc_id
     python -m mimic2ts_spark.maintain compact BASE_DIR [--max-records-per-file N]
+    python -m mimic2ts_spark.maintain codebook OUT_JSON SRC_PARQUET \
+        [--id-col vec_id] [--vec-col embedding]
 
 Each command prints ONE JSON audit line (bucket/file/row counts) — the
-same auditability contract as the corpus CLI's manifest.
+same auditability contract as the corpus CLI's manifest. `codebook`
+trains the PQ subspace codebooks once and persists them as a JSON
+artifact (operators/pq.py:save_codebooks) — at real scale codebooks are
+maintained table state like bucket layout, not per-query work; encode /
+ADC queries load them (`load_codebooks`) instead of retraining.
 """
 
 from __future__ import annotations
@@ -41,6 +47,14 @@ def main(argv: list[str] | None = None) -> None:
     p_comp.add_argument("base_dir")
     p_comp.add_argument("--max-records-per-file", type=int, default=None)
 
+    p_cb = sub.add_parser(
+        "codebook", help="train + persist PQ codebooks from SRC vectors"
+    )
+    p_cb.add_argument("out_json")
+    p_cb.add_argument("src")
+    p_cb.add_argument("--id-col", default="vec_id")
+    p_cb.add_argument("--vec-col", default="embedding")
+
     args = ap.parse_args(argv)
 
     from mimic2ts_spark.operators.merge import (
@@ -53,6 +67,28 @@ def main(argv: list[str] | None = None) -> None:
 
     t0 = time.time()
     spark = get_spark("mimic2ts_spark_maintain")
+
+    if args.cmd == "codebook":
+        from mimic2ts_spark.operators.pq import (
+            PQ_K,
+            PQ_M,
+            save_codebooks,
+            train_codebooks,
+        )
+
+        vecs = spark.read.parquet(args.src)
+        books = train_codebooks(vecs, id_col=args.id_col, vec_col=args.vec_col)
+        save_codebooks(books, args.out_json)
+        audit = {
+            "cmd": "codebook", "out": args.out_json,
+            "n_vectors": vecs.count(), "m": PQ_M, "k": PQ_K,
+            "entries": [len(b) for b in books],
+            "runtime_seconds": round(time.time() - t0, 3),
+        }
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
     audit: dict = {"cmd": args.cmd, "base_dir": args.base_dir}
 
     if args.cmd == "init":

@@ -155,6 +155,30 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def lloyd_train(
+    base: DataFrame, k: int, rounds: int = KM_ROUNDS
+) -> tuple[DataFrame, list]:
+    """Kernel-path Lloyd iteration over an ALREADY-QUANTIZED base
+    (vec_id, x: array<bigint>): seeds = the k lowest-id rows, `rounds`
+    floor-div updates, assignment via the int64 matmul kernel. Returns
+    (final assigned DF (vec_id, x, cid, d), final centroid rows sorted
+    by cid) — the centroid rows ARE the trained artifact (IVF coarse
+    cells, PQ codebooks) the ANN stack scores against. Caller persists
+    `base` (every round rescans it)."""
+    cents_rows = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("x").alias("m"))
+        .orderBy("cid")
+        .collect()
+    )
+    assigned = _assign_kernel(base, cents_rows)
+    for _ in range(rounds):
+        cents_rows = _update(assigned).orderBy("cid").collect()
+        assigned = _assign_kernel(base, cents_rows)
+    return assigned, cents_rows
+
+
 def kmeans_assign(
     vectors: DataFrame,
     k: int | None = None,
@@ -174,20 +198,17 @@ def kmeans_assign(
     ).persist()
     if k is None:
         k = derived_k(base.count())
-    cents = (
-        base.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("x").alias("m"))
-    )
     if k >= KM_KERNEL_MIN_K:
         # kernel path: centroids collect per round (k rows, bounded);
         # assignment lineage stays FLAT (base + literal matrix), so
         # rounds never stack join plans.
-        assigned = _assign_kernel(base, cents.orderBy("cid").collect())
-        for _ in range(rounds):
-            cents_rows = _update(assigned).orderBy("cid").collect()
-            assigned = _assign_kernel(base, cents_rows)
+        assigned, _ = lloyd_train(base, k, rounds)
     else:
+        cents = (
+            base.orderBy("vec_id")
+            .limit(k)
+            .select(F.col("vec_id").alias("cid"), F.col("x").alias("m"))
+        )
         assigned = _assign(base, cents)
         for _ in range(rounds):
             cents = _update(assigned)
@@ -319,16 +340,19 @@ def sql_kmeans_parts(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prefix: str = "",
+    pre_quantized: bool = False,
 ) -> tuple[list[str], str, str]:
     """CTE chain for one unrolled Lloyd run; returns (parts,
     final_assign_cte, final_cents_cte) so composites (PQ's M subspace
     runs, ADC tables against the trained codebook) can reuse it under a
-    name prefix."""
+    name prefix. pre_quantized=True skips the float→int quantization
+    (for bases that are already integer, e.g. IVF-PQ residuals)."""
     if k is None:
         k = sql_derived_k(table)  # DuckDB: scalar-subquery LIMIT
     p = prefix
+    x_expr = vec_col if pre_quantized else _sql_quant(vec_col)
     parts = [
-        f"{p}base AS (SELECT {id_col} AS vec_id, {_sql_quant(vec_col)} AS x FROM {table})",
+        f"{p}base AS (SELECT {id_col} AS vec_id, {x_expr} AS x FROM {table})",
         f"{p}c0 AS (SELECT vec_id AS cid, x AS m FROM {p}base ORDER BY vec_id LIMIT {k})",
         f"{p}a0 AS {_sql_assign(f'{p}base', f'{p}c0')}",
     ]

@@ -14,14 +14,28 @@ machinery (operators/kmeans.py), so codebooks, codes, and ADC
 distances inherit its integer-exact cross-engine contract.
 
 Shape at scale:
-- encoding: M independent kmeans passes over SLICED vectors (each 1/M
-  of the bytes; the Arrow int64-matmul assignment kernel), joined back
-  on vec_id as slim (vec_id, code) rows.
+- training: the M subspace codebooks are learned JOINTLY — each Lloyd
+  round is ONE Arrow kernel pass over the full quantized vectors
+  (numpy argmin per subspace slice) plus one posexplode hash-agg for
+  the floor-div centroid update. The per-round collect is M·K centroid
+  rows (bounded, a documented broadcast-budget choice).
+- encoding: ONE kernel pass emits all M codes + the exact integer
+  distortion per vector — ZERO joins (the r04 M-way vec_id self-join
+  is gone; codes never shuffle).
+- codebooks are ARTIFACTS, not per-query work: `train_codebooks`
+  memoizes per cache_key (the harness passes sf_dir, so the encode /
+  ADC / IVF-PQ queries of one run share one training), and the
+  maintain CLI's `codebook` command persists them as JSON for
+  cross-run reuse (`save_codebooks`/`load_codebooks`).
 - ADC query: the query row and the k·M-integer distance table are
-  bounded driver-side literals (documented broadcast-budget choices,
-  like the BPE merge rules); scoring is ONE scan over the encoded
-  corpus with M map lookups per row — zero joins — and top-k plans as
-  TakeOrderedAndProject.
+  bounded driver-side literals (like the BPE merge rules); scoring is
+  ONE scan over the encoded corpus with M map lookups per row — zero
+  joins — and top-k plans as TakeOrderedAndProject.
+- IVF-PQ composes the two halves the production way: coarse k-means
+  cells bound WHICH vectors a query touches, PQ codes over RESIDUALS
+  (x − cell centroid, exact int64 subtraction) bound the bytes per
+  touched vector. Cell pruning is a JVM isin filter; codes and ADC
+  sums happen in the same single kernel pass.
 """
 
 from __future__ import annotations
@@ -30,10 +44,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mimic2ts_spark.operators.kmeans import (
-    _assign_kernel,
+    KM_ROUNDS,
     _sql_quant,
-    _update,
-    kmeans_assign,
+    lloyd_train,
     quantize,
     sql_kmeans_parts,
 )
@@ -45,93 +58,216 @@ PQ_ROUNDS = 1   # Lloyd rounds per codebook
 PQ_TOP_K = 20
 
 
-def _sub(vec_col: str, m: int):
-    return F.slice(F.col(vec_col), m * PQ_SUB + 1, PQ_SUB)
+def _quant_base(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
+    )
 
 
-def _train_subspace(
-    vectors: DataFrame, m: int, id_col: str, vec_col: str
-) -> tuple[DataFrame, list]:
-    """(assigned, final_centroid_rows) for subspace m — the exact loop
-    kmeans_assign runs, with the centroids of the FINAL assignment kept
-    (they are the codebook ADC scores against)."""
-    sub = vectors.select(
-        F.col(id_col).alias("vec_id"), quantize(_sub(vec_col, m)).alias("x")
-    ).persist()
-    seed_rows = (
-        sub.orderBy("vec_id")
-        .limit(PQ_K)
-        .select(F.col("vec_id").alias("cid"), F.col("x").alias("m"))
-        .orderBy("cid")
+def _slice_books(rows) -> list[list[tuple[int, list[int]]]]:
+    """Driver-side: k seed rows (vec_id, x[64]) → M per-subspace
+    codebooks [(cid, subvec[16])], cids ascending (rows arrive sorted
+    by vec_id)."""
+    return [
+        [
+            (int(r["vec_id"]), [int(v) for v in r["x"][m * PQ_SUB:(m + 1) * PQ_SUB]])
+            for r in rows
+        ]
+        for m in range(PQ_M)
+    ]
+
+
+def _books_np(books):
+    """(cids[m], mat[m]) numpy views of the codebooks."""
+    import numpy as np
+
+    cids = [np.array([c for c, _ in b], dtype=np.int64) for b in books]
+    mats = [np.array([v for _, v in b], dtype=np.int64) for b in books]
+    return cids, mats
+
+
+def _assign_all(base: DataFrame, books, coarse=None) -> DataFrame:
+    """ONE kernel pass emitting every subspace's code + distance.
+
+    base: (vec_id, x) [, cell when coarse is given — then x is first
+    replaced by the RESIDUAL x − coarse[cell] before slicing].
+    Output: (vec_id, x, [cell,] code_0..{M-1}, d_0..{M-1}) where x is
+    the (residual) vector the codes quantize — so the floor-div update
+    can aggregate it directly. Exact: int64 |a|²+|b|²−2ab terms < 2^50,
+    integer math is associative, np.argmin's first-minimum tie-break
+    equals the (d, cid) struct-min because codebook cids are ascending.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cids, mats = _books_np(books)
+    norms = [(m * m).sum(axis=1) for m in mats]
+    if coarse is not None:
+        c_index = {int(cid): i for i, cid in enumerate(coarse[0])}
+        c_mat = coarse[1]
+
+    cols = ["vec_id", "x"] + (["cell"] if coarse is not None else [])
+    schema = "vec_id long, x array<bigint>" + (
+        ", cell long" if coarse is not None else ""
+    )
+    schema += "".join(f", code_{m} long" for m in range(PQ_M))
+    schema += "".join(f", d_{m} long" for m in range(PQ_M))
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["x"]), dtype=np.int64)
+            out = {"vec_id": pdf["vec_id"]}
+            if coarse is not None:
+                cells = pdf["cell"].to_numpy(dtype=np.int64)
+                rows = np.array([c_index[int(c)] for c in cells])
+                X = X - c_mat[rows]
+                out["x"] = list(X)
+                out["cell"] = cells
+            else:
+                out["x"] = pdf["x"]
+            codes, ds = [], []
+            for m in range(PQ_M):
+                Xm = X[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                D = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    + norms[m][None, :]
+                    - 2 * (Xm @ mats[m].T)
+                )
+                j = np.argmin(D, axis=1)
+                codes.append(cids[m][j])
+                ds.append(D[np.arange(len(j)), j])
+            # column order must match the declared schema positionally
+            for m in range(PQ_M):
+                out[f"code_{m}"] = codes[m]
+            for m in range(PQ_M):
+                out[f"d_{m}"] = ds[m]
+            yield pd.DataFrame(out)
+
+    return base.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def _update_all(assigned: DataFrame) -> list[list[tuple[int, list[int]]]]:
+    """Floor-div centroid update for ALL M subspaces in one hash-agg
+    pass: posexplode the (residual) vector, bucket each dim into its
+    subspace, group by (subspace, code, dim). Collect is M·K centroid
+    rows × PQ_SUB dims — bounded. Identical math to kmeans._update
+    (floor(double(sum)/count), the cross-engine-safe floor-div)."""
+    codes = F.array(*[F.col(f"code_{m}") for m in range(PQ_M)])
+    per_dim = (
+        assigned.select(codes.alias("_codes"), F.posexplode("x").alias("dim", "v"))
+        .select(
+            F.floor(F.col("dim") / PQ_SUB).cast("int").alias("m"),
+            F.element_at("_codes", F.floor(F.col("dim") / PQ_SUB).cast("int") + 1)
+            .alias("cid"),
+            F.col("dim"),
+            F.col("v"),
+        )
+        .groupBy("m", "cid", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "m", "cid", "dim",
+            F.floor(F.col("s").cast("double") / F.col("n")).alias("mv"),
+        )
         .collect()
     )
-    assigned, cents_rows = _assign_kernel(sub, seed_rows), seed_rows
-    for _ in range(PQ_ROUNDS):
-        cents_rows = _update(assigned).orderBy("cid").collect()
-        assigned = _assign_kernel(sub, cents_rows)
-    return assigned, cents_rows
-
-
-def _train_all(vectors: DataFrame, id_col: str, vec_col: str) -> list:
-    """Train the M independent subspace codebooks CONCURRENTLY (Spark
-    job submission is thread-safe; each subspace's collect-per-round
-    chain interleaves with the others, so wall ≈ one subspace instead
-    of M — measured 4.9 → ~2 s at sf0.1). Determinism is untouched:
-    subspaces share no state."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(PQ_M) as ex:
-        return list(
-            ex.map(
-                lambda m: _train_subspace(vectors, m, id_col, vec_col),
-                range(PQ_M),
-            )
-        )
-
-
-def pq_encode(
-    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """(vec_id, code_0..code_{M-1}, distortion): per-subspace codebook
-    codes plus the exact integer quantization distortion Σ_m d_m — the
-    PQ reconstruction-error scoreboard."""
-    trained = _train_all(vectors, id_col, vec_col)
-    out = None
-    distortion = None
+    by_key: dict[tuple[int, int], dict[int, int]] = {}
+    for r in per_dim:
+        by_key.setdefault((r["m"], r["cid"]), {})[r["dim"]] = int(r["mv"])
+    books: list[list[tuple[int, list[int]]]] = []
     for m in range(PQ_M):
-        a, _ = trained[m]
-        a = a.select(
-            "vec_id",
-            F.col("cid").alias(f"code_{m}"),
-            F.col("d").alias(f"_d{m}"),
+        ents = sorted(cid for (mm, cid) in by_key if mm == m)
+        books.append(
+            [
+                (
+                    int(cid),
+                    [
+                        by_key[(m, cid)][d]
+                        for d in range(m * PQ_SUB, (m + 1) * PQ_SUB)
+                    ],
+                )
+                for cid in ents
+            ]
         )
-        out = a if out is None else out.join(a, "vec_id")
-        dm = F.col(f"_d{m}")
-        distortion = dm if distortion is None else distortion + dm
-    return out.select(
-        "vec_id",
-        *[f"code_{m}" for m in range(PQ_M)],
-        distortion.cast("long").alias("distortion"),
-    )
+    return books
 
 
-def pq_adc_topk(
+# Codebooks are artifacts: one training per cache_key per process (the
+# harness keys by sf_dir so q_pq_encode / q_ann_pq / q_ann_ivfpq share
+# one training), and the maintain CLI persists them as JSON for
+# cross-run reuse. Driver-side size is M·K·PQ_SUB ints — trivial.
+_CODEBOOKS_CACHE: dict[str, object] = {}
+
+
+def train_codebooks(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    top_k: int = PQ_TOP_K,
+    cache_key: str | None = None,
+) -> list[list[tuple[int, list[int]]]]:
+    """Train the M global subspace codebooks: seeds = subvector slices
+    of the PQ_K lowest-id vectors, then PQ_ROUNDS joint Lloyd rounds
+    (one kernel pass + one update agg each)."""
+    if cache_key is not None and ("g", cache_key) in _CODEBOOKS_CACHE:
+        return _CODEBOOKS_CACHE[("g", cache_key)]  # type: ignore[return-value]
+    base = _quant_base(vectors, id_col, vec_col).persist()
+    books = _slice_books(base.orderBy("vec_id").limit(PQ_K).collect())
+    for _ in range(PQ_ROUNDS):
+        books = _update_all(_assign_all(base, books))
+    base.unpersist()
+    if cache_key is not None:
+        _CODEBOOKS_CACHE[("g", cache_key)] = books
+    return books
+
+
+def save_codebooks(books, path: str) -> None:
+    """Persist trained codebooks as a JSON artifact (maintain CLI)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {"m": PQ_M, "sub": PQ_SUB, "k": PQ_K, "rounds": PQ_ROUNDS,
+             "books": [[[cid, list(v)] for cid, v in b] for b in books]},
+            f,
+        )
+
+
+def load_codebooks(path: str):
+    import json
+
+    with open(path) as f:
+        art = json.load(f)
+    if art["m"] != PQ_M or art["sub"] != PQ_SUB:
+        raise ValueError(
+            f"codebook artifact shape ({art['m']}×{art['sub']}) does not "
+            f"match PQ_M×PQ_SUB ({PQ_M}×{PQ_SUB})"
+        )
+    return [[(int(cid), [int(v) for v in vec]) for cid, vec in b]
+            for b in art["books"]]
+
+
+def pq_encode(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+    cache_key: str | None = None,
 ) -> DataFrame:
-    """(vec_id, adc_dist2): the top_k nearest encoded vectors to the
-    lowest-id vector, by ADC over the learned codebooks. Python-side
-    distance-table arithmetic is pure int — bit-equal to the SQL
-    mirror's integer expressions."""
-    q_id, q_vec = _query_row(vectors, id_col, vec_col)
-    enc, dist_expr = _encode_with_adc(vectors, q_vec, id_col, vec_col)
-    return (
-        enc.where(F.col("vec_id") != q_id)
-        .select("vec_id", dist_expr.cast("long").alias("adc_dist2"))
-        .orderBy("adc_dist2", "vec_id")
-        .limit(top_k)
+    """(vec_id, code_0..code_{M-1}, distortion): per-subspace codebook
+    codes plus the exact integer quantization distortion Σ_m d_m — the
+    PQ reconstruction-error scoreboard. ONE kernel pass, zero joins."""
+    if codebooks is None:
+        codebooks = train_codebooks(vectors, id_col, vec_col, cache_key)
+    enc = _assign_all(_quant_base(vectors, id_col, vec_col), codebooks)
+    distortion = None
+    for m in range(PQ_M):
+        dm = F.col(f"d_{m}")
+        distortion = dm if distortion is None else distortion + dm
+    return enc.select(
+        "vec_id",
+        *[f"code_{m}" for m in range(PQ_M)],
+        distortion.cast("long").alias("distortion"),
     )
 
 
@@ -147,30 +283,155 @@ def _query_row(vectors: DataFrame, id_col: str, vec_col: str) -> tuple[int, list
     return int(q_row["vec_id"]), [int(v) for v in q_row["qx"]]
 
 
-def _encode_with_adc(vectors, q_vec, id_col, vec_col):
-    """(enc_df, adc_dist_expr): codes joined across subspaces plus the
-    literal-map ADC distance expression for the given quantized query."""
-    trained = _train_all(vectors, id_col, vec_col)
-    enc = None
+def _adc_expr(q_vec: list[int], books) -> F.Column:
+    """The literal-map ADC distance Σ_m table_m[code_m] for a quantized
+    query — Python-side table arithmetic is pure int, bit-equal to the
+    SQL mirror's integer expressions."""
     dist_expr = None
     for m in range(PQ_M):
-        assigned, cents_rows = trained[m]
-        a = assigned.select("vec_id", F.col("cid").alias(f"code_{m}"))
-        enc = a if enc is None else enc.join(a, "vec_id")
-
-        q_sub = q_vec[m * PQ_SUB : (m + 1) * PQ_SUB]
-        entries = []
-        for r in cents_rows:
-            c = [int(v) for v in r["m"]]
-            d2 = sum((x - y) * (x - y) for x, y in zip(q_sub, c))
-            entries.append((int(r["cid"]), d2))
+        q_sub = q_vec[m * PQ_SUB:(m + 1) * PQ_SUB]
+        entries = [
+            (cid, sum((x - y) * (x - y) for x, y in zip(q_sub, c)))
+            for cid, c in books[m]
+        ]
         mapping = F.map_from_arrays(
             F.array(*[F.lit(c).cast("long") for c, _ in entries]),
             F.array(*[F.lit(d).cast("long") for _, d in entries]),
         )
         term = F.element_at(mapping, F.col(f"code_{m}"))
         dist_expr = term if dist_expr is None else dist_expr + term
-    return enc, dist_expr
+    return dist_expr
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = PQ_TOP_K,
+    codebooks=None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """(vec_id, adc_dist2): the top_k nearest encoded vectors to the
+    lowest-id vector, by ADC over the learned codebooks — one encode
+    pass + a literal-map distance sum, TakeOrdered top-k, zero joins."""
+    if codebooks is None:
+        codebooks = train_codebooks(vectors, id_col, vec_col, cache_key)
+    q_id, q_vec = _query_row(vectors, id_col, vec_col)
+    enc = _assign_all(_quant_base(vectors, id_col, vec_col), codebooks)
+    return (
+        enc.where(F.col("vec_id") != q_id)
+        .select("vec_id", _adc_expr(q_vec, codebooks).cast("long").alias("adc_dist2"))
+        .orderBy("adc_dist2", "vec_id")
+        .limit(top_k)
+    )
+
+
+# --- IVF-PQ with residual encoding -----------------------------------------
+
+IVFPQ_K = 16      # coarse cells (mirrors similarity.IVF_K)
+IVFPQ_NPROBE = 4  # probed cells per query
+
+
+def train_ivfpq(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+):
+    """(coarse_rows, residual_books): coarse k-means cells (KM_ROUNDS
+    Lloyd rounds over the quantized vectors) plus per-subspace codebooks
+    trained on RESIDUALS x − cell_centroid — the production IVF-PQ form
+    (residuals concentrate around 0, so the same K codes carry less
+    distortion than global codebooks; pinned by
+    test_ivfpq_residual_distortion_below_global)."""
+    import numpy as np
+
+    if cache_key is not None and ("r", cache_key) in _CODEBOOKS_CACHE:
+        return _CODEBOOKS_CACHE[("r", cache_key)]  # type: ignore[return-value]
+    base = _quant_base(vectors, id_col, vec_col).persist()
+    assigned, coarse_rows = lloyd_train(base, IVFPQ_K, KM_ROUNDS)
+    assigned = assigned.select(
+        "vec_id", "x", F.col("cid").alias("cell")
+    ).persist()
+    coarse = (
+        np.array([r["cid"] for r in coarse_rows], dtype=np.int64),
+        np.array([list(r["m"]) for r in coarse_rows], dtype=np.int64),
+    )
+
+    # residual seeds: the PQ_K lowest-id rows, residualized driver-side
+    cent_of = {int(cid): coarse[1][i] for i, cid in enumerate(coarse[0])}
+    seed_rows = assigned.orderBy("vec_id").limit(PQ_K).collect()
+    books = _slice_books(
+        [
+            {"vec_id": r["vec_id"],
+             "x": [int(v) - int(c) for v, c in zip(r["x"], cent_of[int(r["cell"])])]}
+            for r in seed_rows
+        ]
+    )
+    for _ in range(PQ_ROUNDS):
+        books = _update_all(_assign_all(assigned, books, coarse=coarse))
+    assigned.unpersist()
+    base.unpersist()
+    out = (coarse_rows, books)
+    if cache_key is not None:
+        _CODEBOOKS_CACHE[("r", cache_key)] = out
+    return out
+
+
+def _coarse_np(coarse_rows):
+    import numpy as np
+
+    return (
+        np.array([r["cid"] for r in coarse_rows], dtype=np.int64),
+        np.array([list(r["m"]) for r in coarse_rows], dtype=np.int64),
+    )
+
+
+def _cells_of(base: DataFrame, coarse) -> DataFrame:
+    """(vec_id, x, cell): nearest coarse centroid by exact int L2 —
+    the same kernel math as kmeans._assign_kernel, carrying x for the
+    downstream residual pass."""
+    import numpy as np
+    import pandas as pd
+
+    cids, mat = coarse
+    m_norm = (mat * mat).sum(axis=1)
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["x"]), dtype=np.int64)
+            D = (X * X).sum(axis=1)[:, None] + m_norm[None, :] - 2 * (X @ mat.T)
+            j = np.argmin(D, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "x": pdf["x"], "cell": cids[j]}
+            )
+
+    return base.mapInPandas(gen, schema="vec_id long, x array<bigint>, cell long")
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """(vec_id, cell, code_0.., distortion): residual-encoded corpus —
+    the persisted-index shape an IVF-PQ deployment scans."""
+    coarse_rows, books = train_ivfpq(vectors, id_col, vec_col, cache_key)
+    coarse = _coarse_np(coarse_rows)
+    cells = _cells_of(_quant_base(vectors, id_col, vec_col), coarse)
+    enc = _assign_all(cells, books, coarse=coarse)
+    distortion = None
+    for m in range(PQ_M):
+        dm = F.col(f"d_{m}")
+        distortion = dm if distortion is None else distortion + dm
+    return enc.select(
+        "vec_id", "cell",
+        *[f"code_{m}" for m in range(PQ_M)],
+        distortion.cast("long").alias("distortion"),
+    )
 
 
 def ivfpq_topk(
@@ -178,61 +439,73 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     top_k: int = PQ_TOP_K,
+    cache_key: str | None = None,
 ) -> DataFrame:
-    """IVF-PQ: the two ANN scale halves composed — the IVF cell
-    structure bounds WHICH vectors the query touches (nprobe/n_centroids
-    of the corpus), PQ bounds the BYTES per touched vector (M codes +
-    map lookups, no float vectors in the candidate stream). Cell
-    assignment/probing reuses similarity.py's centroid-cosine kernel
-    (bit-equal to the SQL cosine); candidate ranking is the ADC
-    expression. Production IVF-PQ encodes residuals-vs-cell-centroid;
-    here codebooks are global (the oracle contract forbids trainable
-    state) — the DISTRIBUTED SHAPE (probe-limited candidate join +
-    code-table ranking) is the part that matters at scale."""
+    """IVF-PQ: the two ANN scale halves composed the production way —
+    trained coarse cells bound WHICH vectors the query touches
+    (nprobe/k of the corpus, pruned by a JVM isin filter BEFORE any
+    Python), residual PQ codes bound the BYTES per touched vector.
+    Query side: probed cells and the per-(cell, subspace) ADC tables
+    are driver-side integer literals (nprobe·M·K entries); candidate
+    scoring is ONE kernel pass over the probed slice emitting
+    (vec_id, cell, adc_dist2), then TakeOrdered top-k. Everything is
+    integer-exact, so the DuckDB mirror (coarse kmeans CTEs + residual
+    subspace kmeans CTEs + per-cell ADC tables) hash-matches."""
     import numpy as np
+    import pandas as pd
 
-    from mimic2ts_spark.operators.similarity import (
-        IVF_K,
-        IVF_NPROBE,
-        _centroid_scores_udf,
-    )
-
-    cents = (
-        vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy("cid")
-        .limit(IVF_K)
-        .collect()
-    )
-    cent_ids = np.array([r.cid for r in cents], dtype=np.int64)
-    cent_mat = np.array([list(r.cvec) for r in cents], dtype=np.float64)
-    cent_norm2 = np.zeros(len(cents), dtype=np.float64)
-    for d in range(cent_mat.shape[1]):
-        cent_norm2 += cent_mat[:, d] * cent_mat[:, d]
-    cent_norms = np.sqrt(cent_norm2)
-
-    assign = _centroid_scores_udf(cent_ids, cent_mat, cent_norms, 1)
-    probe = _centroid_scores_udf(cent_ids, cent_mat, cent_norms, IVF_NPROBE)
-
-    # probed cells of the query — through the SAME kernel, so the cell
-    # choice is bit-identical to the corpus assignment path
-    probed = [
-        int(c)
-        for c in vectors.orderBy(id_col)
-        .limit(1)
-        .select(probe(F.col(vec_col)).alias("cells"))
-        .collect()[0]["cells"]
-    ]
+    coarse_rows, books = train_ivfpq(vectors, id_col, vec_col, cache_key)
+    coarse = _coarse_np(coarse_rows)
+    cids_c, mat_c = coarse
 
     q_id, q_vec = _query_row(vectors, id_col, vec_col)
-    enc, dist_expr = _encode_with_adc(vectors, q_vec, id_col, vec_col)
-    cells = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
-    )
+    qx = np.array(q_vec, dtype=np.int64)
+    # probe: nprobe nearest coarse cells by exact int L2, ties to the
+    # lower cid (rows already cid-ascending; python sort is stable)
+    dq = ((mat_c - qx[None, :]) ** 2).sum(axis=1)
+    order = sorted(range(len(cids_c)), key=lambda i: (int(dq[i]), int(cids_c[i])))
+    probed = [int(cids_c[i]) for i in order[:IVFPQ_NPROBE]]
+
+    # per-(cell, m) ADC tables of the query RESIDUAL vs the codebook
+    cent_of = {int(cid): mat_c[i] for i, cid in enumerate(cids_c)}
+    _, mats_b = _books_np(books)
+    tables = {}
+    for cell in probed:
+        qr = qx - cent_of[cell]
+        tables[cell] = [
+            ((mats_b[m] - qr[m * PQ_SUB:(m + 1) * PQ_SUB][None, :]) ** 2).sum(axis=1)
+            for m in range(PQ_M)
+        ]
+
+    norms_b = [(m * m).sum(axis=1) for m in mats_b]
+    c_index = {int(cid): i for i, cid in enumerate(cids_c)}
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["x"]), dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            R = X - mat_c[np.array([c_index[int(c)] for c in cells])]
+            adc = np.zeros(len(cells), dtype=np.int64)
+            for m in range(PQ_M):
+                Rm = R[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                D = (
+                    (Rm * Rm).sum(axis=1)[:, None]
+                    + norms_b[m][None, :]
+                    - 2 * (Rm @ mats_b[m].T)
+                )
+                j = np.argmin(D, axis=1)
+                for ci, cell in enumerate(cells):
+                    adc[ci] += tables[int(cell)][m][j[ci]]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cells, "adc_dist2": adc}
+            )
+
+    cells = _cells_of(_quant_base(vectors, id_col, vec_col), coarse)
+    pruned = cells.where(F.col("cell").isin(probed) & (F.col("vec_id") != q_id))
     return (
-        enc.join(cells, "vec_id")
-        .where(F.col("cell").isin(probed) & (F.col("vec_id") != q_id))
-        .select("vec_id", "cell", dist_expr.cast("long").alias("adc_dist2"))
+        pruned.mapInPandas(score, schema="vec_id long, cell long, adc_dist2 long")
         .orderBy("adc_dist2", "vec_id")
         .limit(top_k)
     )
@@ -247,14 +520,14 @@ def _sql_sub(vec_col: str, m: int) -> str:
 
 
 def _sql_subspace_parts(
-    table: str, m: int, id_col: str, vec_col: str
+    table: str, m: int, id_col: str, vec_col: str, pre_quantized: bool = False
 ) -> tuple[list[str], str, str]:
     sub_tbl = (
         f"(SELECT {id_col} AS vec_id, {_sql_sub(vec_col, m)} AS sub FROM {table})"
     )
     return sql_kmeans_parts(
         sub_tbl, k=PQ_K, rounds=PQ_ROUNDS, id_col="vec_id", vec_col="sub",
-        prefix=f"s{m}_",
+        prefix=f"s{m}_", pre_quantized=pre_quantized,
     )
 
 
@@ -262,7 +535,9 @@ def sql_pq_encode(
     table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:
     """Mirror of pq_encode: M unrolled Lloyd chains over sliced
-    subvectors, joined on vec_id."""
+    subvectors, joined on vec_id. (The Spark side computes the same
+    math in one fused kernel pass; the oracle mirrors the MATH, not the
+    physical plan.)"""
     parts: list[str] = []
     finals = []
     for m in range(PQ_M):
@@ -281,77 +556,93 @@ def sql_pq_encode(
     )
 
 
+_SQL_L2 = (
+    "list_aggregate(list_transform(generate_series(1, len({b})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+)
+
+
 def sql_ivfpq_topk(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     top_k: int = PQ_TOP_K,
 ) -> str:
-    """Mirror of ivfpq_topk: the IVF cell/probe CTEs (exact cosine
-    argmax, same as the q_ann_ivf oracle) gating the PQ ADC ranking."""
-    from mimic2ts_spark.operators.similarity import IVF_K, IVF_NPROBE, sql_cosine
-
+    """Mirror of ivfpq_topk: coarse kmeans CTEs (KM_ROUNDS over the
+    quantized vectors, int L2, ties to lower cid), residual base
+    (x − cell centroid), per-subspace residual kmeans chains
+    (pre-quantized — residuals are already ints), probe CTE (nprobe
+    nearest cells to the min-id query by int L2), per-(cell, subspace)
+    ADC tables of the query residual, summed through the code+cell
+    joins."""
     parts: list[str] = []
+    # coarse cells
+    cparts, c_final_a, c_final_c = sql_kmeans_parts(
+        table, k=IVFPQ_K, rounds=KM_ROUNDS, id_col=id_col, vec_col=vec_col,
+        prefix="ivf_",
+    )
+    parts.extend(cparts)
+    parts.append(
+        f"""rbase AS (
+    SELECT a.vec_id, a.cid AS cell,
+           list_transform(generate_series(1, len(a.x)),
+                          i -> a.x[i] - c.m[i]) AS x
+    FROM {c_final_a} a JOIN {c_final_c} c ON a.cid = c.cid
+)"""
+    )
+    parts.append(
+        f"q AS (SELECT x FROM ivf_base ORDER BY vec_id LIMIT 1)"
+    )
+    d_qc = _SQL_L2.format(a="q.x", b="c.m")
+    parts.append(
+        f"""probes AS (
+    SELECT cid AS cell, m FROM (
+        SELECT c.cid, c.m, {d_qc} AS d,
+               row_number() OVER (ORDER BY {d_qc}, c.cid) AS rn
+        FROM {c_final_c} c CROSS JOIN q
+    ) WHERE rn <= {IVFPQ_NPROBE}
+)"""
+    )
+    parts.append(
+        """qres AS (
+    SELECT p.cell,
+           list_transform(generate_series(1, len(p.m)),
+                          i -> q.x[i] - p.m[i]) AS qx
+    FROM probes p CROSS JOIN q
+)"""
+    )
     finals = []
     for m in range(PQ_M):
-        p, final_a, final_c = _sql_subspace_parts(table, m, id_col, vec_col)
+        p, final_a, final_c = _sql_subspace_parts(
+            "rbase", m, "vec_id", "x", pre_quantized=True
+        )
         parts.extend(p)
-        q_sub = _sql_quant(_sql_sub(vec_col, m))
-        parts.append(
-            f"q{m} AS (SELECT {q_sub} AS qx FROM {table} ORDER BY {id_col} LIMIT 1)"
+        d_adc = (
+            "list_aggregate(list_transform(generate_series(1, len(c.m)), "
+            f"i -> (r.qx[{m * PQ_SUB} + i] - c.m[i]) * (r.qx[{m * PQ_SUB} + i] - c.m[i])), "
+            "'sum')"
         )
         parts.append(
             f"""adc{m} AS (
-    SELECT c.cid,
-           list_aggregate(list_transform(generate_series(1, len(c.m)),
-               i -> (q.qx[CAST(i AS INTEGER)] - c.m[CAST(i AS INTEGER)])
-                    * (q.qx[CAST(i AS INTEGER)] - c.m[CAST(i AS INTEGER)])),
-               'sum') AS d2
-    FROM {final_c} c CROSS JOIN q{m} q
+    SELECT r.cell, c.cid, {d_adc} AS d2
+    FROM qres r CROSS JOIN {final_c} c
 )"""
         )
         finals.append(final_a)
-    cos = sql_cosine(f"v.{vec_col}", "c.cvec")
-    parts.append(f"ivf_v AS (SELECT {id_col} AS vec_id, {vec_col} FROM {table})")
-    parts.append(
-        f"ivf_c AS (SELECT vec_id AS cid, {vec_col} AS cvec FROM ivf_v "
-        f"ORDER BY vec_id LIMIT {IVF_K})"
-    )
-    parts.append(
-        f"""ivf_score AS (
-    SELECT v.vec_id, c.cid, {sql_cosine(f'v.{vec_col}', 'c.cvec')} AS cs
-    FROM ivf_v v CROSS JOIN ivf_c c
-)"""
-    )
-    parts.append(
-        """cell_of AS (
-    SELECT vec_id, cid AS cell FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        FROM ivf_score
-    ) WHERE rn = 1
-)"""
-    )
-    parts.append(
-        f"""probes AS (
-    SELECT cid AS cell FROM (
-        SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rn
-        FROM ivf_score
-        WHERE vec_id = (SELECT min({id_col}) FROM {table})
-    ) WHERE rn <= {IVF_NPROBE}
-)"""
-    )
     joins = " ".join(
         f"JOIN {finals[m]} e{m} ON e0.vec_id = e{m}.vec_id" for m in range(1, PQ_M)
-    ) + " " + " ".join(f"JOIN adc{m} ON adc{m}.cid = e{m}.cid" for m in range(PQ_M))
+    )
+    joins += " JOIN rbase rb ON rb.vec_id = e0.vec_id"
+    joins += " ".join(
+        f" JOIN adc{m} ON adc{m}.cell = rb.cell AND adc{m}.cid = e{m}.cid"
+        for m in range(PQ_M)
+    )
     dist = " + ".join(f"adc{m}.d2" for m in range(PQ_M))
     return (
         "WITH " + ",\n".join(parts)
         + f"""
-SELECT e0.vec_id, co.cell, CAST({dist} AS BIGINT) AS adc_dist2
+SELECT e0.vec_id, rb.cell, CAST({dist} AS BIGINT) AS adc_dist2
 FROM {finals[0]} e0 {joins}
-JOIN cell_of co ON co.vec_id = e0.vec_id
-JOIN probes pr ON pr.cell = co.cell
 WHERE e0.vec_id != (SELECT min({id_col}) FROM {table})
 ORDER BY adc_dist2, e0.vec_id
 LIMIT {top_k}"""

@@ -1267,9 +1267,11 @@ def test_scale_dial_formulas():
 
 def test_pq_adc_recall_floor(spark):
     """ADC ranking must stay CORRELATED with exact similarity: among the
-    ADC top-20 for the min-id query, at least 20% must appear in the
-    exact cosine top-20 (measured 40-50% — the floor catches a broken
-    distance table or code join, not codebook-quality drift)."""
+    ADC top-20 for the min-id query, at least 30% must appear in the
+    exact cosine top-20 (measured 40% flat-PQ / 50% residual IVF-PQ —
+    the floor catches a broken distance table or code path, not
+    codebook-quality drift; raised from 20% when IVF-PQ gained trained
+    coarse cells + residual codes)."""
     import numpy as np
 
     from mimic2ts_spark.operators.pq import ivfpq_topk, pq_adc_topk
@@ -1285,4 +1287,45 @@ def test_pq_adc_recall_floor(spark):
     for fn in (pq_adc_topk, ivfpq_topk):
         got = [r["vec_id"] for r in fn(vecs).collect()]
         overlap = len(set(got) & set(exact_top)) / 20
-        assert overlap >= 0.2, (fn.__name__, overlap)
+        assert overlap >= 0.3, (fn.__name__, overlap)
+
+
+def test_ivfpq_residual_distortion_below_global(spark):
+    """Residual encoding is the POINT of production IVF-PQ: quantizing
+    x − cell_centroid with the same M×K codebook budget must carry less
+    total distortion than quantizing raw x (residuals concentrate near
+    0). Measured 0.90× on the synthetic near-random vectors — real
+    clustered embeddings drop much further; the pin is < 1.0 strictly,
+    which any sign error or residual-path regression breaks."""
+    from mimic2ts_spark.operators.pq import ivfpq_encode, pq_encode
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    global_d = sum(r["distortion"] for r in pq_encode(vecs).collect())
+    residual_d = sum(r["distortion"] for r in ivfpq_encode(vecs).collect())
+    assert 0 < residual_d < global_d, (residual_d, global_d)
+
+
+def test_codebook_artifact_roundtrip(spark, tmp_path):
+    """Codebooks are ARTIFACTS: save→load must reproduce the training
+    exactly, and encoding against the loaded artifact must bit-equal
+    encoding that retrains — the contract the maintain CLI's `codebook`
+    command and the harness cache_key sharing rely on."""
+    from mimic2ts_spark.operators.pq import (
+        load_codebooks,
+        pq_encode,
+        save_codebooks,
+        train_codebooks,
+    )
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = train_codebooks(vecs)
+    path = str(tmp_path / "codebook.json")
+    save_codebooks(books, path)
+    loaded = load_codebooks(path)
+    assert loaded == [[(c, list(v)) for c, v in b] for b in books]
+
+    fresh = {r["vec_id"]: tuple(r) for r in pq_encode(vecs).collect()}
+    via_artifact = {
+        r["vec_id"]: tuple(r) for r in pq_encode(vecs, codebooks=loaded).collect()
+    }
+    assert fresh == via_artifact

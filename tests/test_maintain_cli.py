@@ -47,3 +47,22 @@ def test_maintain_init_merge_compact_roundtrip(spark, tmp_path):
     assert final.count() == docs.count()
     n_upd = final.where(F.col("text") == "updated").count()
     assert n_upd == a2["n_updates"]
+
+
+def test_maintain_codebook_artifact(spark, tmp_path, capsys):
+    """`codebook` trains + persists PQ codebooks; encoding against the
+    artifact bit-equals retraining (in-process: get_spark reuses the
+    session, so this costs no extra JVM)."""
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.pq import PQ_M, load_codebooks, pq_encode
+
+    out = str(tmp_path / "cb.json")
+    main(["codebook", out, f"{SF}/embeddings.parquet"])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "codebook" and audit["m"] == PQ_M
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    via = {r["vec_id"]: tuple(r) for r in
+           pq_encode(vecs, codebooks=load_codebooks(out)).collect()}
+    fresh = {r["vec_id"]: tuple(r) for r in pq_encode(vecs).collect()}
+    assert via == fresh

@@ -305,6 +305,24 @@ def test_multimodal_frames_resize_no_join_one_exchange(utc):
         assert _count(r"\(\d+\) Exchange", s) <= 1
 
 
+def test_pq_encode_single_pass_no_join(utc):
+    """The r05 PQ redesign: encode emits all M subspace codes from ONE
+    Arrow kernel pass — no M-way vec_id self-join (the r04 plan paid 3
+    shuffle joins here), no exchange at all for the encode, and the ADC
+    / IVF-PQ scorers add only the TakeOrdered top-k (no join between
+    encode and scoring)."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_pq_encode(utc, SF))
+    assert "Join" not in s, s
+    # only the deliberate compute-spread repartition on the scan
+    assert _count(r"\(\d+\) Exchange", s) <= 1, s
+    for fn in (harness_ext.q_ann_pq, harness_ext.q_ann_ivfpq):
+        s = _plan(fn(utc, SF))
+        assert "Join" not in s, s
+        assert "TakeOrderedAndProject" in s, s
+
+
 def test_q17_decorrelated_two_fact_scans(utc):
     """The correlated scalar subquery must be decorrelated into a
     per-part aggregate joined back (2 lineitem scans total) — never a
