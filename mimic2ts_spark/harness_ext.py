@@ -401,35 +401,37 @@ SELECT * FROM ranked WHERE rank <= 5
 
 
 def q_ann_ivf(spark, sf_dir):
+    """X8 — IVF-flat with TRAINED cells (r05): k-means coarse centroids
+    (integer-exact Lloyd, memoized per sf_dir and shared with IVF-PQ's
+    coarse step), int-L2 cell assignment + nprobe probing, exact cosine
+    re-rank within the probed cells."""
     embs = _embs(spark, sf_dir)
-    return S.ivf_topk(embs, embs.where(F.col("vec_id") < 5), k=5)
+    return S.ivf_topk(
+        embs, embs.where(F.col("vec_id") < 5), k=5, cache_key=sf_dir
+    )
 
 
-Q_ANN_IVF_SQL = f"""
-WITH v AS (SELECT vec_id, embedding FROM embeddings),
-c AS (SELECT vec_id AS cid, embedding AS cvec FROM v ORDER BY vec_id LIMIT {S.IVF_K}),
-ascore AS (
-    SELECT v.vec_id, c.cid, {S.sql_cosine('v.embedding', 'c.cvec')} AS cs
-    FROM v CROSS JOIN c
-),
-cell_of AS (
-    SELECT vec_id, cid AS cell FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        FROM ascore
-    ) WHERE rn = 1
-),
+def _q_ann_ivf_sql():
+    from mimic2ts_spark.operators.kmeans import _SQL_DIST, sql_kmeans_parts
+
+    parts, final_a, final_c = sql_kmeans_parts(
+        "embeddings", k=S.IVF_K, prefix="ivf_"
+    )
+    return f"""
+WITH {','.join(parts)},
+v AS (SELECT vec_id, embedding FROM embeddings),
 probes AS (
     SELECT vec_id AS query_id, cid AS cell FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        FROM ascore WHERE vec_id < 5
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_SQL_DIST}, c.cid) AS rn
+        FROM ivf_base b CROSS JOIN {final_c} c WHERE b.vec_id < 5
     ) WHERE rn <= {S.IVF_NPROBE}
 ),
 cand AS (
-    SELECT p.query_id, co.vec_id AS neighbor_id
-    FROM probes p JOIN cell_of co ON co.cell = p.cell
-    WHERE co.vec_id <> p.query_id
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN {final_a} a ON a.cid = p.cell
+    WHERE a.vec_id <> p.query_id
 ),
 scored AS (
     SELECT c.query_id, c.neighbor_id,
@@ -446,6 +448,9 @@ ranked AS (
 )
 SELECT * FROM ranked WHERE rank <= 5
 """
+
+
+Q_ANN_IVF_SQL = _q_ann_ivf_sql()
 
 
 # --- multimodal + streaming ------------------------------------------------

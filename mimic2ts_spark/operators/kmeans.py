@@ -179,6 +179,35 @@ def lloyd_train(
     return assigned, cents_rows
 
 
+# Trained coarse centroids are ARTIFACTS (like PQ codebooks): one
+# training per (k, cache_key) per process — q_ann_ivf and q_ann_ivfpq
+# share the same k=16/KM_ROUNDS coarse training when the harness keys
+# both by sf_dir. Driver-side size is k·dim ints.
+_COARSE_CACHE: dict[tuple, list] = {}
+
+
+def train_coarse(
+    vectors: DataFrame,
+    k: int,
+    rounds: int = KM_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> list:
+    """Trained centroid rows [(cid, m)] sorted by cid — the coarse-cell
+    artifact of the ANN stack (IVF cells, IVF-PQ residual anchors)."""
+    if cache_key is not None and (k, rounds, cache_key) in _COARSE_CACHE:
+        return _COARSE_CACHE[(k, rounds, cache_key)]
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
+    ).persist()
+    _, cents_rows = lloyd_train(base, k, rounds)
+    base.unpersist()
+    if cache_key is not None:
+        _COARSE_CACHE[(k, rounds, cache_key)] = cents_rows
+    return cents_rows
+
+
 def kmeans_assign(
     vectors: DataFrame,
     k: int | None = None,
@@ -189,7 +218,8 @@ def kmeans_assign(
     """(vec_id, cid, d): cluster assignment (and final int distance)
     after `rounds` quantized Lloyd updates seeded by the k lowest-id
     vectors (the oracle contract forbids trainable state; the ITERATION
-    is the machinery under test — contrast ivf_topk's static seeds).
+    is the machinery under test; ivf_topk/ivfpq share it via
+    train_coarse).
 
     k=None (default) derives k from the corpus size via derived_k — one
     count() job up front (a scalar, not a collect of data)."""

@@ -46,9 +46,9 @@ from pyspark.sql import functions as F
 from mimic2ts_spark.operators.kmeans import (
     KM_ROUNDS,
     _sql_quant,
-    lloyd_train,
     quantize,
     sql_kmeans_parts,
+    train_coarse,
 )
 
 PQ_M = 4        # subspaces
@@ -348,15 +348,15 @@ def train_ivfpq(
 
     if cache_key is not None and ("r", cache_key) in _CODEBOOKS_CACHE:
         return _CODEBOOKS_CACHE[("r", cache_key)]  # type: ignore[return-value]
+    coarse_rows = train_coarse(
+        vectors, IVFPQ_K, KM_ROUNDS, id_col, vec_col, cache_key
+    )
     base = _quant_base(vectors, id_col, vec_col).persist()
-    assigned, coarse_rows = lloyd_train(base, IVFPQ_K, KM_ROUNDS)
-    assigned = assigned.select(
-        "vec_id", "x", F.col("cid").alias("cell")
-    ).persist()
     coarse = (
         np.array([r["cid"] for r in coarse_rows], dtype=np.int64),
         np.array([list(r["m"]) for r in coarse_rows], dtype=np.int64),
     )
+    assigned = _cells_of(base, coarse).persist()
 
     # residual seeds: the PQ_K lowest-id rows, residualized driver-side
     cent_of = {int(cid): coarse[1][i] for i, cid in enumerate(coarse[0])}

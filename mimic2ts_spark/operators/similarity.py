@@ -185,28 +185,33 @@ IVF_K = 16
 IVF_NPROBE = 4
 
 
-def _centroid_scores_udf(cent_ids, cent_mat, cent_norms, top: int):
-    """pandas UDF: per vector, the `top` nearest centroid ids (cosine,
-    ties to the lower centroid id — numpy argsort is stable and the
-    centroid arrays are sorted by id). Same left-to-right float64 dim
-    accumulation as every other numpy path, so scores equal the SQL
-    cosine bit-for-bit."""
+def _nearest_cells_udf(cent_ids, cent_mat, top: int):
+    """pandas UDF: per vector, the `top` nearest TRAINED cells by exact
+    integer L2 over the quantized vector — the same metric the k-means
+    training minimized, so cell geometry and probing agree. Quantization
+    inside the UDF (floor(float64(v) · 2^20)) is the identical float64
+    multiply kmeans.quantize evaluates JVM-side; integer distances are
+    associative, so numpy order is irrelevant; ties go to the lower cid
+    (stable argsort over cid-ascending centroid rows)."""
 
     @F.pandas_udf("array<long>")
-    def _scores(vecs: pd.Series) -> pd.Series:
+    def _cells(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        mat = np.array(list(vecs), dtype=np.float64)
-        norm2 = np.zeros(mat.shape[0], dtype=np.float64)
-        dot = np.zeros((mat.shape[0], len(cent_ids)), dtype=np.float64)
-        for d in range(mat.shape[1]):
-            norm2 += mat[:, d] * mat[:, d]
-            dot += mat[:, d, None] * cent_mat[None, :, d]
-        cos = dot / (np.sqrt(norm2)[:, None] * cent_norms[None, :])
-        order = np.argsort(-cos, axis=1, kind="stable")[:, :top]
+        from mimic2ts_spark.operators.kmeans import QUANT
+
+        mat = np.floor(
+            np.array(list(vecs), dtype=np.float64) * QUANT
+        ).astype(np.int64)
+        D = (
+            (mat * mat).sum(axis=1)[:, None]
+            + (cent_mat * cent_mat).sum(axis=1)[None, :]
+            - 2 * (mat @ cent_mat.T)
+        )
+        order = np.argsort(D, axis=1, kind="stable")[:, :top]
         return pd.Series(list(cent_ids[order]))
 
-    return _scores
+    return _cells
 
 
 def ivf_topk(
@@ -217,35 +222,31 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
-    """ANN top-k via an IVF-flat index: vectors partition into cells
-    around centroids; a query probes only its `nprobe` nearest cells.
+    """ANN top-k via an IVF-flat index with TRAINED cells: vectors
+    partition around k-means centroids (the integer-exact Lloyd loop of
+    operators/kmeans.py — deterministic lowest-id seeds keep the oracle
+    contract); a query probes only its `nprobe` nearest cells.
 
-    A production IVF trains k-means centroids; the oracle contract allows
-    no trainable state, so centroids are the `n_centroids` lowest-id
-    vectors — the index STRUCTURE (cell assignment, inverted cell lists,
-    probe-limited search, exact re-ranking) is the real thing and is what
-    matters at scale: the candidate join shuffles on cell id, and each
-    query scores ~nprobe/n_centroids of the corpus instead of all of it.
-    Assignment and probing reuse the Arrow gram-matrix kernel; candidate
-    re-ranking is the exact cosine expression, so the DuckDB oracle
-    (argmax-by-row_number over the same cosines) matches bit-for-bit.
-    """
-    cents = (
-        vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
+    At scale: the candidate join shuffles on cell id, each query scores
+    ~nprobe/n_centroids of the corpus, and the trained centroid rows are
+    a bounded driver-side artifact (k·dim ints, memoized per cache_key —
+    shared with IVF-PQ's coarse step). Cell assignment and probing use
+    the same int-L2 metric the training minimized; candidate re-ranking
+    is the exact cosine expression, so the DuckDB oracle (unrolled
+    k-means CTEs + the same (d, cid)-ranked probes + cosine row_number)
+    matches bit-for-bit."""
+    from mimic2ts_spark.operators.kmeans import train_coarse
+
+    cents = train_coarse(
+        vectors, n_centroids, id_col=id_col, vec_col=vec_col, cache_key=cache_key
     )
-    cent_ids = np.array([r.cid for r in cents], dtype=np.int64)
-    cent_mat = np.array([r.cvec for r in cents], dtype=np.float64)
-    cent_norm2 = np.zeros(len(cents), dtype=np.float64)
-    for d in range(cent_mat.shape[1]):
-        cent_norm2 += cent_mat[:, d] * cent_mat[:, d]
-    cent_norms = np.sqrt(cent_norm2)
+    cent_ids = np.array([r["cid"] for r in cents], dtype=np.int64)
+    cent_mat = np.array([list(r["m"]) for r in cents], dtype=np.int64)
 
-    assign = _centroid_scores_udf(cent_ids, cent_mat, cent_norms, 1)
-    probe = _centroid_scores_udf(cent_ids, cent_mat, cent_norms, nprobe)
+    assign = _nearest_cells_udf(cent_ids, cent_mat, 1)
+    probe = _nearest_cells_udf(cent_ids, cent_mat, nprobe)
 
     cells = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")

@@ -1290,6 +1290,30 @@ def test_pq_adc_recall_floor(spark):
         assert overlap >= 0.3, (fn.__name__, overlap)
 
 
+def test_ivf_trained_cells_exact_rerank(spark):
+    """Trained-cell IVF can only MISS candidates (probe-limited), never
+    invent or mis-score one: every (query, neighbor) it returns must
+    carry the bit-identical exact cosine the brute-force path computes,
+    with contiguous ranks from 1."""
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = vecs.where(F.col("vec_id") < 5)
+    n = vecs.count()
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(vecs, qs, k=n).collect()
+    }
+    by_q: dict = {}
+    for r in ivf_topk(vecs, qs, k=5).collect():
+        assert r["cosine"] == brute[(r["query_id"], r["neighbor_id"])]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert by_q and all(sorted(v) == list(range(1, len(v) + 1))
+                        for v in by_q.values())
+
+
 def test_ivfpq_residual_distortion_below_global(spark):
     """Residual encoding is the POINT of production IVF-PQ: quantizing
     x − cell_centroid with the same M×K codebook budget must carry less
