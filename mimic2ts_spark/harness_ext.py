@@ -457,27 +457,30 @@ Q_ANN_IVF_SQL = _q_ann_ivf_sql()
 
 
 def q_multimodal_features(spark, sf_dir):
-    """BinaryType payloads + metadata struct → mapInPandas feature
-    extraction (decode stubbed — codecs absent) → posexploded scalar
-    rows. Oracle-checkable: the payload is the utf-8 encoding of `text`,
-    which is pure ASCII in the corpus, so every byte equals a character
-    code and the stub's byte math (stripe means, byte-sum checksum) is
-    exactly expressible in DuckDB."""
+    """REAL-decode feature extraction (r05): genuine WAV/PNG/AVI
+    containers (attach_media) decode through the stdlib codecs
+    (decode_real) and the stripe features are computed over the DECODED
+    samples/pixels, width/height over the decoded PNG dims. Oracle-
+    checkable because the decoded payload equals the utf-8 text bytes
+    by codec correctness (any decoder bug shifts features/checksums and
+    fails the hash), and the PNG encoder's width-1 layout pins the
+    decoded dims to (1, n)."""
     from mimic2ts_spark.operators.multimodal import (
-        attach_binary,
+        attach_media,
         extract_features,
         features_long,
     )
 
-    return features_long(extract_features(attach_binary(_docs(spark, sf_dir))))
+    return features_long(extract_features(attach_media(_docs(spark, sf_dir))))
 
 
-# Mirrors operators/multimodal.py exactly: n = octet_length (>=1 via the
-# max(1,·) only matters for empty payloads — the corpus has none, but the
-# SQL still guards); stripe = greatest(1, n // 8); feature i = mean of
-# bytes [i*stripe, (i+1)*stripe) with empty chunks → 0.0 (the stub's
-# b"\\x00" stand-in); checksum = sum(all bytes) % MOD. Single float
-# division of two exact integers → bit-equal across engines.
+# Mirrors operators/multimodal.py exactly: the decoded payload is the
+# utf-8 text (pure-ASCII corpus, so every byte equals a character code);
+# stripe = greatest(1, n // 8); feature i = mean of bytes
+# [i*stripe, (i+1)*stripe) with empty chunks → 0.0 (the b"\\x00"
+# stand-in); checksum = sum(all bytes) % MOD; width/height = decoded PNG
+# dims (1, n) for image rows, 0 otherwise. Single float division of two
+# exact integers → bit-equal across engines.
 Q_MULTIMODAL_SQL = f"""
 WITH b AS (
     SELECT doc_id, text,
@@ -491,7 +494,7 @@ bytes AS (
     FROM b, unnest(range(b.n)) AS t(i)
 ),
 doc AS (
-    SELECT b.doc_id, b.n AS byte_len,
+    SELECT b.doc_id, b.n AS payload_len,
            CAST(COALESCE(sum(y.byte), 0) % {X.MOD} AS BIGINT) AS checksum
     FROM b LEFT JOIN bytes y ON y.doc_id = b.doc_id
     GROUP BY b.doc_id, b.n
@@ -514,11 +517,12 @@ feats AS (
 SELECT d.doc_id,
        CASE WHEN d.doc_id % 3 = 0 THEN 'image/png'
             WHEN d.doc_id % 3 = 1 THEN 'audio/wav'
-            ELSE 'video/mp4' END AS media_type,
-       d.byte_len,
+            ELSE 'video/avi' END AS media_type,
+       d.payload_len,
        d.checksum,
-       d.doc_id % 640 + 1 AS width,
-       d.doc_id % 480 + 1 AS height,
+       CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN d.doc_id % 3 = 0 THEN d.payload_len ELSE 0 END AS BIGINT)
+           AS height,
        f.feature_idx,
        f.feature_value
 FROM doc d JOIN feats f ON f.doc_id = d.doc_id
@@ -588,27 +592,29 @@ FROM b JOIN feats f ON f.doc_id = b.doc_id
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Video frame sampling: every 5th frame of each video payload as a
-    scalar row (mapInPandas; the frame split is the deterministic
-    byte-stripe stub, the plumbing is real). ASCII payloads make the
-    per-frame byte math exactly expressible in DuckDB."""
-    from mimic2ts_spark.operators.multimodal import attach_binary, sample_frames
+    """Video frame sampling over REAL demuxed frames (r05): the
+    RIFF/AVI chunk walk produces the frame list (256-byte '00db'
+    chunks, last frame short), every 5th frame becomes a scalar row.
+    The fixed frame size makes the per-frame byte math exactly
+    expressible in DuckDB — and any demux bug (padding, chunk sizes)
+    shifts frame boundaries and fails the hash."""
+    from mimic2ts_spark.operators.multimodal import attach_media, sample_frames
 
-    return sample_frames(attach_binary(_docs(spark, sf_dir)))
+    return sample_frames(attach_media(_docs(spark, sf_dir)))
 
 
 def _frames_sql():
-    from mimic2ts_spark.operators.multimodal import FRAME_STRIDE
+    from mimic2ts_spark.operators.multimodal import AVI_FRAME_BYTES, FRAME_STRIDE
 
+    fb = AVI_FRAME_BYTES
     return f"""
 WITH v AS (
     SELECT doc_id, text, octet_length(encode(text)) AS n,
-           (doc_id % 30 + 1) AS n_frames
+           (octet_length(encode(text)) + {fb - 1}) // {fb} AS n_frames
     FROM documents WHERE doc_id % 3 = 2
 ),
 fidx AS (
-    SELECT v.doc_id, v.n, v.n_frames,
-           greatest(1, v.n // v.n_frames) AS fs, f.i AS frame_idx
+    SELECT v.doc_id, v.n, v.n_frames, f.i AS frame_idx
     FROM v, unnest(range(0, v.n_frames, {FRAME_STRIDE})) AS f(i)
 ),
 bytes AS (
@@ -623,7 +629,7 @@ SELECT f.doc_id,
        CAST(COALESCE(sum(b.byte), 0) % {X.MOD} AS BIGINT) AS frame_checksum
 FROM fidx f LEFT JOIN bytes b
   ON b.doc_id = f.doc_id
- AND b.i >= f.frame_idx * f.fs AND b.i < (f.frame_idx + 1) * f.fs
+ AND b.i >= f.frame_idx * {fb} AND b.i < (f.frame_idx + 1) * {fb}
 GROUP BY f.doc_id, f.n_frames, f.frame_idx
 """
 
@@ -632,12 +638,15 @@ Q_MULTIMODAL_FRAMES_SQL = _frames_sql()
 
 
 def q_multimodal_resize(spark, sf_dir):
-    """Image resize stub: nearest-neighbor byte taps to a fixed 8×6
-    grid via mapInPandas; ASCII payloads make every tap expressible in
-    DuckDB, so the fixed-size-output contract is hash-checked."""
-    from mimic2ts_spark.operators.multimodal import attach_binary, resize_images
+    """Image resize over REAL decoded pixels (r05): the PNG decodes
+    through the CRC-checked chunk walk + all-five-filters unfilter, and
+    nearest-neighbor taps sample the DECODED pixel buffer into a fixed
+    8×6 grid. Decoded pixels equal the text bytes by codec correctness,
+    so every tap is expressible in DuckDB and the fixed-size-output
+    contract is hash-checked; width/height are the decoded dims."""
+    from mimic2ts_spark.operators.multimodal import attach_media, resize_images
 
-    return resize_images(attach_binary(_docs(spark, sf_dir)))
+    return resize_images(attach_media(_docs(spark, sf_dir)))
 
 
 def _resize_sql():
@@ -656,14 +665,14 @@ taps AS (
     WHERE i.n > 0
 )
 SELECT i.doc_id,
-       CAST(i.doc_id % 640 + 1 AS BIGINT) AS width,
-       CAST(i.doc_id % 480 + 1 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS width,
+       CAST(i.n AS BIGINT) AS height,
        CAST({RESIZE_W} AS BIGINT) AS out_w,
        CAST({RESIZE_H} AS BIGINT) AS out_h,
        CAST(count(t.byte) AS BIGINT) AS n_sampled,
        CAST(COALESCE(sum(t.byte), 0) % {X.MOD} AS BIGINT) AS resized_checksum
 FROM img i LEFT JOIN taps t ON t.doc_id = i.doc_id
-GROUP BY i.doc_id
+GROUP BY i.doc_id, i.n
 """
 
 

@@ -6,11 +6,13 @@ alone (`wave` for RIFF/PCM; `zlib`+`struct` for the PNG chunk walk,
 IDAT inflate and all five scanline filters; a RIFF tree walk pulling
 '00db'/'00dc' frame chunks for AVI) — see `encode_wav`/`decode_wav`,
 `encode_png`/`decode_png`, `encode_avi`/`decode_avi`, and
-`decode_real`. The only remaining stub is COMPRESSED codec decode
-(h264/jpeg/mp3 inside a container), which genuinely needs ffmpeg/av;
-`_fake_decode` marks that seam. Everything Spark-side is real and
-tested: BinaryType schema, metadata struct, mapInPandas batch
-iteration, output schema, and partition behavior.
+`decode_real`. Since r05 the FEATURE paths consume real decoded output
+too: `extract_features` computes stripe features over the DECODED
+samples/pixels, `sample_frames` iterates the frames a real RIFF demux
+produced, `resize_images` taps decoded PNG pixels. The only remaining
+stub is COMPRESSED codec decode (h264/jpeg/mp3 inside a container),
+which genuinely needs ffmpeg/av; the `_fake_decode` fallback (stripe
+features over raw container bytes) marks that seam.
 
 Scale notes: binary payloads ride the columnar scan (parquet BYTE_ARRAY);
 mapInPandas streams Arrow batches so one task never holds more than
@@ -32,27 +34,9 @@ from mimic2ts_spark.operators.text import MOD
 FEATURE_DIM = 8
 
 _FEATURES_SCHEMA = (
-    "doc_id long, media_type string, byte_len long, checksum long, "
+    "doc_id long, media_type string, payload_len long, checksum long, "
     "width long, height long, features array<double>"
 )
-
-
-def attach_binary(docs: DataFrame) -> DataFrame:
-    """Build a multimodal table from `documents`: utf-8 payload standing in
-    for an image/audio blob + deterministic typed metadata."""
-    return docs.select(
-        "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("content"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
-        .otherwise(F.lit("video/mp4"))
-        .alias("media_type"),
-        F.struct(
-            (F.col("doc_id") % 640 + 1).cast("long").alias("width"),
-            (F.col("doc_id") % 480 + 1).cast("long").alias("height"),
-            (F.col("doc_id") % 30 + 1).cast("long").alias("n_frames"),
-        ).alias("meta"),
-    )
 
 
 # --- real stdlib codecs (WAV via `wave`, PNG via `zlib`+`struct`) ----------
@@ -350,37 +334,67 @@ def decode_real(content: bytes, media_type: str) -> dict:
         )
 
 
-def _fake_decode(content: bytes) -> list[float]:
-    """STUB decode: deterministic features from raw bytes (mean-ish stats
-    over fixed-size byte stripes) — stands in for pixel/spectral features."""
-    n = max(1, len(content))
+def _stripe_features(payload: bytes) -> list[float]:
+    """Deterministic stripe features: mean of each of FEATURE_DIM
+    fixed-size byte stripes. Since r05 this is fed by REAL decoded
+    samples/pixels (decode_real); it stands in for a learned feature
+    extractor, not for the decode."""
+    n = max(1, len(payload))
     stripe = max(1, n // FEATURE_DIM)
     out = []
     for i in range(FEATURE_DIM):
-        chunk = content[i * stripe : (i + 1) * stripe] or b"\x00"
+        chunk = payload[i * stripe : (i + 1) * stripe] or b"\x00"
         out.append(float(sum(chunk)) / float(len(chunk)))
     return out
 
 
-def extract_features(multimodal: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction: byte stats + stubbed decode."""
+# The remaining STUB seam: compressed codecs without the optional PyAV
+# extra fall back to stripe features over the raw container bytes.
+_fake_decode = _stripe_features
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """REAL-decode feature extraction over an attach_media table
+    (doc_id, media_type, content): wav/png/avi containers decode via
+    decode_real (stdlib codecs — PCM samples, unfiltered pixels,
+    demuxed frames) and the stripe features are computed over the
+    DECODED payload; width/height are the decoded image dims (0 for
+    non-image media). Compressed codecs without PyAV fall back to
+    `_fake_decode` over the container bytes — the marked stub seam."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            content = pdf["content"]
+            out: dict[str, list] = {k: [] for k in
+                                    ("doc_id", "media_type", "payload_len",
+                                     "checksum", "width", "height", "features")}
+            for doc_id, mt, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                content = bytes(content)
+                try:
+                    d = decode_real(content, mt)
+                    payload = d["payload"]
+                    w, h = int(d.get("width", 0)), int(d.get("height", 0))
+                except NotImplementedError:
+                    payload, w, h = content, 0, 0  # compressed-codec seam
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["payload_len"].append(len(payload))
+                out["checksum"].append(sum(payload) % MOD)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["features"].append(_stripe_features(payload))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": content.map(len).astype("int64"),
-                    "checksum": content.map(lambda b: sum(b) % MOD).astype("int64"),
-                    "width": pdf["meta"].map(lambda m: m["width"]).astype("int64"),
-                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int64"),
-                    "features": content.map(_fake_decode),
+                    k: (pd.Series(v, dtype="int64")
+                        if k in ("doc_id", "payload_len", "checksum",
+                                 "width", "height")
+                        else v)
+                    for k, v in out.items()
                 }
             )
 
-    return multimodal.mapInPandas(batches, schema=_FEATURES_SCHEMA)
+    return media.mapInPandas(batches, schema=_FEATURES_SCHEMA)
 
 
 FRAME_STRIDE = 5
@@ -390,35 +404,32 @@ _FRAMES_SCHEMA = (
 )
 
 
-def sample_frames(multimodal: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
-    """Frame sampling for video payloads: every `stride`-th frame of the
-    declared n_frames, as one row per sampled frame. The frame SPLIT is
-    the deterministic stub (fixed-size byte stripes — swap for an
-    av/ffmpeg demux in production); the Spark plumbing is real: filter
-    on typed metadata, mapInPandas over Arrow batches, long-form scalar
-    output rows. Decode parallelism follows partition count, so heavy
+def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling over REAL demuxed video: every `stride`-th frame
+    chunk the RIFF/AVI walk (decode_avi) produces, one row per sampled
+    frame — n_frames and frame bytes come from the container, not a
+    declared metadata stub. The pipeline shape is what a video
+    preprocessor needs at scale: metadata filter (JVM-side, prunes the
+    scan to video rows), mapInPandas over Arrow batches, long-form
+    scalar output. Decode parallelism follows partition count, so heavy
     video scans should be repartitioned by size first (see module
     docstring)."""
-    video = multimodal.where(F.col("media_type") == "video/mp4")
+    video = media.where(F.col("media_type") == "video/avi")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {k: [] for k in
                                     ("doc_id", "n_frames", "frame_idx",
                                      "frame_len", "frame_checksum")}
-            for doc_id, content, meta in zip(
-                pdf["doc_id"], pdf["content"], pdf["meta"]
-            ):
-                n = len(content)
-                nf = int(meta["n_frames"])
-                fs = max(1, n // nf)
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                frames = decode_avi(bytes(content))["frames"]
+                nf = len(frames)
                 for i in range(0, nf, stride):
-                    chunk = content[i * fs : (i + 1) * fs]
                     out["doc_id"].append(doc_id)
                     out["n_frames"].append(nf)
                     out["frame_idx"].append(i)
-                    out["frame_len"].append(len(chunk))
-                    out["frame_checksum"].append(sum(chunk) % MOD)
+                    out["frame_len"].append(len(frames[i]))
+                    out["frame_checksum"].append(sum(frames[i]) % MOD)
             yield pd.DataFrame(
                 {k: pd.Series(v, dtype="int64") for k, v in out.items()}
             )
@@ -436,15 +447,15 @@ _RESIZE_SCHEMA = (
 
 
 def resize_images(
-    multimodal: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_H
+    media: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_H
 ) -> DataFrame:
-    """Image resize plumbing: nearest-neighbor downsample to a fixed
-    out_w × out_h grid. The pixel SAMPLING is the deterministic stub
-    (evenly-spaced byte taps standing in for a PIL `Image.resize` —
-    same data movement, no codec); filter-on-metadata, Arrow batching
-    and the fixed-size output contract are the real pipeline shape a
-    vision-model preprocessor needs."""
-    images = multimodal.where(F.col("media_type") == "image/png")
+    """Image resize over REAL decoded pixels: the PNG decodes through
+    the full chunk walk + unfilter (decode_png), then a nearest-neighbor
+    downsample taps evenly-spaced DECODED pixels into a fixed
+    out_w × out_h grid — the data movement of a vision-model
+    preprocessor (decode → resample → fixed-size output), with the
+    metadata filter pruning the scan JVM-side before any Python."""
+    images = media.where(F.col("media_type") == "image/png")
     n_px = out_w * out_h
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -452,14 +463,14 @@ def resize_images(
             out: dict[str, list] = {k: [] for k in
                                     ("doc_id", "width", "height", "out_w",
                                      "out_h", "n_sampled", "resized_checksum")}
-            for doc_id, content, meta in zip(
-                pdf["doc_id"], pdf["content"], pdf["meta"]
-            ):
-                n = len(content)
-                taps = [content[k * n // n_px] for k in range(n_px)] if n else []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_png(bytes(content))
+                px = d["payload"]
+                n = len(px)
+                taps = [px[k * n // n_px] for k in range(n_px)] if n else []
                 out["doc_id"].append(doc_id)
-                out["width"].append(int(meta["width"]))
-                out["height"].append(int(meta["height"]))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
                 out["out_w"].append(out_w)
                 out["out_h"].append(out_h)
                 out["n_sampled"].append(len(taps))
@@ -544,7 +555,7 @@ def decode_features(media: DataFrame) -> DataFrame:
                 rows["container_len"].append(len(content))
                 rows["payload_len"].append(len(payload))
                 rows["roundtrip_ok"].append(payload == raw)
-                rows["features"].append(_fake_decode(payload))
+                rows["features"].append(_stripe_features(payload))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=_DECODE_SCHEMA)
@@ -562,7 +573,7 @@ def features_long(feats: DataFrame) -> DataFrame:
     return feats.select(
         "doc_id",
         "media_type",
-        "byte_len",
+        "payload_len",
         "checksum",
         "width",
         "height",

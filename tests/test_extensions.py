@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from mimic2ts_spark.operators import dedup as D
 from mimic2ts_spark.operators import similarity as S
 from mimic2ts_spark.operators import text as X
-from mimic2ts_spark.operators.multimodal import attach_binary, extract_features
+from mimic2ts_spark.operators.multimodal import attach_media, extract_features
 from mimic2ts_spark.operators.text import MOD
 
 SF = "/root/testdata/sf0.001"
@@ -149,22 +149,29 @@ def test_cosine_matches_numpy(spark, embs):
 
 
 def test_multimodal_features(spark, docs):
-    feats = extract_features(attach_binary(docs)).where(F.col("doc_id") == 0).collect()[0]
+    """extract_features decodes the REAL container: payload stats equal
+    the raw text bytes (codec roundtrip), and width/height are the
+    DECODED PNG dims — the encoder's width-1 layout pins (1, n)."""
+    feats = (
+        extract_features(attach_media(docs)).where(F.col("doc_id") == 0).collect()[0]
+    )
     text = docs.where(F.col("doc_id") == 0).collect()[0].text
     payload = text.encode("utf-8")
-    assert feats.byte_len == len(payload)
+    assert feats.payload_len == len(payload)
     assert feats.checksum == sum(payload) % MOD
     assert len(feats.features) == 8
     assert feats.media_type == "image/png"
+    assert (feats.width, feats.height) == (1, len(payload))
 
 
-def test_multimodal_features_long_matches_stub(spark, docs):
-    """features_long posexplodes into scalar rows; values equal the stub's
-    stripe-mean byte math computed independently in Python."""
+def test_multimodal_features_long_matches_stripes(spark, docs):
+    """features_long posexplodes into scalar rows; values equal the
+    stripe-mean byte math computed independently in Python over the
+    DECODED payload (== raw text bytes by codec correctness)."""
     from mimic2ts_spark.operators.multimodal import features_long
 
     rows = (
-        features_long(extract_features(attach_binary(docs)))
+        features_long(extract_features(attach_media(docs)))
         .where(F.col("doc_id") == 0)
         .orderBy("feature_idx")
         .collect()
@@ -176,7 +183,7 @@ def test_multimodal_features_long_matches_stub(spark, docs):
     for r in rows:
         chunk = payload[r.feature_idx * stripe : (r.feature_idx + 1) * stripe] or b"\x00"
         assert r.feature_value == float(sum(chunk)) / float(len(chunk))
-        assert r.byte_len == len(payload)
+        assert r.payload_len == len(payload)
 
 
 def _brute_force_pairs(docs, threshold=0.8):
