@@ -41,7 +41,10 @@ def main(argv: list[str] | None = None) -> None:
     p_merge.add_argument("base_dir")
     p_merge.add_argument("updates")
     p_merge.add_argument("--key", default="doc_id")
-    p_merge.add_argument("--buckets", type=int, default=32)
+    # default None: the bucket count is TABLE STATE (persisted by init in
+    # _merge_meta.json), not a per-invocation choice — an explicit value
+    # that contradicts the manifest is rejected by merge_upsert.
+    p_merge.add_argument("--buckets", type=int, default=None)
 
     p_comp = sub.add_parser("compact", help="compact BASE's bucket files")
     p_comp.add_argument("base_dir")

@@ -202,8 +202,14 @@ def bpe_apply_doc_stats(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
             F.sum("n_syms").cast("long").alias("n_tokens"),
+            # per-term mod BEFORE the sum: each term < MOD (~1e9), so the
+            # int64 accumulator survives docs of billions of words. A raw
+            # Σ (pos+1)·word_hash grows ~n²/2·MOD and overflows int64
+            # around 1.4e5 words — ANSI Spark would raise exactly at
+            # raw-web-document scale while DuckDB's HUGEINT sum sailed on
+            # (cross-engine divergence). Same reduction in the SQL mirror.
             (
-                F.sum((F.col("pos") + 1) * F.col("word_hash")) % MOD
+                F.sum(((F.col("pos") + 1) * F.col("word_hash")) % MOD) % MOD
             ).cast("long").alias("checksum"),
         )
     )
@@ -316,7 +322,7 @@ def sql_bpe_apply_doc_stats(
 SELECT o.doc_id,
        CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(v.n_syms) AS BIGINT) AS n_tokens,
-       CAST(sum((o.pos + 1) * v.word_hash) % {MOD} AS BIGINT) AS checksum
+       CAST(sum(((o.pos + 1) * v.word_hash) % {MOD}) % {MOD} AS BIGINT) AS checksum
 FROM occ o JOIN vocab v ON o.word = v.word
 GROUP BY o.doc_id
 """

@@ -20,14 +20,48 @@ batch then only touches the partitions its keys hash into:
 Bit-exactness: the bucket function is md5-based (stable everywhere) and
 the merge itself is pure relational algebra, so the resulting table is
 oracle-expressible as a FULL OUTER JOIN in DuckDB.
+
+Commit semantics (disclosed, not hidden): the rewrite OVERWRITES the
+same path it lazily read from, relying on Spark's dynamic-partition-
+overwrite staging (each task writes to a staging dir; affected
+partition dirs are swapped at job commit). A failure DURING the commit
+delete/rename phase can leave some affected partitions rewritten and
+others stale — the same non-atomic window every path-based
+copy-on-write has without a transaction-log table format. Production
+hardening is a Delta/Iceberg-style log or a temp-sibling-dir write +
+per-partition swap; the partition-pruning and merge algebra here are
+unchanged by either.
+
+Table state: write_base persists {key, n_buckets} in _merge_meta.json
+next to the partitions (underscore-prefixed ⇒ invisible to the scan).
+merge_upsert validates a caller-passed n_buckets against it — a merge
+run with the wrong modulus would prune the WRONG partitions and leave
+stale duplicate keys alive in untouched buckets, silently.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MERGE_BUCKETS = 32
+_META_FILE = "_merge_meta.json"
+
+
+def write_meta(path: str, key_col: str, n_buckets: int) -> None:
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump({"key": key_col, "n_buckets": n_buckets}, f)
+
+
+def read_meta(path: str) -> dict | None:
+    meta_path = os.path.join(path, _META_FILE)
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)
 
 
 def key_bucket(key: Column, n_buckets: int = MERGE_BUCKETS) -> Column:
@@ -49,10 +83,12 @@ def sql_key_bucket(key: str, n_buckets: int = MERGE_BUCKETS) -> str:
 def write_base(
     df: DataFrame, path: str, key_col: str, n_buckets: int = MERGE_BUCKETS
 ) -> None:
-    """Materialize the base table in the merge layout (bucket partitions)."""
+    """Materialize the base table in the merge layout (bucket partitions)
+    and persist {key, n_buckets} as table state (_merge_meta.json)."""
     df.withColumn("bucket", key_bucket(F.col(key_col), n_buckets)).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(path)
+    write_meta(path, key_col, n_buckets)
 
 
 def merge_upsert(
@@ -60,11 +96,44 @@ def merge_upsert(
     base_path: str,
     updates: DataFrame,
     key_col: str,
-    n_buckets: int = MERGE_BUCKETS,
+    n_buckets: int | None = None,
 ) -> dict:
     """Apply `updates` to the base table at `base_path`; returns audit
     counts {affected_buckets, n_updates, rows_rewritten}. Only the
-    affected bucket partitions are read and rewritten."""
+    affected bucket partitions are read and rewritten.
+
+    Semantics are MERGE … WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+    MATCHED THEN INSERT *: a matched update row REPLACES the whole base
+    row (a NULL column in the update lands as NULL — not the base value;
+    pinned by test_merge_null_update_overwrites).
+
+    n_buckets defaults to the table's persisted _merge_meta.json; a
+    caller-passed value that contradicts it raises (wrong modulus =
+    wrong pruning = silent stale-duplicate corruption). Duplicate keys
+    in the update batch also raise: the full-outer join would emit one
+    merged row per duplicate, multiplying rewritten partitions — which
+    duplicate should win is undefined, so fail loudly."""
+    meta = read_meta(base_path)
+    if meta is not None:
+        if n_buckets is not None and n_buckets != meta["n_buckets"]:
+            raise ValueError(
+                f"--buckets {n_buckets} contradicts the base table's layout "
+                f"({meta['n_buckets']} buckets in {_META_FILE}); a merge with "
+                "the wrong modulus prunes the wrong partitions"
+            )
+        n_buckets = meta["n_buckets"]
+    elif n_buckets is None:
+        n_buckets = MERGE_BUCKETS
+
+    dup = (
+        updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate key {dup[0][key_col]!r} in update batch: which row "
+            "wins is undefined — dedupe upstream before merging"
+        )
+
     up = updates.withColumn("bucket", key_bucket(F.col(key_col), n_buckets))
     affected = sorted(
         r["bucket"] for r in up.select("bucket").distinct().collect()
@@ -76,12 +145,13 @@ def merge_upsert(
     b = base.alias("b")
     u = up.alias("u")
     merged = b.join(u, F.col(f"b.{key_col}") == F.col(f"u.{key_col}"), "full_outer")
+    take_u = F.col(f"u.{key_col}").isNotNull()  # row replacement, not column patch
     picked = merged.select(
         *[
-            F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+            F.when(take_u, F.col(f"u.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
             for c in data_cols
         ],
-        F.coalesce(F.col("u.bucket"), F.col("b.bucket")).alias("bucket"),
+        F.when(take_u, F.col("u.bucket")).otherwise(F.col("b.bucket")).alias("bucket"),
     )
 
     n_updates = up.count()

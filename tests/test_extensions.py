@@ -1183,6 +1183,41 @@ def test_bpe_apply_hand_fixture(spark):
     assert got2[0]["checksum"] != got2[1]["checksum"]
 
 
+def test_bpe_apply_checksum_survives_huge_doc(spark):
+    """Overflow regression (r05): the checksum reduces each term mod MOD
+    BEFORE summing — a raw Σ (pos+1)·word_hash grows ~n²/2·MOD and blows
+    int64 around 1.4e5 words, which ANSI Spark turns into a hard error
+    at exactly raw-web-document scale. A 200k-word doc must both
+    succeed and match the independent Python reduction."""
+    import hashlib
+
+    from mimic2ts_spark.operators.bpe import bpe_apply_doc_stats
+    from mimic2ts_spark.operators.text import MOD as TMOD
+
+    n = 200_000
+    df = spark.createDataFrame([(0, "ab " * n)], "doc_id long, text string")
+    row = bpe_apply_doc_stats(df, rounds=1).collect()[0]
+
+    # round 1 merges (a,b): vocab 'ab' -> ['ab'] (the split leaves a
+    # trailing '' word from the trailing space; it hashes to its own code)
+    def code(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % TMOD
+
+    def word_hash(syms: list[str]) -> int:
+        acc = 0
+        for i, s in enumerate(syms, 1):
+            acc = (acc + code(s) * i) % TMOD
+        return acc
+
+    h_ab, h_empty = word_hash(["ab"]), word_hash([""])
+    want = 0
+    for pos in range(n + 1):  # n 'ab' words + the trailing '' word
+        h = h_ab if pos < n else h_empty
+        want = (want + ((pos + 1) * h) % TMOD) % TMOD
+    assert row["n_words"] == n + 1
+    assert row["checksum"] == want
+
+
 def test_bpe_summary_invariant(spark, docs):
     """Each merge round shrinks the corpus symbol count by EXACTLY the
     merged pair's occurrence count (every merged occurrence removes one

@@ -73,6 +73,70 @@ def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
     assert spark.read.parquet(path).count() == docs.count() + 1
 
 
+def test_merge_duplicate_update_keys_raise(spark, tmp_path):
+    """Duplicate keys in the update batch fan out the full-outer join
+    (one merged row per duplicate) — which duplicate wins is undefined,
+    so merge_upsert must fail loudly instead of silently multiplying
+    rows in the rewritten partitions."""
+    import pytest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "base")
+    write_base(docs, path, "doc_id", n_buckets=4)
+    dup = spark.createDataFrame(
+        [(1, "a", "en", "s", 1), (1, "b", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    before = sorted(r["text"] for r in spark.read.parquet(path)
+                    .where(F.col("doc_id") == 1).collect())
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert(spark, path, dup, "doc_id")
+    after = sorted(r["text"] for r in spark.read.parquet(path)
+                   .where(F.col("doc_id") == 1).collect())
+    assert after == before  # guard fired BEFORE any write
+
+
+def test_merge_null_update_overwrites(spark, tmp_path):
+    """Row-replacement semantics (MERGE UPDATE SET *): a NULL column in
+    a matched update row lands as NULL — the base value must NOT
+    survive (column-patch coalesce semantics would keep it)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "base")
+    write_base(docs, path, "doc_id", n_buckets=4)
+    upd = spark.createDataFrame(
+        [(1, None, "xx", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    merge_upsert(spark, path, upd, "doc_id")
+    row = spark.read.parquet(path).where(F.col("doc_id") == 1).collect()[0]
+    assert row["text"] is None and row["lang"] == "xx"
+
+
+def test_merge_bucket_count_is_table_state(spark, tmp_path):
+    """The bucket count persists in _merge_meta.json at init; a merge
+    that omits it resolves the manifest value, and an explicit value
+    contradicting the layout raises (wrong modulus = wrong pruning =
+    silent stale-duplicate corruption)."""
+    import pytest
+
+    from mimic2ts_spark.operators.merge import read_meta
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "base")
+    write_base(docs, path, "doc_id", n_buckets=8)
+    assert read_meta(path) == {"key": "doc_id", "n_buckets": 8}
+
+    upd = docs.where(F.col("doc_id") == 1).withColumn("text", F.lit("u"))
+    with pytest.raises(ValueError, match="contradicts"):
+        merge_upsert(spark, path, upd, "doc_id", n_buckets=32)
+
+    # no n_buckets passed → manifest's 8 is used and the merge lands
+    audit = merge_upsert(spark, path, upd, "doc_id")
+    assert audit["n_updates"] == 1
+    got = spark.read.parquet(path).where(F.col("doc_id") == 1).collect()[0]
+    assert got["text"] == "u"
+
+
 def test_compaction_reduces_files_preserves_content(spark, tmp_path):
     """compact_buckets: one file per bucket afterwards, contents
     byte-identical (sorted rows compare equal)."""
