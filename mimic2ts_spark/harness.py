@@ -2234,20 +2234,36 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # the truncated tail if a budget ever bites again.
 _CORE_REGISTRY = dict(REGISTRY)
 
-# Queries with NO green driver CORRECTNESS row in the r01–r03 union (the
-# gate runs registry order and truncates at 50/round; these sat past the
-# cut every round). All pass the local gate — putting them FIRST converts
-# free work into driver rows. The two oracle-cast fixes from r03's verdict
-# (q_pack_sequences, q_multimodal_features) lead so their repaired hashes
-# are re-checked before anything else. Shrink/retire this list as rounds
-# verify its members (r04+).
-_GATE_PRIORITY = [
-    "q_pack_sequences", "q_multimodal_features", "q_dsir_weights",
-    "q_bpe_apply", "q_pq_encode", "q_ann_pq",
-    "q_corpus_ngrams", "q_mixture_temperature", "q_ann_ivfpq",
-    "q_merge_upsert", "q_stream_quality", "q_stream_merge",
-    "q_compact_files", "q_dedup_representatives",
-    "q_multimodal_decode", "q_multimodal_frames", "q_multimodal_resize",
+# Gate-ordering rule (r05, extending the r03 rule): the 50-entry/round
+# driver gate must FIRST re-verify queries whose BACKING CODE changed
+# since their last driver CORRECTNESS row, then anything never driver-
+# verified, then the stable tail. The union of r01–r04 driver rows is
+# green for all 147 queries, so the never-verified set is empty — the
+# changed-set below is maintained PER ROUND as part of each change
+# (pinned by tests/test_harness_registry.py): a query edited in-round
+# without a slot here ships driver-stale, exactly the r04 gap
+# (q_kmeans/q_dedup_semantic/q_graph_triangles changed in r04 but sat
+# past the cut).
+_GATE_CHANGED_THIS_ROUND = [
+    # r04 driver-stale (changed in r04, last driver row r03)
+    "q_kmeans", "q_dedup_semantic", "q_graph_triangles",
+    # r05 changes: single-pass PQ + residual IVF-PQ + trained IVF cells
+    "q_pq_encode", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivf",
+    # r05: real-decode multimodal feature paths
+    "q_multimodal_features", "q_multimodal_frames", "q_multimodal_resize",
+    "q_multimodal_decode",
+    # r05: merge row-replacement/bucket-manifest + bpe checksum reduction
+    "q_merge_upsert", "q_stream_merge", "q_compact_files",
+    "q_bpe_apply", "q_bpe_train",
+]
+
+# Previously-never-verified set (all earned driver rows by r04; retained
+# behind the changed-set so a regression in a younger query still gets
+# re-checked before the two-rounds-stable core).
+_GATE_PRIORITY = _GATE_CHANGED_THIS_ROUND + [
+    "q_pack_sequences", "q_dsir_weights",
+    "q_corpus_ngrams", "q_mixture_temperature",
+    "q_stream_quality", "q_dedup_representatives",
     "q_source_jsonl", "q_source_orc", "q_sample_topk_hash",
     "q_sample_mixture", "q_event_anomaly", "q_sketch_kmv_union",
     "q_source_drift", "q_text_pii_scrub", "q_dedup_clusters",
@@ -2256,7 +2272,7 @@ _GATE_PRIORITY = [
     "q_split_hash", "q_split_leakage_safe", "q_doc_chunks",
     "q_corpus_manifest", "q_text_repetition",
     "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q15", "q_tpch_q16", "q_tpch_q20",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q15",
 ]
 
 

@@ -15,8 +15,22 @@ def test_gate_priority_queries_lead_the_registry():
     missing = [n for n in harness._GATE_PRIORITY if n not in harness.REGISTRY]
     assert not missing, f"_GATE_PRIORITY names not in REGISTRY: {missing}"
     assert names[: len(prio)] == prio
-    # the gate cut: everything never-yet-verified must fit in the first 50
+    # the gate cut: changed + re-check sets must fit in the first 50
     assert len(prio) <= 50
+
+
+def test_changed_this_round_queries_lead_everything():
+    """The r05 ordering rule: queries whose backing code changed since
+    their last driver CORRECTNESS row run FIRST (the 50-entry gate cut
+    must never leave an in-round change driver-stale, as r04 did for
+    q_kmeans/q_dedup_semantic/q_graph_triangles)."""
+    names = list(harness.REGISTRY)
+    changed = [n for n in harness._GATE_CHANGED_THIS_ROUND if n in harness.REGISTRY]
+    assert names[: len(changed)] == changed
+    assert harness._GATE_PRIORITY[: len(harness._GATE_CHANGED_THIS_ROUND)] == (
+        harness._GATE_CHANGED_THIS_ROUND
+    )
+    assert len(changed) <= 50
 
 
 def test_registry_entries_are_well_formed():
