@@ -155,8 +155,16 @@ def main(argv: list[str] | None = None) -> None:
     if args.pack:
         from pyspark.sql import Window
 
-        from mimic2ts_spark.operators.text import token_count
+        from mimic2ts_spark.operators.bpe import bpe_apply_doc_stats
 
+        # Pack in TRAINED-BPE tokens (X118): the merge table trains on
+        # the cleaned corpus itself, each doc's n_tokens is its
+        # post-merge symbol count, and the sequence layout uses that SAME
+        # unit the manifest totals report — so per (split, shard),
+        # n_sequences == ceil(shard_tokens / N) EXACTLY (the r04 advice:
+        # whitespace-unit packing next to a BPE-ish manifest count made
+        # the reconciliation only approximate).
+        tok = bpe_apply_doc_stats(final).select("doc_id", "n_tokens")
         shards = 16
         w = (
             Window.partitionBy("split", "shard")
@@ -164,8 +172,8 @@ def main(argv: list[str] | None = None) -> None:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         final = (
-            final.withColumn("shard", F.col("doc_id") % shards)
-            .withColumn("n_tokens", token_count(F.col("text")))
+            final.join(tok, "doc_id")
+            .withColumn("shard", F.col("doc_id") % shards)
             .withColumn(
                 "start", F.sum("n_tokens").over(w) - F.col("n_tokens")
             )
@@ -179,12 +187,15 @@ def main(argv: list[str] | None = None) -> None:
 
     from mimic2ts_spark.operators.text import token_count as _ws_token_count
 
-    # Two token units, both reported: n_tokens (BPE-ish, the training-size
-    # estimate) and n_tokens_ws (whitespace — the unit --pack's
-    # seq_idx/seq_offset are laid out in, so ceil(n_tokens_ws/N) per shard
-    # reconciles with n_sequences; previously only the BPE count appeared
-    # and the two were silently incomparable).
+    # Token units, both reported: n_tokens — in pack mode the TRAINED-BPE
+    # count the sequence layout is built in (sum of the written per-doc
+    # column, so totals and layout reconcile exactly); without --pack the
+    # BPE-ish regex estimate — plus n_tokens_ws (whitespace) either way.
     written = spark.read.parquet(out_dir)
+    n_tokens_agg = (
+        F.sum("n_tokens") if args.pack
+        else F.sum(bpe_ish_token_count(F.col("text")))
+    )
     per_split = {
         r["split"]: {
             "n_docs": r["n_docs"],
@@ -194,16 +205,22 @@ def main(argv: list[str] | None = None) -> None:
         for r in written.groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(bpe_ish_token_count(F.col("text"))).alias("n_tokens"),
+            n_tokens_agg.alias("n_tokens"),
             F.sum(_ws_token_count(F.col("text"))).alias("n_tokens_ws"),
         )
         .collect()
     }
     if args.pack:
-        # sequence index space is PER SHARD: total = sum over shards
+        # sequence index space is PER SHARD: total = Σ_shards
+        # ceil(shard_tokens / N). ceil — NOT max(seq_idx)+1, which
+        # undercounts when a shard's last doc spills across a sequence
+        # boundary (seq_idx marks where a doc STARTS). Same unit as the
+        # layout, so n_sequences reconciles with n_tokens exactly.
         seqs = (
             written.groupBy("split", "shard")
-            .agg((F.max("seq_idx") + 1).alias("s"))
+            .agg(
+                F.ceil(F.sum("n_tokens") / F.lit(args.pack)).alias("s")
+            )
             .groupBy("split")
             .agg(F.sum("s").alias("n_sequences"))
         )
@@ -217,6 +234,7 @@ def main(argv: list[str] | None = None) -> None:
             "near_dup_threshold": args.near_dup_threshold,
             "span_dedup": not args.no_span_dedup,
             "pack": args.pack,
+            "token_unit": "bpe_trained" if args.pack else "bpe_ish_estimate",
         },
         "stages": stages,
         "splits": per_split,

@@ -42,17 +42,21 @@ def test_corpus_cli_stages_and_determinism(tmp_path):
 
 
 def test_corpus_cli_pack_layout(tmp_path):
-    """--pack emits per-shard (seq_idx, seq_offset) packing columns and
-    the manifest's n_sequences accounts per-shard sequence spaces:
-    each split needs at least ceil(tokens/N) sequences and every
-    offset lies inside the budget."""
+    """--pack lays out sequences in TRAINED-BPE tokens — the same unit
+    the manifest totals report — so the reconciliation is EXACT: every
+    doc's (seq_idx, seq_offset) equals the per-shard doc_id-ordered
+    running-total layout, the manifest's n_tokens equals the written
+    per-doc sums, and n_sequences == Σ_shards ceil(shard_tokens / N)."""
+    from collections import defaultdict
+
     import pyarrow.dataset as ds
 
+    N = 256
     dst = str(tmp_path / "p")
     subprocess.run(
         [
             sys.executable, "-m", "mimic2ts_spark.corpus",
-            "/root/testdata/sf0.001", dst, "--pack", "256",
+            "/root/testdata/sf0.001", dst, "--pack", str(N),
         ],
         check=True,
         capture_output=True,
@@ -60,12 +64,31 @@ def test_corpus_cli_pack_layout(tmp_path):
     )
     with open(f"{dst}/manifest.json") as f:
         m = json.load(f)
+    assert m["config"]["token_unit"] == "bpe_trained"
     rows = ds.dataset(f"{dst}/corpus", format="parquet", partitioning="hive").to_table(
-        columns=["seq_offset", "n_tokens"]
+        columns=["split", "shard", "doc_id", "seq_idx", "seq_offset", "n_tokens"]
     ).to_pydict()
-    assert all(0 <= o < 256 for o in rows["seq_offset"])
+    assert all(0 <= o < N for o in rows["seq_offset"])
+
+    by_shard: dict = defaultdict(list)
+    split_tokens: dict = defaultdict(int)
+    for sp, sh, did, si, so, tok in zip(
+        rows["split"], rows["shard"], rows["doc_id"], rows["seq_idx"],
+        rows["seq_offset"], rows["n_tokens"],
+    ):
+        by_shard[(sp, sh)].append((did, si, so, tok))
+        split_tokens[sp] += tok
+
+    shard_tokens: dict = {}
+    for key, docs in by_shard.items():
+        cum = 0
+        for _did, si, so, tok in sorted(docs):
+            assert (si, so) == (cum // N, cum % N), (key, _did)
+            cum += tok
+        shard_tokens[key] = cum
+
     for split, v in m["splits"].items():
-        # manifest n_tokens is the bpe-ish count (>= the whitespace count
-        # packing uses), so only the upper bound is tokenization-safe:
-        # at most one partial sequence per shard
-        assert 1 <= v["n_sequences"] <= v["n_tokens"] // 256 + 16
+        assert v["n_tokens"] == split_tokens[split]
+        assert v["n_sequences"] == sum(
+            -(-t // N) for (sp, _), t in shard_tokens.items() if sp == split
+        )
