@@ -3099,7 +3099,7 @@ def q_kmeans(spark, sf_dir):
     rounds keep lineage linear (no checkpoints)."""
     from mimic2ts_spark.operators.kmeans import kmeans_cluster_stats
 
-    return kmeans_cluster_stats(_embs(spark, sf_dir))
+    return kmeans_cluster_stats(_embs(spark, sf_dir), cache_key=sf_dir)
 
 
 def _q_kmeans_sql():
@@ -3119,7 +3119,9 @@ def q_dedup_semantic(spark, sf_dir):
     cluster size); the harness pins k=8 for the oracle."""
     from mimic2ts_spark.operators.kmeans import semantic_near_dup_pairs
 
-    return semantic_near_dup_pairs(_embs(spark, sf_dir), SEMDEDUP_THRESHOLD)
+    return semantic_near_dup_pairs(
+        _embs(spark, sf_dir), SEMDEDUP_THRESHOLD, cache_key=sf_dir
+    )
 
 
 def _q_dedup_semantic_sql():

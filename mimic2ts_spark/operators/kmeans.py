@@ -214,6 +214,7 @@ def kmeans_assign(
     rounds: int = KM_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """(vec_id, cid, d): cluster assignment (and final int distance)
     after `rounds` quantized Lloyd updates seeded by the k lowest-id
@@ -222,7 +223,11 @@ def kmeans_assign(
     train_coarse).
 
     k=None (default) derives k from the corpus size via derived_k — one
-    count() job up front (a scalar, not a collect of data)."""
+    count() job up front (a scalar, not a collect of data). cache_key
+    memoizes the trained centroids (train_coarse): consumers sharing a
+    key (q_kmeans / q_dedup_semantic per sf_dir) pay ONE training and a
+    single assignment pass each — the same artifact framing as PQ
+    codebooks, bit-identical because training is deterministic."""
     base = vectors.select(
         F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
     ).persist()
@@ -232,7 +237,11 @@ def kmeans_assign(
         # kernel path: centroids collect per round (k rows, bounded);
         # assignment lineage stays FLAT (base + literal matrix), so
         # rounds never stack join plans.
-        assigned, _ = lloyd_train(base, k, rounds)
+        if cache_key is not None:
+            cents_rows = train_coarse(vectors, k, rounds, id_col, vec_col, cache_key)
+            assigned = _assign_kernel(base, cents_rows)
+        else:
+            assigned, _ = lloyd_train(base, k, rounds)
     else:
         cents = (
             base.orderBy("vec_id")
@@ -247,11 +256,14 @@ def kmeans_assign(
 
 
 def kmeans_cluster_stats(
-    vectors: DataFrame, k: int | None = None, rounds: int = KM_ROUNDS
+    vectors: DataFrame,
+    k: int | None = None,
+    rounds: int = KM_ROUNDS,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """(cid, n, inertia): cluster sizes and exact integer inertia after
     the fixed Lloyd rounds — the convergence scoreboard."""
-    a = kmeans_assign(vectors, k, rounds)
+    a = kmeans_assign(vectors, k, rounds, cache_key=cache_key)
     return a.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n"), F.sum("d").alias("inertia")
     )
@@ -264,6 +276,7 @@ def semantic_near_dup_pairs(
     rounds: int = KM_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup: (vec_a, vec_b, cid, cosine) for same-cluster pairs with
     cosine ≥ threshold. The cluster id is the blocking key of the
@@ -274,7 +287,7 @@ def semantic_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    a = kmeans_assign(vectors, k, rounds, id_col, vec_col)
+    a = kmeans_assign(vectors, k, rounds, id_col, vec_col, cache_key=cache_key)
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     grouped = a.select("vec_id", "cid").join(v, "vec_id")
 
