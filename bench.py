@@ -107,6 +107,11 @@ HEADLINE = [
     "q_corpus_ngrams",
     "q_mixture_temperature",
     "q_ann_ivfpq",
+    # round 5: real-decode multimodal feature paths + cluster reps
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_dedup_representatives",
 ]
 
 
@@ -217,7 +222,7 @@ def main() -> None:
     # bench (>1.5x on any query = a regression to explain). Only attached
     # when benching the same sf the baseline was recorded at.
     here = os.path.dirname(os.path.abspath(__file__))
-    for rnd in ("r01", "r02", "r03"):
+    for rnd in ("r01", "r02", "r03", "r04"):
         base_path = os.path.join(here, f"BENCH_{rnd}.json")
         alt_path = os.path.join(here, f"BENCH_DETAIL_{rnd}.json")
         if os.path.exists(alt_path):
