@@ -193,16 +193,27 @@ def train_coarse(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_key: str | None = None,
+    _base: DataFrame | None = None,
 ) -> list:
     """Trained centroid rows [(cid, m)] sorted by cid — the coarse-cell
-    artifact of the ANN stack (IVF cells, IVF-PQ residual anchors)."""
+    artifact of the ANN stack (IVF cells, IVF-PQ residual anchors).
+
+    _base: a caller's already-persisted quantized base to train on.
+    Callers that keep their own persist of the SAME plan must pass it:
+    Spark's CacheManager matches persist() by canonicalized plan, so an
+    internal persist+unpersist of an identical derivation would EVICT
+    the caller's cache entry out from under it."""
     if cache_key is not None and (k, rounds, cache_key) in _COARSE_CACHE:
         return _COARSE_CACHE[(k, rounds, cache_key)]
-    base = vectors.select(
-        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
-    ).persist()
+    if _base is not None:
+        base = _base
+    else:
+        base = vectors.select(
+            F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
+        ).persist()
     _, cents_rows = lloyd_train(base, k, rounds)
-    base.unpersist()
+    if _base is None:
+        base.unpersist()
     if cache_key is not None:
         _COARSE_CACHE[(k, rounds, cache_key)] = cents_rows
     return cents_rows
@@ -238,7 +249,9 @@ def kmeans_assign(
         # assignment lineage stays FLAT (base + literal matrix), so
         # rounds never stack join plans.
         if cache_key is not None:
-            cents_rows = train_coarse(vectors, k, rounds, id_col, vec_col, cache_key)
+            cents_rows = train_coarse(
+                vectors, k, rounds, id_col, vec_col, cache_key, _base=base
+            )
             assigned = _assign_kernel(base, cents_rows)
         else:
             assigned, _ = lloyd_train(base, k, rounds)

@@ -348,10 +348,10 @@ def train_ivfpq(
 
     if cache_key is not None and ("r", cache_key) in _CODEBOOKS_CACHE:
         return _CODEBOOKS_CACHE[("r", cache_key)]  # type: ignore[return-value]
-    coarse_rows = train_coarse(
-        vectors, IVFPQ_K, KM_ROUNDS, id_col, vec_col, cache_key
-    )
     base = _quant_base(vectors, id_col, vec_col).persist()
+    coarse_rows = train_coarse(
+        vectors, IVFPQ_K, KM_ROUNDS, id_col, vec_col, cache_key, _base=base
+    )
     coarse = (
         np.array([r["cid"] for r in coarse_rows], dtype=np.int64),
         np.array([list(r["m"]) for r in coarse_rows], dtype=np.int64),
