@@ -2255,6 +2255,8 @@ _GATE_CHANGED_THIS_ROUND = [
     # r05: merge row-replacement/bucket-manifest + bpe checksum reduction
     "q_merge_upsert", "q_stream_merge", "q_compact_files",
     "q_bpe_apply", "q_bpe_train",
+    # r05: new operator — MERGE change-data-feed
+    "q_merge_changelog",
 ]
 
 # Previously-never-verified set (all earned driver rows by r04; retained

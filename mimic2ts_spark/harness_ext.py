@@ -3504,6 +3504,42 @@ FROM final GROUP BY 1 ORDER BY 1
 Q_MERGE_UPSERT_SQL = _q_merge_upsert_sql()
 
 
+def q_merge_changelog(spark, sf_dir):
+    """X129 — MERGE change-data-feed (operators/merge.py:
+    merge_changelog): the q_merge_upsert scenario's update batch
+    classified against the base BEFORE applying — (doc_id, op
+    insert/update, old_n_chars, new_n_chars). The CDC stream downstream
+    consumers react to instead of re-scanning the table; reads only the
+    affected bucket partitions (same pruning as the merge itself)."""
+    import tempfile
+
+    from mimic2ts_spark.operators.merge import merge_changelog, write_base
+
+    d = _docs(spark, sf_dir)
+    base = d.where(F.col("doc_id") % 10 != 3)
+    updates = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))
+    ).withColumn("n_chars", F.col("n_chars") + 3)
+
+    path = tempfile.mkdtemp(prefix="merge_cdf_")
+    write_base(base, path, "doc_id")
+    return merge_changelog(
+        spark, path, updates, "doc_id", carry_cols=("n_chars",)
+    )
+
+
+# insert = update key absent from the base (doc_id % 10 == 3 rows were
+# excluded); update keys carry the pre-image n_chars, inserts NULL.
+Q_MERGE_CHANGELOG_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 3 THEN 'insert' ELSE 'update' END AS op,
+       CASE WHEN doc_id % 10 = 3 THEN NULL
+            ELSE CAST(n_chars AS BIGINT) END AS old_n_chars,
+       CAST(n_chars + 3 AS BIGINT) AS new_n_chars
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
 def q_compact_files(spark, sf_dir):
     """X127 — small-file compaction (the OPTIMIZE side of table
     maintenance): the q_merge_upsert scenario fragments the base's
@@ -3630,6 +3666,7 @@ EXT_REGISTRY = {
     "q_mixture_temperature": (q_mixture_temperature, Q_MIXTURE_TEMPERATURE_SQL),
     "q_ann_ivfpq": (q_ann_ivfpq, Q_ANN_IVFPQ_SQL),
     "q_merge_upsert": (q_merge_upsert, Q_MERGE_UPSERT_SQL),
+    "q_merge_changelog": (q_merge_changelog, Q_MERGE_CHANGELOG_SQL),
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
     "q_compact_files": (q_compact_files, Q_MERGE_UPSERT_SQL),

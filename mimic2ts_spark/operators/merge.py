@@ -173,6 +173,60 @@ def merge_upsert(
     }
 
 
+def merge_changelog(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_col: str,
+    carry_cols: tuple[str, ...] = (),
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Change-data-feed of applying `updates` to the base — the CDC
+    stream a downstream consumer (index refresh, cache invalidation,
+    incremental stats) reacts to instead of re-scanning the table:
+    (key, op) with op ∈ {'insert', 'update'}, plus old_<c>/new_<c> for
+    each carry column. Pure read-side classification (no write), and it
+    reads ONLY the affected bucket partitions — the same pruning
+    contract as merge_upsert, so an update batch touching 0.1% of keys
+    costs 0.1% of the table at 100 TB. The duplicate-key guard matches
+    merge_upsert (a CDF with two rows per key is as undefined as the
+    merge itself)."""
+    meta = read_meta(base_path)
+    if meta is not None:
+        if n_buckets is not None and n_buckets != meta["n_buckets"]:
+            raise ValueError(
+                f"--buckets {n_buckets} contradicts the base table's layout "
+                f"({meta['n_buckets']} buckets in {_META_FILE})"
+            )
+        n_buckets = meta["n_buckets"]
+    elif n_buckets is None:
+        n_buckets = MERGE_BUCKETS
+    dup = (
+        updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate key {dup[0][key_col]!r} in update batch: the changelog "
+            "would emit two rows per key — dedupe upstream"
+        )
+
+    up = updates.withColumn("bucket", key_bucket(F.col(key_col), n_buckets))
+    affected = sorted(r["bucket"] for r in up.select("bucket").distinct().collect())
+    base = spark.read.parquet(base_path).where(F.col("bucket").isin(affected))
+
+    u = up.alias("u")
+    b = base.alias("b")
+    j = u.join(b, F.col(f"u.{key_col}") == F.col(f"b.{key_col}"), "left")
+    return j.select(
+        F.col(f"u.{key_col}").alias(key_col),
+        F.when(F.col(f"b.{key_col}").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        *[F.col(f"b.{c}").alias(f"old_{c}") for c in carry_cols],
+        *[F.col(f"u.{c}").alias(f"new_{c}") for c in carry_cols],
+    )
+
+
 def bucket_file_counts(path: str) -> dict[int, int]:
     """Driver-side audit: parquet files per bucket partition."""
     import os

@@ -137,6 +137,37 @@ def test_merge_bucket_count_is_table_state(spark, tmp_path):
     assert got["text"] == "u"
 
 
+def test_merge_changelog_classifies_and_prunes(spark, tmp_path):
+    """CDF contract: inserts are keys absent from the base (NULL
+    pre-image), updates carry old/new values; classification is pure
+    read-side (base unchanged) and the base scan is partition-pruned
+    to the batch's buckets."""
+    from mimic2ts_spark.operators.merge import merge_changelog
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "base")
+    write_base(docs.where(F.col("doc_id") != 1), path, "doc_id", n_buckets=8)
+    before = _partition_state(path)
+
+    upd = docs.where(F.col("doc_id").isin([1, 2])).withColumn(
+        "n_chars", F.col("n_chars") + 5
+    )
+    cdf = merge_changelog(spark, path, upd, "doc_id", carry_cols=("n_chars",))
+    plan = cdf._sc._jvm.PythonSQLUtils.explainString(
+        cdf._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    got = {r["doc_id"]: r for r in cdf.collect()}
+    n1 = docs.where(F.col("doc_id") == 1).collect()[0]["n_chars"]
+    n2 = docs.where(F.col("doc_id") == 2).collect()[0]["n_chars"]
+    assert got[1]["op"] == "insert" and got[1]["old_n_chars"] is None
+    assert got[1]["new_n_chars"] == n1 + 5
+    assert got[2]["op"] == "update" and got[2]["old_n_chars"] == n2
+    assert got[2]["new_n_chars"] == n2 + 5
+    assert _partition_state(path) == before  # read-side only
+
+
 def test_compaction_reduces_files_preserves_content(spark, tmp_path):
     """compact_buckets: one file per bucket afterwards, contents
     byte-identical (sorted rows compare equal)."""

@@ -820,6 +820,7 @@ def test_registry_global_plan_invariants(utc):
         "q_source_csv_gz",
         "q_layout_sorted",  # side-effecting write; pinned by its own test
         "q_merge_upsert",   # side-effecting write; pinned by tests/test_merge.py
+        "q_merge_changelog",  # side-effecting write_base; pinned by tests/test_merge.py
         "q_compact_files",  # side-effecting write; pinned by tests/test_merge.py
     }
     problems = []
