@@ -2255,8 +2255,8 @@ _GATE_CHANGED_THIS_ROUND = [
     # r05: merge row-replacement/bucket-manifest + bpe checksum reduction
     "q_merge_upsert", "q_stream_merge", "q_compact_files",
     "q_bpe_apply", "q_bpe_train",
-    # r05: new operator — MERGE change-data-feed
-    "q_merge_changelog",
+    # r05: new operators — MERGE change-data-feed + versioned table
+    "q_merge_changelog", "q_merge_versioned", "q_time_travel",
 ]
 
 # Previously-never-verified set (all earned driver rows by r04; retained
@@ -2274,7 +2274,7 @@ _GATE_PRIORITY = _GATE_CHANGED_THIS_ROUND + [
     "q_split_hash", "q_split_leakage_safe", "q_doc_chunks",
     "q_corpus_manifest", "q_text_repetition",
     "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q15",
+    "q_tpch_q11",
 ]
 
 

@@ -3540,6 +3540,86 @@ FROM documents WHERE doc_id % 7 = 0
 """
 
 
+def _versioned_scenario(spark, sf_dir):
+    """Shared X130/X131 setup: init v0 from the q_merge_upsert base,
+    commit one merge as v1; returns the table path."""
+    import tempfile
+
+    from mimic2ts_spark.operators.versioned import init_table, merge_versioned
+
+    d = _docs(spark, sf_dir)
+    base = d.where(F.col("doc_id") % 10 != 3)
+    updates = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))
+    ).withColumn("n_chars", F.col("n_chars") + 3)
+
+    path = tempfile.mkdtemp(prefix="versioned_")
+    init_table(base, path, "doc_id")
+    merge_versioned(spark, path, updates, "doc_id")
+    return path
+
+
+def _bucket_rollup(df):
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(kmv_code(F.col("text")) % 1000000007)
+            .cast("long")
+            .alias("text_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_merge_versioned(spark, sf_dir):
+    """X130 — manifest-committed versioned MERGE (operators/
+    versioned.py): the q_merge_upsert scenario as an ATOMIC commit —
+    affected buckets land under v1/, untouched buckets stay referenced
+    v0 files, the pointer flip is the commit. Final committed state
+    equals the in-place merge, so this shares q_merge_upsert's oracle
+    verbatim."""
+    from mimic2ts_spark.operators.versioned import read_table
+
+    path = _versioned_scenario(spark, sf_dir)
+    return _bucket_rollup(read_table(spark, path))
+
+
+def q_time_travel(spark, sf_dir):
+    """X131 — VERSION AS OF read: after the v1 merge commits, version 0
+    must still reconstruct the pristine base exactly (every manifest is
+    retained; old data dirs are immutable). Oracle = the base rolled up
+    per bucket — any leakage of v1 rows into the v0 read fails the
+    hash."""
+    from mimic2ts_spark.operators.versioned import read_table
+
+    path = _versioned_scenario(spark, sf_dir)
+    return _bucket_rollup(read_table(spark, path, version=0))
+
+
+def _q_time_travel_sql():
+    from mimic2ts_spark.operators.merge import sql_key_bucket
+
+    code = X.SQL_CODE.format(tok="text")
+    bucket = sql_key_bucket("doc_id")
+    return f"""
+WITH base AS (
+    SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 10 != 3
+)
+SELECT {bucket} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum({code} % 1000000007) AS BIGINT) AS text_checksum
+FROM base GROUP BY 1 ORDER BY 1
+"""
+
+
+Q_TIME_TRAVEL_SQL = _q_time_travel_sql()
+
+
 def q_compact_files(spark, sf_dir):
     """X127 — small-file compaction (the OPTIMIZE side of table
     maintenance): the q_merge_upsert scenario fragments the base's
@@ -3667,6 +3747,8 @@ EXT_REGISTRY = {
     "q_ann_ivfpq": (q_ann_ivfpq, Q_ANN_IVFPQ_SQL),
     "q_merge_upsert": (q_merge_upsert, Q_MERGE_UPSERT_SQL),
     "q_merge_changelog": (q_merge_changelog, Q_MERGE_CHANGELOG_SQL),
+    "q_merge_versioned": (q_merge_versioned, Q_MERGE_UPSERT_SQL),
+    "q_time_travel": (q_time_travel, Q_TIME_TRAVEL_SQL),
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
     "q_compact_files": (q_compact_files, Q_MERGE_UPSERT_SQL),

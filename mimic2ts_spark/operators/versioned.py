@@ -1,0 +1,195 @@
+"""Versioned merge table: manifest-committed copy-on-write with time
+travel — the transaction-log-lite answer to merge.py's documented
+non-atomic overwrite window.
+
+Layout:
+    path/
+      _versions/0.json … N.json   one manifest per committed version:
+                                  {"version", "buckets": {bucket -> "v{k}"},
+                                   "parent", "op"}
+      _latest                     the COMMIT POINTER: a one-line file
+                                  naming the current version; os.replace
+                                  makes updating it atomic on POSIX
+      v0/b=0/…parquet             immutable data dirs: version k writes
+      v1/b=7/…parquet             ONLY its affected buckets under v{k}/
+
+Semantics this buys over merge.py's in-place dynamic overwrite:
+- ATOMIC COMMIT: data files land first (new dirs, invisible to any
+  reader), the version manifest lands second, and the _latest pointer
+  flips last via an atomic rename. A crash anywhere leaves readers on
+  the previous fully-consistent version — there is no partial-rewrite
+  window. (merge.py documents that window; this module removes it.)
+- TIME TRAVEL: every manifest is retained, so read_table(path,
+  version=k) reconstructs any historical state — the Delta/Iceberg
+  `VERSION AS OF` read.
+- MANIFEST-DRIVEN FILE PRUNING: the reader lists NOTHING. The manifest
+  maps each bucket to the version dir holding its current data, and a
+  filtered read selects manifest entries driver-side before Spark ever
+  touches storage — at 100 TB this replaces object-store listing (the
+  scan-planning killer) exactly the way a table format's log does.
+  `bucket` is a DATA column here (not a hive partition dir), because
+  pruning happens in the manifest, not in directory discovery.
+
+The merge algebra (md5 bucketing, row-replacement full-outer join,
+duplicate-key guard) is shared with operators/merge.py, so the final
+state is the same oracle-expressible FULL OUTER JOIN.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators.merge import MERGE_BUCKETS, key_bucket
+
+_VERSIONS = "_versions"
+_LATEST = "_latest"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _VERSIONS, f"{version}.json")
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    os.makedirs(os.path.join(path, _VERSIONS), exist_ok=True)
+    with open(_manifest_path(path, manifest["version"]), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+
+
+def _commit(path: str, version: int) -> None:
+    """Flip the commit pointer atomically (os.replace = rename(2))."""
+    tmp = os.path.join(path, f"{_LATEST}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(path, _LATEST))
+
+
+def latest_version(path: str) -> int:
+    with open(os.path.join(path, _LATEST)) as f:
+        return int(f.read().strip())
+
+
+def read_manifest(path: str, version: int | None = None) -> dict:
+    if version is None:
+        version = latest_version(path)
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def _write_version_dirs(data: DataFrame, path: str, ver_dir: str) -> None:
+    """ONE write job for all buckets of a version: partition on a
+    duplicate `pb` column so dirs land as v{k}/pb={bucket} while the
+    `bucket` column itself survives INSIDE the data files (leaf-dir
+    reads don't do hive discovery, so a hive-dropped column would
+    vanish)."""
+    data.withColumn("pb", F.col("bucket")).write.mode("overwrite").partitionBy(
+        "pb"
+    ).parquet(os.path.join(path, ver_dir))
+
+
+def init_table(
+    df: DataFrame, path: str, key_col: str, n_buckets: int = MERGE_BUCKETS
+) -> dict:
+    """Write version 0: every bucket's data under v0/pb={bucket}."""
+    data = df.withColumn("bucket", key_bucket(F.col(key_col), n_buckets))
+    _write_version_dirs(data, path, "v0")
+    present = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(path, "v0"))
+        if d.startswith("pb=")
+    )
+    manifest = {
+        "version": 0,
+        "key": key_col,
+        "n_buckets": n_buckets,
+        "buckets": {str(b): "v0" for b in present},
+        "parent": None,
+        "op": "init",
+    }
+    _write_manifest(path, manifest)
+    _commit(path, 0)
+    return manifest
+
+
+def _bucket_dirs(path: str, manifest: dict, buckets: list[int] | None = None) -> list:
+    sel = manifest["buckets"]
+    if buckets is not None:
+        sel = {str(b): sel[str(b)] for b in buckets if str(b) in sel}
+    return [os.path.join(path, ver, f"pb={b}") for b, ver in sorted(sel.items())]
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Read a table version (default: committed latest). `buckets`
+    restricts the read to those buckets' dirs — manifest-driven file
+    pruning, resolved driver-side before any storage access."""
+    m = read_manifest(path, version)
+    dirs = _bucket_dirs(path, m, buckets)
+    return spark.read.parquet(*dirs)
+
+
+def merge_versioned(
+    spark: SparkSession, path: str, updates: DataFrame, key_col: str
+) -> dict:
+    """MERGE an update batch as a NEW COMMITTED VERSION: affected
+    buckets' merged data lands under v{n}/ (untouched buckets keep
+    their existing dirs byte-identical — referenced, not rewritten),
+    then manifest + pointer commit atomically. Returns the new
+    manifest."""
+    prev = read_manifest(path)
+    n_buckets = prev["n_buckets"]
+    if prev["key"] != key_col:
+        raise ValueError(f"table key is {prev['key']!r}, not {key_col!r}")
+    dup = (
+        updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate key {dup[0][key_col]!r} in update batch: which row "
+            "wins is undefined — dedupe upstream before merging"
+        )
+
+    up = updates.withColumn("bucket", key_bucket(F.col(key_col), n_buckets))
+    affected = sorted(r["bucket"] for r in up.select("bucket").distinct().collect())
+
+    base = read_table(spark, path, buckets=affected)
+    data_cols = [c for c in base.columns if c != "bucket"]
+    b = base.alias("b")
+    u = up.alias("u")
+    merged = b.join(u, F.col(f"b.{key_col}") == F.col(f"u.{key_col}"), "full_outer")
+    take_u = F.col(f"u.{key_col}").isNotNull()  # row replacement
+    picked = merged.select(
+        *[
+            F.when(take_u, F.col(f"u.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+            for c in data_cols
+        ],
+        F.when(take_u, F.col("u.bucket")).otherwise(F.col("b.bucket")).alias("bucket"),
+    )
+
+    version = prev["version"] + 1
+    ver_dir = f"v{version}"
+    # 1) data first — new dirs, invisible to every reader (one job)
+    _write_version_dirs(picked, path, ver_dir)
+    # 2) manifest second, 3) pointer flip last (atomic)
+    buckets = dict(prev["buckets"])
+    for bkt in affected:
+        buckets[str(bkt)] = ver_dir
+    manifest = {
+        "version": version,
+        "key": key_col,
+        "n_buckets": n_buckets,
+        "buckets": buckets,
+        "parent": prev["version"],
+        "op": "merge",
+        "affected_buckets": affected,
+    }
+    _write_manifest(path, manifest)
+    _commit(path, version)
+    return manifest

@@ -1,0 +1,109 @@
+"""Versioned merge table (operators/versioned.py): atomic manifest
+commits, time travel, manifest-driven file pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators.versioned import (
+    init_table,
+    latest_version,
+    merge_versioned,
+    read_manifest,
+    read_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _file_state(path: str, ver_dir: str) -> dict:
+    out = {}
+    root = os.path.join(path, ver_dir)
+    for d in os.listdir(root):
+        if d.startswith("pb="):
+            full = os.path.join(root, d)
+            out[d] = {
+                (f, os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_versioned_merge_and_time_travel(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "t")
+    m0 = init_table(docs, path, "doc_id", n_buckets=8)
+    assert m0["version"] == 0 and latest_version(path) == 0
+    v0_files = _file_state(path, "v0")
+
+    upd = docs.where(F.col("doc_id").isin([1, 2, 3])).withColumn(
+        "text", F.lit("updated")
+    )
+    m1 = merge_versioned(spark, path, upd, "doc_id")
+    assert m1["version"] == 1 and latest_version(path) == 1
+    assert 1 <= len(m1["affected_buckets"]) <= 3
+
+    # untouched buckets are REFERENCED, not rewritten: v0 files untouched
+    assert _file_state(path, "v0") == v0_files
+    for b, ver in m1["buckets"].items():
+        want = "v1" if int(b) in m1["affected_buckets"] else "v0"
+        assert ver == want, (b, ver)
+
+    # latest state = dict upsert
+    got = {r["doc_id"]: r["text"] for r in read_table(spark, path).collect()}
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want.update({1: "updated", 2: "updated", 3: "updated"})
+    assert got == want
+
+    # time travel: version 0 is the pristine base
+    v0 = {r["doc_id"]: r["text"] for r in read_table(spark, path, version=0).collect()}
+    assert v0 == {r["doc_id"]: r["text"] for r in docs.collect()}
+
+
+def test_versioned_uncommitted_version_is_invisible(spark, tmp_path):
+    """The pointer flip IS the commit: data + manifest for a new version
+    without the pointer update must leave readers on the previous
+    consistent state — the crash-window the in-place overwrite has and
+    this layout doesn't."""
+    from mimic2ts_spark.operators import versioned as V
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "t")
+    init_table(docs, path, "doc_id", n_buckets=4)
+
+    # simulate a crash mid-merge: v1 data + manifest exist, pointer not flipped
+    upd = docs.where(F.col("doc_id") == 1).withColumn("text", F.lit("PHANTOM"))
+    data = upd.withColumn(
+        "bucket", __import__("mimic2ts_spark.operators.merge", fromlist=["key_bucket"])
+        .key_bucket(F.col("doc_id"), 4)
+    )
+    V._write_version_dirs(data, path, "v1")
+    m = read_manifest(path, 0)
+    m.update({"version": 1, "parent": 0, "op": "merge"})
+    V._write_manifest(path, m)
+    # no V._commit(path, 1)
+
+    assert latest_version(path) == 0
+    got = read_table(spark, path).where(F.col("doc_id") == 1).collect()[0]["text"]
+    assert got != "PHANTOM"
+
+    # a real merge afterwards RECLAIMS the orphan version number (its
+    # data dir + manifest are overwritten — crash leftovers are garbage)
+    merge_versioned(spark, path, upd, "doc_id")
+    assert latest_version(path) == 1
+    got = read_table(spark, path).where(F.col("doc_id") == 1).collect()[0]["text"]
+    assert got == "PHANTOM"
+
+
+def test_versioned_pruned_read_touches_selected_dirs_only(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "t")
+    init_table(docs, path, "doc_id", n_buckets=8)
+    sub = read_table(spark, path, buckets=[0, 3])
+    assert set(r["bucket"] for r in sub.select("bucket").distinct().collect()) == {0, 3}
+    # the plan reads exactly the two manifest-selected dirs
+    files = sub.inputFiles()
+    assert files and all("/pb=0/" in f or "/pb=3/" in f for f in files)
