@@ -3619,6 +3619,59 @@ FROM base GROUP BY 1 ORDER BY 1
 
 Q_TIME_TRAVEL_SQL = _q_time_travel_sql()
 
+# Mixed lookup batch: kept keys (2, 250), updated keys (21, 35, 77),
+# an inserted key (483: doc_id%10==3 so absent from the base, %7==0 so
+# the merge inserts it), and absent keys (3, 123: excluded from the
+# base, not in the update batch — must return NO row).
+_LOOKUP_KEYS = [2, 3, 21, 35, 77, 123, 250, 483]
+
+
+def q_versioned_lookup(spark, sf_dir):
+    """X132 — manifest-driven KEY LOOKUP on the versioned table: each
+    key's md5 bucket is computed driver-side (hashlib — no Spark job),
+    and the read touches ONLY those buckets' dirs. The point-read path
+    of a 100 TB table: a batch of keys costs its buckets, never a scan
+    or a listing. Runs after the v1 merge commit, so the lookup sees
+    updates and inserts through the manifest indirection."""
+    from mimic2ts_spark.operators.sketch import kmv_code
+    from mimic2ts_spark.operators.versioned import read_table
+
+    path = _versioned_scenario(spark, sf_dir)
+    sub = read_table(spark, path, keys=_LOOKUP_KEYS)
+    return sub.where(F.col("doc_id").isin(_LOOKUP_KEYS)).select(
+        "doc_id",
+        "bucket",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (kmv_code(F.col("text")) % 1000000007).cast("long").alias("text_code"),
+    )
+
+
+def _q_versioned_lookup_sql():
+    from mimic2ts_spark.operators.merge import sql_key_bucket
+
+    code = X.SQL_CODE.format(tok="text")
+    bucket = sql_key_bucket("doc_id")
+    keys = ", ".join(str(k) for k in _LOOKUP_KEYS)
+    return f"""
+WITH upd AS (
+    SELECT doc_id, text || ' v2' AS text, n_chars + 3 AS n_chars
+    FROM documents WHERE doc_id % 7 = 0
+),
+kept AS (
+    SELECT doc_id, text, n_chars FROM documents
+    WHERE doc_id % 10 != 3 AND doc_id % 7 != 0
+),
+final AS (SELECT * FROM upd UNION ALL SELECT * FROM kept)
+SELECT doc_id,
+       {bucket} AS bucket,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST({code} % 1000000007 AS BIGINT) AS text_code
+FROM final WHERE doc_id IN ({keys})
+"""
+
+
+Q_VERSIONED_LOOKUP_SQL = _q_versioned_lookup_sql()
+
 
 def q_compact_files(spark, sf_dir):
     """X127 — small-file compaction (the OPTIMIZE side of table
@@ -3749,6 +3802,7 @@ EXT_REGISTRY = {
     "q_merge_changelog": (q_merge_changelog, Q_MERGE_CHANGELOG_SQL),
     "q_merge_versioned": (q_merge_versioned, Q_MERGE_UPSERT_SQL),
     "q_time_travel": (q_time_travel, Q_TIME_TRAVEL_SQL),
+    "q_versioned_lookup": (q_versioned_lookup, Q_VERSIONED_LOOKUP_SQL),
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
     "q_compact_files": (q_compact_files, Q_MERGE_UPSERT_SQL),

@@ -58,7 +58,23 @@ def main(argv: list[str] | None = None) -> None:
     p_cb.add_argument("--id-col", default="vec_id")
     p_cb.add_argument("--vec-col", default="embedding")
 
+    p_vac = sub.add_parser(
+        "vacuum", help="retention GC for a VERSIONED table (operators/versioned.py)"
+    )
+    p_vac.add_argument("base_dir")
+    p_vac.add_argument("--keep-versions", type=int, default=2)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "vacuum":  # pure driver-side FS walk, no Spark session
+        from mimic2ts_spark.operators.versioned import vacuum
+
+        t0 = time.time()
+        audit = {"cmd": "vacuum", "base_dir": args.base_dir}
+        audit.update(vacuum(args.base_dir, keep_versions=args.keep_versions))
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        return
 
     from mimic2ts_spark.operators.merge import (
         bucket_file_counts,

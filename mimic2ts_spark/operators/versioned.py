@@ -126,11 +126,31 @@ def read_table(
     path: str,
     version: int | None = None,
     buckets: list[int] | None = None,
+    keys: list | None = None,
 ) -> DataFrame:
     """Read a table version (default: committed latest). `buckets`
     restricts the read to those buckets' dirs — manifest-driven file
-    pruning, resolved driver-side before any storage access."""
+    pruning, resolved driver-side before any storage access. `keys`
+    prunes by KEY: each key's md5 bucket is computed driver-side (the
+    same bucket function the writer used, evaluated via hashlib — no
+    Spark job), so a point/batch lookup on a 100 TB table reads only
+    the handful of dirs its keys hash into; the caller still applies
+    the row-level key filter inside those buckets."""
     m = read_manifest(path, version)
+    if keys is not None:
+        import hashlib
+
+        n = m["n_buckets"]
+        key_buckets = sorted(
+            {
+                int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % n
+                for k in keys
+            }
+        )
+        buckets = (
+            key_buckets if buckets is None
+            else sorted(set(buckets) & set(key_buckets))
+        )
     dirs = _bucket_dirs(path, m, buckets)
     return spark.read.parquet(*dirs)
 
@@ -193,3 +213,50 @@ def merge_versioned(
     _write_manifest(path, manifest)
     _commit(path, version)
     return manifest
+
+
+def vacuum(path: str, keep_versions: int = 2) -> dict:
+    """Retention GC (the VACUUM side of the table format): keep the
+    newest `keep_versions` committed manifests, delete older manifests
+    and every (version-dir, bucket) data dir no retained manifest
+    references. Orphan manifests above the committed pointer (crash
+    leftovers) are removed too. Bounds time travel to the retention
+    window — the storage-cost dial every log-structured table has.
+    Returns {retained_versions, dirs_deleted, manifests_deleted}."""
+    import shutil
+
+    latest = latest_version(path)
+    all_versions = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(os.path.join(path, _VERSIONS))
+        if f.endswith(".json")
+    )
+    retained = [v for v in all_versions if v <= latest][-keep_versions:]
+    referenced: set[tuple[str, str]] = set()
+    for v in retained:
+        m = read_manifest(path, v)
+        referenced |= {(ver, b) for b, ver in m["buckets"].items()}
+
+    dirs_deleted = 0
+    for d in os.listdir(path):
+        if not (d.startswith("v") and d[1:].isdigit()):
+            continue
+        for sub in os.listdir(os.path.join(path, d)):
+            if sub.startswith("pb=") and (d, sub.split("=")[1]) not in referenced:
+                shutil.rmtree(os.path.join(path, d, sub))
+                dirs_deleted += 1
+        if not any(
+            s.startswith("pb=") for s in os.listdir(os.path.join(path, d))
+        ):
+            shutil.rmtree(os.path.join(path, d))
+
+    manifests_deleted = 0
+    for v in all_versions:
+        if v not in retained:
+            os.remove(_manifest_path(path, v))
+            manifests_deleted += 1
+    return {
+        "retained_versions": retained,
+        "dirs_deleted": dirs_deleted,
+        "manifests_deleted": manifests_deleted,
+    }

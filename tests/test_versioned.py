@@ -107,3 +107,64 @@ def test_versioned_pruned_read_touches_selected_dirs_only(spark, tmp_path):
     # the plan reads exactly the two manifest-selected dirs
     files = sub.inputFiles()
     assert files and all("/pb=0/" in f or "/pb=3/" in f for f in files)
+
+
+def test_versioned_key_lookup_prunes_and_matches(spark, tmp_path):
+    """keys= pruning: the driver-side md5 bucket of each key equals the
+    writer's bucket (same function), so the read touches ONLY those
+    dirs and still contains every requested key's row."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "t")
+    init_table(docs, path, "doc_id", n_buckets=8)
+
+    want_keys = [5, 17, 123]
+    sub = read_table(spark, path, keys=want_keys)
+    touched = {f.split("/pb=")[1].split("/")[0] for f in sub.inputFiles()}
+    assert 1 <= len(touched) <= 3
+    got = {
+        r["doc_id"]: r["text"]
+        for r in sub.where(F.col("doc_id").isin(want_keys)).collect()
+    }
+    want = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(F.col("doc_id").isin(want_keys)).collect()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_versioned_vacuum_retention(spark, tmp_path):
+    """VACUUM keeps the newest K manifests and deletes every
+    (version, bucket) dir no retained manifest references; time travel
+    inside the window survives, outside it is gone."""
+    import os as _os
+
+    import pytest
+
+    from mimic2ts_spark.operators.versioned import vacuum
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "t")
+    init_table(docs, path, "doc_id", n_buckets=4)
+    for k in (1, 2, 3):
+        upd = docs.where(F.col("doc_id") == k).withColumn("text", F.lit(f"u{k}"))
+        merge_versioned(spark, path, upd, "doc_id")
+    assert latest_version(path) == 3
+
+    audit = vacuum(path, keep_versions=2)
+    assert audit["retained_versions"] == [2, 3]
+    assert audit["manifests_deleted"] == 2
+    assert audit["dirs_deleted"] >= 1
+
+    # latest + in-window time travel intact
+    got = {r["doc_id"]: r["text"] for r in read_table(spark, path).collect()}
+    assert got[1] == "u1" and got[2] == "u2" and got[3] == "u3"
+    v2 = {r["doc_id"]: r["text"] for r in read_table(spark, path, version=2).collect()}
+    assert v2[3] != "u3" and v2[2] == "u2"
+    # outside the window: manifest gone
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=0)
+    # retained manifests reference only existing dirs (no dangling)
+    for v in (2, 3):
+        m = read_manifest(path, v)
+        for b, ver in m["buckets"].items():
+            assert _os.path.isdir(_os.path.join(path, ver, f"pb={b}")), (v, b, ver)
