@@ -3588,6 +3588,19 @@ def q_merge_versioned(spark, sf_dir):
     return _bucket_rollup(read_table(spark, path))
 
 
+def q_versioned_compact(spark, sf_dir):
+    """X134 — OPTIMIZE as a commit: after the v1 merge, compact every
+    bucket into one file as v2 (content-identical repartition, old
+    versions stay time-travelable). The committed state must equal the
+    merge-only state — shares q_merge_upsert's oracle verbatim, so any
+    row lost or duplicated by the compaction rewrite fails the hash."""
+    from mimic2ts_spark.operators.versioned import compact_versioned, read_table
+
+    path = _versioned_scenario(spark, sf_dir)
+    compact_versioned(spark, path)
+    return _bucket_rollup(read_table(spark, path))
+
+
 def q_time_travel(spark, sf_dir):
     """X131 — VERSION AS OF read: after the v1 merge commits, version 0
     must still reconstruct the pristine base exactly (every manifest is
@@ -3803,6 +3816,7 @@ EXT_REGISTRY = {
     "q_merge_versioned": (q_merge_versioned, Q_MERGE_UPSERT_SQL),
     "q_time_travel": (q_time_travel, Q_TIME_TRAVEL_SQL),
     "q_versioned_lookup": (q_versioned_lookup, Q_VERSIONED_LOOKUP_SQL),
+    "q_versioned_compact": (q_versioned_compact, Q_MERGE_UPSERT_SQL),
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
     "q_compact_files": (q_compact_files, Q_MERGE_UPSERT_SQL),

@@ -181,6 +181,17 @@ def merge_versioned(
 
     base = read_table(spark, path, buckets=affected)
     data_cols = [c for c in base.columns if c != "bucket"]
+    # schema check BEFORE any write: row-replacement needs every table
+    # column in the batch — silently dropping extras or NULLing missing
+    # ones would corrupt rows (Delta rejects mismatches too, absent
+    # schema-evolution opt-in, which this layout does not claim)
+    if set(updates.columns) != set(data_cols):
+        missing = sorted(set(data_cols) - set(updates.columns))
+        extra = sorted(set(updates.columns) - set(data_cols))
+        raise ValueError(
+            f"update batch schema does not match the table: missing={missing} "
+            f"extra={extra} (no schema evolution — align the batch upstream)"
+        )
     b = base.alias("b")
     u = up.alias("u")
     merged = b.join(u, F.col(f"b.{key_col}") == F.col(f"u.{key_col}"), "full_outer")
@@ -209,6 +220,33 @@ def merge_versioned(
         "parent": prev["version"],
         "op": "merge",
         "affected_buckets": affected,
+    }
+    _write_manifest(path, manifest)
+    _commit(path, version)
+    return manifest
+
+
+def compact_versioned(spark: SparkSession, path: str) -> dict:
+    """OPTIMIZE as a COMMIT: rewrite every current bucket's (possibly
+    many) files into one file per bucket under a new version dir, then
+    commit it — content-identical by construction (pure repartition on
+    the bucket column, no expressions), and the PRE-compaction version
+    stays time-travelable until VACUUM reclaims it. This is how a
+    log-structured table compacts without a stop-the-world rewrite:
+    readers on the old version are undisturbed, the pointer flip
+    switches them over atomically."""
+    prev = read_manifest(path)
+    version = prev["version"] + 1
+    ver_dir = f"v{version}"
+    data = read_table(spark, path).repartition("bucket")
+    _write_version_dirs(data, path, ver_dir)
+    manifest = {
+        "version": version,
+        "key": prev["key"],
+        "n_buckets": prev["n_buckets"],
+        "buckets": {b: ver_dir for b in prev["buckets"]},
+        "parent": prev["version"],
+        "op": "compact",
     }
     _write_manifest(path, manifest)
     _commit(path, version)

@@ -132,6 +132,57 @@ def test_versioned_key_lookup_prunes_and_matches(spark, tmp_path):
     assert got == want and len(got) == 3
 
 
+def test_versioned_compact_is_a_commit(spark, tmp_path):
+    """OPTIMIZE as a commit: one file per bucket afterwards, rows
+    identical, and the PRE-compaction version remains time-travelable
+    (readers on it are undisturbed until VACUUM)."""
+    import os as _os
+
+    from mimic2ts_spark.operators.versioned import compact_versioned
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "t")
+    init_table(docs.repartition(4), path, "doc_id", n_buckets=4)
+    for k in (1, 2):
+        upd = docs.where(F.col("doc_id") == k).withColumn("text", F.lit(f"u{k}"))
+        merge_versioned(spark, path, upd, "doc_id")
+    before = sorted(
+        (r["doc_id"], r["text"]) for r in read_table(spark, path).collect()
+    )
+
+    m = compact_versioned(spark, path)
+    assert m["op"] == "compact" and latest_version(path) == m["version"]
+    for b in m["buckets"]:
+        d = _os.path.join(path, m["buckets"][b], f"pb={b}")
+        n_files = sum(1 for f in _os.listdir(d) if f.endswith(".parquet"))
+        assert n_files == 1, (b, n_files)
+    after = sorted(
+        (r["doc_id"], r["text"]) for r in read_table(spark, path).collect()
+    )
+    assert after == before
+    # pre-compaction version still reconstructs exactly
+    prev = sorted(
+        (r["doc_id"], r["text"])
+        for r in read_table(spark, path, version=m["parent"]).collect()
+    )
+    assert prev == before
+
+
+def test_versioned_schema_mismatch_raises(spark, tmp_path):
+    """Row replacement with a missing or extra column must fail loudly
+    BEFORE any write — silent drops/NULLs would corrupt replaced rows."""
+    import pytest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "t")
+    init_table(docs, path, "doc_id", n_buckets=4)
+
+    bad = docs.where(F.col("doc_id") == 1).drop("lang")
+    with pytest.raises(ValueError, match="missing=\\['lang'\\]"):
+        merge_versioned(spark, path, bad, "doc_id")
+    assert latest_version(path) == 0  # nothing committed
+
+
 def test_versioned_vacuum_retention(spark, tmp_path):
     """VACUUM keeps the newest K manifests and deletes every
     (version, bucket) dir no retained manifest references; time travel
