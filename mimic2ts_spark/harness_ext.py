@@ -3588,6 +3588,22 @@ def q_merge_versioned(spark, sf_dir):
     return _bucket_rollup(read_table(spark, path))
 
 
+def q_stream_versioned(spark, sf_dir):
+    """X135 — streaming ingest with atomic version commits: the
+    q_stream_merge scenario committing each microbatch as a manifest
+    version (streaming.run_versioned_sink_available_now). Unique keys
+    ⇒ batching-invariant final state ⇒ shares the batch MERGE oracle."""
+    import tempfile
+
+    from mimic2ts_spark import streaming as ST
+    from mimic2ts_spark.operators.versioned import init_table
+
+    base = _docs(spark, sf_dir).where(F.col("doc_id") % 10 != 3)
+    path = tempfile.mkdtemp(prefix="stream_versioned_")
+    init_table(base, path, "doc_id")
+    return _bucket_rollup(ST.run_versioned_sink_available_now(spark, sf_dir, path))
+
+
 def q_versioned_compact(spark, sf_dir):
     """X134 — OPTIMIZE as a commit: after the v1 merge, compact every
     bucket into one file as v2 (content-identical repartition, old
@@ -3817,6 +3833,7 @@ EXT_REGISTRY = {
     "q_time_travel": (q_time_travel, Q_TIME_TRAVEL_SQL),
     "q_versioned_lookup": (q_versioned_lookup, Q_VERSIONED_LOOKUP_SQL),
     "q_versioned_compact": (q_versioned_compact, Q_MERGE_UPSERT_SQL),
+    "q_stream_versioned": (q_stream_versioned, Q_MERGE_UPSERT_SQL),
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
     "q_compact_files": (q_compact_files, Q_MERGE_UPSERT_SQL),

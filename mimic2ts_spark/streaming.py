@@ -875,3 +875,36 @@ def run_merge_sink_available_now(
     )
     q.awaitTermination()
     return spark.read.parquet(base_path)
+
+
+def run_versioned_sink_available_now(
+    spark: SparkSession, sf_dir: str, table_path: str
+) -> DataFrame:
+    """Streaming ingest with ATOMIC commits: each microbatch lands as a
+    committed VERSION of the manifest table (operators/versioned.py) —
+    the streaming writer a lakehouse actually runs: readers only ever
+    see fully-committed versions (a crash mid-batch leaves the last
+    commit intact, unlike the in-place dynamic-overwrite sink), and the
+    ingest history is time-travelable per batch. Unique update keys
+    make the final state batching-invariant, so this shares the batch
+    MERGE oracle. Returns the final committed table."""
+    from mimic2ts_spark.operators.versioned import merge_versioned, read_table
+
+    stream_updates = docs_stream(spark, sf_dir).where(
+        F.col("doc_id") % 7 == 0
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" v2"))).withColumn(
+        "n_chars", F.col("n_chars") + 3
+    )
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_versioned(spark, table_path, batch_df, "doc_id")
+
+    q = (
+        stream_updates.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_table(spark, table_path)
