@@ -3540,13 +3540,24 @@ FROM documents WHERE doc_id % 7 = 0
 """
 
 
+# The versioned TABLE is an artifact (that is the whole point of the
+# manifest layout): one init+merge per corpus per process, shared by
+# the X130–X134 queries. Reuse is safe because every consumer reads
+# content-stable state — latest content is invariant under the extra
+# compact commits q_versioned_compact adds (content-identical rewrite),
+# and v0/v1 manifests are retained (no vacuum here).
+_VERSIONED_SCENARIO: dict[str, str] = {}
+
+
 def _versioned_scenario(spark, sf_dir):
-    """Shared X130/X131 setup: init v0 from the q_merge_upsert base,
-    commit one merge as v1; returns the table path."""
+    """Shared X130–X134 setup: init v0 from the q_merge_upsert base,
+    commit one merge as v1; returns the (memoized) table path."""
     import tempfile
 
     from mimic2ts_spark.operators.versioned import init_table, merge_versioned
 
+    if sf_dir in _VERSIONED_SCENARIO:
+        return _VERSIONED_SCENARIO[sf_dir]
     d = _docs(spark, sf_dir)
     base = d.where(F.col("doc_id") % 10 != 3)
     updates = d.where(F.col("doc_id") % 7 == 0).withColumn(
@@ -3556,6 +3567,7 @@ def _versioned_scenario(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="versioned_")
     init_table(base, path, "doc_id")
     merge_versioned(spark, path, updates, "doc_id")
+    _VERSIONED_SCENARIO[sf_dir] = path
     return path
 
 
