@@ -832,6 +832,30 @@ FROM events p JOIN events c
 # --- dataset split + chunking ----------------------------------------------
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """X136 — deterministic per-epoch training-order shuffle: order
+    code = md5("{epoch}:{id}") (fresh permutation per epoch, no
+    rand()), sharded by code % 16, position = row_number within the
+    shard — ONE shuffle + per-shard local sort, never a global sort
+    (the epoch loader consumes shard-major, one shard per worker).
+    Raw scan, no spread repartition: only doc_id is read (column
+    pruning) and the shard exchange redistributes anyway — a second
+    exchange would be pure waste."""
+    from mimic2ts_spark.operators.split import epoch_shuffle
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return epoch_shuffle(ids, "doc_id", epoch=3)
+
+
+def _q_epoch_shuffle_sql():
+    from mimic2ts_spark.operators.split import epoch_shuffle_sql
+
+    return epoch_shuffle_sql("documents", "doc_id", epoch=3)
+
+
+Q_EPOCH_SHUFFLE_SQL = _q_epoch_shuffle_sql()
+
+
 def q_split_hash(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split by md5 bucket of
     doc_id, aggregated per (split, source). Pure hash-space cuts:
@@ -3927,6 +3951,7 @@ EXT_REGISTRY = {
     "q_stream_join": (q_stream_join, Q_STREAM_JOIN_SQL),
     "q_stream_dedup_incremental": (q_stream_dedup_incremental, Q_DEDUP_INCREMENTAL_SQL),
     "q_split_hash": (q_split_hash, Q_SPLIT_HASH_SQL),
+    "q_epoch_shuffle": (q_epoch_shuffle, Q_EPOCH_SHUFFLE_SQL),
     "q_split_leakage_safe": (q_split_leakage_safe, Q_SPLIT_LEAKAGE_SQL),
     "q_doc_chunks": (q_doc_chunks, Q_DOC_CHUNKS_SQL),
     "q_corpus_manifest": (q_corpus_manifest, Q_CORPUS_MANIFEST_SQL),

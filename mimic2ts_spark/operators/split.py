@@ -52,3 +52,49 @@ def split_case_sql(id_expr: str, cuts: Sequence[tuple[str, int]] = DEFAULT_CUTS)
     b = split_bucket_sql(id_expr)
     whens = " ".join(f"WHEN {b} < {cut} THEN '{label}'" for label, cut in cuts)
     return f"CASE {whens} END"
+
+
+EPOCH_SHARDS = 16
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, epoch: int, n_shards: int = EPOCH_SHARDS
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle WITHOUT a global
+    sort (X136): order code = md5("{epoch}:{id}") — a fresh
+    pseudorandom permutation per epoch, reproducible across retries and
+    engines (no rand()) — sharded by code % n_shards, position =
+    row_number within the shard ordered by (code, id).
+
+    Scale shape: ONE shuffle on the shard key plus a per-shard local
+    sort; the global training order is defined as shard-major
+    (shard 0's positions, then shard 1's …), which is exactly how an
+    epoch loader consumes data — shard per worker — so a 100 TB corpus
+    never pays a global sort. n_shards is the loader-parallelism dial."""
+    code = kmv_code(
+        F.concat(F.lit(f"{epoch}:"), F.col(id_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("code", id_col)
+    return (
+        df.withColumn("code", code)
+        .withColumn("shard", (F.col("code") % n_shards).cast("long"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("code")
+    )
+
+
+def epoch_shuffle_sql(
+    table: str, id_expr: str, epoch: int, n_shards: int = EPOCH_SHARDS,
+    cols: str = "doc_id",
+) -> str:
+    code = SQL_CODE.format(tok=f"'{epoch}:' || CAST({id_expr} AS VARCHAR)")
+    return f"""
+SELECT {cols},
+       CAST(code % {n_shards} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY code % {n_shards} ORDER BY code, {id_expr}
+       ) AS BIGINT) AS position
+FROM (SELECT {cols}, {code} AS code FROM {table})
+"""

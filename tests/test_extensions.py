@@ -1183,6 +1183,29 @@ def test_bpe_apply_hand_fixture(spark):
     assert got2[0]["checksum"] != got2[1]["checksum"]
 
 
+def test_epoch_shuffle_is_fresh_bijection_per_epoch(spark, docs):
+    """Each epoch is a PERMUTATION (every doc exactly once, per-shard
+    positions contiguous from 1) and distinct epochs produce genuinely
+    different orders (the point of reshuffling between epochs)."""
+    from mimic2ts_spark.operators.split import epoch_shuffle
+
+    ids = docs.select("doc_id")
+    n = ids.count()
+    orders = {}
+    for epoch in (1, 2):
+        rows = epoch_shuffle(ids, "doc_id", epoch=epoch).collect()
+        assert len(rows) == n
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["position"])
+        for shard, pos in by_shard.items():
+            assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+        orders[epoch] = {r["doc_id"]: (r["shard"], r["position"]) for r in rows}
+    assert set(orders[1]) == set(orders[2])  # same docs
+    moved = sum(1 for d in orders[1] if orders[1][d] != orders[2][d])
+    assert moved > n * 0.9  # a fresh permutation, not a tweak
+
+
 def test_bpe_apply_checksum_survives_huge_doc(spark):
     """Overflow regression (r05): the checksum reduces each term mod MOD
     BEFORE summing — a raw Σ (pos+1)·word_hash grows ~n²/2·MOD and blows

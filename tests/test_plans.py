@@ -305,6 +305,19 @@ def test_multimodal_frames_resize_no_join_one_exchange(utc):
         assert _count(r"\(\d+\) Exchange", s) <= 1
 
 
+def test_epoch_shuffle_one_exchange_no_global_sort(utc):
+    """The epoch shuffle must pay ONE shuffle (the shard key) and sort
+    only WITHIN shards (window sort after the exchange) — a global Sort
+    exchange (rangepartitioning) would be the 100 TB anti-pattern this
+    operator exists to avoid."""
+    from mimic2ts_spark import harness_ext
+
+    s = _plan(harness_ext.q_epoch_shuffle(utc, SF))
+    assert _count(r"\(\d+\) Exchange", s) == 1, s
+    assert "rangepartitioning" not in s.lower(), s
+    assert "Join" not in s
+
+
 def test_pq_encode_single_pass_no_join(utc):
     """The r05 PQ redesign: encode emits all M subspace codes from ONE
     Arrow kernel pass — no M-way vec_id self-join (the r04 plan paid 3
