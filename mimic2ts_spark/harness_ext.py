@@ -249,6 +249,63 @@ SELECT doc_new, doc_old, jaccard FROM pairs WHERE jaccard >= 0.8
 """
 
 
+def q_ingest_admission(spark, sf_dir):
+    """X137 — the incremental-ingest ADMISSION CONTROL decision table,
+    composing the production ordering (exact first, then fuzzy —
+    corpus.py's load-bearing stage order) at the delta cadence: for
+    every incoming doc (doc_id % 10 == 0), decide
+    reject_exact      in-batch exact duplicate (not its group's min id),
+    reject_near_dup   n-gram-Jaccard near-dup of the accepted corpus
+                      (delta-vs-corpus AllPairs join, never corpus²),
+    admit             otherwise → eligible to merge into the versioned
+                      corpus (tests/test_extensions.py drives the merge
+                      end-to-end; the report itself is pure/plan-clean).
+    """
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    keep = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
+    near_new = (
+        D.incremental_ngram_pairs(
+            d, is_new=(F.col("doc_id") % 10 == 0), threshold=0.8
+        )
+        .select("doc_new")
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    return (
+        batch.select("doc_id", keep.alias("_keep"))
+        .join(near_new, F.col("doc_id") == F.col("doc_new"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("_keep"), F.lit("reject_exact"))
+            .when(F.col("_near").isNotNull(), F.lit("reject_near_dup"))
+            .otherwise(F.lit("admit"))
+            .alias("decision"),
+        )
+    )
+
+
+def _q_ingest_admission_sql():
+    return f"""
+WITH near AS ({Q_DEDUP_INCREMENTAL_SQL}),
+near_ids AS (SELECT DISTINCT doc_new FROM near),
+keepers AS (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+    FROM documents WHERE doc_id % 10 = 0
+)
+SELECT k.doc_id,
+       CASE WHEN k.doc_id != k.keep THEN 'reject_exact'
+            WHEN n.doc_new IS NOT NULL THEN 'reject_near_dup'
+            ELSE 'admit' END AS decision
+FROM keepers k LEFT JOIN near_ids n ON n.doc_new = k.doc_id
+"""
+
+
+Q_INGEST_ADMISSION_SQL = _q_ingest_admission_sql()
+
+
 def q_dedup_ngram_blocked(spark, sf_dir):
     """ngram_jaccard_pairs with a blocking key (`source`): buckets are
     additionally bounded by the block — the unconditional hot-bucket
@@ -3921,6 +3978,7 @@ EXT_REGISTRY = {
     "q_dedup_ngram": (q_dedup_ngram, Q_DEDUP_NGRAM_SQL),
     "q_dedup_ngram_blocked": (q_dedup_ngram_blocked, Q_DEDUP_NGRAM_BLOCKED_SQL),
     "q_dedup_incremental": (q_dedup_incremental, Q_DEDUP_INCREMENTAL_SQL),
+    "q_ingest_admission": (q_ingest_admission, Q_INGEST_ADMISSION_SQL),
     "q_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "q_embedding_stats": (q_embedding_stats, Q_EMBEDDING_STATS_SQL),
     "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),

@@ -1183,6 +1183,59 @@ def test_bpe_apply_hand_fixture(spark):
     assert got2[0]["checksum"] != got2[1]["checksum"]
 
 
+def test_ingest_admission_end_to_end(spark, tmp_path):
+    """The X137 decision table drives a real versioned-corpus ingest:
+    admitted docs merge as a committed version and the table grows by
+    exactly the admitted count; rejects never enter. Planted fixtures:
+    a batch doc that's an exact copy of another batch doc (reject_exact,
+    min-id canonical admits), and one nearly identical to a corpus doc
+    (reject_near_dup)."""
+    from mimic2ts_spark import harness_ext as hx
+    from mimic2ts_spark.operators.versioned import (
+        init_table,
+        merge_versioned,
+        read_table,
+    )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # corpus (doc_id % 10 != 0)
+        (1, base_text),
+        (2, "one two three four five six seven eight nine ten"),
+        # batch (doc_id % 10 == 0)
+        (10, base_text + " kappa"),            # near-dup of corpus doc 1
+        (20, "completely fresh content words unlike anything else here"),
+        (30, "duplicate payload inside the incoming batch itself today"),
+        (40, "duplicate payload inside the incoming batch itself today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="ingest_sf_")
+    docs.write.mode("overwrite").parquet(f"{src}/documents.parquet")
+
+    report = {r["doc_id"]: r["decision"]
+              for r in hx.q_ingest_admission(spark, src).collect()}
+    assert report == {
+        10: "reject_near_dup",
+        20: "admit",
+        30: "admit",          # canonical (min id) of the exact pair
+        40: "reject_exact",
+    }
+
+    # drive the admitted rows into a versioned corpus
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    path = str(tmp_path / "corpus")
+    init_table(corpus, path, "doc_id", n_buckets=4)
+    admitted_ids = [d for d, dec in report.items() if dec == "admit"]
+    admitted = docs.where(F.col("doc_id").isin(admitted_ids))
+    merge_versioned(spark, path, admitted, "doc_id")
+    final = read_table(spark, path)
+    assert final.count() == corpus.count() + len(admitted_ids)
+    assert final.where(F.col("doc_id").isin([10, 40])).count() == 0
+
+
 def test_epoch_shuffle_is_fresh_bijection_per_epoch(spark, docs):
     """Each epoch is a PERMUTATION (every doc exactly once, per-shard
     positions contiguous from 1) and distinct epochs produce genuinely
