@@ -112,6 +112,8 @@ HEADLINE = [
     "q_multimodal_frames",
     "q_multimodal_resize",
     "q_dedup_representatives",
+    "q_epoch_shuffle",
+    "q_ingest_admission",
 ]
 
 
