@@ -2258,7 +2258,7 @@ _GATE_CHANGED_THIS_ROUND = [
     # r05: new operators — MERGE change-data-feed + versioned table
     "q_merge_changelog", "q_merge_versioned", "q_time_travel",
     "q_versioned_lookup", "q_versioned_compact", "q_stream_versioned",
-    "q_epoch_shuffle", "q_ingest_admission",
+    "q_epoch_shuffle", "q_ingest_admission", "q_version_diff",
 ]
 
 # Previously-never-verified set (all earned driver rows by r04; retained
@@ -2274,7 +2274,6 @@ _GATE_PRIORITY = _GATE_CHANGED_THIS_ROUND + [
     "q_stream_clamp", "q_stream_sliding", "q_stream_dedup",
     "q_stream_join", "q_stream_dedup_incremental",
     "q_split_hash", "q_split_leakage_safe", "q_doc_chunks",
-    "q_corpus_manifest",
 ]
 
 

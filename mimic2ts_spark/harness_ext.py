@@ -3697,6 +3697,20 @@ def q_stream_versioned(spark, sf_dir):
     return _bucket_rollup(ST.run_versioned_sink_available_now(spark, sf_dir, path))
 
 
+def q_version_diff(spark, sf_dir):
+    """X138 — CDF BETWEEN COMMITTED VERSIONS: diff v0→v1 of the
+    versioned corpus reading ONLY buckets whose manifest pointer
+    changed (identical pointers ⇒ immutable-dir identity ⇒ zero read).
+    Must reproduce the prospective changelog exactly — same oracle as
+    q_merge_changelog, which is the invariant that makes a commit-range
+    CDF trustworthy: what the merge SAID it would change is what the
+    committed versions actually differ by."""
+    from mimic2ts_spark.operators.versioned import diff_versions
+
+    path = _versioned_scenario(spark, sf_dir)
+    return diff_versions(spark, path, 0, 1, carry_cols=("n_chars",))
+
+
 def q_versioned_compact(spark, sf_dir):
     """X134 — OPTIMIZE as a commit: after the v1 merge, compact every
     bucket into one file as v2 (content-identical repartition, old
@@ -3927,6 +3941,7 @@ EXT_REGISTRY = {
     "q_versioned_lookup": (q_versioned_lookup, Q_VERSIONED_LOOKUP_SQL),
     "q_versioned_compact": (q_versioned_compact, Q_MERGE_UPSERT_SQL),
     "q_stream_versioned": (q_stream_versioned, Q_MERGE_UPSERT_SQL),
+    "q_version_diff": (q_version_diff, Q_MERGE_CHANGELOG_SQL),
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
     "q_compact_files": (q_compact_files, Q_MERGE_UPSERT_SQL),

@@ -253,6 +253,56 @@ def compact_versioned(spark: SparkSession, path: str) -> dict:
     return manifest
 
 
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Change-data-feed BETWEEN two committed versions: (key, op) with
+    op ∈ {'insert', 'update', 'delete'}, plus old_/new_ carry columns.
+
+    The manifest does the heavy lifting: a bucket whose version pointer
+    is IDENTICAL in both manifests holds byte-identical data (version
+    dirs are immutable), so only pointer-changed buckets are read and
+    full-outer-joined — at 100 TB, diffing two adjacent versions costs
+    the touched buckets, not two table scans. Same classification as a
+    Delta CDF read over the commit range."""
+    m_from = read_manifest(path, from_version)
+    m_to = read_manifest(path, to_version)
+    key_col = m_to["key"]
+    changed = sorted(
+        int(b)
+        for b in set(m_from["buckets"]) | set(m_to["buckets"])
+        if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+    )
+    old = read_table(spark, path, version=from_version, buckets=changed)
+    new = read_table(spark, path, version=to_version, buckets=changed)
+    o = old.alias("o")
+    n = new.alias("n")
+    j = o.join(n, F.col(f"o.{key_col}") == F.col(f"n.{key_col}"), "full_outer")
+    op = (
+        F.when(F.col(f"o.{key_col}").isNull(), F.lit("insert"))
+        .when(F.col(f"n.{key_col}").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    out = j.select(
+        F.coalesce(F.col(f"o.{key_col}"), F.col(f"n.{key_col}")).alias(key_col),
+        op.alias("op"),
+        *[F.col(f"o.{c}").alias(f"old_{c}") for c in carry_cols],
+        *[F.col(f"n.{c}").alias(f"new_{c}") for c in carry_cols],
+    )
+    if carry_cols:
+        # unchanged rows inside a rewritten bucket are NOT changes
+        same = None
+        for c in carry_cols:
+            eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            same = eq if same is None else same & eq
+        out = out.where((F.col("op") != "update") | ~same)
+    return out
+
+
 def vacuum(path: str, keep_versions: int = 2) -> dict:
     """Retention GC (the VACUUM side of the table format): keep the
     newest `keep_versions` committed manifests, delete older manifests

@@ -183,6 +183,54 @@ def test_versioned_schema_mismatch_raises(spark, tmp_path):
     assert latest_version(path) == 0  # nothing committed
 
 
+def test_version_diff_classifies_and_reads_changed_buckets_only(spark, tmp_path):
+    """diff_versions: pointer-unchanged buckets are never read
+    (immutable-dir identity), rewritten-bucket rows that didn't change
+    are filtered, and insert/update/delete all classify. A delete is
+    simulated by committing a version with a bucket's row removed via a
+    direct rewrite (the merge never deletes; the DIFF must still see
+    it)."""
+    from mimic2ts_spark.operators import versioned as V
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "t")
+    init_table(docs, path, "doc_id", n_buckets=8)
+    upd = docs.where(F.col("doc_id").isin([1, 2])).withColumn(
+        "n_chars", F.col("n_chars") + 9
+    )
+    m1 = merge_versioned(spark, path, upd, "doc_id")
+
+    d = V.diff_versions(spark, path, 0, 1, carry_cols=("n_chars",))
+    # only pointer-changed buckets are read
+    touched = {f.split("/pb=")[1].split("/")[0] for f in d.inputFiles()}
+    assert touched == {str(b) for b in m1["affected_buckets"]}
+    got = {r["doc_id"]: r for r in d.collect()}
+    assert set(got) == {1, 2}  # unchanged rows in rewritten buckets filtered
+    for k in (1, 2):
+        assert got[k]["op"] == "update"
+        assert got[k]["new_n_chars"] == got[k]["old_n_chars"] + 9
+
+    # hand-commit v2 with doc 1's row dropped from its bucket → delete
+    m = V.read_manifest(path, 1)
+    keep = read_table(spark, path).where(F.col("doc_id") != 1)
+    from mimic2ts_spark.operators.merge import key_bucket
+
+    bucket_of_1 = docs.where(F.col("doc_id") == 1).select(
+        key_bucket(F.col("doc_id"), 8).alias("b")
+    ).collect()[0]["b"]
+    rewritten = keep.where(F.col("bucket") == bucket_of_1)
+    V._write_version_dirs(rewritten, path, "v2")
+    m.update({"version": 2, "parent": 1, "op": "delete"})
+    m["buckets"] = {**m["buckets"], str(bucket_of_1): "v2"}
+    V._write_manifest(path, m)
+    V._commit(path, 2)
+
+    d2 = {r["doc_id"]: r for r in
+          V.diff_versions(spark, path, 1, 2, carry_cols=("n_chars",)).collect()}
+    assert set(d2) == {1} and d2[1]["op"] == "delete"
+    assert d2[1]["new_n_chars"] is None
+
+
 def test_versioned_vacuum_retention(spark, tmp_path):
     """VACUUM keeps the newest K manifests and deletes every
     (version, bucket) dir no retained manifest references; time travel
