@@ -3711,6 +3711,65 @@ def q_version_diff(spark, sf_dir):
     return diff_versions(spark, path, 0, 1, carry_cols=("n_chars",))
 
 
+def q_schema_evolution(spark, sf_dir):
+    """X139 — explicit schema evolution on the versioned MERGE: the
+    update batch carries a NEW `score` column (allow_new_columns=True);
+    updated/inserted rows hold values, every pre-existing row reads
+    NULL through the reader's parquet schema-merge (old version dirs
+    lack the column). Rollup per bucket counts scored rows — the oracle
+    pins that exactly the update keys are scored and nothing else."""
+    import tempfile
+
+    from mimic2ts_spark.operators.versioned import (
+        init_table,
+        merge_versioned,
+        read_table,
+    )
+
+    d = _docs(spark, sf_dir)
+    base = d.where(F.col("doc_id") % 10 != 3)
+    updates = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "score", (F.col("doc_id") % 100).cast("long")
+    )
+    path = tempfile.mkdtemp(prefix="schema_evo_")
+    init_table(base, path, "doc_id")
+    merge_versioned(spark, path, updates, "doc_id", allow_new_columns=True)
+    return (
+        read_table(spark, path)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("score").cast("long").alias("n_scored"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _q_schema_evolution_sql():
+    from mimic2ts_spark.operators.merge import sql_key_bucket
+
+    bucket = sql_key_bucket("doc_id")
+    return f"""
+WITH upd AS (
+    SELECT doc_id, doc_id % 100 AS score FROM documents WHERE doc_id % 7 = 0
+),
+kept AS (
+    SELECT doc_id, NULL AS score FROM documents
+    WHERE doc_id % 10 != 3 AND doc_id % 7 != 0
+),
+final AS (SELECT * FROM upd UNION ALL SELECT * FROM kept)
+SELECT {bucket} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(score) AS BIGINT) AS n_scored,
+       CAST(sum(score) AS BIGINT) AS sum_score
+FROM final GROUP BY 1 ORDER BY 1
+"""
+
+
+Q_SCHEMA_EVOLUTION_SQL = _q_schema_evolution_sql()
+
+
 def q_versioned_compact(spark, sf_dir):
     """X134 — OPTIMIZE as a commit: after the v1 merge, compact every
     bucket into one file as v2 (content-identical repartition, old
@@ -3942,6 +4001,7 @@ EXT_REGISTRY = {
     "q_versioned_compact": (q_versioned_compact, Q_MERGE_UPSERT_SQL),
     "q_stream_versioned": (q_stream_versioned, Q_MERGE_UPSERT_SQL),
     "q_version_diff": (q_version_diff, Q_MERGE_CHANGELOG_SQL),
+    "q_schema_evolution": (q_schema_evolution, Q_SCHEMA_EVOLUTION_SQL),
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
     "q_compact_files": (q_compact_files, Q_MERGE_UPSERT_SQL),

@@ -152,17 +152,32 @@ def read_table(
             else sorted(set(buckets) & set(key_buckets))
         )
     dirs = _bucket_dirs(path, m, buckets)
-    return spark.read.parquet(*dirs)
+    if not dirs:
+        raise ValueError("no buckets selected (empty manifest selection)")
+    # mergeSchema: version dirs written before a schema evolution lack
+    # the added columns; the merged read surfaces them as NULL
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
 def merge_versioned(
-    spark: SparkSession, path: str, updates: DataFrame, key_col: str
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    allow_new_columns: bool = False,
 ) -> dict:
     """MERGE an update batch as a NEW COMMITTED VERSION: affected
     buckets' merged data lands under v{n}/ (untouched buckets keep
     their existing dirs byte-identical — referenced, not rewritten),
     then manifest + pointer commit atomically. Returns the new
-    manifest."""
+    manifest.
+
+    Schema evolution is EXPLICIT opt-in (Delta's autoMerge analog):
+    with allow_new_columns=True, batch columns absent from the table
+    are ADDED — existing rows read as NULL for them (parquet
+    schema-merge across version dirs; read_table always merges
+    schemas), and versions committed before the evolution simply lack
+    the column on time travel. Missing columns still always raise."""
     prev = read_manifest(path)
     n_buckets = prev["n_buckets"]
     if prev["key"] != key_col:
@@ -183,15 +198,25 @@ def merge_versioned(
     data_cols = [c for c in base.columns if c != "bucket"]
     # schema check BEFORE any write: row-replacement needs every table
     # column in the batch — silently dropping extras or NULLing missing
-    # ones would corrupt rows (Delta rejects mismatches too, absent
-    # schema-evolution opt-in, which this layout does not claim)
-    if set(updates.columns) != set(data_cols):
-        missing = sorted(set(data_cols) - set(updates.columns))
-        extra = sorted(set(updates.columns) - set(data_cols))
+    # ones would corrupt rows (Delta rejects mismatches too, absent the
+    # explicit schema-evolution opt-in below)
+    missing = sorted(set(data_cols) - set(updates.columns))
+    extra = sorted(set(updates.columns) - set(data_cols))
+    if missing or (extra and not allow_new_columns):
         raise ValueError(
             f"update batch schema does not match the table: missing={missing} "
-            f"extra={extra} (no schema evolution — align the batch upstream)"
+            f"extra={extra} (pass allow_new_columns=True to ADD new columns; "
+            "missing columns always require aligning the batch upstream)"
         )
+    if extra:
+        # evolution: widen the in-flight base with NULLs of the batch's
+        # types; only the affected buckets rewrite with the new schema —
+        # untouched buckets stay on the old schema and the reader's
+        # parquet schema-merge reconciles them as NULL
+        up_schema = {f.name: f.dataType for f in updates.schema.fields}
+        for c in extra:
+            base = base.withColumn(c, F.lit(None).cast(up_schema[c]))
+        data_cols = data_cols + extra
     b = base.alias("b")
     u = up.alias("u")
     merged = b.join(u, F.col(f"b.{key_col}") == F.col(f"u.{key_col}"), "full_outer")

@@ -231,6 +231,31 @@ def test_version_diff_classifies_and_reads_changed_buckets_only(spark, tmp_path)
     assert d2[1]["new_n_chars"] is None
 
 
+def test_versioned_schema_evolution_opt_in(spark, tmp_path):
+    """allow_new_columns=True ADDS batch-only columns: updated rows
+    carry values, every pre-existing row reads NULL (parquet
+    schema-merge across version dirs), pre-evolution versions simply
+    lack the column on time travel, and the default still rejects."""
+    import pytest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "t")
+    init_table(docs, path, "doc_id", n_buckets=4)
+
+    upd = docs.where(F.col("doc_id") == 1).withColumn("score", F.lit(0.9))
+    with pytest.raises(ValueError, match="extra=\\['score'\\]"):
+        merge_versioned(spark, path, upd, "doc_id")
+
+    merge_versioned(spark, path, upd, "doc_id", allow_new_columns=True)
+    final = read_table(spark, path)
+    assert "score" in final.columns
+    got = {r["doc_id"]: r["score"] for r in
+           final.where(F.col("doc_id").isin([1, 2])).collect()}
+    assert got[1] == pytest.approx(0.9) and got[2] is None
+    # time travel to v0: the column does not exist there
+    assert "score" not in read_table(spark, path, version=0).columns
+
+
 def test_versioned_vacuum_retention(spark, tmp_path):
     """VACUUM keeps the newest K manifests and deletes every
     (version, bucket) dir no retained manifest references; time travel
