@@ -302,8 +302,21 @@ def diff_versions(
         for b in set(m_from["buckets"]) | set(m_to["buckets"])
         if m_from["buckets"].get(b) != m_to["buckets"].get(b)
     )
-    old = read_table(spark, path, version=from_version, buckets=changed)
-    new = read_table(spark, path, version=to_version, buckets=changed)
+
+    def _side(m, version):
+        present = [b for b in changed if str(b) in m["buckets"]]
+        if present:
+            return read_table(spark, path, version=version, buckets=present)
+        return None
+
+    old = _side(m_from, from_version)
+    new = _side(m_to, to_version)
+    if old is None and new is None:  # identical manifests
+        raise ValueError("versions are identical (no pointer differs)")
+    if old is None:  # every changed bucket is brand-new → all inserts
+        old = spark.createDataFrame([], new.schema)
+    if new is None:  # every changed bucket was dropped → all deletes
+        new = spark.createDataFrame([], old.schema)
     o = old.alias("o")
     n = new.alias("n")
     j = o.join(n, F.col(f"o.{key_col}") == F.col(f"n.{key_col}"), "full_outer")
