@@ -260,23 +260,31 @@ def q_ingest_admission(spark, sf_dir):
     admit             otherwise → eligible to merge into the versioned
                       corpus (tests/test_extensions.py drives the merge
                       end-to-end; the report itself is pure/plan-clean).
-    """
+
+    The exact gate PRUNES the fuzzy probe side: exact-rejected batch
+    docs never enter the n-gram candidate join (their decision is
+    sealed by precedence, so the result is identical) — on a
+    duplicate-heavy batch this removes the duplicates' entire share of
+    the candidate stream, the ordering lesson corpus.py encodes applied
+    inside one query."""
     from pyspark.sql import Window as W
 
     d = _docs(spark, sf_dir)
     batch = d.where(F.col("doc_id") % 10 == 0)
     keep = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
+    keyed = batch.select("doc_id", keep.alias("_keep"))
+    rejected_exact = keyed.where(F.col("doc_id") != F.col("_keep")).select("doc_id")
+    d_pruned = d.join(rejected_exact, "doc_id", "left_anti")
     near_new = (
         D.incremental_ngram_pairs(
-            d, is_new=(F.col("doc_id") % 10 == 0), threshold=0.8
+            d_pruned, is_new=(F.col("doc_id") % 10 == 0), threshold=0.8
         )
         .select("doc_new")
         .distinct()
         .withColumn("_near", F.lit(True))
     )
     return (
-        batch.select("doc_id", keep.alias("_keep"))
-        .join(near_new, F.col("doc_id") == F.col("doc_new"), "left")
+        keyed.join(near_new, F.col("doc_id") == F.col("doc_new"), "left")
         .select(
             "doc_id",
             F.when(F.col("doc_id") != F.col("_keep"), F.lit("reject_exact"))
@@ -288,13 +296,24 @@ def q_ingest_admission(spark, sf_dir):
 
 
 def _q_ingest_admission_sql():
+    # mirror the probe-side pruning: the near CTE runs on documents
+    # minus the exact-rejected batch docs (their decision is sealed by
+    # precedence, so the report is identical)
+    pruned_near = Q_DEDUP_INCREMENTAL_SQL.replace(
+        "FROM documents", "FROM docs_pruned"
+    )
+    assert "docs_pruned" in pruned_near  # the tok CTE's single source
     return f"""
-WITH near AS ({Q_DEDUP_INCREMENTAL_SQL}),
-near_ids AS (SELECT DISTINCT doc_new FROM near),
-keepers AS (
+WITH keepers AS (
     SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
     FROM documents WHERE doc_id % 10 = 0
-)
+),
+docs_pruned AS (
+    SELECT d.* FROM documents d LEFT JOIN keepers k ON k.doc_id = d.doc_id
+    WHERE d.doc_id % 10 != 0 OR k.doc_id = k.keep
+),
+near AS ({pruned_near}),
+near_ids AS (SELECT DISTINCT doc_new FROM near)
 SELECT k.doc_id,
        CASE WHEN k.doc_id != k.keep THEN 'reject_exact'
             WHEN n.doc_new IS NOT NULL THEN 'reject_near_dup'
