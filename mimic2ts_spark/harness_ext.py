@@ -3789,6 +3789,31 @@ FROM final GROUP BY 1 ORDER BY 1
 Q_SCHEMA_EVOLUTION_SQL = _q_schema_evolution_sql()
 
 
+def q_versioned_count(spark, sf_dir):
+    """X140 — COUNT(*) as a METADATA-ONLY query: per-bucket row counts
+    ride the manifest (harvested from parquet footers at write time),
+    so counting the committed table touches one small JSON — zero data
+    read, the planner-side stat every table format keeps. The oracle
+    recomputes the true final-state count the hard way; any drift
+    between manifest stats and data fails the hash."""
+    from mimic2ts_spark.operators.versioned import table_count
+
+    path = _versioned_scenario(spark, sf_dir)
+    return spark.createDataFrame(
+        [(table_count(path),)], "n_rows long"
+    )
+
+
+Q_VERSIONED_COUNT_SQL = """
+WITH upd AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+kept AS (
+    SELECT doc_id FROM documents WHERE doc_id % 10 != 3 AND doc_id % 7 != 0
+)
+SELECT CAST((SELECT count(*) FROM upd) + (SELECT count(*) FROM kept) AS BIGINT)
+    AS n_rows
+"""
+
+
 def q_versioned_compact(spark, sf_dir):
     """X134 — OPTIMIZE as a commit: after the v1 merge, compact every
     bucket into one file as v2 (content-identical repartition, old
@@ -4021,6 +4046,7 @@ EXT_REGISTRY = {
     "q_stream_versioned": (q_stream_versioned, Q_MERGE_UPSERT_SQL),
     "q_version_diff": (q_version_diff, Q_MERGE_CHANGELOG_SQL),
     "q_schema_evolution": (q_schema_evolution, Q_SCHEMA_EVOLUTION_SQL),
+    "q_versioned_count": (q_versioned_count, Q_VERSIONED_COUNT_SQL),
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
     "q_compact_files": (q_compact_files, Q_MERGE_UPSERT_SQL),

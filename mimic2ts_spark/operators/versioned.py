@@ -59,8 +59,23 @@ def _write_manifest(path: str, manifest: dict) -> None:
         json.dump(manifest, f, sort_keys=True)
 
 
-def _commit(path: str, version: int) -> None:
-    """Flip the commit pointer atomically (os.replace = rename(2))."""
+def _commit(path: str, version: int, expected_parent: int | None = None) -> None:
+    """Flip the commit pointer atomically (os.replace = rename(2)).
+
+    expected_parent adds BEST-EFFORT optimistic concurrency: if another
+    writer committed since this transaction read its base version, the
+    pointer no longer names the expected parent and the commit raises
+    instead of silently clobbering the other writer's version chain.
+    (Check-then-rename is not atomic — a true multi-writer table needs
+    a lock service or CAS object store; the layout documents
+    single-writer, this guard catches the accident.)"""
+    if expected_parent is not None:
+        current = latest_version(path)
+        if current != expected_parent:
+            raise RuntimeError(
+                f"commit conflict: table advanced to v{current} while this "
+                f"transaction was based on v{expected_parent} — re-read and retry"
+            )
     tmp = os.path.join(path, f"{_LATEST}.tmp")
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -79,15 +94,30 @@ def read_manifest(path: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
-def _write_version_dirs(data: DataFrame, path: str, ver_dir: str) -> None:
+def _write_version_dirs(data: DataFrame, path: str, ver_dir: str) -> dict:
     """ONE write job for all buckets of a version: partition on a
     duplicate `pb` column so dirs land as v{k}/pb={bucket} while the
     `bucket` column itself survives INSIDE the data files (leaf-dir
     reads don't do hive discovery, so a hive-dropped column would
-    vanish)."""
+    vanish). Returns per-bucket row counts from the parquet FOOTERS of
+    what was just written (no second scan of the data) — the manifest
+    row-count stats that make count() a metadata-only query."""
     data.withColumn("pb", F.col("bucket")).write.mode("overwrite").partitionBy(
         "pb"
     ).parquet(os.path.join(path, ver_dir))
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    root = os.path.join(path, ver_dir)
+    for d in os.listdir(root):
+        if d.startswith("pb="):
+            n = 0
+            full = os.path.join(root, d)
+            for f in os.listdir(full):
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(full, f)).metadata.num_rows
+            counts[d.split("=")[1]] = n
+    return counts
 
 
 def init_table(
@@ -95,17 +125,13 @@ def init_table(
 ) -> dict:
     """Write version 0: every bucket's data under v0/pb={bucket}."""
     data = df.withColumn("bucket", key_bucket(F.col(key_col), n_buckets))
-    _write_version_dirs(data, path, "v0")
-    present = sorted(
-        int(d.split("=")[1])
-        for d in os.listdir(os.path.join(path, "v0"))
-        if d.startswith("pb=")
-    )
+    counts = _write_version_dirs(data, path, "v0")
     manifest = {
         "version": 0,
         "key": key_col,
         "n_buckets": n_buckets,
-        "buckets": {str(b): "v0" for b in present},
+        "buckets": {b: "v0" for b in sorted(counts, key=int)},
+        "row_counts": counts,
         "parent": None,
         "op": "init",
     }
@@ -232,22 +258,25 @@ def merge_versioned(
     version = prev["version"] + 1
     ver_dir = f"v{version}"
     # 1) data first — new dirs, invisible to every reader (one job)
-    _write_version_dirs(picked, path, ver_dir)
+    counts = _write_version_dirs(picked, path, ver_dir)
     # 2) manifest second, 3) pointer flip last (atomic)
     buckets = dict(prev["buckets"])
+    row_counts = dict(prev.get("row_counts", {}))
     for bkt in affected:
         buckets[str(bkt)] = ver_dir
+    row_counts.update(counts)
     manifest = {
         "version": version,
         "key": key_col,
         "n_buckets": n_buckets,
         "buckets": buckets,
+        "row_counts": row_counts,
         "parent": prev["version"],
         "op": "merge",
         "affected_buckets": affected,
     }
     _write_manifest(path, manifest)
-    _commit(path, version)
+    _commit(path, version, expected_parent=prev["version"])
     return manifest
 
 
@@ -264,17 +293,18 @@ def compact_versioned(spark: SparkSession, path: str) -> dict:
     version = prev["version"] + 1
     ver_dir = f"v{version}"
     data = read_table(spark, path).repartition("bucket")
-    _write_version_dirs(data, path, ver_dir)
+    counts = _write_version_dirs(data, path, ver_dir)
     manifest = {
         "version": version,
         "key": prev["key"],
         "n_buckets": prev["n_buckets"],
         "buckets": {b: ver_dir for b in prev["buckets"]},
+        "row_counts": counts,
         "parent": prev["version"],
         "op": "compact",
     }
     _write_manifest(path, manifest)
-    _commit(path, version)
+    _commit(path, version, expected_parent=prev["version"])
     return manifest
 
 
@@ -339,6 +369,16 @@ def diff_versions(
             same = eq if same is None else same & eq
         out = out.where((F.col("op") != "update") | ~same)
     return out
+
+
+def table_count(path: str, version: int | None = None) -> int:
+    """count(*) as a METADATA-ONLY query: the manifest carries per-bucket
+    row counts (harvested from the parquet footers at write time), so a
+    table/version count touches one small JSON file — the planner-side
+    stat every table format keeps so COUNT(*), size estimation, and
+    broadcast decisions never scan data."""
+    m = read_manifest(path, version)
+    return sum(m["row_counts"].values())
 
 
 def vacuum(path: str, keep_versions: int = 2) -> dict:

@@ -256,6 +256,36 @@ def test_versioned_schema_evolution_opt_in(spark, tmp_path):
     assert "score" not in read_table(spark, path, version=0).columns
 
 
+def test_versioned_metadata_count_and_conflict_guard(spark, tmp_path):
+    """row_counts ride the manifest (parquet footers, no data scan):
+    table_count must equal the real count at every version and after
+    compaction; the optimistic commit guard rejects a commit whose
+    expected parent is no longer the pointer."""
+    import pytest
+
+    from mimic2ts_spark.operators import versioned as V
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "t")
+    init_table(docs, path, "doc_id", n_buckets=4)
+    assert V.table_count(path) == docs.count()
+
+    new = spark.createDataFrame(
+        [(10**9, "brand new", "en", "src", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    merge_versioned(spark, path, new, "doc_id")
+    assert V.table_count(path) == docs.count() + 1
+    assert V.table_count(path, version=0) == docs.count()  # per-version stats
+
+    V.compact_versioned(spark, path)
+    assert V.table_count(path) == docs.count() + 1
+    assert V.table_count(path) == read_table(spark, path).count()
+
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        V._commit(path, 9, expected_parent=0)  # pointer is at v2, not v0
+
+
 def test_versioned_vacuum_retention(spark, tmp_path):
     """VACUUM keeps the newest K manifests and deletes every
     (version, bucket) dir no retained manifest references; time travel
