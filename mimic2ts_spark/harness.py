@@ -2259,7 +2259,7 @@ _GATE_CHANGED_THIS_ROUND = [
     "q_merge_changelog", "q_merge_versioned", "q_time_travel",
     "q_versioned_lookup", "q_versioned_compact", "q_stream_versioned",
     "q_epoch_shuffle", "q_ingest_admission", "q_version_diff",
-    "q_schema_evolution", "q_versioned_count",
+    "q_schema_evolution", "q_versioned_count", "q_cdf_refresh",
 ]
 
 # Previously-never-verified set (all earned driver rows by r04; retained
@@ -2274,7 +2274,6 @@ _GATE_PRIORITY = _GATE_CHANGED_THIS_ROUND + [
     "q_source_drift", "q_text_pii_scrub", "q_dedup_clusters",
     "q_stream_clamp", "q_stream_sliding", "q_stream_dedup",
     "q_stream_join", "q_stream_dedup_incremental",
-    "q_split_hash",
 ]
 
 

@@ -3789,6 +3789,50 @@ FROM final GROUP BY 1 ORDER BY 1
 Q_SCHEMA_EVOLUTION_SQL = _q_schema_evolution_sql()
 
 
+def q_cdf_refresh(spark, sf_dir):
+    """X141 — rollup maintained FROM the CDF: the per-lang (n_rows,
+    sum_n_chars) aggregate of table version 0, refreshed to version 1
+    using ONLY diff_versions' change rows (Δ = new image of
+    insert+update − old image of delete+update). The oracle recomputes
+    the v1 rollup the hard way — the refreshed state must be
+    bit-identical, which is the entire contract of CDC-maintained
+    aggregates at 100 TB (delta cost, full-recompute answer)."""
+    from mimic2ts_spark.operators.versioned import (
+        diff_versions,
+        incremental_agg_refresh,
+        read_table,
+    )
+
+    path = _versioned_scenario(spark, sf_dir)
+    agg0 = (
+        read_table(spark, path, version=0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_n_chars"),
+        )
+    )
+    cdf = diff_versions(spark, path, 0, 1, carry_cols=("lang", "n_chars"))
+    return incremental_agg_refresh(agg0, cdf, "lang", sum_cols=("n_chars",))
+
+
+Q_CDF_REFRESH_SQL = """
+WITH upd AS (
+    SELECT doc_id, lang, n_chars + 3 AS n_chars
+    FROM documents WHERE doc_id % 7 = 0
+),
+kept AS (
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 10 != 3 AND doc_id % 7 != 0
+),
+final AS (SELECT * FROM upd UNION ALL SELECT * FROM kept)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM final GROUP BY lang HAVING count(*) > 0
+"""
+
+
 def q_versioned_count(spark, sf_dir):
     """X140 — COUNT(*) as a METADATA-ONLY query: per-bucket row counts
     ride the manifest (harvested from parquet footers at write time),
@@ -4047,6 +4091,7 @@ EXT_REGISTRY = {
     "q_version_diff": (q_version_diff, Q_MERGE_CHANGELOG_SQL),
     "q_schema_evolution": (q_schema_evolution, Q_SCHEMA_EVOLUTION_SQL),
     "q_versioned_count": (q_versioned_count, Q_VERSIONED_COUNT_SQL),
+    "q_cdf_refresh": (q_cdf_refresh, Q_CDF_REFRESH_SQL),
     "q_stream_quality": (q_stream_quality, Q_QUALITY_GATE_SQL),
     "q_stream_merge": (q_stream_merge, Q_MERGE_UPSERT_SQL),
     "q_compact_files": (q_compact_files, Q_MERGE_UPSERT_SQL),

@@ -381,6 +381,69 @@ def table_count(path: str, version: int | None = None) -> int:
     return sum(m["row_counts"].values())
 
 
+def incremental_agg_refresh(
+    agg: DataFrame,
+    cdf: DataFrame,
+    group_col: str,
+    sum_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Maintain a rollup FROM the CDF instead of recomputing it — the
+    consumer pattern that justifies a change feed at 100 TB: a grouped
+    aggregate over the whole table refreshes at the cost of the delta.
+
+    agg: (group_col, n_rows, sum_<c>…) — the maintained state.
+    cdf:  diff_versions output carrying old_<group_col>/new_<group_col>
+          and old_<c>/new_<c> for every sum col.
+    Δ = (new image of insert+update rows) − (old image of delete+update
+    rows), grouped; refreshed = agg ⊕ Δ, groups whose count reaches 0
+    drop out. Pure integer adds/subtracts — exact, order-free."""
+    def _img(side: str, ops: tuple[str, ...]) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias("_n")] + [
+            F.sum(f"{side}_{c}").cast("long").alias(f"_s_{c}") for c in sum_cols
+        ]
+        return (
+            cdf.where(F.col("op").isin(*ops))
+            .groupBy(F.col(f"{side}_{group_col}").alias(group_col))
+            .agg(*aggs)
+        )
+
+    adds = _img("new", ("insert", "update"))
+    subs = _img("old", ("delete", "update"))
+    a = adds.alias("a")
+    s = subs.alias("s")
+    delta = a.join(s, F.col(f"a.{group_col}") == F.col(f"s.{group_col}"), "full_outer").select(
+        F.coalesce(F.col(f"a.{group_col}"), F.col(f"s.{group_col}")).alias(group_col),
+        (F.coalesce(F.col("a._n"), F.lit(0)) - F.coalesce(F.col("s._n"), F.lit(0))).alias("_dn"),
+        *[
+            (
+                F.coalesce(F.col(f"a._s_{c}"), F.lit(0))
+                - F.coalesce(F.col(f"s._s_{c}"), F.lit(0))
+            ).alias(f"_ds_{c}")
+            for c in sum_cols
+        ],
+    )
+    g = agg.alias("g")
+    d = delta.alias("d")
+    return (
+        g.join(d, F.col(f"g.{group_col}") == F.col(f"d.{group_col}"), "full_outer")
+        .select(
+            F.coalesce(F.col(f"g.{group_col}"), F.col(f"d.{group_col}")).alias(group_col),
+            (
+                F.coalesce(F.col("g.n_rows"), F.lit(0))
+                + F.coalesce(F.col("d._dn"), F.lit(0))
+            ).cast("long").alias("n_rows"),
+            *[
+                (
+                    F.coalesce(F.col(f"g.sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d._ds_{c}"), F.lit(0))
+                ).cast("long").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        .where(F.col("n_rows") > 0)
+    )
+
+
 def vacuum(path: str, keep_versions: int = 2) -> dict:
     """Retention GC (the VACUUM side of the table format): keep the
     newest `keep_versions` committed manifests, delete older manifests

@@ -841,6 +841,7 @@ def test_registry_global_plan_invariants(utc):
         "q_version_diff",     # side-effecting versioned commit; tests/test_versioned.py
         "q_schema_evolution",  # side-effecting versioned commit; tests/test_versioned.py
         "q_versioned_count",  # side-effecting versioned commit; tests/test_versioned.py
+        "q_cdf_refresh",      # side-effecting versioned commit; tests/test_versioned.py
         "q_compact_files",  # side-effecting write; pinned by tests/test_merge.py
     }
     problems = []

@@ -230,6 +230,24 @@ def test_version_diff_classifies_and_reads_changed_buckets_only(spark, tmp_path)
     assert set(d2) == {1} and d2[1]["op"] == "delete"
     assert d2[1]["new_n_chars"] is None
 
+    # CDC-maintained rollup across the DELETE commit: refresh the v1
+    # per-lang aggregate with the v1→v2 CDF; must equal the v2 recompute
+    def rollup(version):
+        return (
+            read_table(spark, path, version=version)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("sum_n_chars"),
+            )
+        )
+
+    cdf12 = V.diff_versions(spark, path, 1, 2, carry_cols=("lang", "n_chars"))
+    refreshed = V.incremental_agg_refresh(rollup(1), cdf12, "lang", ("n_chars",))
+    want = {r["lang"]: (r["n_rows"], r["sum_n_chars"]) for r in rollup(2).collect()}
+    got = {r["lang"]: (r["n_rows"], r["sum_n_chars"]) for r in refreshed.collect()}
+    assert got == want
+
 
 def test_versioned_schema_evolution_opt_in(spark, tmp_path):
     """allow_new_columns=True ADDS batch-only columns: updated rows
