@@ -39,12 +39,31 @@ from mimic2ts_spark.operators.similarity import (
     lsh_topk,
 )
 from mimic2ts_spark.operators.sketch import kmv_sketch
-from mimic2ts_spark.operators.split import with_split
+from mimic2ts_spark.operators.split import epoch_shuffle, with_split
 from mimic2ts_spark.operators.text import (
     bpe_ish_token_count,
     lang_id,
     quality_score,
     token_count,
+)
+from mimic2ts_spark.operators.merge import merge_changelog, merge_upsert
+from mimic2ts_spark.operators.pq import (
+    ivfpq_topk,
+    load_codebooks,
+    pq_adc_topk,
+    pq_encode,
+    save_codebooks,
+    train_codebooks,
+)
+from mimic2ts_spark.operators.versioned import (
+    compact_versioned,
+    diff_versions,
+    incremental_agg_refresh,
+    init_table,
+    merge_versioned,
+    read_table,
+    table_count,
+    vacuum,
 )
 
 __all__ = [
@@ -81,8 +100,25 @@ __all__ = [
     "lsh_topk",
     "kmv_sketch",
     "with_split",
+    "epoch_shuffle",
     "bpe_ish_token_count",
     "lang_id",
     "quality_score",
     "token_count",
+    "merge_changelog",
+    "merge_upsert",
+    "ivfpq_topk",
+    "load_codebooks",
+    "pq_adc_topk",
+    "pq_encode",
+    "save_codebooks",
+    "train_codebooks",
+    "compact_versioned",
+    "diff_versions",
+    "incremental_agg_refresh",
+    "init_table",
+    "merge_versioned",
+    "read_table",
+    "table_count",
+    "vacuum",
 ]
