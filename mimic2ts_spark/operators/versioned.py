@@ -220,7 +220,16 @@ def merge_versioned(
     up = updates.withColumn("bucket", key_bucket(F.col(key_col), n_buckets))
     affected = sorted(r["bucket"] for r in up.select("bucket").distinct().collect())
 
-    base = read_table(spark, path, buckets=affected)
+    # buckets the manifest doesn't know yet (first rows ever hashing
+    # there) have no dir to read — the base for them is simply empty
+    present = [b for b in affected if str(b) in prev["buckets"]]
+    if present:
+        base = read_table(spark, path, buckets=present)
+    elif prev["buckets"]:
+        any_b = int(next(iter(prev["buckets"])))
+        base = read_table(spark, path, buckets=[any_b]).limit(0)  # schema only
+    else:  # degenerate: empty table — schema comes from the batch
+        base = up.limit(0)
     data_cols = [c for c in base.columns if c != "bucket"]
     # schema check BEFORE any write: row-replacement needs every table
     # column in the batch — silently dropping extras or NULLing missing

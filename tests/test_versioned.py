@@ -304,6 +304,36 @@ def test_versioned_metadata_count_and_conflict_guard(spark, tmp_path):
         V._commit(path, 9, expected_parent=0)  # pointer is at v2, not v0
 
 
+def test_versioned_insert_into_unborn_bucket(spark, tmp_path):
+    """A batch whose keys hash into a bucket NO manifest entry exists
+    for (sparse table) must still merge: the base for that bucket is
+    empty, the insert lands, and the manifest learns the bucket."""
+    import hashlib
+
+    from mimic2ts_spark.operators import versioned as V
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(3)
+    path = str(tmp_path / "t")
+    m0 = init_table(docs, path, "doc_id", n_buckets=32)
+    born = set(m0["buckets"])
+
+    def bucket_of(k: int) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 32
+
+    k = next(
+        k for k in range(10**6, 10**6 + 10_000) if str(bucket_of(k)) not in born
+    )
+    new = spark.createDataFrame(
+        [(k, "fresh", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    m1 = merge_versioned(spark, path, new, "doc_id")
+    assert str(bucket_of(k)) in m1["buckets"]
+    got = read_table(spark, path, keys=[k]).where(F.col("doc_id") == k).collect()
+    assert len(got) == 1 and got[0]["text"] == "fresh"
+    assert V.table_count(path) == 4
+
+
 def test_versioned_vacuum_retention(spark, tmp_path):
     """VACUUM keeps the newest K manifests and deletes every
     (version, bucket) dir no retained manifest references; time travel
