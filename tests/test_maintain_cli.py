@@ -49,6 +49,33 @@ def test_maintain_init_merge_compact_roundtrip(spark, tmp_path):
     assert n_upd == a2["n_updates"]
 
 
+def test_maintain_vacuum_cli(spark, tmp_path, capsys):
+    """`vacuum` over a versioned table: keeps the newest K manifests,
+    reports deletions, needs no Spark session (driver-side FS walk)."""
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.versioned import (
+        init_table,
+        merge_versioned,
+        read_table,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "vt")
+    init_table(docs, path, "doc_id", n_buckets=4)
+    for k in (1, 2, 3):
+        upd = docs.where(F.col("doc_id") == k).withColumn("text", F.lit(f"u{k}"))
+        merge_versioned(spark, path, upd, "doc_id")
+
+    main(["vacuum", path, "--keep-versions", "2"])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "vacuum"
+    assert audit["retained_versions"] == [2, 3]
+    assert audit["manifests_deleted"] == 2
+    assert read_table(spark, path).count() == docs.count()
+
+
 def test_maintain_codebook_artifact(spark, tmp_path, capsys):
     """`codebook` trains + persists PQ codebooks; encoding against the
     artifact bit-equals retraining (in-process: get_spark reuses the
