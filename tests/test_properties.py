@@ -335,6 +335,48 @@ def test_merge_upsert_matches_dict_reference(spark, tmp_path_factory, base_keys,
 
 
 @given(
+    base_keys=st.sets(st.integers(0, 40), min_size=3, max_size=20),
+    upd_keys=st.sets(st.integers(0, 50), min_size=1, max_size=10),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_versioned_matches_dict_reference(
+    spark, tmp_path_factory, base_keys, upd_keys
+):
+    """The VERSIONED merge obeys the same dict-upsert law as the
+    in-place one for ANY base/update key sets — and version 0 must
+    still reconstruct the pristine base afterwards (the time-travel
+    contract the in-place merge cannot offer)."""
+    import tempfile
+
+    from mimic2ts_spark.operators.versioned import (
+        init_table,
+        merge_versioned,
+        read_table,
+        table_count,
+    )
+
+    base = spark.createDataFrame(
+        [(k, f"base-{k}") for k in sorted(base_keys)], "doc_id long, text string"
+    )
+    updates = spark.createDataFrame(
+        [(k, f"upd-{k}") for k in sorted(upd_keys)], "doc_id long, text string"
+    )
+    path = tempfile.mkdtemp(prefix="vmerge_prop_", dir=str(tmp_path_factory.mktemp("v")))
+    init_table(base, path, "doc_id", n_buckets=4)
+    merge_versioned(spark, path, updates, "doc_id")
+
+    got = {r["doc_id"]: r["text"] for r in read_table(spark, path).collect()}
+    want = {k: f"base-{k}" for k in base_keys}
+    want.update({k: f"upd-{k}" for k in upd_keys})
+    assert got == want
+    assert table_count(path) == len(want)  # manifest stats agree
+
+    v0 = {r["doc_id"]: r["text"] for r in read_table(spark, path, version=0).collect()}
+    assert v0 == {k: f"base-{k}" for k in base_keys}
+
+
+@given(
     docs=st.lists(
         st.lists(
             st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=6
