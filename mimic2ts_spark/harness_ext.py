@@ -511,7 +511,7 @@ def _q_ann_ivf_sql():
     from mimic2ts_spark.operators.kmeans import _SQL_DIST, sql_kmeans_parts
 
     parts, final_a, final_c = sql_kmeans_parts(
-        "embeddings", k=S.IVF_K, prefix="ivf_"
+        "embeddings", k=S.sql_derived_cells("embeddings"), prefix="ivf_"
     )
     return f"""
 WITH {','.join(parts)},

@@ -328,7 +328,7 @@ def pq_adc_topk(
 
 # --- IVF-PQ with residual encoding -----------------------------------------
 
-IVFPQ_K = 16      # coarse cells (mirrors similarity.IVF_K)
+IVFPQ_K = 16      # MINIMUM coarse cells (floor; derived_cells grows with n)
 IVFPQ_NPROBE = 4  # probed cells per query
 
 
@@ -348,9 +348,14 @@ def train_ivfpq(
 
     if cache_key is not None and ("r", cache_key) in _CODEBOOKS_CACHE:
         return _CODEBOOKS_CACHE[("r", cache_key)]  # type: ignore[return-value]
+    from mimic2ts_spark.operators.similarity import derived_cells
+
     base = _quant_base(vectors, id_col, vec_col).persist()
+    # cells grow with the corpus (nlist rule) — floor keeps sf0.01/0.1
+    # at the historical 16 so oracle hashes only change where cells do
+    n_cells = derived_cells(base.count())
     coarse_rows = train_coarse(
-        vectors, IVFPQ_K, KM_ROUNDS, id_col, vec_col, cache_key, _base=base
+        vectors, n_cells, KM_ROUNDS, id_col, vec_col, cache_key, _base=base
     )
     coarse = (
         np.array([r["cid"] for r in coarse_rows], dtype=np.int64),
@@ -575,11 +580,13 @@ def sql_ivfpq_topk(
     nearest cells to the min-id query by int L2), per-(cell, subspace)
     ADC tables of the query residual, summed through the code+cell
     joins."""
+    from mimic2ts_spark.operators.similarity import sql_derived_cells
+
     parts: list[str] = []
-    # coarse cells
+    # coarse cells (count grows with the corpus — derived_cells mirror)
     cparts, c_final_a, c_final_c = sql_kmeans_parts(
-        table, k=IVFPQ_K, rounds=KM_ROUNDS, id_col=id_col, vec_col=vec_col,
-        prefix="ivf_",
+        table, k=sql_derived_cells(table), rounds=KM_ROUNDS,
+        id_col=id_col, vec_col=vec_col, prefix="ivf_",
     )
     parts.extend(cparts)
     parts.append(

@@ -181,8 +181,25 @@ def lsh_topk(
     )
 
 
-IVF_K = 16
+IVF_K = 16       # MINIMUM coarse-cell count (floor of the derived value)
 IVF_NPROBE = 4
+
+# Cells must GROW with the corpus (the FAISS nlist ~ n/target rule and
+# the same contract as kmeans.KM_TARGET_CLUSTER): fixed cells mean each
+# probe scans n/16 of a 100 TB corpus. 256-vector target cells keep
+# sf0.01 (500 vecs) and sf0.1 (2000) at the historical 16 (oracle
+# hashes unchanged) while the 10×/100× sweeps derive 78/781 cells.
+IVF_TARGET_CELL = 256
+
+
+def derived_cells(n: int) -> int:
+    return max(IVF_K, n // IVF_TARGET_CELL)
+
+
+def sql_derived_cells(table: str) -> str:
+    return (
+        f"(SELECT greatest({IVF_K}, count(*) // {IVF_TARGET_CELL}) FROM {table})"
+    )
 
 
 def _nearest_cells_udf(cent_ids, cent_mat, top: int):
@@ -218,7 +235,7 @@ def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = IVF_K,
+    n_centroids: int | None = None,
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -236,9 +253,13 @@ def ivf_topk(
     the same int-L2 metric the training minimized; candidate re-ranking
     is the exact cosine expression, so the DuckDB oracle (unrolled
     k-means CTEs + the same (d, cid)-ranked probes + cosine row_number)
-    matches bit-for-bit."""
+    matches bit-for-bit. n_centroids=None derives cells from the corpus
+    size (derived_cells — one count() scalar job), the nlist-grows-with-n
+    rule that keeps per-probe work bounded at any scale."""
     from mimic2ts_spark.operators.kmeans import train_coarse
 
+    if n_centroids is None:
+        n_centroids = derived_cells(vectors.count())
     cents = train_coarse(
         vectors, n_centroids, id_col=id_col, vec_col=vec_col, cache_key=cache_key
     )
