@@ -44,15 +44,33 @@ KM_ROUNDS = 2    # Lloyd updates (fixed — lineage stays linear)
 # (20k) derives k=78. Pass an int k to pin it explicitly (tests do).
 KM_TARGET_CLUSTER = 256
 
+# Lloyd TRAINING is bounded: past KM_TRAIN_CAP rows, training runs on the
+# KM_TRAIN_CAP vectors with the smallest md5 code of vec_id (the same
+# deterministic hash-order sampling as q_sample_topk_hash, mirrored in
+# SQL) and the full corpus is assigned exactly ONCE against the trained
+# centroids. k derives from min(n, cap), so EVERY index-build term is
+# bounded or linear: per-round training cost ≤ cap·k = cap²/target, the
+# driver-side centroid collect ≤ (cap/target)·dim ints, and the one full
+# assignment is n·k = n·cap/target — linear in the corpus. (Unbounded
+# k = n/target made the build O(n²/target): the r05 verdict's one scale
+# flaw.) The cap is the standard FAISS max_points_per_centroid form; at
+# production scale it is the dial that buys more cells (cap 2^20 → 4096
+# cells) for a one-time bounded training cost.
+KM_MAX_CELLS = 256
+KM_TRAIN_CAP = KM_TARGET_CLUSTER * KM_MAX_CELLS  # 65 536 training rows
+
 
 def derived_k(n: int) -> int:
     """Shared Python-side formula; sql_derived_k is the DuckDB mirror.
     Both floor-divide non-negative counts, so they agree exactly."""
-    return max(KM_K, n // KM_TARGET_CLUSTER)
+    return max(KM_K, min(n, KM_TRAIN_CAP) // KM_TARGET_CLUSTER)
 
 
 def sql_derived_k(table: str) -> str:
-    return f"(SELECT greatest({KM_K}, count(*) // {KM_TARGET_CLUSTER}) FROM {table})"
+    return (
+        f"(SELECT greatest({KM_K}, least(count(*), {KM_TRAIN_CAP})"
+        f" // {KM_TARGET_CLUSTER}) FROM {table})"
+    )
 
 
 def quantize(vec: Column) -> Column:
@@ -155,27 +173,59 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _train_sample(base: DataFrame, n: int) -> tuple[DataFrame, bool]:
+    """Bounded deterministic training subset: past KM_TRAIN_CAP rows,
+    the cap vectors with the smallest md5 code of vec_id (ties by
+    vec_id) — a pure hash order, reproducible across engines/retries,
+    planned as TakeOrdered top-k heaps (no full sort). At or below the
+    cap the base IS the sample, so small corpora train exactly as
+    before (oracle hashes unchanged at sf0.01/sf0.1)."""
+    if n <= KM_TRAIN_CAP:
+        return base, False
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    return (
+        base.orderBy(kmv_code(F.col("vec_id")), "vec_id").limit(KM_TRAIN_CAP),
+        True,
+    )
+
+
 def lloyd_train(
-    base: DataFrame, k: int, rounds: int = KM_ROUNDS
+    base: DataFrame, k: int, rounds: int = KM_ROUNDS, n: int | None = None
 ) -> tuple[DataFrame, list]:
     """Kernel-path Lloyd iteration over an ALREADY-QUANTIZED base
-    (vec_id, x: array<bigint>): seeds = the k lowest-id rows, `rounds`
-    floor-div updates, assignment via the int64 matmul kernel. Returns
-    (final assigned DF (vec_id, x, cid, d), final centroid rows sorted
-    by cid) — the centroid rows ARE the trained artifact (IVF coarse
-    cells, PQ codebooks) the ANN stack scores against. Caller persists
-    `base` (every round rescans it)."""
+    (vec_id, x: array<bigint>): training runs on the bounded md5-order
+    sample (_train_sample — the whole base when n ≤ KM_TRAIN_CAP),
+    seeds = the k lowest-id rows OF THE SAMPLE, `rounds` floor-div
+    updates, then ONE assignment of the FULL base against the trained
+    centroids via the int64 matmul kernel. Returns (final assigned DF
+    (vec_id, x, cid, d), final centroid rows sorted by cid) — the
+    centroid rows ARE the trained artifact (IVF coarse cells, PQ
+    codebooks) the ANN stack scores against; with k ≤ cap/target their
+    driver-side size is bounded by the sample, not the corpus. Caller
+    persists `base`; the sampled subset is persisted here (≤ cap rows)
+    so the TakeOrdered never re-runs per round."""
+    if n is None:
+        n = base.count()
+    train, sampled = _train_sample(base, n)
+    if sampled:
+        # bounded rows — spread them so the kernel batches parallelize
+        # (the TakeOrdered result would otherwise land in one partition)
+        par = base.sparkSession.sparkContext.defaultParallelism
+        train = train.repartition(par).persist()
     cents_rows = (
-        base.orderBy("vec_id")
+        train.orderBy("vec_id")
         .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("x").alias("m"))
         .orderBy("cid")
         .collect()
     )
-    assigned = _assign_kernel(base, cents_rows)
     for _ in range(rounds):
-        cents_rows = _update(assigned).orderBy("cid").collect()
-        assigned = _assign_kernel(base, cents_rows)
+        assigned_t = _assign_kernel(train, cents_rows)
+        cents_rows = _update(assigned_t).orderBy("cid").collect()
+    assigned = _assign_kernel(base, cents_rows)
+    if sampled:
+        train.unpersist()
     return assigned, cents_rows
 
 
@@ -194,15 +244,19 @@ def train_coarse(
     vec_col: str = "embedding",
     cache_key: str | None = None,
     _base: DataFrame | None = None,
+    n: int | None = None,
 ) -> list:
     """Trained centroid rows [(cid, m)] sorted by cid — the coarse-cell
     artifact of the ANN stack (IVF cells, IVF-PQ residual anchors).
+    Training is sample-bounded (lloyd_train): the collect here is at
+    most (KM_TRAIN_CAP/KM_TARGET_CLUSTER)·dim ints.
 
     _base: a caller's already-persisted quantized base to train on.
     Callers that keep their own persist of the SAME plan must pass it:
     Spark's CacheManager matches persist() by canonicalized plan, so an
     internal persist+unpersist of an identical derivation would EVICT
-    the caller's cache entry out from under it."""
+    the caller's cache entry out from under it. n: the caller's already
+    computed row count (skips a count job)."""
     if cache_key is not None and (k, rounds, cache_key) in _COARSE_CACHE:
         return _COARSE_CACHE[(k, rounds, cache_key)]
     if _base is not None:
@@ -211,7 +265,7 @@ def train_coarse(
         base = vectors.select(
             F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
         ).persist()
-    _, cents_rows = lloyd_train(base, k, rounds)
+    _, cents_rows = lloyd_train(base, k, rounds, n=n)
     if _base is None:
         base.unpersist()
     if cache_key is not None:
@@ -242,19 +296,20 @@ def kmeans_assign(
     base = vectors.select(
         F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
     ).persist()
+    n = base.count()
     if k is None:
-        k = derived_k(base.count())
+        k = derived_k(n)
     if k >= KM_KERNEL_MIN_K:
         # kernel path: centroids collect per round (k rows, bounded);
         # assignment lineage stays FLAT (base + literal matrix), so
         # rounds never stack join plans.
         if cache_key is not None:
             cents_rows = train_coarse(
-                vectors, k, rounds, id_col, vec_col, cache_key, _base=base
+                vectors, k, rounds, id_col, vec_col, cache_key, _base=base, n=n
             )
             assigned = _assign_kernel(base, cents_rows)
         else:
-            assigned, _ = lloyd_train(base, k, rounds)
+            assigned, _ = lloyd_train(base, k, rounds, n=n)
     else:
         cents = (
             base.orderBy("vec_id")
@@ -397,24 +452,47 @@ def sql_kmeans_parts(
     vec_col: str = "embedding",
     prefix: str = "",
     pre_quantized: bool = False,
+    train_cap: int | None = KM_TRAIN_CAP,
 ) -> tuple[list[str], str, str]:
     """CTE chain for one unrolled Lloyd run; returns (parts,
     final_assign_cte, final_cents_cte) so composites (PQ's M subspace
     runs, ADC tables against the trained codebook) can reuse it under a
     name prefix. pre_quantized=True skips the float→int quantization
-    (for bases that are already integer, e.g. IVF-PQ residuals)."""
+    (for bases that are already integer, e.g. IVF-PQ residuals).
+
+    train_cap mirrors _train_sample: the training CTEs (seeds + the
+    `rounds` update assignments) read the md5-order top-cap sample and
+    only the FINAL assignment runs over the full base. At n ≤ cap the
+    LIMIT keeps every row, so the chain is value-identical to the
+    uncapped form (the Spark side skips the sort entirely there).
+    Pass train_cap=None for chains whose Spark twin trains on the full
+    base (PQ's fixed-k=16 subspace codebooks — linear, not the derived-k
+    quadratic the cap exists to bound)."""
     if k is None:
         k = sql_derived_k(table)  # DuckDB: scalar-subquery LIMIT
     p = prefix
     x_expr = vec_col if pre_quantized else _sql_quant(vec_col)
     parts = [
         f"{p}base AS (SELECT {id_col} AS vec_id, {x_expr} AS x FROM {table})",
-        f"{p}c0 AS (SELECT vec_id AS cid, x AS m FROM {p}base ORDER BY vec_id LIMIT {k})",
-        f"{p}a0 AS {_sql_assign(f'{p}base', f'{p}c0')}",
     ]
+    if train_cap is not None:
+        from mimic2ts_spark.operators.text import SQL_CODE
+
+        code = SQL_CODE.format(tok="CAST(vec_id AS VARCHAR)")
+        parts.append(
+            f"{p}train AS (SELECT vec_id, x FROM {p}base "
+            f"ORDER BY {code}, vec_id LIMIT {train_cap})"
+        )
+        train = f"{p}train"
+    else:
+        train = f"{p}base"
+    parts.append(
+        f"{p}c0 AS (SELECT vec_id AS cid, x AS m FROM {train} ORDER BY vec_id LIMIT {k})"
+    )
     for r in range(rounds):
+        parts.append(f"{p}a{r} AS {_sql_assign(train, f'{p}c{r}')}")
         parts.append(f"{p}c{r + 1} AS {_sql_update(f'{p}a{r}')}")
-        parts.append(f"{p}a{r + 1} AS {_sql_assign(f'{p}base', f'{p}c{r + 1}')}")
+    parts.append(f"{p}a{rounds} AS {_sql_assign(f'{p}base', f'{p}c{rounds}')}")
     return parts, f"{p}a{rounds}", f"{p}c{rounds}"
 
 
@@ -424,10 +502,14 @@ def sql_kmeans_assign(
     rounds: int = KM_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = KM_TRAIN_CAP,
 ) -> str:
     """Unrolled CTE mirror of kmeans_assign (same quantization, same
-    floor-div update, same (d, cid) tie-break)."""
-    parts, final_a, _ = sql_kmeans_parts(table, k, rounds, id_col, vec_col)
+    md5-sample-bounded training, same floor-div update, same (d, cid)
+    tie-break)."""
+    parts, final_a, _ = sql_kmeans_parts(
+        table, k, rounds, id_col, vec_col, train_cap=train_cap
+    )
     return "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cid, d FROM {final_a}"
 
 

@@ -351,11 +351,13 @@ def train_ivfpq(
     from mimic2ts_spark.operators.similarity import derived_cells
 
     base = _quant_base(vectors, id_col, vec_col).persist()
-    # cells grow with the corpus (nlist rule) — floor keeps sf0.01/0.1
-    # at the historical 16 so oracle hashes only change where cells do
-    n_cells = derived_cells(base.count())
+    # cells grow with the corpus (nlist rule, sample-capped) — floor
+    # keeps sf0.01/0.1 at the historical 16 so hashes only change where
+    # cells do; training is the bounded md5-sample Lloyd (lloyd_train)
+    n = base.count()
+    n_cells = derived_cells(n)
     coarse_rows = train_coarse(
-        vectors, n_cells, KM_ROUNDS, id_col, vec_col, cache_key, _base=base
+        vectors, n_cells, KM_ROUNDS, id_col, vec_col, cache_key, _base=base, n=n
     )
     coarse = (
         np.array([r["cid"] for r in coarse_rows], dtype=np.int64),
@@ -530,9 +532,13 @@ def _sql_subspace_parts(
     sub_tbl = (
         f"(SELECT {id_col} AS vec_id, {_sql_sub(vec_col, m)} AS sub FROM {table})"
     )
+    # train_cap=None: the Spark-side PQ codebook training (the joint
+    # _assign_all/_update_all kernel) scans the full base — fixed k=16
+    # per subspace keeps that LINEAR, so the derived-k sample cap does
+    # not apply and the mirror must not sample either.
     return sql_kmeans_parts(
         sub_tbl, k=PQ_K, rounds=PQ_ROUNDS, id_col="vec_id", vec_col="sub",
-        prefix=f"s{m}_", pre_quantized=pre_quantized,
+        prefix=f"s{m}_", pre_quantized=pre_quantized, train_cap=None,
     )
 
 

@@ -188,17 +188,30 @@ IVF_NPROBE = 4
 # the same contract as kmeans.KM_TARGET_CLUSTER): fixed cells mean each
 # probe scans n/16 of a 100 TB corpus. 256-vector target cells keep
 # sf0.01 (500 vecs) and sf0.1 (2000) at the historical 16 (oracle
-# hashes unchanged) while the 10×/100× sweeps derive 78/781 cells.
+# hashes unchanged) while the 10× sweep derives 78 cells. Growth is
+# CAPPED by the Lloyd training sample (kmeans.KM_TRAIN_CAP): cells =
+# min(n, cap)/target, so the trained-centroid artifact and the per-round
+# training cost stay bounded and the one full-corpus assignment is
+# linear — uncapped n/target cells made the index build O(n²/target)
+# (r05 verdict). Past the cap, per-probe candidates grow as n/cells —
+# the standard IVF trade; raising the cap (one bounded one-time training
+# cost) is the dial that buys more cells, and the PQ path bounds the
+# bytes each candidate costs.
 IVF_TARGET_CELL = 256
 
 
 def derived_cells(n: int) -> int:
-    return max(IVF_K, n // IVF_TARGET_CELL)
+    from mimic2ts_spark.operators.kmeans import KM_TRAIN_CAP
+
+    return max(IVF_K, min(n, KM_TRAIN_CAP) // IVF_TARGET_CELL)
 
 
 def sql_derived_cells(table: str) -> str:
+    from mimic2ts_spark.operators.kmeans import KM_TRAIN_CAP
+
     return (
-        f"(SELECT greatest({IVF_K}, count(*) // {IVF_TARGET_CELL}) FROM {table})"
+        f"(SELECT greatest({IVF_K}, least(count(*), {KM_TRAIN_CAP})"
+        f" // {IVF_TARGET_CELL}) FROM {table})"
     )
 
 
@@ -258,10 +271,12 @@ def ivf_topk(
     rule that keeps per-probe work bounded at any scale."""
     from mimic2ts_spark.operators.kmeans import train_coarse
 
+    n = vectors.count()
     if n_centroids is None:
-        n_centroids = derived_cells(vectors.count())
+        n_centroids = derived_cells(n)
     cents = train_coarse(
-        vectors, n_centroids, id_col=id_col, vec_col=vec_col, cache_key=cache_key
+        vectors, n_centroids, id_col=id_col, vec_col=vec_col, cache_key=cache_key,
+        n=n,
     )
     cent_ids = np.array([r["cid"] for r in cents], dtype=np.int64)
     cent_mat = np.array([list(r["m"]) for r in cents], dtype=np.int64)
