@@ -2234,47 +2234,65 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # the truncated tail if a budget ever bites again.
 _CORE_REGISTRY = dict(REGISTRY)
 
-# Gate-ordering rule (r05, extending the r03 rule): the 50-entry/round
-# driver gate must FIRST re-verify queries whose BACKING CODE changed
-# since their last driver CORRECTNESS row, then anything never driver-
-# verified, then the stable tail. The union of r01–r04 driver rows is
-# green for all 147 queries, so the never-verified set is empty — the
-# changed-set below is maintained PER ROUND as part of each change
-# (pinned by tests/test_harness_registry.py): a query edited in-round
-# without a slot here ships driver-stale, exactly the r04 gap
-# (q_kmeans/q_dedup_semantic/q_graph_triangles changed in r04 but sat
-# past the cut).
+# Gate-ordering rule (r06, replacing the r05 hand-maintained tail with
+# the computed stalest-first rotation the r05 verdict asked for): the
+# 50-entry/round driver gate runs, in order,
+#   1. queries whose BACKING CODE changed this round (the list below,
+#      maintained per round as part of each change — an in-round edit
+#      without a slot here ships driver-stale, the r04 gap), then
+#   2. every other query ASCENDING by the round of its most recent
+#      driver CORRECTNESS row (never-verified first), computed from the
+#      recorded CORRECTNESS_r*.json artifacts at import time, ties in
+#      stable registry order.
+# With 159 queries and a 50-row window, every query re-earns a driver
+# row at worst every ceil(159/50) = 4 rounds instead of the §2 core
+# sitting r02-stale forever behind a static tail.
 _GATE_CHANGED_THIS_ROUND = [
-    # r04 driver-stale (changed in r04, last driver row r03)
-    "q_kmeans", "q_dedup_semantic", "q_graph_triangles",
-    # r05 changes: single-pass PQ + residual IVF-PQ + trained IVF cells
-    "q_pq_encode", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivf",
-    # r05: real-decode multimodal feature paths
-    "q_multimodal_features", "q_multimodal_frames", "q_multimodal_resize",
-    "q_multimodal_decode",
-    # r05: merge row-replacement/bucket-manifest + bpe checksum reduction
-    "q_merge_upsert", "q_stream_merge", "q_compact_files",
-    "q_bpe_apply", "q_bpe_train",
-    # r05: new operators — MERGE change-data-feed + versioned table
-    "q_merge_changelog", "q_merge_versioned", "q_time_travel",
-    "q_versioned_lookup", "q_versioned_compact", "q_stream_versioned",
-    "q_epoch_shuffle", "q_ingest_admission", "q_version_diff",
-    "q_schema_evolution", "q_versioned_count", "q_cdf_refresh",
+    # r06: sample-capped Lloyd training (kmeans/similarity/pq train path)
+    "q_kmeans", "q_dedup_semantic", "q_ann_ivf", "q_ann_ivfpq",
+    "q_ann_pq", "q_pq_encode",
 ]
 
-# Previously-never-verified set (all earned driver rows by r04; retained
-# behind the changed-set so a regression in a younger query still gets
-# re-checked before the two-rounds-stable core).
-_GATE_PRIORITY = _GATE_CHANGED_THIS_ROUND + [
-    "q_pack_sequences", "q_dsir_weights",
-    "q_corpus_ngrams", "q_mixture_temperature",
-    "q_stream_quality", "q_dedup_representatives",
-    "q_source_jsonl", "q_source_orc", "q_sample_topk_hash",
-    "q_sample_mixture", "q_event_anomaly", "q_sketch_kmv_union",
-    "q_source_drift", "q_text_pii_scrub", "q_dedup_clusters",
-    "q_stream_clamp", "q_stream_sliding", "q_stream_dedup",
-    "q_stream_join", "q_stream_dedup_incremental",
-]
+
+def _driver_verified_round() -> dict:
+    """query -> most recent round with a driver CORRECTNESS row, read
+    from the committed CORRECTNESS_r{N}.json artifacts (repo root).
+    Missing/unreadable artifacts degrade to 'never verified' (= run
+    early), never to an import error."""
+    import glob
+    import json
+    import os
+    import re
+
+    hist: dict = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for q in rows:
+            hist[q] = max(hist.get(q, -1), rnd)
+    return hist
+
+
+def _gate_order(names: list) -> list:
+    changed = {n: i for i, n in enumerate(_GATE_CHANGED_THIS_ROUND)}
+    hist = _driver_verified_round()
+    stable = {n: i for i, n in enumerate(names)}
+    return sorted(
+        names,
+        key=lambda n: (
+            (0, changed[n], 0) if n in changed else (1, hist.get(n, -1), stable[n])
+        ),
+    )
 
 
 def _compose_registry(ext_registry: dict) -> None:
@@ -2285,8 +2303,7 @@ def _compose_registry(ext_registry: dict) -> None:
     which demanded harness_ext.EXT_REGISTRY before it existed)."""
     global REGISTRY
     merged = {**ext_registry, **_TPCH_R3, **_CORE_REGISTRY}
-    front = {n: merged[n] for n in _GATE_PRIORITY if n in merged}
-    REGISTRY = {**front, **{n: q for n, q in merged.items() if n not in front}}
+    REGISTRY = {n: merged[n] for n in _gate_order(list(merged))}
 
 
 import sys  # noqa: E402
