@@ -2251,6 +2251,8 @@ _GATE_CHANGED_THIS_ROUND = [
     # r06: sample-capped Lloyd training (kmeans/similarity/pq train path)
     "q_kmeans", "q_dedup_semantic", "q_ann_ivf", "q_ann_ivfpq",
     "q_ann_pq", "q_pq_encode",
+    # r06: shared memoized minhash-pair/CC labeling artifact
+    "q_dedup_clusters", "q_dedup_representatives", "q_split_leakage_safe",
 ]
 
 

@@ -65,6 +65,22 @@ def get_spark(
     return spark
 
 
+# Memoized-DataFrame caches that become INVALID when storage is
+# released: a plan whose lineage is truncated at a localCheckpoint
+# cannot recompute once the checkpoint blocks are dropped, so any dict
+# holding such plans registers here and is cleared by release_storage
+# (the memo then rebuilds lazily on next use — per-query hygiene in the
+# gate, shared-artifact reuse within a bench session). Driver-side ROW
+# caches (PQ codebooks, coarse centroids) hold no Spark state and must
+# NOT register.
+_PLAN_CACHES: list[dict] = []
+
+
+def register_plan_cache(cache: dict) -> dict:
+    _PLAN_CACHES.append(cache)
+    return cache
+
+
 def release_storage(spark: SparkSession) -> None:
     """Drop every cached relation and persisted/localCheckpointed RDD.
 
@@ -76,6 +92,8 @@ def release_storage(spark: SparkSession) -> None:
     between queries so cached blocks are bounded per-query instead of
     accumulating for the whole 135-query session and leaning on LRU
     eviction. Only call AFTER the query's result is materialized."""
+    for cache in _PLAN_CACHES:
+        cache.clear()
     spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc.sc()
     rdds = jsc.getPersistentRDDs()
