@@ -1,6 +1,6 @@
 """Table-maintenance CLI: MERGE an update batch into a bucket-partitioned
 base and/or compact its small files — the operational surface over
-operators/merge.py (X124/X127).
+operators/versioned.py (default) and operators/merge.py (`--inplace`).
 
 Usage:
     python -m mimic2ts_spark.maintain init   BASE_DIR SRC_PARQUET --key doc_id
@@ -8,6 +8,15 @@ Usage:
     python -m mimic2ts_spark.maintain compact BASE_DIR [--max-records-per-file N]
     python -m mimic2ts_spark.maintain codebook OUT_JSON SRC_PARQUET \
         [--id-col vec_id] [--vec-col embedding]
+
+init/merge/compact default to the VERSIONED backend (manifest +
+atomic pointer-flip commit, time travel, no partial-rewrite crash
+window — the r05 verdict's routing ask): `init` writes a versioned v0
+and every `merge`/`compact` commits a new version. `--inplace` on
+`init` selects merge.py's in-place dynamic-overwrite layout instead
+(fast path: no version dirs to retain/vacuum, but a documented
+non-atomic overwrite window); `merge`/`compact` auto-route by the
+layout on disk, so existing in-place tables keep working unchanged.
 
 Each command prints ONE JSON audit line (bucket/file/row counts) — the
 same auditability contract as the corpus CLI's manifest. `codebook`
@@ -36,6 +45,10 @@ def main(argv: list[str] | None = None) -> None:
     p_init.add_argument("src")
     p_init.add_argument("--key", default="doc_id")
     p_init.add_argument("--buckets", type=int, default=32)
+    p_init.add_argument(
+        "--inplace", action="store_true",
+        help="merge.py in-place layout instead of the versioned default",
+    )
 
     p_merge = sub.add_parser("merge", help="upsert an update batch into BASE")
     p_merge.add_argument("base_dir")
@@ -110,24 +123,65 @@ def main(argv: list[str] | None = None) -> None:
 
     audit: dict = {"cmd": args.cmd, "base_dir": args.base_dir}
 
+    # merge/compact route by the layout on disk: a committed versioned
+    # table carries a _latest pointer; merge.py's in-place layout does
+    # not. init picks the layout (versioned unless --inplace).
+    import os
+
+    from mimic2ts_spark.operators import versioned as V
+
+    is_versioned = os.path.exists(os.path.join(args.base_dir, "_latest"))
+
+    def _versioned_audit(manifest: dict) -> dict:
+        return {
+            "backend": "versioned",
+            "version": manifest["version"],
+            "op": manifest["op"],
+            "n_buckets": manifest["n_buckets"],
+            "n_rows": sum(manifest["row_counts"].values()),
+            "affected_buckets": manifest.get(
+                "affected_buckets", sorted(manifest["buckets"], key=int)
+            ),
+        }
+
     if args.cmd == "init":
         df = spark.read.parquet(args.src)
-        write_base(df, args.base_dir, args.key, n_buckets=args.buckets)
-        audit["n_rows"] = spark.read.parquet(args.base_dir).count()
-        audit["n_files"] = sum(bucket_file_counts(args.base_dir).values())
+        if args.inplace:
+            write_base(df, args.base_dir, args.key, n_buckets=args.buckets)
+            audit["backend"] = "inplace"
+            audit["n_rows"] = spark.read.parquet(args.base_dir).count()
+            audit["n_files"] = sum(bucket_file_counts(args.base_dir).values())
+        else:
+            audit.update(
+                _versioned_audit(
+                    V.init_table(df, args.base_dir, args.key, n_buckets=args.buckets)
+                )
+            )
     elif args.cmd == "merge":
         updates = spark.read.parquet(args.updates)
-        audit.update(
-            merge_upsert(
-                spark, args.base_dir, updates, args.key, n_buckets=args.buckets
+        if is_versioned:
+            n_upd = updates.count()
+            m = V.merge_versioned(spark, args.base_dir, updates, args.key)
+            audit.update(_versioned_audit(m))
+            audit["n_updates"] = n_upd
+        else:
+            audit["backend"] = "inplace"
+            audit.update(
+                merge_upsert(
+                    spark, args.base_dir, updates, args.key, n_buckets=args.buckets
+                )
             )
-        )
     else:  # compact
-        audit.update(
-            compact_buckets(
-                spark, args.base_dir, max_records_per_file=args.max_records_per_file
+        if is_versioned:
+            audit.update(_versioned_audit(V.compact_versioned(spark, args.base_dir)))
+        else:
+            audit["backend"] = "inplace"
+            audit.update(
+                compact_buckets(
+                    spark, args.base_dir,
+                    max_records_per_file=args.max_records_per_file,
+                )
             )
-        )
 
     audit["runtime_seconds"] = round(time.time() - t0, 3)
     print(json.dumps(audit))

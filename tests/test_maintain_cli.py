@@ -24,6 +24,8 @@ def _run(*argv: str) -> dict:
 
 
 def test_maintain_init_merge_compact_roundtrip(spark, tmp_path):
+    """The `--inplace` fast path (merge.py layout): auto-routing must
+    keep existing in-place tables working flag-free on merge/compact."""
     base_dir = str(tmp_path / "base")
     upd_dir = str(tmp_path / "updates")
 
@@ -32,7 +34,9 @@ def test_maintain_init_merge_compact_roundtrip(spark, tmp_path):
         "text", F.lit("updated")
     ).write.parquet(upd_dir)
 
-    a1 = _run("init", base_dir, f"{SF}/documents.parquet", "--buckets", "8")
+    a1 = _run("init", base_dir, f"{SF}/documents.parquet", "--buckets", "8",
+              "--inplace")
+    assert a1["backend"] == "inplace"
     assert a1["n_rows"] == docs.count()
 
     a2 = _run("merge", base_dir, upd_dir, "--buckets", "8")
@@ -47,6 +51,54 @@ def test_maintain_init_merge_compact_roundtrip(spark, tmp_path):
     assert final.count() == docs.count()
     n_upd = final.where(F.col("text") == "updated").count()
     assert n_upd == a2["n_updates"]
+
+
+def test_maintain_versioned_default_and_crash_window(spark, tmp_path):
+    """Default (no --inplace) init/merge/compact route through the
+    versioned backend: every merge COMMITS a manifest version (the r05
+    verdict's routing ask), and a crash that died after writing v2 data
+    + manifest but BEFORE the pointer flip leaves readers on v1 and the
+    next CLI merge re-commits cleanly over the debris."""
+    import os
+    import shutil
+
+    from mimic2ts_spark.operators.versioned import latest_version, read_table
+
+    base_dir = str(tmp_path / "vbase")
+    upd_dir = str(tmp_path / "vupd")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.lit("updated")
+    ).write.parquet(upd_dir)
+
+    a1 = _run("init", base_dir, f"{SF}/documents.parquet", "--buckets", "8")
+    assert a1["backend"] == "versioned" and a1["version"] == 0
+    assert a1["n_rows"] == docs.count()
+
+    a2 = _run("merge", base_dir, upd_dir)
+    assert a2["backend"] == "versioned" and a2["version"] == 1
+    assert a2["n_updates"] == docs.where(F.col("doc_id") % 7 == 0).count()
+    got = read_table(spark, base_dir)
+    assert got.count() == docs.count()
+    assert got.where(F.col("text") == "updated").count() == a2["n_updates"]
+
+    # simulate the crash window: v2 data dir + manifest exist, pointer
+    # still names v1 (data-first/manifest-second/pointer-last ordering)
+    shutil.copytree(os.path.join(base_dir, "v1"), os.path.join(base_dir, "v2"))
+    shutil.copy(
+        os.path.join(base_dir, "_versions", "1.json"),
+        os.path.join(base_dir, "_versions", "2.json"),
+    )
+    assert latest_version(base_dir) == 1  # readers undisturbed
+    assert read_table(spark, base_dir).count() == docs.count()
+
+    a3 = _run("merge", base_dir, upd_dir)  # re-commits over the debris
+    assert a3["version"] == 2 and latest_version(base_dir) == 2
+    assert read_table(spark, base_dir).count() == docs.count()
+
+    a4 = _run("compact", base_dir)
+    assert a4["backend"] == "versioned" and a4["version"] == 3
+    assert read_table(spark, base_dir).count() == docs.count()
 
 
 def test_maintain_vacuum_cli(spark, tmp_path, capsys):
