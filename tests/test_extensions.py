@@ -450,6 +450,49 @@ def test_decode_real_codec_routing():
             decode_real(jpeg_ish, "image/jpeg")
 
 
+try:
+    import av as _av  # noqa: F401 — optional extra
+
+    _HAVE_AV = True
+except ImportError:
+    _HAVE_AV = False
+
+
+@pytest.mark.skipif(not _HAVE_AV, reason="optional PyAV extra not installed")
+def test_pyav_compressed_decode_real_payload():
+    """POSITIVE path for the optional PyAV seam (r05 verdict item 6):
+    with `av` importable, decode_real must actually decode a genuinely
+    compressed payload — an mjpeg frame encoded via av itself — into
+    the decoder-dict contract (dims of the encoded frame, payload =
+    w·h·3 RGB bytes), so the optional path can't rot unnoticed in
+    environments that do ship the extra."""
+    import io
+
+    import av
+    import numpy as np
+
+    from mimic2ts_spark.operators.multimodal import decode_real
+
+    w, h = 16, 8
+    arr = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mjpeg") as c:
+        st = c.add_stream("mjpeg", rate=1)
+        st.width, st.height = w, h
+        st.pix_fmt = "yuvj420p"
+        frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+        for pkt in st.encode(frame):
+            c.mux(pkt)
+        for pkt in st.encode():
+            c.mux(pkt)
+    content = buf.getvalue()
+    assert content[:2] == b"\xff\xd8"  # a real JPEG came out
+
+    d = decode_real(content, "image/jpeg")
+    assert (d["width"], d["height"]) == (w, h)
+    assert len(d["payload"]) == w * h * 3  # decoded RGB buffer, not the container
+
+
 def test_decode_features_roundtrip_flags(spark, docs):
     """decode_features over real containers: every row roundtrips and
     the features equal the fake-decode of the raw payload (decoded
