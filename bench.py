@@ -114,6 +114,9 @@ HEADLINE = [
     "q_dedup_representatives",
     "q_epoch_shuffle",
     "q_ingest_admission",
+    # round 6: hybrid retrieval + contrastive mining
+    "q_hybrid_rrf",
+    "q_hard_negatives",
 ]
 
 

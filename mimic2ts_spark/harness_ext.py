@@ -2120,6 +2120,63 @@ def _bm25_sql():
 Q_SEARCH_BM25_SQL = _bm25_sql()
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """X142 — hybrid retrieval: reciprocal-rank fusion of the lexical
+    BM25 leg (fixed bag-of-words query) and the dense cosine leg (the
+    min-id query vector; vec_id ≡ doc_id per TESTDATA) — the standard
+    production lexical⊕dense fusion (RRF). Each leg is an existing
+    scale-shaped operator; the fusion itself touches only 2·leg_k
+    candidate rows."""
+    from mimic2ts_spark.operators.search import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        _docs(spark, sf_dir), _embs(spark, sf_dir), BM25_QUERY_TERMS
+    )
+
+
+def _hybrid_rrf_sql():
+    from mimic2ts_spark.operators.search import sql_hybrid_rrf
+
+    return sql_hybrid_rrf(BM25_QUERY_TERMS)
+
+
+Q_HYBRID_RRF_SQL = _hybrid_rrf_sql()
+
+
+HARD_NEG_POS = 0.45  # the corpus' near-dup band (q_dedup_embedding)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """X143 — contrastive hard-negative mining: per query (vec_id < 5),
+    the 5 most-similar vectors strictly BELOW the near-dup/positive
+    band — the negatives-near-the-margin a contrastive trainer wants,
+    with positives (near-dups at the same 0.45 threshold the dedup
+    family uses) excluded BEFORE ranking so they leave no rank gaps."""
+    embs = _embs(spark, sf_dir)
+    return S.hard_negative_topk(
+        embs, embs.where(F.col("vec_id") < 5), pos_threshold=HARD_NEG_POS, k=5
+    )
+
+
+Q_HARD_NEGATIVES_SQL = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           {S.sql_cosine('q.embedding', 'v.embedding')} AS cosine
+    FROM q, v WHERE q.vec_id <> v.vec_id
+      AND {S.sql_cosine('q.embedding', 'v.embedding')} < {HARD_NEG_POS}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """X77 — benchmark decontamination: training docs sharing ≥1 word
     5-gram with the held-out benchmark slice (doc_id % 53 == 0 — the
@@ -4226,6 +4283,8 @@ EXT_REGISTRY = {
     "q_doc_chunks": (q_doc_chunks, Q_DOC_CHUNKS_SQL),
     "q_corpus_manifest": (q_corpus_manifest, Q_CORPUS_MANIFEST_SQL),
     "q_text_repetition": (q_text_repetition, Q_TEXT_REPETITION_SQL),
+    "q_hybrid_rrf": (q_hybrid_rrf, Q_HYBRID_RRF_SQL),
+    "q_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so

@@ -139,6 +139,107 @@ ORDER BY score_scaled DESC, {id_col} LIMIT {k}
 """
 
 
+# --- hybrid retrieval (lexical ⊕ dense, reciprocal-rank fusion) ------------
+
+RRF_K = 60        # the standard RRF damping constant (Cormack et al. 2009)
+RRF_LEG_K = 50    # candidates taken from each leg before fusion
+RRF_TOP_K = 10
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_terms: tuple[str, ...],
+    query_vec_id: int = 0,
+    leg_k: int = RRF_LEG_K,
+    k: int = RRF_TOP_K,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a lexical BM25 leg
+    and a dense cosine leg — the standard production fusion (RRF,
+    Cormack et al. 2009: score = Σ_legs 1/(RRF_K + rank), absent leg
+    contributes 0). The doc/vec id spaces are aligned (TESTDATA: vec_id
+    ≡ doc_id), so both legs rank the same corpus.
+
+    Shape at scale: each leg is its own already-scale-shaped operator
+    (BM25 = one corpus scan + broadcast stats; dense = the ANN family —
+    brute force here for the exact oracle, swap in ivf/lsh_topk beyond
+    broadcast). Fusion touches only 2·leg_k candidate rows: a full-outer
+    join of two k-row sides, driver-free.
+
+    Determinism: ranks are exact ints; each 1/(K+r) is ONE correctly-
+    rounded double division and the two-term sum has a fixed order, so
+    the fused score is bit-identical cross-engine (CLAUDE.md float
+    rule: identical op order)."""
+    from pyspark.sql import Window
+
+    lex = bm25_topk(docs, query_terms, k=leg_k, id_col=id_col)
+    wl = Window.orderBy(F.desc("score_scaled"), id_col)  # ≤ leg_k rows
+    lex_r = lex.select(
+        F.col(id_col).alias("doc_id"),
+        F.row_number().over(wl).cast("long").alias("lex_rank"),
+    )
+    from mimic2ts_spark.operators.similarity import brute_force_topk
+
+    dense_r = brute_force_topk(
+        vectors,
+        vectors.where(F.col(vec_id_col) == query_vec_id),
+        k=leg_k,
+        id_col=vec_id_col,
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+
+    fused = lex_r.join(dense_r, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0))
+    return (
+        fused.select("doc_id", "lex_rank", "dense_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(k)
+    )
+
+
+def sql_hybrid_rrf(
+    query_terms: tuple[str, ...],
+    query_vec_id: int = 0,
+    leg_k: int = RRF_LEG_K,
+    k: int = RRF_TOP_K,
+) -> str:
+    """DuckDB mirror of hybrid_rrf_topk: the BM25 query wraps as a CTE
+    body (DuckDB accepts a full WITH-query there), the dense leg is the
+    ranked-cosine CTE, fusion is the same fixed-order two-term sum."""
+    from mimic2ts_spark.operators.similarity import sql_cosine
+
+    bm25 = sql_bm25_topk(query_terms, k=leg_k)
+    cos = sql_cosine("q.embedding", "v.embedding")
+    return f"""
+WITH lex0 AS ({bm25}),
+lex AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS BIGINT)
+               AS lex_rank
+    FROM lex0
+),
+dense0 AS (
+    SELECT v.vec_id AS doc_id, {cos} AS cosine
+    FROM embeddings q, embeddings v
+    WHERE q.vec_id = {query_vec_id} AND v.vec_id <> q.vec_id
+),
+dense AS (
+    SELECT doc_id, CAST(rn AS BIGINT) AS dense_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rn
+        FROM dense0
+    ) WHERE rn <= {leg_k}
+)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+       COALESCE(1.0::DOUBLE / ({RRF_K} + l.lex_rank), 0.0::DOUBLE)
+       + COALESCE(1.0::DOUBLE / ({RRF_K} + d.dense_rank), 0.0::DOUBLE) AS rrf_score
+FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT {k}
+"""
+
+
 # --- benchmark decontamination --------------------------------------------
 
 DECON_GRAM_N = 5

@@ -117,8 +117,11 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cosine: float | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k per query (ties broken by neighbor id)."""
+    """Exact cosine top-k per query (ties broken by neighbor id).
+    max_cosine excludes neighbors AT/ABOVE the bound BEFORE ranking —
+    the hard-negative-mining filter (see hard_negative_topk)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -132,10 +135,36 @@ def brute_force_topk(
             cosine(F.col("qvec"), F.col("nvec")).alias("cosine"),
         )
     )
+    if max_cosine is not None:
+        scored = scored.where(F.col("cosine") < max_cosine)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
+    )
+
+
+def hard_negative_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    pos_threshold: float,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the k MOST similar
+    vectors strictly BELOW the positive/near-dup band (cosine <
+    pos_threshold) — similar enough to be informative negatives for
+    contrastive training, but not positives (those are the near-dup
+    pairs the dedup family finds at the same threshold). The filter
+    applies BEFORE ranking, so excluded positives leave no rank gaps.
+
+    Scale path: this exact form shares brute-force's broadcast budget;
+    beyond it, run the same below-band filter inside the LSH/IVF
+    candidate sets (lsh_topk/ivf_topk re-rank stage) — negatives near
+    the band are exactly the ones bucket-collided candidates contain."""
+    return brute_force_topk(
+        vectors, queries, k, id_col, vec_col, max_cosine=pos_threshold
     )
 
 

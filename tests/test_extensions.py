@@ -1172,6 +1172,56 @@ def test_kmeans_separates_planted_clusters(spark):
     assert got[0] != got[1]
 
 
+def test_hard_negatives_exclude_positive_band(spark, embs):
+    """Mined hard negatives must sit strictly below the positive band,
+    never coincide with a near-dup pair at the same threshold, and keep
+    contiguous ranks (the band filter runs BEFORE ranking)."""
+    thr = 0.45
+    rows = S.hard_negative_topk(
+        embs, embs.where(F.col("vec_id") < 3), pos_threshold=thr, k=5
+    ).collect()
+    assert rows
+    positives = {
+        frozenset((r["vec_a"], r["vec_b"]))
+        for r in S.embedding_near_dup_pairs(embs, threshold=thr).collect()
+    }
+    by_q: dict = {}
+    for r in rows:
+        assert r["cosine"] < thr
+        assert frozenset((r["query_id"], r["neighbor_id"])) not in positives
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, docs, embs):
+    """RRF output must be explainable by its legs: every fused row's
+    score equals 1/(60+lex_rank) + 1/(60+dense_rank) with absent legs
+    contributing 0, and the result must actually draw on both legs."""
+    from mimic2ts_spark.operators.search import (
+        RRF_K,
+        bm25_topk,
+        hybrid_rrf_topk,
+    )
+
+    terms = ("join", "hash", "vector", "scan")
+    fused = hybrid_rrf_topk(docs, embs, terms, leg_k=20, k=10).collect()
+    assert fused
+    for r in fused:
+        want = (1.0 / (RRF_K + r["lex_rank"]) if r["lex_rank"] is not None else 0.0) + (
+            1.0 / (RRF_K + r["dense_rank"]) if r["dense_rank"] is not None else 0.0
+        )
+        assert r["rrf_score"] == want, r
+    has_lex = any(r["lex_rank"] is not None for r in fused)
+    has_dense = any(r["dense_rank"] is not None for r in fused)
+    assert has_lex and has_dense
+    # a doc ranked high by BOTH legs must beat one ranked by a single leg
+    both = [r for r in fused if r["lex_rank"] is not None and r["dense_rank"] is not None]
+    single = [r for r in fused if (r["lex_rank"] is None) != (r["dense_rank"] is None)]
+    if both and single:
+        assert max(b["rrf_score"] for b in both) > min(s["rrf_score"] for s in single)
+
+
 def test_semantic_pairs_subset_of_bruteforce(spark, embs):
     """Cluster blocking may MISS pairs but can never invent one: every
     SemDeDup pair must appear in the unblocked X5 pair set with the
