@@ -8,6 +8,8 @@ Usage:
     python -m mimic2ts_spark.maintain compact BASE_DIR [--max-records-per-file N]
     python -m mimic2ts_spark.maintain codebook OUT_JSON SRC_PARQUET \
         [--id-col vec_id] [--vec-col embedding]
+    python -m mimic2ts_spark.maintain cluster OUT_DIR SRC_PARQUET \
+        [--threshold 0.8]
 
 init/merge/compact default to the VERSIONED backend (manifest +
 atomic pointer-flip commit, time travel, no partial-rewrite crash
@@ -77,6 +79,16 @@ def main(argv: list[str] | None = None) -> None:
     p_vac.add_argument("base_dir")
     p_vac.add_argument("--keep-versions", type=int, default=2)
 
+    p_cl = sub.add_parser(
+        "cluster",
+        help="persist near-dup cluster labels (minhash pairs + CC) as an artifact",
+    )
+    p_cl.add_argument("out_dir")
+    p_cl.add_argument("src")
+    p_cl.add_argument("--threshold", type=float, default=0.8)
+    p_cl.add_argument("--id-col", default="doc_id")
+    p_cl.add_argument("--text-col", default="text")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "vacuum":  # pure driver-side FS walk, no Spark session
@@ -99,6 +111,39 @@ def main(argv: list[str] | None = None) -> None:
 
     t0 = time.time()
     spark = get_spark("mimic2ts_spark_maintain")
+
+    if args.cmd == "cluster":
+        from mimic2ts_spark.operators.cluster import canonical_ids
+        from mimic2ts_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(args.src)
+        pairs = minhash_lsh_pairs(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold,
+        )
+        labels = canonical_ids(
+            docs.select(args.id_col), pairs, id_col=args.id_col
+        ).select(args.id_col, "cluster_id")
+        labels.write.mode("overwrite").parquet(args.out_dir)
+        # audit from the PERSISTED artifact (what a consumer will read)
+        out = spark.read.parquet(args.out_dir)
+        from pyspark.sql import functions as F
+
+        stats = out.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        ).collect()[0]
+        audit = {
+            "cmd": "cluster", "out": args.out_dir,
+            "threshold": args.threshold,
+            "n_docs": stats["n_docs"],
+            "n_clusters": stats["n_clusters"],
+            "n_duplicates": stats["n_docs"] - stats["n_clusters"],
+            "runtime_seconds": round(time.time() - t0, 3),
+        }
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
 
     if args.cmd == "codebook":
         from mimic2ts_spark.operators.pq import (

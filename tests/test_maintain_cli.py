@@ -128,6 +128,31 @@ def test_maintain_vacuum_cli(spark, tmp_path, capsys):
     assert read_table(spark, path).count() == docs.count()
 
 
+def test_maintain_cluster_artifact(spark, tmp_path, capsys):
+    """`cluster` persists the near-dup (doc_id, cluster_id) labeling as
+    a parquet artifact (the r05-verdict artifact-sharing pattern made
+    durable): the persisted labels must equal the registry query's
+    labeling exactly, and the audit counts must agree with them."""
+    from mimic2ts_spark.harness_ext import q_dedup_clusters
+    from mimic2ts_spark.maintain import main
+
+    out = str(tmp_path / "labels")
+    main(["cluster", out, f"{SF}/documents.parquet"])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "cluster"
+
+    persisted = {
+        r["doc_id"]: r["cluster_id"] for r in spark.read.parquet(out).collect()
+    }
+    live = {
+        r["doc_id"]: r["cluster_id"] for r in q_dedup_clusters(spark, SF).collect()
+    }
+    assert persisted == live
+    assert audit["n_docs"] == len(persisted)
+    assert audit["n_clusters"] == len(set(persisted.values()))
+    assert audit["n_duplicates"] == audit["n_docs"] - audit["n_clusters"]
+
+
 def test_maintain_codebook_artifact(spark, tmp_path, capsys):
     """`codebook` trains + persists PQ codebooks; encoding against the
     artifact bit-equals retraining (in-process: get_spark reuses the
