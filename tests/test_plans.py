@@ -825,6 +825,8 @@ def test_registry_global_plan_invariants(utc):
         "q_skew_report",     # 1-row total-count scalar cross join
         "q_graph_triangles",  # 1-row multiplicity-stats scalar cross join (r04 derived threshold)
         "q_mixture_temperature",  # 1-row total-weight scalar cross join
+        "q_hybrid_rrf",      # BM25 corpus-totals scalar cross join (lexical leg)
+        "q_hard_negatives",  # declared per-query brute-force leg (bounded query side)
     }
     skip = {
         "q_sink_partitioned",
