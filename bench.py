@@ -117,6 +117,9 @@ HEADLINE = [
     # round 6: hybrid retrieval + contrastive mining
     "q_hybrid_rrf",
     "q_hard_negatives",
+    # round 6: containment dedup + perceptual-hash fingerprints
+    "q_dedup_containment",
+    "q_multimodal_phash",
 ]
 
 

@@ -2177,6 +2177,113 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+CONTAIN_TAU = 0.9
+
+
+def q_dedup_containment(spark, sf_dir):
+    """X144 — asymmetric set-containment dedup: directed pairs where
+    ≥ 90% of doc_a's shingle set lies inside doc_b's — the
+    quote/subset duplication mode a symmetric Jaccard threshold never
+    fires on. Prefix filter on the contained side only, full inverted
+    index on the container side, slim index postings + one rejoin to
+    the persisted base for the verify arrays (dedup.containment_pairs).
+    The oracle mirrors the identical exact pruning (candidate superset
+    + exact verify = naive all-pairs output, at gate-budget cost)."""
+    return D.containment_pairs(_docs(spark, sf_dir), threshold=CONTAIN_TAU)
+
+
+Q_DEDUP_CONTAINMENT_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {D.sql_token_codes('text')} AS tc FROM documents
+),
+codes_t AS (
+    SELECT doc_id,
+           list_sort(list_distinct({D.sql_shingle_codes_from_tc('tc')})) AS codes
+    FROM tok
+),
+codes2 AS (
+    SELECT doc_id, codes, len(codes) AS n FROM codes_t WHERE len(codes) > 0
+),
+pref AS (
+    SELECT doc_id, n,
+           unnest(codes[1 : n - CAST(ceil({CONTAIN_TAU} * n) AS BIGINT) + 1]) AS code
+    FROM codes2
+),
+idx AS (
+    SELECT doc_id, unnest(codes) AS code FROM codes2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pref a JOIN idx b ON a.code = b.code AND a.doc_id <> b.doc_id
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(ca.codes, x -> list_contains(cb.codes, x)))
+                AS DOUBLE)
+           / CAST(ca.n AS DOUBLE) AS containment
+    FROM cand c
+    JOIN codes2 ca ON ca.doc_id = c.doc_a
+    JOIN codes2 cb ON cb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, containment FROM pairs WHERE containment >= {CONTAIN_TAU}
+"""
+
+
+def q_multimodal_phash(spark, sf_dir):
+    """X145 — perceptual-hash image fingerprints: aHash over the REAL
+    decoded PNG pixels (128 mean-thresholded taps, integer-exact) as
+    4 × 32-bit band values — the image near-dup blocking key
+    (multimodal.phash_near_dup_pairs consumes it; the pair path is
+    pinned by a pytest on genuinely near-identical constructed images,
+    since this corpus has no pixel-space near-dups at gate scale). The
+    long-form (doc_id, band, band_val) rows are the gate-checkable
+    exchange format; the oracle replays the taps from the text bytes
+    the PNG payload roundtrips to."""
+    from mimic2ts_spark.operators.multimodal import attach_media, perceptual_hashes
+
+    h = perceptual_hashes(attach_media(_docs(spark, sf_dir)))
+    return h.select(
+        "doc_id",
+        "payload_len",
+        F.posexplode("bands").alias("band", "band_val"),
+    ).withColumn("band", F.col("band").cast("long"))
+
+
+def _phash_sql():
+    from mimic2ts_spark.operators.multimodal import PHASH_TAPS
+
+    return f"""
+WITH img AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n
+    FROM documents
+    WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+),
+taps AS (
+    SELECT i.doc_id, i.n, k.k,
+           ascii(substr(i.text, CAST(k.k * i.n // {PHASH_TAPS} AS INTEGER) + 1, 1))
+               AS byte
+    FROM img i, unnest(range({PHASH_TAPS})) AS k(k)
+),
+tot AS (
+    SELECT doc_id, sum(byte) AS total FROM taps GROUP BY doc_id
+),
+bits AS (
+    SELECT t.doc_id, t.n, t.k,
+           CASE WHEN {PHASH_TAPS} * t.byte > o.total THEN 1 ELSE 0 END AS b
+    FROM taps t JOIN tot o ON o.doc_id = t.doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS payload_len,
+       CAST(k // 32 AS BIGINT) AS band,
+       CAST(sum(b * (1::BIGINT << (k % 32))) AS BIGINT) AS band_val
+FROM bits
+GROUP BY doc_id, n, k // 32
+"""
+
+
+Q_MULTIMODAL_PHASH_SQL = _phash_sql()
+
+
 def q_decontaminate(spark, sf_dir):
     """X77 — benchmark decontamination: training docs sharing ≥1 word
     5-gram with the held-out benchmark slice (doc_id % 53 == 0 — the
@@ -4285,6 +4392,8 @@ EXT_REGISTRY = {
     "q_text_repetition": (q_text_repetition, Q_TEXT_REPETITION_SQL),
     "q_hybrid_rrf": (q_hybrid_rrf, Q_HYBRID_RRF_SQL),
     "q_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
+    "q_dedup_containment": (q_dedup_containment, Q_DEDUP_CONTAINMENT_SQL),
+    "q_multimodal_phash": (q_multimodal_phash, Q_MULTIMODAL_PHASH_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so

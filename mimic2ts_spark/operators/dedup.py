@@ -667,6 +667,78 @@ def incremental_ngram_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric set-containment near-dup: DIRECTED pairs
+    (doc_a, doc_b) with |S_a ∩ S_b| / |S_a| ≥ threshold over distinct
+    shingle-code sets — doc_a is (mostly) CONTAINED in doc_b. This is
+    the duplication mode Jaccard misses: a short document quoted inside
+    a long one has containment ≈ 1 but Jaccard ≈ |a|/|b|, so a
+    symmetric threshold never fires. Every Jaccard-t pair also passes
+    (C ≥ J always), so the output is a superset of the same-threshold
+    Jaccard pairs plus the genuinely asymmetric rows.
+
+    Pruning (exact — candidate superset + exact verify, identical
+    output to the naive all-pairs form): the prefix filter applies to
+    the CONTAINED side only. If |a∩b| ≥ ⌈t·|a|⌉, the intersection
+    cannot hide entirely in the last ⌈t·|a|⌉ − 1 codes of a's sorted
+    order, so one of a's first |a| − ⌈t·|a|⌉ + 1 codes is in b. There
+    is NO length filter (containment says nothing about |b|) and the
+    container side must index ALL its codes.
+
+    Shape at scale: persisted shingle base → prefix-probe postings
+    equi-join the FULL inverted index. The index side is slim
+    (doc_id, code) — the container arrays re-join from the persisted
+    base AFTER pair dedup (the full-posting volume is ~1/(1−t)× the
+    prefix volume, so carrying arrays through it would multiply the
+    shuffle; the r02 carry-vs-rejoin rule flips here because the base
+    IS cached). Hot-code skew on the index side is AQE's skew-join
+    case; the probe side stays rare-code-heavy by construction
+    (prefixes hold the globally-rarest ordered codes)."""
+    base = (
+        with_shingle_codes(
+            ensure_parallelism(
+                df.select(F.col(id_col).alias("doc_id"), text_col).where(
+                    F.size(tokens(F.col(text_col))) >= SHINGLE_N
+                )
+            ),
+            out="_sc",
+        )
+        .select("doc_id", F.array_sort(F.array_distinct(F.col("_sc"))).alias("codes"))
+        .persist()
+    )
+    prefix_len = F.size("codes") - F.ceil(F.lit(threshold) * F.size("codes")) + 1
+    probe = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.size("codes").alias("n_a"),
+        F.col("codes").alias("codes_a"),
+        F.explode(F.slice(F.col("codes"), 1, prefix_len)).alias("code"),
+    )
+    index = base.select(
+        F.col("doc_id").alias("doc_b"), F.explode("codes").alias("code")
+    )
+    cand = (
+        probe.join(index, "code")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    withb = cand.join(
+        base.select(F.col("doc_id").alias("doc_b"), F.col("codes").alias("codes_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("codes_a", "codes_b")).cast("long")
+    verified = withb.withColumn(
+        "containment", inter.cast("double") / F.col("n_a").cast("double")
+    )
+    return verified.where(F.col("containment") >= threshold).select(
+        "doc_a", "doc_b", "containment"
+    )
+
+
 # --- span-level exact dedup (Lee et al. 2022 "Deduplicating Training
 # Data Makes Language Models Better" — repeated-substring removal,
 # discretized to fixed non-overlapping token windows so membership is an

@@ -482,6 +482,100 @@ def resize_images(
     return images.mapInPandas(batches, schema=_RESIZE_SCHEMA)
 
 
+PHASH_TAPS = 128
+PHASH_BANDS = 4  # 32 bits each; pigeonhole needs max_hamming < PHASH_BANDS
+
+_PHASH_SCHEMA = "doc_id long, payload_len long, bands array<long>"
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """Perceptual hash (aHash) over REAL decoded PNG pixels: 128
+    evenly-spaced taps of the decoded pixel buffer, mean-thresholded
+    into a 128-bit signature carried as PHASH_BANDS × 32-bit band
+    values — the image counterpart of text fingerprinting, and the
+    blocking key for image near-dup (`phash_near_dup_pairs`).
+
+    Integer-exact by construction (cross-engine oracle-safe): taps are
+    pixel BYTES at positions k·n//128, and the threshold comparison is
+    `128·tap_k > Σtaps` — no float mean. Empty images (no pixels) have
+    no hash and are dropped, mirrored by the oracle's n > 0 predicate.
+
+    Scale: one mapInPandas decode pass (Arrow batches, parallelism =
+    partition count); band width must WIDEN with the corpus like every
+    LSH key (dedup.SIMHASH_BITS lesson) — 32-bit bands give 2^32
+    buckets per band, collapsing only for genuinely similar content."""
+    images = media.where(F.col("media_type") == "image/png")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            # dict built in exact schema order (mapInPandas matches
+            # yielded columns POSITIONALLY)
+            out: dict[str, list] = {"doc_id": [], "payload_len": [], "bands": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                px = decode_png(bytes(content))["payload"]
+                n = len(px)
+                if n == 0:
+                    continue
+                taps = [px[k * n // PHASH_TAPS] for k in range(PHASH_TAPS)]
+                total = sum(taps)
+                bands = []
+                for b in range(PHASH_BANDS):
+                    v = 0
+                    for j in range(32):
+                        if PHASH_TAPS * taps[32 * b + j] > total:
+                            v |= 1 << j
+                    bands.append(v)
+                out["doc_id"].append(doc_id)
+                out["payload_len"].append(n)
+                out["bands"].append(bands)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "payload_len": pd.Series(out["payload_len"], dtype="int64"),
+                    "bands": pd.Series(out["bands"], dtype="object"),
+                }
+            )
+
+    return images.mapInPandas(batches, schema=_PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Image near-dup pairs by banded hamming join over perceptual
+    hashes: hamming(a, b) ≤ max_hamming over 128 bits means at most
+    max_hamming of the PHASH_BANDS band values differ, so (pigeonhole,
+    max_hamming < PHASH_BANDS) at least one band is EXACTLY equal —
+    candidates come from a band-value equi-join, never all-pairs, and
+    the exact bit_count(xor) verify on the carried band arrays removes
+    false positives. The same banded-LSH shape as simhash_pairs, keyed
+    on pixel-space signatures instead of token hashes."""
+    if max_hamming >= PHASH_BANDS:
+        raise ValueError("pigeonhole requires max_hamming < PHASH_BANDS")
+    posting = hashes.select(
+        "doc_id", "bands", F.posexplode("bands").alias("band", "val")
+    )
+    a = posting.select(
+        F.col("doc_id").alias("doc_a"), F.col("bands").alias("bands_a"), "band", "val"
+    )
+    b = posting.select(
+        F.col("doc_id").alias("doc_b"), F.col("bands").alias("bands_b"), "band", "val"
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.aggregate(
+        F.zip_with("bands_a", "bands_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 _MEDIA_SCHEMA = "doc_id long, media_type string, content binary, raw binary"
 
 

@@ -1612,3 +1612,110 @@ def test_codebook_artifact_roundtrip(spark, tmp_path):
         r["vec_id"]: tuple(r) for r in pq_encode(vecs, codebooks=loaded).collect()
     }
     assert fresh == via_artifact
+
+
+def test_phash_near_dup_pairs_catch_pixel_swap(spark):
+    """The phash PAIR path on genuinely near-identical images (this
+    corpus has no pixel-space near-dups at gate scale, so the registry
+    query ships the fingerprint table and THIS pins the pairs): two
+    pixel buffers differing by one swapped character pair keep the tap
+    SUM identical, so at most 2 threshold bits flip — banded candidates
+    (pigeonhole over 4 bands) must find the pair and verify hamming
+    ≤ 2, while an unrelated image pairs with neither."""
+    from mimic2ts_spark.operators.multimodal import (
+        encode_png,
+        perceptual_hashes,
+        phash_near_dup_pairs,
+    )
+
+    base = bytearray(("the quick brown fox jumps over the lazy dog " * 8).encode())
+    near = bytearray(base)
+    near[5], near[200] = near[200], near[5]  # multiset (and tap sum) preserved
+    unrelated = ("0123456789 " * 32).encode()
+    rows = [
+        (1, "image/png", bytearray(encode_png(bytes(base)))),
+        (2, "image/png", bytearray(encode_png(bytes(near)))),
+        (3, "image/png", bytearray(encode_png(unrelated))),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, content binary"
+    )
+    hashes = perceptual_hashes(media)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_near_dup_pairs(hashes, max_hamming=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2, pairs
+    assert all({a, b} == {1, 2} for a, b in pairs), pairs
+
+
+def test_phash_pigeonhole_guard():
+    from mimic2ts_spark.operators.multimodal import PHASH_BANDS, phash_near_dup_pairs
+
+    with pytest.raises(ValueError):
+        phash_near_dup_pairs(None, max_hamming=PHASH_BANDS)
+
+
+def test_containment_catches_subset_doc_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment 1.0 in
+    the contained→container direction ONLY, while symmetric Jaccard at
+    the same bar stays silent (J = |a|/|b| ≈ 0.4 here)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta red orange yellow green blue violet"),
+        (3, "one two three four five six seven"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in D.containment_pairs(df, threshold=0.9).collect()
+    }
+    assert got.get((1, 2)) == 1.0, got
+    assert (2, 1) not in got and not any(3 in p for p in got), got
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_containment_pruned_equals_naive_all_pairs(spark, docs):
+    """Blocking-completeness: the prefix-filtered containment_pairs must
+    equal the NAIVE all-pairs + exact-verify form on the sf0.001 corpus
+    (the naive reference shares no pruning theorem with the operator)."""
+    pruned = {
+        (r.doc_a, r.doc_b, round(r.containment, 12))
+        for r in D.containment_pairs(docs, threshold=0.9).collect()
+    }
+    base = (
+        D.with_shingle_codes(
+            docs.select("doc_id", "text").where(
+                F.size(D.tokens(F.col("text"))) >= D.SHINGLE_N
+            ),
+            out="_sc",
+        )
+        .select(
+            "doc_id", F.array_sort(F.array_distinct(F.col("_sc"))).alias("codes")
+        )
+        .where(F.size("codes") > 0)
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("codes").alias("codes_a"),
+        F.size("codes").alias("n_a"),
+    )
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("codes").alias("codes_b"))
+    naive = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("codes_a", "codes_b")).cast("double")
+            / F.col("n_a").cast("double"),
+        )
+        .where(F.col("containment") >= 0.9)
+    )
+    expect = {
+        (r.doc_a, r.doc_b, round(r.containment, 12)) for r in naive.collect()
+    }
+    assert pruned == expect and expect, (len(pruned), len(expect))
