@@ -120,6 +120,7 @@ HEADLINE = [
     # round 6: containment dedup + perceptual-hash fingerprints
     "q_dedup_containment",
     "q_multimodal_phash",
+    "q_ann_incremental",
 ]
 
 

@@ -549,6 +549,47 @@ SELECT * FROM ranked WHERE rank <= 5
 Q_ANN_IVF_SQL = _q_ann_ivf_sql()
 
 
+def q_ann_incremental(spark, sf_dir):
+    """X146 — incremental ANN index maintenance: coarse cells are an
+    artifact trained on the ACCEPTED corpus (vec_id % 10 != 0, memoized
+    per sf_dir like every coarse artifact); the incoming delta batch
+    (vec_id % 10 == 0) is assigned to the EXISTING cells in one kernel
+    pass — index growth at delta cost, never a retrain. The oracle
+    replays the identical base-trained Lloyd chain and assigns the
+    delta against its final centroids."""
+    embs = _embs(spark, sf_dir)
+    base = embs.where(F.col("vec_id") % 10 != 0)
+    delta = embs.where(F.col("vec_id") % 10 == 0)
+    return S.ivf_delta_assign(base, delta, cache_key=sf_dir + ":ivf_base")
+
+
+def _q_ann_incremental_sql():
+    from mimic2ts_spark.operators.kmeans import (
+        _sql_assign,
+        _sql_quant,
+        sql_kmeans_parts,
+    )
+
+    base_tbl = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)"
+    parts, _, final_c = sql_kmeans_parts(
+        base_tbl, k=S.sql_derived_cells(base_tbl), prefix="inc_"
+    )
+    parts.append(
+        "inc_delta AS (SELECT vec_id, "
+        + _sql_quant("embedding")
+        + " AS x FROM embeddings WHERE vec_id % 10 = 0)"
+    )
+    parts.append(f"inc_d AS {_sql_assign('inc_delta', final_c)}")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT vec_id, cid, CAST(d AS BIGINT) AS d FROM inc_d"
+    )
+
+
+Q_ANN_INCREMENTAL_SQL = _q_ann_incremental_sql()
+
+
 # --- multimodal + streaming ------------------------------------------------
 
 
@@ -4394,6 +4435,7 @@ EXT_REGISTRY = {
     "q_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
     "q_dedup_containment": (q_dedup_containment, Q_DEDUP_CONTAINMENT_SQL),
     "q_multimodal_phash": (q_multimodal_phash, Q_MULTIMODAL_PHASH_SQL),
+    "q_ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so

@@ -333,6 +333,42 @@ def ivf_topk(
     )
 
 
+def ivf_delta_assign(
+    vectors: DataFrame,
+    delta: DataFrame,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign a DELTA batch to the
+    coarse cells trained on the ACCEPTED corpus — (vec_id, cid, d) rows
+    ready to append to the cell postings. The index is an ARTIFACT
+    (train_coarse memoizes per cache_key; `maintain codebook` is the
+    cross-run form): growing the corpus costs ONE kernel pass over the
+    delta, never a retrain — the same delta-cadence contract as
+    incremental_ngram_pairs on the dedup side.
+
+    Cells derive from the BASE size (derived_cells — the accepted
+    corpus sized the index); re-deriving and retraining when n crosses
+    the next cell plateau is a maintenance event, not a per-batch cost.
+    Assignment uses the identical int-L2 kernel the training minimized
+    (kmeans._assign_kernel), so delta rows are bit-compatible with the
+    base assignment and the unrolled-CTE oracle."""
+    from mimic2ts_spark.operators.kmeans import _assign_kernel, quantize, train_coarse
+
+    n = vectors.count()
+    if n_centroids is None:
+        n_centroids = derived_cells(n)
+    cents = train_coarse(
+        vectors, n_centroids, id_col=id_col, vec_col=vec_col, cache_key=cache_key, n=n
+    )
+    dbase = delta.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
+    )
+    return _assign_kernel(dbase, cents).select("vec_id", "cid", "d")
+
+
 def embedding_near_dup_pairs_lsh(
     vectors: DataFrame,
     threshold: float,

@@ -1719,3 +1719,37 @@ def test_containment_pruned_equals_naive_all_pairs(spark, docs):
         (r.doc_a, r.doc_b, round(r.containment, 12)) for r in naive.collect()
     }
     assert pruned == expect and expect, (len(pruned), len(expect))
+
+
+def test_ivf_delta_assign_matches_crossjoin_and_delta_cost(spark, embs):
+    """Incremental index maintenance: delta rows must equal the
+    independent struct-min broadcast assignment against the SAME
+    base-trained centroids (two disjoint code paths for nearest-cell),
+    and the coarse training must come from the memo on a second call
+    (the delta-cost contract — no retrain per batch)."""
+    from mimic2ts_spark.operators import kmeans as K
+    from mimic2ts_spark.operators.similarity import derived_cells, ivf_delta_assign
+
+    base = embs.where(F.col("vec_id") % 10 != 0)
+    delta = embs.where(F.col("vec_id") % 10 == 0)
+    key = "test:ivf_delta"
+    got = {
+        r.vec_id: (r.cid, r.d)
+        for r in ivf_delta_assign(base, delta, cache_key=key).collect()
+    }
+
+    n = base.count()
+    cents_rows = K._COARSE_CACHE[(derived_cells(n), K.KM_ROUNDS, key)]
+    cents = spark.createDataFrame(
+        [(r.cid, list(r.m)) for r in cents_rows], "cid long, m array<bigint>"
+    )
+    dbase = delta.select("vec_id", K.quantize(F.col("embedding")).alias("x"))
+    expect = {
+        r.vec_id: (r.cid, r.d) for r in K._assign(dbase, cents).collect()
+    }
+    assert got == expect and got
+
+    # memo hit: a second call must reuse the identical centroid object
+    before = K._COARSE_CACHE[(derived_cells(n), K.KM_ROUNDS, key)]
+    ivf_delta_assign(base, delta, cache_key=key).count()
+    assert K._COARSE_CACHE[(derived_cells(n), K.KM_ROUNDS, key)] is before
