@@ -121,6 +121,7 @@ HEADLINE = [
     "q_dedup_containment",
     "q_multimodal_phash",
     "q_ann_incremental",
+    "q_join_bloom",
 ]
 
 

@@ -2325,6 +2325,39 @@ GROUP BY doc_id, n, k // 32
 Q_MULTIMODAL_PHASH_SQL = _phash_sql()
 
 
+def q_join_bloom(spark, sf_dir):
+    """X147 — Bloom-filter semi-join reduction (joins.bloom_semi_join):
+    orders ⋈ BUILDING-segment customers with the fact side pruned by a
+    16 KiB deterministic Bloom filter over the dim key set BEFORE the
+    join shuffle (~80 % of the fact shuffle gone at this selectivity).
+    The shuffle_hash hint keeps the join's reduce side real (a
+    broadcast join would have no fact shuffle to save — same rationale
+    as q_join_salted); the exact join kills the false positives, so the
+    oracle is the plain join."""
+    from mimic2ts_spark.operators.joins import bloom_semi_join
+
+    o = _h._t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice"),
+    )
+    c = (
+        _h._t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    return bloom_semi_join(o, c.hint("shuffle_hash"), key="c_custkey").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+Q_JOIN_BLOOM_SQL = """
+SELECT o_orderkey, o_custkey AS c_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """X77 — benchmark decontamination: training docs sharing ≥1 word
     5-gram with the held-out benchmark slice (doc_id % 53 == 0 — the
@@ -4436,6 +4469,7 @@ EXT_REGISTRY = {
     "q_dedup_containment": (q_dedup_containment, Q_DEDUP_CONTAINMENT_SQL),
     "q_multimodal_phash": (q_multimodal_phash, Q_MULTIMODAL_PHASH_SQL),
     "q_ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
+    "q_join_bloom": (q_join_bloom, Q_JOIN_BLOOM_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so

@@ -283,6 +283,41 @@ def test_salted_join_is_shuffled_hash_not_broadcast(utc):
     assert "BroadcastHashJoin" not in s
 
 
+def test_bloom_join_probe_filter_below_fact_exchange(utc):
+    """q_join_bloom's whole point is the fact-side prune BEFORE the
+    join shuffle: the probe filter (md5-slice positions + element_at
+    bit tests) must sit between the orders scan and its Exchange, the
+    join must be shuffled (a broadcast plan has no fact shuffle to
+    save), and the result must equal the plain join bit-for-bit."""
+    from mimic2ts_spark import harness_ext
+
+    df = harness_ext.q_join_bloom(utc, SF)
+    s = _plan(df)
+    assert "ShuffledHashJoin" in s or "SortMergeJoin" in s
+    assert "BroadcastHashJoin" not in s
+    # the probe filter references the folded word array via element_at
+    # and feeds the exchange (fact side scans orders)
+    assert "element_at" in s and "md5" in s
+    fact_scan = s.index("orders.parquet")
+    assert "element_at" in s[: fact_scan + 2000], "probe filter not on fact side"
+    plain = (
+        utc.read.parquet(f"{SF}/orders.parquet")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("c_custkey"),
+            "o_totalprice",
+        )
+        .join(
+            utc.read.parquet(f"{SF}/customer.parquet")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey", "c_name"),
+            "c_custkey",
+        )
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_q14_pushdown_no_hint(utc):
     """Q14: the date range reaches the parquet reader, no manual
     broadcast hint on fact-scale part (AQE sizes the join), one
