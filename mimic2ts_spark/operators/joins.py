@@ -153,11 +153,27 @@ def _bloom_positions(key: Column, m: int, k: int) -> list[Column]:
     ]
 
 
+BLOOM_M_MAX = 1 << 20  # plan-literal ceiling: 16 K words = 128 KiB
+
+
+def derived_bloom_m(n_dim: int) -> int:
+    """Filter width derived from the dim key count (the derived-dials
+    rule: fixed sketch widths saturate as the input grows — simhash
+    r01, IVF cells r05). ~16 bits/key keeps the false-positive rate
+    ≈ (1−e^{−3/16·…})^3 ≲ 1 %; floor 2^17, ceiling 2^20 (a plan
+    literal should stay ~100 KiB — past the ceiling the prune degrades
+    gracefully toward pass-through, never incorrectly)."""
+    m = BLOOM_M
+    while m < BLOOM_M_MAX and m < 16 * n_dim:
+        m <<= 1
+    return m
+
+
 def bloom_semi_join(
     fact: DataFrame,
     dim: DataFrame,
     key: str,
-    m: int = BLOOM_M,
+    m: int | None = None,
     k: int = BLOOM_K,
 ) -> DataFrame:
     """Bloom-filter semi-join reduction: inner equi-join fact ⋈ dim on
@@ -181,11 +197,13 @@ def bloom_semi_join(
     SQL-addressable and fires only under planner heuristics; this
     operator is the explicit, deterministic form.
 
-    Scale the dials like every sketch: m grows with the dim key count
-    (false-positive rate ≈ (1 − e^{−k·n/m})^k; m = 2^17 holds ~1 % at
-    n = 10⁴ — re-derive m when the dim outgrows it, the simhash-width
-    rule). Keys hash through ONE md5 (k slices of the digest), so the
-    probe cost is one digest + k masked compares."""
+    m = None (default) DERIVES the width from the dim key count (one
+    count() scalar job on the already-filtered dim — cheap next to the
+    build aggregation): fixed sketch widths saturate as the input grows
+    (the simhash-width rule). Keys hash through ONE md5 (k slices of
+    the digest), so the probe cost is one digest + k masked compares."""
+    if m is None:
+        m = derived_bloom_m(dim.count())
     pos = dim.select(F.explode(F.array(*_bloom_positions(F.col(key), m, k))).alias("p"))
     words_rows = (
         pos.select(
