@@ -16,18 +16,21 @@ from mimic2ts_spark.operators.dense import dense_reindex, forward_fill, zero_fil
 from mimic2ts_spark.operators.reshape import pivot_wide
 from mimic2ts_spark.operators.cluster import canonical_ids, connected_components
 from mimic2ts_spark.operators.dedup import (
+    containment_pairs,
     exact_dedup,
     incremental_ngram_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from mimic2ts_spark.operators.joins import asof_join, range_join
+from mimic2ts_spark.operators.joins import asof_join, bloom_semi_join, range_join
 from mimic2ts_spark.operators.multimodal import (
     attach_media,
     decode_features,
     decode_real,
     extract_features,
+    perceptual_hashes,
+    phash_near_dup_pairs,
     resize_images,
     sample_frames,
 )
@@ -35,6 +38,7 @@ from mimic2ts_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
+    ivf_delta_assign,
     ivf_topk,
     lsh_topk,
 )
@@ -80,22 +84,27 @@ __all__ = [
     "pivot_wide",
     "canonical_ids",
     "connected_components",
+    "containment_pairs",
     "exact_dedup",
     "incremental_ngram_pairs",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "asof_join",
+    "bloom_semi_join",
     "range_join",
     "attach_media",
     "decode_features",
     "decode_real",
     "extract_features",
+    "perceptual_hashes",
+    "phash_near_dup_pairs",
     "resize_images",
     "sample_frames",
     "brute_force_topk",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_lsh",
+    "ivf_delta_assign",
     "ivf_topk",
     "lsh_topk",
     "kmv_sketch",
