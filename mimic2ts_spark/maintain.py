@@ -10,6 +10,8 @@ Usage:
         [--id-col vec_id] [--vec-col embedding]
     python -m mimic2ts_spark.maintain cluster OUT_DIR SRC_PARQUET \
         [--threshold 0.8]
+    python -m mimic2ts_spark.maintain ivf OUT_DIR SRC_PARQUET
+    python -m mimic2ts_spark.maintain ivf-append OUT_DIR DELTA_PARQUET
 
 init/merge/compact default to the VERSIONED backend (manifest +
 atomic pointer-flip commit, time travel, no partial-rewrite crash
@@ -89,6 +91,23 @@ def main(argv: list[str] | None = None) -> None:
     p_cl.add_argument("--id-col", default="doc_id")
     p_cl.add_argument("--text-col", default="text")
 
+    p_ivf = sub.add_parser(
+        "ivf", help="build + persist an IVF index (trained cells + postings)"
+    )
+    p_ivf.add_argument("out_dir")
+    p_ivf.add_argument("src")
+    p_ivf.add_argument("--id-col", default="vec_id")
+    p_ivf.add_argument("--vec-col", default="embedding")
+
+    p_iva = sub.add_parser(
+        "ivf-append",
+        help="assign a delta batch against the persisted cells, append postings",
+    )
+    p_iva.add_argument("out_dir")
+    p_iva.add_argument("delta")
+    p_iva.add_argument("--id-col", default="vec_id")
+    p_iva.add_argument("--vec-col", default="embedding")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "vacuum":  # pure driver-side FS walk, no Spark session
@@ -141,6 +160,67 @@ def main(argv: list[str] | None = None) -> None:
             "n_duplicates": stats["n_docs"] - stats["n_clusters"],
             "runtime_seconds": round(time.time() - t0, 3),
         }
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd in ("ivf", "ivf-append"):
+        # The IVF index is maintained table state: `ivf` trains the
+        # coarse cells ONCE (sample-bounded) and persists cells JSON +
+        # postings parquet; `ivf-append` grows it at delta cost — one
+        # kernel assignment of the batch against the LOADED cells, an
+        # append-only postings write, no retrain (the X146 contract,
+        # now cross-run). Single-writer layout, like the versioned
+        # tables (README contract).
+        import os
+
+        from mimic2ts_spark.operators.kmeans import (
+            KM_ROUNDS,
+            load_centroids,
+            save_centroids,
+            train_coarse,
+        )
+        from mimic2ts_spark.operators.similarity import (
+            assign_vectors,
+            derived_cells,
+        )
+
+        cents_path = os.path.join(args.out_dir, "centroids.json")
+        postings_dir = os.path.join(args.out_dir, "postings")
+        if args.cmd == "ivf":
+            vecs = spark.read.parquet(args.src)
+            n = vecs.count()
+            cells = derived_cells(n)
+            cents = train_coarse(
+                vecs, cells, id_col=args.id_col, vec_col=args.vec_col, n=n
+            )
+            os.makedirs(args.out_dir, exist_ok=True)
+            save_centroids(
+                cents, cents_path,
+                meta={"n_base": n, "n_cells": len(cents), "rounds": KM_ROUNDS,
+                      "id_col": args.id_col, "vec_col": args.vec_col},
+            )
+            assign_vectors(
+                vecs, cents, id_col=args.id_col, vec_col=args.vec_col
+            ).write.mode("overwrite").parquet(postings_dir)
+            audit = {
+                "cmd": "ivf", "out": args.out_dir, "n_vectors": n,
+                "n_cells": len(cents),
+                "n_postings": spark.read.parquet(postings_dir).count(),
+            }
+        else:
+            cents, meta = load_centroids(cents_path)
+            delta = spark.read.parquet(args.delta)
+            n_delta = delta.count()
+            assign_vectors(
+                delta, cents, id_col=args.id_col, vec_col=args.vec_col
+            ).write.mode("append").parquet(postings_dir)
+            audit = {
+                "cmd": "ivf-append", "out": args.out_dir, "n_delta": n_delta,
+                "n_cells": len(cents),
+                "n_postings": spark.read.parquet(postings_dir).count(),
+            }
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
         print(json.dumps(audit))
         release_storage(spark)
         return

@@ -34,7 +34,9 @@ from mimic2ts_spark.operators.multimodal import (
     resize_images,
     sample_frames,
 )
+from mimic2ts_spark.operators.kmeans import load_centroids, save_centroids
 from mimic2ts_spark.operators.similarity import (
+    assign_vectors,
     brute_force_topk,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
@@ -104,7 +106,10 @@ __all__ = [
     "brute_force_topk",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_lsh",
+    "assign_vectors",
     "ivf_delta_assign",
+    "load_centroids",
+    "save_centroids",
     "ivf_topk",
     "lsh_topk",
     "kmv_sketch",

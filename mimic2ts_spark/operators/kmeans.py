@@ -29,6 +29,8 @@ derive them from the same assignment, so the oracle stays exact).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -234,6 +236,39 @@ def lloyd_train(
 # share the same k=16/KM_ROUNDS coarse training when the harness keys
 # both by sf_dir. Driver-side size is k·dim ints.
 _COARSE_CACHE: dict[tuple, list] = {}
+
+
+class CentRow(NamedTuple):
+    """Attribute-compatible stand-in for a collected centroid Row
+    (consumers access .cid / .m) when centroids load from a JSON
+    artifact instead of a collect()."""
+
+    cid: int
+    m: list
+
+
+def save_centroids(cents_rows: list, path: str, meta: dict | None = None) -> None:
+    """Persist trained coarse centroids as a JSON artifact (the
+    cross-run form of _COARSE_CACHE, like pq.save_codebooks): the IVF
+    index's trained state is maintained TABLE state, not per-query
+    work. Integer centroids serialize exactly — reload is bit-identical."""
+    import json
+
+    doc = dict(meta or {})
+    doc["cells"] = [[int(r.cid), [int(v) for v in r.m]] for r in cents_rows]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def load_centroids(path: str) -> tuple[list, dict]:
+    """(cents_rows, meta): centroid rows attribute-compatible with the
+    collect() form (CentRow), plus whatever metadata the save recorded."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    rows = [CentRow(cid, m) for cid, m in doc.pop("cells")]
+    return rows, doc
 
 
 def train_coarse(

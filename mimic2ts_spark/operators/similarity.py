@@ -355,7 +355,7 @@ def ivf_delta_assign(
     Assignment uses the identical int-L2 kernel the training minimized
     (kmeans._assign_kernel), so delta rows are bit-compatible with the
     base assignment and the unrolled-CTE oracle."""
-    from mimic2ts_spark.operators.kmeans import _assign_kernel, quantize, train_coarse
+    from mimic2ts_spark.operators.kmeans import train_coarse
 
     n = vectors.count()
     if n_centroids is None:
@@ -363,10 +363,25 @@ def ivf_delta_assign(
     cents = train_coarse(
         vectors, n_centroids, id_col=id_col, vec_col=vec_col, cache_key=cache_key, n=n
     )
+    return assign_vectors(delta, cents, id_col=id_col, vec_col=vec_col)
+
+
+def assign_vectors(
+    delta: DataFrame,
+    cents_rows: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cid, d): one int-L2 kernel assignment pass against
+    GIVEN trained centroid rows — collected in-process or loaded from a
+    saved artifact (kmeans.load_centroids); the `maintain ivf-append`
+    path that grows a persisted index at delta cost."""
+    from mimic2ts_spark.operators.kmeans import _assign_kernel, quantize
+
     dbase = delta.select(
         F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
     )
-    return _assign_kernel(dbase, cents).select("vec_id", "cid", "d")
+    return _assign_kernel(dbase, cents_rows).select("vec_id", "cid", "d")
 
 
 def embedding_near_dup_pairs_lsh(

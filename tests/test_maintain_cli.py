@@ -170,3 +170,46 @@ def test_maintain_codebook_artifact(spark, tmp_path, capsys):
            pq_encode(vecs, codebooks=load_codebooks(out)).collect()}
     fresh = {r["vec_id"]: tuple(r) for r in pq_encode(vecs).collect()}
     assert via == fresh
+
+
+def test_maintain_ivf_build_and_append(spark, tmp_path, capsys):
+    """IVF index as maintained table state: build persists cells JSON +
+    postings parquet; append assigns a delta against the LOADED cells
+    (bit-identical reload) and grows postings at delta cost — no
+    retrain. The appended rows must equal an in-process assignment
+    against the reloaded artifact."""
+    import json as _json
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.kmeans import load_centroids
+    from mimic2ts_spark.operators.similarity import assign_vectors
+
+    out = str(tmp_path / "ivf_idx")
+    delta_dir = str(tmp_path / "delta")
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    delta = embs.where(F.col("vec_id") < 40).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    delta.write.parquet(delta_dir)
+
+    main(["ivf", out, f"{SF}/embeddings.parquet"])
+    a1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a1["n_postings"] == a1["n_vectors"] == embs.count()
+
+    main(["ivf-append", out, delta_dir])
+    a2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a2["n_delta"] == 40
+    assert a2["n_postings"] == a1["n_postings"] + 40
+
+    cents, meta = load_centroids(f"{out}/centroids.json")
+    assert meta["n_cells"] == len(cents) == a1["n_cells"]
+    expect = {
+        r.vec_id: (r.cid, r.d) for r in assign_vectors(delta, cents).collect()
+    }
+    got = {
+        r.vec_id: (r.cid, r.d)
+        for r in spark.read.parquet(f"{out}/postings")
+        .where(F.col("vec_id") >= 1_000_000)
+        .collect()
+    }
+    assert got == expect and len(got) == 40
