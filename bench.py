@@ -122,6 +122,7 @@ HEADLINE = [
     "q_multimodal_phash",
     "q_ann_incremental",
     "q_join_bloom",
+    "q_graph_communities",
 ]
 
 

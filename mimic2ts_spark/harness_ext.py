@@ -2682,6 +2682,42 @@ def _q_graph_pagerank_sql():
 Q_GRAPH_PAGERANK_SQL = _q_graph_pagerank_sql()
 
 
+def q_graph_communities(spark, sf_dir):
+    """X148 — deterministic label-propagation communities over the
+    minhash near-dup pair graph: duplicate FAMILIES by neighborhood
+    label majority (4 synchronous rounds, min-label tie-break as a
+    struct-min hash aggregate). Where connected-components merges
+    everything reachable — the chain-merging failure mode of near-dup
+    clustering — LPA keeps weakly-bridged families apart, so the two
+    labelings on the SAME pair graph (q_dedup_clusters vs this) bound
+    the chaining ambiguity. A dense graph floods to one label under
+    min-tie-break sync LPA (measured on the supplier transition graph:
+    1 community — exactly why the op belongs on the sparse dup graph).
+    Fixed rounds keep lineage linear; the oracle unrolls identical
+    rounds with a row_number tie-break over the identical pair SQL."""
+    from mimic2ts_spark.operators.graph import label_propagation
+
+    pairs = D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return label_propagation(edges)
+
+
+def _q_graph_communities_sql():
+    from mimic2ts_spark.operators.graph import sql_label_propagation
+
+    edges = (
+        "(SELECT doc_a AS src, doc_b AS dst FROM ("
+        + Q_DEDUP_MINHASH_SQL
+        + "))"
+    )
+    return sql_label_propagation(edges)
+
+
+Q_GRAPH_COMMUNITIES_SQL = _q_graph_communities_sql()
+
+
 TRANSITION_TOP_K = 5
 
 
@@ -4470,6 +4506,7 @@ EXT_REGISTRY = {
     "q_multimodal_phash": (q_multimodal_phash, Q_MULTIMODAL_PHASH_SQL),
     "q_ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
     "q_join_bloom": (q_join_bloom, Q_JOIN_BLOOM_SQL),
+    "q_graph_communities": (q_graph_communities, Q_GRAPH_COMMUNITIES_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so

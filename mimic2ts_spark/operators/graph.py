@@ -162,3 +162,86 @@ pr{i + 1} AS (
         + ",\n".join(parts)
         + f"\nSELECT node, pr AS pr_scaled FROM pr{iters}"
     )
+
+
+LPA_ITERS = 4
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(node, community) after `iters` SYNCHRONOUS label-propagation
+    rounds over the UNDIRECTED closure of `edges` (src/dst symmetrized,
+    self-loops already absent by the edge contract): communities where
+    connected-components is too coarse (CC merges everything reachable;
+    LPA groups by neighborhood label majority).
+
+    Deterministic variant (no rand(), oracle-exact): labels start as
+    the node id; each round every node takes the label with the MAX
+    COUNT among its neighbors' labels PLUS its own (a self-loop vote —
+    without it, synchronous LPA on a 2-node component swaps labels
+    every round and an even `iters` returns the identity: measured 45
+    "communities" over 47 paired nodes), ties to the SMALLEST label —
+    an argmin over (−count, label) computed as one struct-min hash
+    aggregate (partial-agg friendly; no per-node window sort). Fixed
+    `iters` keeps the lineage linear like pagerank — no convergence
+    check, no checkpoint.
+
+    Shape at scale: the undirected edge list + each round's two hash
+    aggregates shuffle on node id — per round one join (labels × edges)
+    + two combines, same budget as a pagerank round."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    und = (
+        sym.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    lab = nodes.withColumn("lab", F.col("node"))
+    for _ in range(iters):
+        votes = (
+            und.join(lab.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = (
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("l"))).alias("s"))
+            .select("node", F.col("s.l").alias("lab"))
+        )
+    return lab.select("node", F.col("lab").alias("community"))
+
+
+def sql_label_propagation(edges_rel: str, iters: int = LPA_ITERS) -> str:
+    """DuckDB mirror: identical symmetrization + unrolled rounds; the
+    argmin tie-break replays as row_number() OVER (ORDER BY c DESC,
+    lab)."""
+    parts = [
+        f"dedges AS ({edges_rel})",
+        "sym AS (SELECT src, dst FROM dedges UNION "
+        "SELECT dst AS src, src AS dst FROM dedges)",
+        "lnodes AS (SELECT DISTINCT src AS node FROM sym)",
+        "und AS (SELECT src, dst FROM sym UNION "
+        "SELECT node AS src, node AS dst FROM lnodes)",
+        "l0 AS (SELECT node, node AS lab FROM lnodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""v{i} AS (
+    SELECT e.dst AS node, l.lab, count(*) AS c
+    FROM und e JOIN l{i} l ON e.src = l.node
+    GROUP BY 1, 2
+),
+l{i + 1} AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM v{i}
+    ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, lab AS community FROM l{iters}"
+    )

@@ -1753,3 +1753,22 @@ def test_ivf_delta_assign_matches_crossjoin_and_delta_cost(spark, embs):
     before = K._COARSE_CACHE[(derived_cells(n), K.KM_ROUNDS, key)]
     ivf_delta_assign(base, delta, cache_key=key).count()
     assert K._COARSE_CACHE[(derived_cells(n), K.KM_ROUNDS, key)] is before
+
+
+def test_label_propagation_structures(spark):
+    """Deterministic sync LPA with self-vote: a 2-node component
+    converges to its min label (the self-vote kills the 2-cycle
+    oscillation an even round count would otherwise return), a
+    triangle floods to its min, a star adopts the hub's label, and
+    separate components never share a community."""
+    from mimic2ts_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (10, 11), (11, 12), (12, 10), (30, 31), (30, 32), (30, 33)],
+        "src long, dst long",
+    )
+    got = {r.node: r.community for r in label_propagation(edges).collect()}
+    assert got[1] == got[2] == 1
+    assert got[10] == got[11] == got[12] == 10
+    assert got[30] == got[31] == got[32] == got[33] == 30
+    assert len({got[1], got[10], got[30]}) == 3
