@@ -4319,6 +4319,21 @@ def q_compact_files(spark, sf_dir):
     )
 
 
+def q_stream_ann_ingest(spark, sf_dir):
+    """X149 — streaming ANN index ingest: the X146 delta batch arriving
+    as a stream, each microbatch assigned against the memoized
+    base-trained coarse cells and appended to the postings
+    (streaming.run_ann_ingest_available_now). Per-row assignment
+    against fixed centroids ⇒ batching-invariant ⇒ shares
+    q_ann_incremental's oracle verbatim."""
+    import tempfile
+
+    from mimic2ts_spark import streaming as ST
+
+    path = tempfile.mkdtemp(prefix="stream_ann_") + "/postings"
+    return ST.run_ann_ingest_available_now(spark, sf_dir, path)
+
+
 def q_stream_merge(spark, sf_dir):
     """X126 — streaming MERGE sink (foreachBatch → partition-pruned
     upsert): the q_merge_upsert scenario driven through Structured
@@ -4507,6 +4522,7 @@ EXT_REGISTRY = {
     "q_ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
     "q_join_bloom": (q_join_bloom, Q_JOIN_BLOOM_SQL),
     "q_graph_communities": (q_graph_communities, Q_GRAPH_COMMUNITIES_SQL),
+    "q_stream_ann_ingest": (q_stream_ann_ingest, Q_ANN_INCREMENTAL_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so

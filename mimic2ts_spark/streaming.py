@@ -908,3 +908,53 @@ def run_versioned_sink_available_now(
     )
     q.awaitTermination()
     return read_table(spark, table_path)
+
+
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet (staged directory,
+    like docs_stream)."""
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="embs_stream_")
+    os.symlink(f"{sf_dir}/embeddings.parquet", f"{stage}/embeddings.parquet")
+    schema = spark.read.parquet(stage).schema
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def run_ann_ingest_available_now(
+    spark: SparkSession, sf_dir: str, postings_dir: str
+) -> DataFrame:
+    """Streaming ANN index ingest — the streaming form of the X146
+    delta-cadence contract (and of `maintain ivf-append`): the delta
+    stream (vec_id % 10 == 0) drains through foreachBatch, each
+    microbatch assigned against the coarse cells trained ONCE on the
+    accepted corpus (vec_id % 10 != 0; the memoized sample-bounded
+    artifact) and appended to the postings — the index grows while
+    queries keep reading committed postings. Assignment is per-ROW
+    against fixed centroids, so any microbatch split appends the same
+    rows: the drained postings equal the one-shot batch assignment and
+    the entry shares q_ann_incremental's oracle verbatim."""
+    from mimic2ts_spark.operators.kmeans import train_coarse
+    from mimic2ts_spark.operators.similarity import assign_vectors, derived_cells
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") % 10 != 0
+    )
+    n = base.count()
+    cents = train_coarse(base, derived_cells(n), cache_key=sf_dir + ":ivf_base", n=n)
+
+    delta = embeddings_stream(spark, sf_dir).where(F.col("vec_id") % 10 == 0)
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assign_vectors(batch_df, cents).write.mode("append").parquet(postings_dir)
+
+    q = (
+        delta.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(postings_dir)
