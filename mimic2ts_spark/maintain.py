@@ -10,6 +10,7 @@ Usage:
         [--id-col vec_id] [--vec-col embedding]
     python -m mimic2ts_spark.maintain cluster OUT_DIR SRC_PARQUET \
         [--threshold 0.8]
+    python -m mimic2ts_spark.maintain bpe OUT_JSON SRC_PARQUET [--rounds N]
     python -m mimic2ts_spark.maintain ivf OUT_DIR SRC_PARQUET
     python -m mimic2ts_spark.maintain ivf-append OUT_DIR DELTA_PARQUET
 
@@ -90,6 +91,14 @@ def main(argv: list[str] | None = None) -> None:
     p_cl.add_argument("--threshold", type=float, default=0.8)
     p_cl.add_argument("--id-col", default="doc_id")
     p_cl.add_argument("--text-col", default="text")
+
+    p_bpe = sub.add_parser(
+        "bpe", help="train + persist the BPE merge table from SRC docs"
+    )
+    p_bpe.add_argument("out_json")
+    p_bpe.add_argument("src")
+    p_bpe.add_argument("--rounds", type=int, default=None)
+    p_bpe.add_argument("--text-col", default="text")
 
     p_ivf = sub.add_parser(
         "ivf", help="build + persist an IVF index (trained cells + postings)"
@@ -221,6 +230,22 @@ def main(argv: list[str] | None = None) -> None:
                 "n_postings": spark.read.parquet(postings_dir).count(),
             }
         audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "bpe":
+        from mimic2ts_spark.operators.bpe import BPE_ROUNDS, save_merges, train_merges
+
+        rounds = args.rounds if args.rounds is not None else BPE_ROUNDS
+        docs = spark.read.parquet(args.src)
+        rules = train_merges(docs, rounds=rounds, text_col=args.text_col)
+        save_merges(rules, args.out_json)
+        audit = {
+            "cmd": "bpe", "out": args.out_json, "rounds": rounds,
+            "n_merges": len(rules), "merges": [list(r) for r in rules],
+            "runtime_seconds": round(time.time() - t0, 3),
+        }
         print(json.dumps(audit))
         release_storage(spark)
         return

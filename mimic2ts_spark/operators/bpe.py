@@ -135,11 +135,64 @@ def bpe_train_summary(
     return out
 
 
+def _train_merge_rules(wsc: DataFrame, rounds: int) -> tuple[list, DataFrame]:
+    """(rules, folded word table) after `rounds` greedy merges over an
+    already-persisted word_symbol_counts table. A pair-less corpus
+    (all single-symbol words) trains an empty merge table and
+    tokenization degrades to characters. NOTE the SQL mirror does NOT
+    cover this degenerate case (its per-round CROSS JOIN against an
+    empty b{r} empties the vocab) — any real text corpus has >= rounds
+    mergeable pairs; the guard exists for adversarial property-test
+    inputs, not the oracle path."""
+    rules: list = []
+    work = wsc
+    for _ in range(rounds):
+        top = (
+            pair_counts(work).orderBy(F.desc("total"), "pk").limit(1).collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["pk"].split(US)
+        rules.append((a, b))
+        work = work.select("word", "cnt", merged_syms(F.col("syms"), a, b).alias("syms"))
+    return rules, work
+
+
+def train_merges(
+    df: DataFrame, rounds: int = BPE_ROUNDS, text_col: str = "text"
+) -> list:
+    """The trained merge table [(sym_a, sym_b), …] — the TOKENIZER
+    ARTIFACT (the canonical maintained state of a training-data
+    pipeline): train once via `maintain bpe`, persist with
+    save_merges, and every apply pass loads it instead of re-running
+    the greedy loop. Deterministic (count-desc, pair-key tie-break),
+    so artifact and in-process training are bit-identical."""
+    wsc = word_symbol_counts(df, text_col).persist()
+    rules, _ = _train_merge_rules(wsc, rounds)
+    wsc.unpersist()
+    return rules
+
+
+def save_merges(rules: list, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"merges": [[a, b] for a, b in rules]}, f)
+
+
+def load_merges(path: str) -> list:
+    import json
+
+    with open(path) as f:
+        return [tuple(p) for p in json.load(f)["merges"]]
+
+
 def bpe_apply_doc_stats(
     df: DataFrame,
     rounds: int = BPE_ROUNDS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    merges: list | None = None,
 ) -> DataFrame:
     """Tokenize the corpus with the merges learned by the train loop:
     (doc_id, n_words, n_tokens, checksum) where n_tokens counts the
@@ -157,23 +210,17 @@ def bpe_apply_doc_stats(
     from mimic2ts_spark.operators.text import MOD, token_code
 
     wsc = word_symbol_counts(df, text_col).persist()
-    rules = []
-    work = wsc
-    for _ in range(rounds):
-        # a pair-less corpus (all single-symbol words) trains an empty
-        # merge table and tokenization degrades to characters. NOTE the
-        # SQL mirror does NOT cover this degenerate case (its per-round
-        # CROSS JOIN against an empty b{r} empties the vocab) — any real
-        # text corpus has >= rounds mergeable pairs; the guard exists for
-        # adversarial property-test inputs, not the oracle path.
-        top = (
-            pair_counts(work).orderBy(F.desc("total"), "pk").limit(1).collect()
-        )
-        if not top:
-            break
-        a, b = top[0]["pk"].split(US)
-        rules.append((a, b))
-        work = work.select("word", "cnt", merged_syms(F.col("syms"), a, b).alias("syms"))
+    if merges is None:
+        _, work = _train_merge_rules(wsc, rounds)
+    else:
+        # pre-trained merge table (the persisted tokenizer artifact):
+        # fold the vocabulary through the loaded rules — zero training
+        # jobs, the production apply cadence
+        work = wsc
+        for a, b in merges:
+            work = work.select(
+                "word", "cnt", merged_syms(F.col("syms"), a, b).alias("syms")
+            )
 
     # position-weighted hash of the word's own symbol sequence
     sym_codes = F.transform(F.col("syms"), lambda s: token_code(s) % MOD)

@@ -213,3 +213,28 @@ def test_maintain_ivf_build_and_append(spark, tmp_path, capsys):
         .collect()
     }
     assert got == expect and len(got) == 40
+
+
+def test_maintain_bpe_artifact(spark, tmp_path, capsys):
+    """The tokenizer merge table is an artifact: train+persist via the
+    CLI, then applying with the LOADED merges must bit-equal applying
+    with in-process training (zero training jobs on the apply side)."""
+    import json as _json
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.bpe import bpe_apply_doc_stats, load_merges
+
+    out = str(tmp_path / "bpe.json")
+    main(["bpe", out, f"{SF}/documents.parquet"])
+    a = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a["n_merges"] == a["rounds"] == 2
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rules = load_merges(out)
+    assert [list(r) for r in rules] == a["merges"]
+    fresh = {r.doc_id: tuple(r) for r in bpe_apply_doc_stats(docs).collect()}
+    via = {
+        r.doc_id: tuple(r)
+        for r in bpe_apply_doc_stats(docs, merges=rules).collect()
+    }
+    assert fresh == via and fresh
