@@ -2253,6 +2253,9 @@ _GATE_CHANGED_THIS_ROUND = [
     "q_ann_pq", "q_pq_encode",
     # r06: shared memoized minhash-pair/CC labeling artifact
     "q_dedup_clusters", "q_dedup_representatives", "q_split_leakage_safe",
+    # r06 continuation: bpe apply refactored around the merge-table
+    # artifact (train_merges factor-out)
+    "q_bpe_apply",
 ]
 
 

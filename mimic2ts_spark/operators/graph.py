@@ -188,13 +188,20 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     Shape at scale: the undirected edge list + each round's two hash
     aggregates shuffle on node id — per round one join (labels × edges)
     + two combines, same budget as a pagerank round."""
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # sym is persisted FIRST: nodes, the initial labels AND every
+    # round's edge scan all derive from it — unpersisted, the upstream
+    # edge lineage (e.g. a full minhash-LSH pair pipeline) re-runs once
+    # per derivation (measured 2.2 s of LPA overhead on a 475-node
+    # graph whose edges cost 1.8 s to derive).
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     und = (
         sym.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
-        .distinct()
         .persist()
     )
     lab = nodes.withColumn("lab", F.col("node"))
