@@ -233,7 +233,7 @@ def main() -> None:
     # bench (>1.5x on any query = a regression to explain). Only attached
     # when benching the same sf the baseline was recorded at.
     here = os.path.dirname(os.path.abspath(__file__))
-    for rnd in ("r01", "r02", "r03", "r04"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05"):
         base_path = os.path.join(here, f"BENCH_{rnd}.json")
         alt_path = os.path.join(here, f"BENCH_DETAIL_{rnd}.json")
         if os.path.exists(alt_path):
