@@ -123,6 +123,7 @@ HEADLINE = [
     "q_ann_incremental",
     "q_join_bloom",
     "q_graph_communities",
+    "q_embedding_truncation",
 ]
 
 

@@ -2325,6 +2325,70 @@ GROUP BY doc_id, n, k // 32
 Q_MULTIMODAL_PHASH_SQL = _phash_sql()
 
 
+TRUNC_K = 10
+
+
+def q_embedding_truncation(spark, sf_dir):
+    """X150 — matryoshka-truncation evaluation: recall@10 of
+    prefix-truncated cosine (8/16/32 of 64 dims) against the full-dim
+    exact top-10, per (trunc_dim, query) — the storage/quality dial an
+    MRL-style deployment tunes. One corpus pass computes all four
+    cosines per candidate pair (truncation = truncating the exact
+    left-to-right fold), one WindowGroupLimit ranks every (query, dim)
+    leg; the oracle replays each leg with the dim-parameterized exact
+    cosine and the identical tie-break."""
+    embs = _embs(spark, sf_dir)
+    return S.truncation_recall(
+        embs, embs.where(F.col("vec_id") < 5), k=TRUNC_K
+    )
+
+
+def _q_embedding_truncation_sql():
+    parts = [
+        "v AS (SELECT vec_id, embedding FROM embeddings)",
+        "q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)",
+    ]
+    all_dims = list(S.TRUNC_DIMS) + [S.DIM]
+    for d in all_dims:
+        parts.append(
+            f"""r{d} AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {S.sql_cosine('q.embedding', 'v.embedding', dim=d)}
+                            DESC, v.vec_id) AS rn
+        FROM q, v WHERE q.vec_id <> v.vec_id
+    ) WHERE rn <= {TRUNC_K}
+)"""
+        )
+    parts.append(
+        "tr AS ("
+        + " UNION ALL ".join(
+            f"SELECT CAST({d} AS BIGINT) AS trunc_dim, query_id, neighbor_id "
+            f"FROM r{d}"
+            for d in S.TRUNC_DIMS
+        )
+        + ")"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT t.trunc_dim, t.query_id,
+       CAST(count(f.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(f.neighbor_id) AS DOUBLE) / CAST({TRUNC_K} AS DOUBLE)
+           AS recall
+FROM tr t LEFT JOIN r{S.DIM} f
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY t.trunc_dim, t.query_id
+"""
+    )
+
+
+Q_EMBEDDING_TRUNCATION_SQL = _q_embedding_truncation_sql()
+
+
 def q_join_bloom(spark, sf_dir):
     """X147 — Bloom-filter semi-join reduction (joins.bloom_semi_join):
     orders ⋈ BUILDING-segment customers with the fact side pruned by a
@@ -4523,6 +4587,7 @@ EXT_REGISTRY = {
     "q_join_bloom": (q_join_bloom, Q_JOIN_BLOOM_SQL),
     "q_graph_communities": (q_graph_communities, Q_GRAPH_COMMUNITIES_SQL),
     "q_stream_ann_ingest": (q_stream_ann_ingest, Q_ANN_INCREMENTAL_SQL),
+    "q_embedding_truncation": (q_embedding_truncation, Q_EMBEDDING_TRUNCATION_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so

@@ -333,6 +333,87 @@ def ivf_topk(
     )
 
 
+TRUNC_DIMS = (8, 16, 32)
+
+
+def truncation_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dims: tuple = TRUNC_DIMS,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-truncation evaluation: recall@k of PREFIX-truncated
+    cosine against the full-dim exact top-k, per (trunc_dim, query) —
+    the storage/quality dial an MRL-style embedding deployment tunes
+    (serve d of 64 dims: how many true neighbors survive?).
+
+    ONE corpus pass: every truncated cosine (a fold over the first d
+    entries — slicing == truncating the exact left-to-right sum) plus
+    the full-dim reference is computed per candidate pair in a single
+    broadcast cross join, unpivoted to (trunc_dim, cosine) rows, and
+    ranked by one per-(query, dim) WindowGroupLimit — 4 evaluations for
+    one scan instead of 4 passes. Recall joins each truncated top-k
+    against the full-dim top-k on (query, neighbor). Bounded query
+    side, same declared brute-force shape as the ANN baseline."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    all_dims = [d for d in dims if d != DIM] + [DIM]
+    cos_cols = [
+        cosine(
+            F.slice(F.col("qvec"), 1, d), F.slice(F.col("nvec"), 1, d)
+        ).alias(f"cos_{d}")
+        for d in all_dims
+    ]
+    stack = ", ".join(f"{d}L, cos_{d}" for d in all_dims)
+    scored = (
+        q.crossJoin(v)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", *cos_cols)
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"stack({len(all_dims)}, {stack}) AS (trunc_dim, cos)",
+        )
+    )
+    w = Window.partitionBy("query_id", "trunc_dim").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("trunc_dim", "query_id", "neighbor_id")
+    )
+    full = ranked.where(F.col("trunc_dim") == DIM).select(
+        F.col("query_id").alias("fq"), F.col("neighbor_id").alias("true_neighbor")
+    )
+    hits = (
+        ranked.where(F.col("trunc_dim") != DIM)
+        .join(
+            full,
+            (F.col("query_id") == F.col("fq"))
+            & (F.col("neighbor_id") == F.col("true_neighbor")),
+        )
+        .groupBy("trunc_dim", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    base = ranked.where(F.col("trunc_dim") != DIM).select(
+        "trunc_dim", "query_id"
+    ).distinct()
+    return (
+        base.join(hits, ["trunc_dim", "query_id"], "left")
+        .select(
+            "trunc_dim",
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )
+
+
 def ivf_delta_assign(
     vectors: DataFrame,
     delta: DataFrame,

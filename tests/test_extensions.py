@@ -1772,3 +1772,24 @@ def test_label_propagation_structures(spark):
     assert got[10] == got[11] == got[12] == 10
     assert got[30] == got[31] == got[32] == got[33] == 30
     assert len({got[1], got[10], got[30]}) == 3
+
+
+def test_truncation_recall_lossless_prefix_is_perfect(spark):
+    """Self-consistency: embeddings whose mass lives entirely in the
+    first 32 dims (zeros after) rank IDENTICALLY under 32-truncated and
+    full cosine, so the d=32 leg must score recall 1.0 on every query —
+    pins the rank/join/count plumbing independent of the oracle. The
+    d=8 leg on the same vectors is genuinely lossy (< 1 on average)."""
+    from mimic2ts_spark.operators.similarity import DIM, truncation_recall
+
+    rows = [
+        (i, [float((7 * i + 3 * d) % 11 - 5) for d in range(32)] + [0.0] * (DIM - 32))
+        for i in range(20)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = truncation_recall(
+        vecs, vecs.where(F.col("vec_id") < 4), dims=(8, 32), k=5
+    ).collect()
+    d32 = [r for r in out if r.trunc_dim == 32]
+    assert d32 and all(r.recall == 1.0 and r.n_hits == 5 for r in d32)
+    assert {r.trunc_dim for r in out} == {8, 32}
