@@ -436,3 +436,49 @@ def test_bpe_apply_matches_python_reference(spark, docs):
         for r in bpe_apply_doc_stats(df).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=0, max_size=12
+        ).map(lambda toks: " ".join(toks)),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.5, 0.8, 0.9, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_containment_prefix_filter_is_complete(spark, docs, threshold):
+    """containment_pairs (contained-side prefix + full index) must equal
+    the naive all-ordered-pairs containment — the asymmetric prefix
+    theorem admits no false negatives, the exact verify no false
+    positives. Tiny alphabet forces collisions; duplicates (containment
+    1.0 BOTH directions), subset docs, and empties included."""
+    from mimic2ts_spark.operators import dedup as D
+
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in D.containment_pairs(pdf, threshold=threshold).collect()
+    }
+    codes = {
+        r.doc_id: set(r.codes)
+        for r in D.with_shingle_codes(pdf)
+        .select("doc_id", "codes")
+        .where(F.size("codes") > 0)
+        .collect()
+    }
+    want = {}
+    for a in codes:
+        for b in codes:
+            if a == b:
+                continue
+            c = len(codes[a] & codes[b]) / len(codes[a])
+            if c >= threshold:
+                want[(a, b)] = c
+    assert set(got) == set(want), (set(got) ^ set(want), docs)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
