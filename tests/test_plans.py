@@ -862,6 +862,7 @@ def test_registry_global_plan_invariants(utc):
         "q_mixture_temperature",  # 1-row total-weight scalar cross join
         "q_hybrid_rrf",      # BM25 corpus-totals scalar cross join (lexical leg)
         "q_hard_negatives",  # declared per-query brute-force leg (bounded query side)
+        "q_embedding_truncation",  # declared brute-force evaluation baseline (bounded query side)
     }
     skip = {
         "q_sink_partitioned",
