@@ -124,6 +124,7 @@ HEADLINE = [
     "q_join_bloom",
     "q_graph_communities",
     "q_embedding_truncation",
+    "q_mmr_rerank",
 ]
 
 

@@ -2325,6 +2325,20 @@ GROUP BY doc_id, n, k // 32
 Q_MULTIMODAL_PHASH_SQL = _phash_sql()
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """X151 — MMR diversified top-k: greedy maximal-marginal-relevance
+    rerank of the exact top-20 candidates (λ=0.7), k=5 unrolled argmax
+    rounds over persisted candidate/pair-sim tables — relevant-but-not-
+    redundant retrieval, the diverse-sampling shape a training-data
+    curator wants. Oracle unrolls identical rounds (row_number
+    score-DESC/id-ASC argmax); all floats are identical op trees."""
+    embs = _embs(spark, sf_dir)
+    return S.mmr_rerank(embs, embs.where(F.col("vec_id") < 5))
+
+
+Q_MMR_RERANK_SQL = S.sql_mmr_rerank()
+
+
 TRUNC_K = 10
 
 
@@ -4588,6 +4602,7 @@ EXT_REGISTRY = {
     "q_graph_communities": (q_graph_communities, Q_GRAPH_COMMUNITIES_SQL),
     "q_stream_ann_ingest": (q_stream_ann_ingest, Q_ANN_INCREMENTAL_SQL),
     "q_embedding_truncation": (q_embedding_truncation, Q_EMBEDDING_TRUNCATION_SQL),
+    "q_mmr_rerank": (q_mmr_rerank, Q_MMR_RERANK_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so

@@ -414,6 +414,189 @@ def truncation_recall(
     )
 
 
+MMR_LAMBDA = 0.7
+MMR_CAND = 20
+MMR_K = 5
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = MMR_K,
+    n_cand: int = MMR_CAND,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedy selection
+    over the exact top-`n_cand` candidates, step score
+    λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s) — the standard
+    retrieval-diversification rerank (and the diverse-sampling shape a
+    training-data curator wants: relevant but not redundant).
+
+    Greedy selection is inherently sequential, but the state is tiny
+    and PER-QUERY: the candidate relevances + the n_cand² pairwise
+    similarities (both computed declaratively, the sims by the exact
+    left-to-right fold) group by query into one Arrow batch, and a
+    pandas kernel runs the k argmax rounds in-process — ONE shuffle on
+    query_id instead of k rounds of join+agg jobs. (The DataFrame
+    round-loop was tried: it needs a per-round eager localCheckpoint to
+    kill ~3^k subplan re-evaluation — 31 s unchecked — and still paid
+    3.5 s in small-job scheduling; the kernel is the similarity.py
+    Arrow-kernel precedent and runs the same work in-process.) Python
+    floats ARE IEEE doubles and the kernel evaluates the identical
+    expression tree (λ·rel − (1−λ)·max sim; max is order-independent),
+    so the unrolled-CTE oracle stays bit-exact; score ties break to the
+    lower neighbor id on both engines (ascending-id scan + strict >).
+
+    Scale: candidate generation bounds everything — n_cand per query
+    (the brute-force leg here; swap in ivf/pq for big corpora), so the
+    kernel state is n_cand² rows per query regardless of corpus size."""
+    cands = brute_force_topk(
+        vectors, queries, k=n_cand, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
+    v = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    withvec = cands.join(
+        v.withColumnRenamed("_vid", "neighbor_id").withColumnRenamed("_vec", "nvec"),
+        "neighbor_id",
+    )
+    a = withvec.select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_a"),
+        F.col("rel").alias("rel_a"),
+        F.col("nvec").alias("vec_a"),
+    )
+    b = withvec.select(
+        F.col("query_id").alias("qb"),
+        F.col("neighbor_id").alias("cand_b"),
+        F.col("nvec").alias("vec_b"),
+    )
+    pairsim = a.join(
+        b, (F.col("query_id") == F.col("qb")) & (F.col("cand_a") != F.col("cand_b"))
+    ).select(
+        "query_id",
+        "cand_a",
+        "cand_b",
+        "rel_a",
+        cosine(F.col("vec_a"), F.col("vec_b")).alias("sim"),
+    )
+
+    lam_f = float(lam)
+    one_minus = 1.0 - lam_f
+    kk = k
+
+    def greedy(key, pdf):
+        rel: dict = {}
+        sim: dict = {}
+        for ca, cb, ra, sm in zip(
+            pdf["cand_a"], pdf["cand_b"], pdf["rel_a"], pdf["sim"]
+        ):
+            rel[int(ca)] = float(ra)
+            sim[(int(ca), int(cb))] = float(sm)
+        selected: list = []
+        scores: list = []
+        for _ in range(min(kk, len(rel))):
+            best_id, best_s = None, None
+            for cand in sorted(rel):  # ascending id: strict > keeps the lowest tied id
+                if cand in selected:
+                    continue
+                if selected:
+                    maxsim = max(sim[(cand, s)] for s in selected)
+                    sc = lam_f * rel[cand] - one_minus * maxsim
+                else:
+                    sc = rel[cand]
+                if best_s is None or sc > best_s:
+                    best_id, best_s = cand, sc
+            selected.append(best_id)
+            scores.append(best_s)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([key[0]] * len(selected), dtype="int64"),
+                "step": pd.Series(range(1, len(selected) + 1), dtype="int64"),
+                "neighbor_id": pd.Series(selected, dtype="int64"),
+                "score": pd.Series(scores, dtype="float64"),
+            }
+        )
+
+    return pairsim.groupBy("query_id").applyInPandas(
+        greedy, schema="query_id long, step long, neighbor_id long, score double"
+    )
+
+
+def sql_mmr_rerank(
+    k: int = MMR_K,
+    n_cand: int = MMR_CAND,
+    lam: float = MMR_LAMBDA,
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """Unrolled-CTE mirror: same candidates, same pairwise sims, k
+    greedy rounds with row_number (score DESC, id ASC) argmax."""
+    lam_s = f"{lam!r}::DOUBLE"
+    one_minus = f"{1.0 - lam!r}::DOUBLE"
+    parts = [
+        f"mv AS (SELECT vec_id, embedding FROM {table})",
+        f"mq AS (SELECT vec_id, embedding FROM {table} WHERE {query_pred})",
+        f"""mc AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               {sql_cosine('q.embedding', 'v.embedding')} AS rel,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {sql_cosine('q.embedding', 'v.embedding')} DESC,
+                            v.vec_id) AS rn
+        FROM mq q JOIN mv v ON q.vec_id <> v.vec_id
+    ) WHERE rn <= {n_cand}
+)""",
+        f"""mp AS MATERIALIZED (
+    SELECT a.query_id, a.neighbor_id AS cand_a, c.neighbor_id AS cand_b,
+           {sql_cosine('va.embedding', 'vb.embedding')} AS sim
+    FROM mc a JOIN mc c ON c.query_id = a.query_id
+         AND c.neighbor_id <> a.neighbor_id
+    JOIN mv va ON va.vec_id = a.neighbor_id
+    JOIN mv vb ON vb.vec_id = c.neighbor_id
+)""",
+        """s1 AS (
+    SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS step, rel AS score
+    FROM (SELECT query_id, neighbor_id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, neighbor_id) AS rn
+          FROM mc) WHERE rn = 1
+)""",
+        "acc1 AS (SELECT * FROM s1)",
+    ]
+    for step in range(2, k + 1):
+        p = step - 1
+        parts.append(
+            f"""sc{step} AS (
+    SELECT c.query_id, c.neighbor_id,
+           {lam_s} * c.rel - {one_minus} * m.maxsim AS s
+    FROM mc c
+    JOIN (SELECT p.query_id, p.cand_a AS neighbor_id, max(p.sim) AS maxsim
+          FROM mp p JOIN acc{p} a
+            ON a.query_id = p.query_id AND a.neighbor_id = p.cand_b
+          GROUP BY 1, 2) m
+      ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM acc{p} a2
+                      WHERE a2.query_id = c.query_id
+                        AND a2.neighbor_id = c.neighbor_id)
+),
+s{step} AS (
+    SELECT query_id, neighbor_id, CAST({step} AS BIGINT) AS step, s AS score
+    FROM (SELECT query_id, neighbor_id, s,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, neighbor_id) AS rn
+          FROM sc{step}) WHERE rn = 1
+),
+acc{step} AS (SELECT * FROM acc{p} UNION ALL SELECT * FROM s{step})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT query_id, step, neighbor_id, score FROM acc{k}"
+    )
+
+
 def ivf_delta_assign(
     vectors: DataFrame,
     delta: DataFrame,

@@ -1793,3 +1793,36 @@ def test_truncation_recall_lossless_prefix_is_perfect(spark):
     d32 = [r for r in out if r.trunc_dim == 32]
     assert d32 and all(r.recall == 1.0 and r.n_hits == 5 for r in d32)
     assert {r.trunc_dim for r in out} == {8, 32}
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """MMR semantics: with a duplicated top candidate, plain top-2 keeps
+    both copies while MMR (λ=0.5) swaps the copy for the diverse
+    candidate — the redundancy penalty must actually fire."""
+    from mimic2ts_spark.operators.similarity import (
+        DIM,
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    pad = [0.0] * (DIM - 2)
+    rows = [
+        (0, [1.0, 0.0] + pad),        # query
+        (1, [0.9, 0.436] + pad),      # A
+        (2, [0.9, 0.436] + pad),      # A' (duplicate of A)
+        (3, [0.9, -0.436] + pad),     # B (diverse, same relevance)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = vecs.where(F.col("vec_id") > 0)
+    queries = vecs.where(F.col("vec_id") == 0)
+    plain = {
+        r.neighbor_id
+        for r in brute_force_topk(corpus, queries, k=2).collect()
+    }
+    # A, A' and B all tie on raw cosine; the id tie-break keeps {1, 2}
+    assert plain == {1, 2}
+    steps = {
+        r.step: r.neighbor_id
+        for r in mmr_rerank(corpus, queries, k=2, n_cand=3, lam=0.5).collect()
+    }
+    assert steps == {1: 1, 2: 3}, steps
