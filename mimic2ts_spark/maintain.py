@@ -13,6 +13,8 @@ Usage:
     python -m mimic2ts_spark.maintain bpe OUT_JSON SRC_PARQUET [--rounds N]
     python -m mimic2ts_spark.maintain ivf OUT_DIR SRC_PARQUET
     python -m mimic2ts_spark.maintain ivf-append OUT_DIR DELTA_PARQUET
+    python -m mimic2ts_spark.maintain postings OUT_DIR SRC_PARQUET
+    python -m mimic2ts_spark.maintain postings-append OUT_DIR DELTA_PARQUET
 
 init/merge/compact default to the VERSIONED backend (manifest +
 atomic pointer-flip commit, time travel, no partial-rewrite crash
@@ -108,6 +110,23 @@ def main(argv: list[str] | None = None) -> None:
     p_ivf.add_argument("--id-col", default="vec_id")
     p_ivf.add_argument("--vec-col", default="embedding")
 
+    p_po = sub.add_parser(
+        "postings", help="build + persist a BM25 inverted index (term-sorted)"
+    )
+    p_po.add_argument("out_dir")
+    p_po.add_argument("src")
+    p_po.add_argument("--text-col", default="text")
+    p_po.add_argument("--id-col", default="doc_id")
+
+    p_poa = sub.add_parser(
+        "postings-append",
+        help="append a NEW-docs delta to the postings index, update stats",
+    )
+    p_poa.add_argument("out_dir")
+    p_poa.add_argument("delta")
+    p_poa.add_argument("--text-col", default="text")
+    p_poa.add_argument("--id-col", default="doc_id")
+
     p_iva = sub.add_parser(
         "ivf-append",
         help="assign a delta batch against the persisted cells, append postings",
@@ -169,6 +188,60 @@ def main(argv: list[str] | None = None) -> None:
             "n_duplicates": stats["n_docs"] - stats["n_clusters"],
             "runtime_seconds": round(time.time() - t0, 3),
         }
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd in ("postings", "postings-append"):
+        # BM25 inverted index as maintained table state: `postings`
+        # builds the full (term, doc_id, tf, dl) index term-sorted (the
+        # reader's In(term, ...) filter then skips whole rowgroups via
+        # parquet min/max stats) plus additive {n_docs, sum_dl} stats;
+        # `postings-append` appends a NEW-docs delta and adds its
+        # counts — per-term df is recomputed from the postings at read
+        # time, so appends need no df reconciliation. Single-writer
+        # layout, like every artifact here.
+        import os
+
+        from mimic2ts_spark.operators.search import build_postings, corpus_stats
+
+        stats_path = os.path.join(args.out_dir, "stats.json")
+        data_dir = os.path.join(args.out_dir, "postings")
+        par = spark.sparkContext.defaultParallelism
+        if args.cmd == "postings":
+            docs = spark.read.parquet(args.src)
+            os.makedirs(args.out_dir, exist_ok=True)
+            stats = corpus_stats(docs, text_col=args.text_col)
+            (
+                build_postings(docs, text_col=args.text_col, id_col=args.id_col)
+                .repartition(par, "term")
+                .sortWithinPartitions("term", "doc_id")
+                .write.mode("overwrite")
+                .parquet(data_dir)
+            )
+            with open(stats_path, "w") as f:
+                json.dump(stats, f)
+            audit = {"cmd": "postings", "out": args.out_dir, **stats,
+                     "n_postings": spark.read.parquet(data_dir).count()}
+        else:
+            delta = spark.read.parquet(args.delta)
+            with open(stats_path) as f:
+                stats = json.load(f)
+            d_stats = corpus_stats(delta, text_col=args.text_col)
+            (
+                build_postings(delta, text_col=args.text_col, id_col=args.id_col)
+                .repartition(par, "term")
+                .sortWithinPartitions("term", "doc_id")
+                .write.mode("append")
+                .parquet(data_dir)
+            )
+            stats = {k: stats[k] + d_stats[k] for k in ("n_docs", "sum_dl")}
+            with open(stats_path, "w") as f:
+                json.dump(stats, f)
+            audit = {"cmd": "postings-append", "out": args.out_dir,
+                     "n_delta_docs": d_stats["n_docs"], **stats,
+                     "n_postings": spark.read.parquet(data_dir).count()}
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
         print(json.dumps(audit))
         release_storage(spark)
         return

@@ -409,3 +409,73 @@ SELECT {id_col}, term, score_scaled, CAST(rk AS INTEGER) AS rk FROM (
     FROM scored
 ) WHERE rk <= {k}
 """
+
+
+def build_postings(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(term, doc_id, tf, dl): the FULL inverted index a persisted
+    search artifact stores — one explode + one hash agg over the corpus
+    (doc length carried through the explode, so tf never joins back).
+    Per-term document frequency is NOT materialized: it is a count over
+    the term's postings, recomputed by the reader after any append —
+    which is what keeps delta appends stats-consistent for free."""
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        toks.alias("_toks"),
+    )
+    return (
+        base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> dict:
+    """{n_docs, sum_dl}: the two scalars BM25 needs besides postings —
+    maintained additively across appends (new docs only, single-writer)."""
+    r = df.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("sum_dl"),
+    ).collect()[0]
+    return {"n_docs": int(r["n_docs"]), "sum_dl": int(r["sum_dl"])}
+
+
+def bm25_from_postings(
+    spark,
+    postings_dir: str,
+    stats: dict,
+    query_terms: tuple[str, ...],
+    k: int = TOP_K,
+) -> DataFrame:
+    """BM25 top-k served FROM the persisted index: the postings scan is
+    pruned to the query terms (term-sorted files ⇒ rowgroup min/max
+    stats skip non-matching rowgroups — `PushedFilters: [In(term, …)]`),
+    df per term counts the term's postings, and n_docs/sum_dl come from
+    the maintained stats. The identical integer-exact scoring expression
+    as bm25_topk, so index-served results bit-equal the corpus-scan
+    form at any append state."""
+    tf = spark.read.parquet(postings_dir).where(F.col("term").isin(*query_terms))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs, sum_dl = stats["n_docs"], stats["sum_dl"]
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "idf_scaled",
+            F.expr(f"({SCALE}L * (2L * ({n_docs}L - df) + 1L)) div (2L * df + 1L)"),
+        )
+        .withColumn(
+            "tf_scaled",
+            F.expr(
+                f"({SCALE}L * 22L * {sum_dl}L * tf) div "
+                f"(10L * {sum_dl}L * tf + 3L * {sum_dl}L + 9L * dl * {n_docs}L)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum(F.col("idf_scaled") * F.col("tf_scaled")).alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), "doc_id")
+        .limit(k)
+    )

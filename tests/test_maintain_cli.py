@@ -238,3 +238,51 @@ def test_maintain_bpe_artifact(spark, tmp_path, capsys):
         for r in bpe_apply_doc_stats(docs, merges=rules).collect()
     }
     assert fresh == via and fresh
+
+
+def test_maintain_postings_build_append_serve(spark, tmp_path, capsys):
+    """Search-index artifact: build on a base slice, serve BM25 FROM the
+    index (must bit-equal the corpus-scan bm25_topk on the same slice),
+    append a NEW-docs delta, and the index-served result must then
+    bit-equal the corpus-scan form over the FULL corpus — per-term df
+    recomputes from postings, stats add. The query-term scan must show
+    the pushed In(term, ...) filter."""
+    import json as _json
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.search import bm25_from_postings, bm25_topk
+
+    out = str(tmp_path / "idx")
+    base_dir = str(tmp_path / "base")
+    delta_dir = str(tmp_path / "delta")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.where(F.col("doc_id") % 10 != 0).write.parquet(base_dir)
+    docs.where(F.col("doc_id") % 10 == 0).write.parquet(delta_dir)
+    terms = ("data", "model", "training")
+
+    main(["postings", out, base_dir])
+    a1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    base = spark.read.parquet(base_dir)
+    assert a1["n_docs"] == base.count()
+
+    with open(f"{out}/stats.json") as f:
+        stats = _json.load(f)
+    served = bm25_from_postings(spark, f"{out}/postings", stats, terms).collect()
+    direct = bm25_topk(base, terms).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in direct]
+
+    plan = bm25_from_postings(
+        spark, f"{out}/postings", stats, terms
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "In(term" in plan
+
+    main(["postings-append", out, delta_dir])
+    a2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a2["n_docs"] == docs.count()
+    with open(f"{out}/stats.json") as f:
+        stats2 = _json.load(f)
+    served2 = bm25_from_postings(spark, f"{out}/postings", stats2, terms).collect()
+    direct2 = bm25_topk(docs, terms).collect()
+    assert [tuple(r) for r in served2] == [tuple(r) for r in direct2]
