@@ -125,6 +125,7 @@ HEADLINE = [
     "q_graph_communities",
     "q_embedding_truncation",
     "q_mmr_rerank",
+    "q_sketch_join_card",
 ]
 
 

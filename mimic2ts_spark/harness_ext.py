@@ -2325,6 +2325,76 @@ GROUP BY doc_id, n, k // 32
 Q_MULTIMODAL_PHASH_SQL = _phash_sql()
 
 
+def q_sketch_join_card(spark, sf_dir):
+    """X153 — join-cardinality estimation from KMV sketches (the
+    planner-side use of mergeable sketches): |distinct custkeys active
+    in BOTH halves of the order history| estimated by
+    inclusion–exclusion over three KMV estimates (A, B, A∪B — the date
+    split partitions orders, so the union sketch is one pass over all
+    orders), reported against the exact intersection. Sketches are
+    md5-deterministic, the single float expression is order-pinned,
+    and the 1-row scalar joins are the declared pattern."""
+    from mimic2ts_spark.operators.sketch import kmv_sketch
+
+    o = _h._t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cut = "1998-01-01"
+    a = o.where(F.col("o_orderdate") < cut)
+    b = o.where(F.col("o_orderdate") >= cut)
+
+    def est(df, name):
+        return (
+            kmv_sketch(df.select(F.lit(name).alias("g"), "o_custkey"), ["g"], "o_custkey")
+            .select(F.col("est_distinct").alias(f"est_{name}"))
+        )
+
+    exact = (
+        a.select("o_custkey").distinct()
+        .join(b.select("o_custkey").distinct(), "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    return (
+        est(a, "a")
+        .crossJoin(est(b, "b"))
+        .crossJoin(est(o, "u"))
+        .crossJoin(exact)
+        .select(
+            "est_a",
+            "est_b",
+            "est_u",
+            ((F.col("est_a") + F.col("est_b")) - F.col("est_u")).alias("est_inter"),
+            "exact_inter",
+        )
+    )
+
+
+def _q_sketch_join_card_sql():
+    from mimic2ts_spark.operators.sketch import kmv_sketch_sql
+
+    def one(pred, name):
+        tbl = f"(SELECT '{name}' AS g, o_custkey FROM orders WHERE {pred})"
+        return f"(SELECT est_distinct AS est_{name} FROM ({kmv_sketch_sql(tbl, 'g', 'o_custkey')}))"
+
+    cut = "'1998-01-01'"
+    return f"""
+SELECT est_a, est_b, est_u,
+       (est_a + est_b) - est_u AS est_inter,
+       exact_inter
+FROM {one(f"o_orderdate < {cut}", 'a')}
+CROSS JOIN {one(f"o_orderdate >= {cut}", 'b')}
+CROSS JOIN {one("TRUE", 'u')}
+CROSS JOIN (
+    SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < {cut}
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= {cut}
+    )
+)
+"""
+
+
+Q_SKETCH_JOIN_CARD_SQL = _q_sketch_join_card_sql()
+
+
 def q_mmr_rerank(spark, sf_dir):
     """X151 — MMR diversified top-k: greedy maximal-marginal-relevance
     rerank of the exact top-20 candidates (λ=0.7), k=5 unrolled argmax
@@ -4603,6 +4673,7 @@ EXT_REGISTRY = {
     "q_stream_ann_ingest": (q_stream_ann_ingest, Q_ANN_INCREMENTAL_SQL),
     "q_embedding_truncation": (q_embedding_truncation, Q_EMBEDDING_TRUNCATION_SQL),
     "q_mmr_rerank": (q_mmr_rerank, Q_MMR_RERANK_SQL),
+    "q_sketch_join_card": (q_sketch_join_card, Q_SKETCH_JOIN_CARD_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so
