@@ -2395,6 +2395,98 @@ CROSS JOIN (
 Q_SKETCH_JOIN_CARD_SQL = _q_sketch_join_card_sql()
 
 
+CMS_HH_FACTOR = 200  # heavy hitter = estimated frequency >= total/200
+
+
+def q_sketch_cms(spark, sf_dir):
+    """X154 — Count-Min frequency sketch + heavy hitters over the
+    document token stream: d=4 salted md5 hash rows x w counters (w
+    derived from the exact vocab size — fixed widths saturate, the
+    bloom/simhash lesson), est(tok) = min_j counter[j][h_j(tok)],
+    reported against the exact count for every token whose ESTIMATE
+    clears the 0.5% support bar (the CMS-side decision, overcounts
+    included — est >= exact so the sketch never misses a true heavy
+    hitter). The frequency-side companion of the KMV family (X19/
+    X137/X152/X153); the counter state is d*w rows regardless of
+    corpus size, and candidate estimation is vocab-bound. Integer
+    counters only, no division (200*est >= total) — bit-exact."""
+    from mimic2ts_spark.operators import sketch as K
+
+    # persist: tokens feed four derivations (total/vocab scalars,
+    # counters, exact counts); harness drivers release_storage() after.
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .where(F.length("tok") > 0)
+        .persist()
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .persist()
+    )
+    # both scalars from the vocab-bound table — no extra pass over toks
+    nd, tot = exact.agg(F.count(F.lit(1)), F.sum("exact_cnt")).first()
+    w = K.cms_width(nd)  # driver-side scalar; SQL mirrors via GREATEST
+    counters = K.cms_counters(toks, "tok", w)
+    est = K.cms_estimate(exact, "tok", counters, w)
+    return est.where(
+        F.col("cms_est") * F.lit(CMS_HH_FACTOR) >= F.lit(int(tot))
+    ).select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def _q_sketch_cms_sql():
+    from mimic2ts_spark.operators import sketch as K
+
+    d = K.CMS_DEPTH
+    salts = ", ".join(f"({j})" for j in range(d))
+    code = "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {tok}), 1, 15)) AS BIGINT)"
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT tok FROM (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents
+    ) WHERE len(tok) > 0
+),
+params AS MATERIALIZED (
+    SELECT CAST(count(*) AS BIGINT) AS total,
+           GREATEST({K.CMS_MIN_WIDTH}, {K.CMS_WIDTH_FACTOR} * count(DISTINCT tok)) AS w
+    FROM toks
+),
+counters AS MATERIALIZED (
+    SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT s.j,
+               {code.format(j='s.j', tok='toks.tok')} % (SELECT w FROM params) AS bucket
+        FROM toks CROSS JOIN (VALUES {salts}) AS s(j)
+    )
+    GROUP BY j, bucket
+),
+exact AS MATERIALIZED (
+    SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok
+),
+est AS (
+    SELECT e.tok, e.exact_cnt, min(c.cnt) AS cms_est
+    FROM exact e
+    CROSS JOIN (VALUES {salts}) AS s(j)
+    JOIN counters c
+      ON c.j = s.j
+     AND c.bucket = {code.format(j='s.j', tok='e.tok')} % (SELECT w FROM params)
+    GROUP BY e.tok, e.exact_cnt
+)
+SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+FROM est
+WHERE {CMS_HH_FACTOR} * cms_est >= (SELECT total FROM params)
+"""
+
+
+Q_SKETCH_CMS_SQL = _q_sketch_cms_sql()
+
+
 def q_mmr_rerank(spark, sf_dir):
     """X151 — MMR diversified top-k: greedy maximal-marginal-relevance
     rerank of the exact top-20 candidates (λ=0.7), k=5 unrolled argmax
@@ -4674,6 +4766,7 @@ EXT_REGISTRY = {
     "q_embedding_truncation": (q_embedding_truncation, Q_EMBEDDING_TRUNCATION_SQL),
     "q_mmr_rerank": (q_mmr_rerank, Q_MMR_RERANK_SQL),
     "q_sketch_join_card": (q_sketch_join_card, Q_SKETCH_JOIN_CARD_SQL),
+    "q_sketch_cms": (q_sketch_cms, Q_SKETCH_CMS_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so

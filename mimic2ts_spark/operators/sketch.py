@@ -162,3 +162,85 @@ def kmv_merge(
         F.lit(float(k - 1)) / (F.col("kth_code").cast("double") / F.lit(CODE_SPACE))
     )
     return agg.select(*merge_to, "n_kept", "kth_code", est.alias("est_distinct"))
+
+
+# --- Count-Min frequency sketch --------------------------------------------
+#
+# The frequency-side companion to KMV (distinct-side): d salted hash rows
+# x w counters, est(v) = min_j counter[j][h_j(v)] — the classic CMS upper
+# bound. Same bit-exact contract: md5-derived bucket hashes, pure integer
+# counters, no floats anywhere, so a DuckDB oracle reproduces every
+# estimate exactly.
+#
+# Scale shape (100 TB): the counter table is d*w rows REGARDLESS of input
+# size — one posexplode (d rows per value) into a map-side-combining hash
+# aggregate is the only pass that sees raw volume. Estimation joins
+# candidates against the d*w counter rows on (j, bucket): vocab-bound work.
+
+CMS_DEPTH = 4
+CMS_MIN_WIDTH = 1024
+CMS_WIDTH_FACTOR = 4
+
+
+def cms_width(n_distinct: int) -> int:
+    """Counter width derived from key cardinality (fixed widths saturate
+    as the corpus grows — the bloom/simhash width lesson): w =
+    max(1024, 4*n_distinct) keeps expected bucket collisions < 1/4 at
+    any scale. Pure integer rule (no pow2/log2 float boundary risk) so
+    the SQL mirror GREATEST(1024, 4 * count(DISTINCT ...)) is exact."""
+    return max(CMS_MIN_WIDTH, CMS_WIDTH_FACTOR * int(n_distinct))
+
+
+def cms_buckets(col: Column, width: int, depth: int = CMS_DEPTH) -> Column:
+    """Array of the `depth` bucket indexes for one value: row j hashes
+    md5('j:' || value) — salted md5 gives independent-enough rows and
+    stays engine-portable (cross-engine hashing rule)."""
+    return F.array(
+        *[
+            kmv_code(F.concat(F.lit(f"{j}:"), col.cast("string"))) % F.lit(width)
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_counters(
+    df: DataFrame, value_col: str, width: int, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """The d x w counter table as rows (j, bucket, cnt) in ONE pass:
+    posexplode of the per-value bucket array (d*N generated rows) into a
+    hash aggregate with map-side partials. No shuffle sees more than the
+    aggregate's partial output."""
+    probes = df.select(
+        F.posexplode(cms_buckets(F.col(value_col), width, depth)).alias(
+            "j", "bucket"
+        )
+    )
+    return probes.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    cand: DataFrame,
+    value_col: str,
+    counters: DataFrame,
+    width: int,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Point estimates for candidate values: est = min_j
+    counter[j][h_j(v)]. Every candidate that occurred in the sketched
+    data matches exactly one counter row per j, so the d-way min is a
+    groupBy over an inner join keyed (j, bucket). All candidate columns
+    are carried through."""
+    carry = list(cand.columns)
+    probes = cand.select(
+        *carry,
+        F.posexplode(cms_buckets(F.col(value_col), width, depth)).alias(
+            "j", "bucket"
+        ),
+    )
+    return (
+        probes.join(counters, ["j", "bucket"])
+        .groupBy(*carry)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -193,6 +193,53 @@ def test_kmv_sketch_exact_below_k_and_estimates_above(spark):
     assert out2["big"].kth_code == out["big"].kth_code
 
 
+def test_cms_upper_bound_and_heavy_hitter_completeness(spark):
+    """CMS never undercounts (each of the d counters includes every
+    occurrence of the value; min preserves that), its state is bounded
+    by d*w rows each summing to N, and — because the heavy-hitter
+    filter runs on the ESTIMATE side — no true heavy hitter can be
+    missed even under a collision-heavy tiny width."""
+    from mimic2ts_spark.operators.sketch import (
+        CMS_DEPTH,
+        cms_counters,
+        cms_estimate,
+        cms_width,
+    )
+
+    # skewed multiset: t_i appears i times, plus one dominant token
+    rows = [(f"t{i}",) for i in range(1, 50) for _ in range(i)] + [("hot",)] * 500
+    n_total = len(rows)
+    df = spark.createDataFrame(rows, "tok string")
+    cand = df.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+
+    w = cms_width(50)
+    cdf = cms_counters(df, "tok", w).collect()
+    assert len(cdf) <= CMS_DEPTH * w
+    per_j: dict = {}
+    for r in cdf:
+        per_j[r.j] = per_j.get(r.j, 0) + r.cnt
+    assert set(per_j) == set(range(CMS_DEPTH))  # every hash row present
+    assert all(v == n_total for v in per_j.values())  # mass conservation
+
+    counters = cms_counters(df, "tok", w)
+    est = {r.tok: r for r in cms_estimate(cand, "tok", counters, w).collect()}
+    assert set(est) == {f"t{i}" for i in range(1, 50)} | {"hot"}
+    assert all(r.cms_est >= r.exact_cnt for r in est.values())
+
+    # tiny width forces collisions: still an upper bound everywhere,
+    # and the est-side support filter keeps every true heavy hitter
+    w2 = 8
+    counters2 = cms_counters(df, "tok", w2)
+    est2 = {r.tok: r for r in cms_estimate(cand, "tok", counters2, w2).collect()}
+    assert all(r.cms_est >= r.exact_cnt for r in est2.values())
+    assert any(r.cms_est > r.exact_cnt for r in est2.values())  # collisions real
+    flagged = {t for t, r in est2.items() if 200 * r.cms_est >= n_total}
+    true_heavy = {t for t, r in est2.items() if 200 * r.exact_cnt >= n_total}
+    assert true_heavy and true_heavy <= flagged
+
+
 def test_connected_components_vs_union_find(spark):
     """Chains force the pointer-jumping path (neighbor propagation
     alone needs O(length) rounds); the cross-check oracle is a plain
