@@ -3824,6 +3824,38 @@ def _q_stream_kmv_sql():
 Q_STREAM_KMV_SQL = _q_stream_kmv_sql()
 
 
+def q_stream_cms(spark, sf_dir):
+    """X155 — streaming Count-Min sketch (streaming.py cms_stream): the
+    frequency-side companion of q_stream_kmv. Counters are additive, so
+    the stream form is a plain complete-mode aggregation — no custom
+    state — and the drained counter table bit-equals the batch sketch
+    at the same (fixed, capacity-planned) width under any batching;
+    the oracle recomputes it from the static events table."""
+    from mimic2ts_spark.streaming import run_cms_available_now
+
+    return run_cms_available_now(spark, sf_dir)
+
+
+def _q_stream_cms_sql():
+    from mimic2ts_spark.operators import sketch as K
+    from mimic2ts_spark.streaming import CMS_STREAM_WIDTH
+
+    salts = ", ".join(f"({j})" for j in range(K.CMS_DEPTH))
+    return f"""
+SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+    SELECT s.j,
+           CAST(('0x' || substr(md5(CAST(s.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % {CMS_STREAM_WIDTH} AS bucket
+    FROM events CROSS JOIN (VALUES {salts}) AS s(j)
+)
+GROUP BY j, bucket
+"""
+
+
+Q_STREAM_CMS_SQL = _q_stream_cms_sql()
+
+
 INCR_CUTOFF = "2024-01-22 00:00:00"
 
 
@@ -4767,6 +4799,7 @@ EXT_REGISTRY = {
     "q_mmr_rerank": (q_mmr_rerank, Q_MMR_RERANK_SQL),
     "q_sketch_join_card": (q_sketch_join_card, Q_SKETCH_JOIN_CARD_SQL),
     "q_sketch_cms": (q_sketch_cms, Q_SKETCH_CMS_SQL),
+    "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so

@@ -749,6 +749,54 @@ def run_kmv_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stateful(spark, kmv_stream(events_stream(spark, sf_dir)), name)
 
 
+# --- streaming Count-Min sketch (X155: frequency side of X137's KMV) --------
+
+# A stream cannot derive the counter width from a vocabulary it hasn't
+# seen yet, so streaming sketches are sized A PRIORI (capacity planning)
+# — unlike the batch form, whose width derives from the exact vocab.
+# The CMS estimate contract (upper bound, zero false negatives on the
+# estimate-side support filter) holds at ANY width, so an undersized
+# stream sketch degrades to overcounts, never to misses.
+CMS_STREAM_WIDTH = 1 << 16
+
+
+def cms_stream(stream: DataFrame) -> DataFrame:
+    """Streaming Count-Min counters over the event user stream.
+
+    Counters are ADDITIVE — a plain complete-mode groupBy((j, bucket))
+    count, no custom state function: absorbing a microbatch is addition,
+    so the drained stream state bit-equals the batch counter table
+    (operators/sketch.cms_counters at the same width) under ANY
+    batching — the mergeable-sketch property, which also makes this the
+    multi-ingestor shape (parallel streams' counter tables merge by
+    summing cnt on (j, bucket))."""
+    from mimic2ts_spark.operators.sketch import cms_buckets
+
+    probes = stream.select(
+        F.posexplode(
+            cms_buckets(F.col("user_id"), CMS_STREAM_WIDTH)
+        ).alias("j", "bucket")
+    )
+    return probes.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def run_cms_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the streaming CMS to its final counter table."""
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        cms_stream(events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # --- streaming incremental rollup (X91's stream form) -----------------------
 
 _ROLLUP_OUT = (

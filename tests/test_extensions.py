@@ -1062,6 +1062,25 @@ def test_stream_kmv_equals_batch_sketch(spark):
     assert got == want
 
 
+def test_stream_cms_equals_batch_counters(spark):
+    """The drained streaming CMS counter table must bit-equal the batch
+    sketch at the same width: counters are additive, so no microbatch
+    split can change any (j, bucket) count."""
+    from mimic2ts_spark.operators.sketch import cms_counters
+    from mimic2ts_spark.streaming import CMS_STREAM_WIDTH, run_cms_available_now
+
+    got = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in run_cms_available_now(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_counters(ev, "user_id", CMS_STREAM_WIDTH).collect()
+    }
+    assert got == want
+
+
 def test_pq_adc_duplicate_of_query_identity(spark):
     """PQ contract on real vectors: for an exact DUPLICATE of the query
     vector, the ADC distance equals that vector's own quantization
