@@ -549,6 +549,94 @@ SELECT * FROM ranked WHERE rank <= 5
 Q_ANN_IVF_SQL = _q_ann_ivf_sql()
 
 
+ANN_RECALL_QUERIES = 32
+ANN_RECALL_K = 10
+
+
+def q_ann_recall(spark, sf_dir):
+    """X156 — ANN quality evaluation: recall@10 of the trained-cell IVF
+    index against the exact brute-force top-10 over a 32-query panel —
+    the eval every ANN dial (cells, nprobe, PQ bits) is tuned against.
+    Both legs break ties identically (cosine DESC, neighbor_id), so
+    recall is well-defined; the brute leg is the gold standard and
+    query-side bounded (a 32×n kernel pass), the IVF leg reuses the
+    memoized coarse artifact. One pinned float division (n_hits/k)."""
+    embs = _embs(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") < ANN_RECALL_QUERIES)
+    exact = S.brute_force_topk(embs, qs, k=ANN_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.ivf_topk(embs, qs, k=ANN_RECALL_K, cache_key=sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double") / F.lit(float(ANN_RECALL_K))
+            ).alias("recall"),
+        )
+    )
+
+
+def _q_ann_recall_sql():
+    from mimic2ts_spark.operators.kmeans import _SQL_DIST, sql_kmeans_parts
+
+    parts, final_a, final_c = sql_kmeans_parts(
+        "embeddings", k=S.sql_derived_cells("embeddings"), prefix="ivf_"
+    )
+    nq, k = ANN_RECALL_QUERIES, ANN_RECALL_K
+    return f"""
+WITH {','.join(parts)},
+v AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {nq}),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {S.sql_cosine('q.embedding', 'v.embedding')} DESC, v.vec_id) AS rn
+        FROM q, v WHERE q.vec_id <> v.vec_id
+    ) WHERE rn <= {k}
+),
+probes AS (
+    SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_SQL_DIST}, c.cid) AS rn
+        FROM ivf_base b CROSS JOIN {final_c} c WHERE b.vec_id < {nq}
+    ) WHERE rn <= {S.IVF_NPROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN {final_a} a ON a.cid = p.cell
+    WHERE a.vec_id <> p.query_id
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY {S.sql_cosine('qq.embedding', 'nn.embedding')} DESC, c.neighbor_id) AS rn
+        FROM cand c
+        JOIN v qq ON qq.vec_id = c.query_id
+        JOIN v nn ON nn.vec_id = c.neighbor_id
+    ) WHERE rn <= {k}
+)
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+Q_ANN_RECALL_SQL = _q_ann_recall_sql()
+
+
 def q_ann_incremental(spark, sf_dir):
     """X146 — incremental ANN index maintenance: coarse cells are an
     artifact trained on the ACCEPTED corpus (vec_id % 10 != 0, memoized
@@ -4800,6 +4888,7 @@ EXT_REGISTRY = {
     "q_sketch_join_card": (q_sketch_join_card, Q_SKETCH_JOIN_CARD_SQL),
     "q_sketch_cms": (q_sketch_cms, Q_SKETCH_CMS_SQL),
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
+    "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so
