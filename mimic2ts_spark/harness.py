@@ -2248,20 +2248,18 @@ _CORE_REGISTRY = dict(REGISTRY)
 # row at worst every ceil(159/50) = 4 rounds instead of the §2 core
 # sitting r02-stale forever behind a static tail.
 _GATE_CHANGED_THIS_ROUND = [
-    # r06: sample-capped Lloyd training (kmeans/similarity/pq train path)
-    "q_kmeans", "q_dedup_semantic", "q_ann_ivf", "q_ann_ivfpq",
-    "q_ann_pq", "q_pq_encode",
-    # r06: shared memoized minhash-pair/CC labeling artifact
-    "q_dedup_clusters", "q_dedup_representatives", "q_split_leakage_safe",
-    # r06 continuation: bpe apply refactored around the merge-table
-    # artifact (train_merges factor-out)
-    "q_bpe_apply",
+    # r07: entries appended per in-round edit (new queries need no slot —
+    # never-verified sorts first automatically).
 ]
 
 
 def _driver_verified_round() -> dict:
-    """query -> most recent round with a driver CORRECTNESS row, read
-    from the committed CORRECTNESS_r{N}.json artifacts (repo root).
+    """query -> most recent round with a PASSING driver CORRECTNESS row,
+    read from the committed CORRECTNESS_r{N}.json artifacts (repo root).
+    Only rows that passed count (hash_match true, or the weaker rows-only
+    check: err == 'no_oracle' with a recorded spark_rows) — a failed or
+    errored gate run must NOT look freshly verified, or a known-bad query
+    would rotate to the back of the stalest-first window for rounds.
     Missing/unreadable artifacts degrade to 'never verified' (= run
     early), never to an import error."""
     import glob
@@ -2283,8 +2281,14 @@ def _driver_verified_round() -> dict:
             continue
         if not isinstance(rows, dict):
             continue
-        for q in rows:
-            hist[q] = max(hist.get(q, -1), rnd)
+        for q, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            passed = bool(r.get("hash_match")) or (
+                r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+            )
+            if passed:
+                hist[q] = max(hist.get(q, -1), rnd)
     return hist
 
 
