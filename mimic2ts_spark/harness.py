@@ -2250,6 +2250,8 @@ _CORE_REGISTRY = dict(REGISTRY)
 _GATE_CHANGED_THIS_ROUND = [
     # r07: entries appended per in-round edit (new queries need no slot —
     # never-verified sorts first automatically).
+    # r07: bounded SemDeDup verify (LSH sub-buckets past sub_bound)
+    "q_dedup_semantic",
 ]
 
 

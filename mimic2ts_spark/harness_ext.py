@@ -2358,6 +2358,26 @@ SELECT doc_a, doc_b, containment FROM pairs WHERE containment >= {CONTAIN_TAU}
 """
 
 
+def q_dedup_containment_canonical(spark, sf_dir):
+    """X157 — exact-first containment (the registered scale path for
+    X144): md5 exact-dedup collapses byte-identical copies to min-id
+    canonicals, THEN the directed containment pass runs over canonicals
+    only (dedup.canonical_containment_pairs). The raw-pair X144 form is
+    output-quadratic per exact-duplicate cluster on dup-heavy corpora;
+    this composition is ~flat at 100× because identical text ⇒ identical
+    shingle sets ⇒ dropped pairs are reconstructible from exact groups.
+    Same composition theorem as q_dedup_pipeline (X2 over canonicals)."""
+    return D.canonical_containment_pairs(_docs(spark, sf_dir), threshold=CONTAIN_TAU)
+
+
+Q_DEDUP_CONTAINMENT_CANONICAL_SQL = Q_DEDUP_CONTAINMENT_SQL.replace(
+    "FROM documents",
+    """FROM (SELECT d.* FROM documents d
+          JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+            ON k.doc_id = d.doc_id)""",
+)
+
+
 def q_multimodal_phash(spark, sf_dir):
     """X145 — perceptual-hash image fingerprints: aHash over the REAL
     decoded PNG pixels (128 mean-thresholded taps, integer-exact) as
@@ -3044,6 +3064,38 @@ def _q_graph_communities_sql():
 
 
 Q_GRAPH_COMMUNITIES_SQL = _q_graph_communities_sql()
+
+
+def q_graph_communities_canonical(spark, sf_dir):
+    """X158 — exact-first LPA communities (the registered scale path for
+    X148): label propagation over the CANONICAL near-dup pair graph
+    (dedup.canonical_near_dup_pairs = md5 exact-dedup, then MinHash-LSH
+    over canonicals). The raw-pair X148 form feeds LPA an edge set that
+    is quadratic per exact-duplicate cluster; over canonicals the graph
+    holds one node per distinct text, so community structure is the true
+    cross-content one and edge volume stays ~flat on dup-heavy corpora.
+    Exact copies rejoin their canonical's community by construction."""
+    from mimic2ts_spark.operators.graph import label_propagation
+
+    pairs = D.canonical_near_dup_pairs(_docs(spark, sf_dir), threshold=0.8)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return label_propagation(edges)
+
+
+def _q_graph_communities_canonical_sql():
+    from mimic2ts_spark.operators.graph import sql_label_propagation
+
+    edges = (
+        "(SELECT doc_a AS src, doc_b AS dst FROM ("
+        + Q_DEDUP_PIPELINE_SQL
+        + "))"
+    )
+    return sql_label_propagation(edges)
+
+
+Q_GRAPH_COMMUNITIES_CANONICAL_SQL = _q_graph_communities_canonical_sql()
 
 
 TRANSITION_TOP_K = 5
@@ -4878,10 +4930,18 @@ EXT_REGISTRY = {
     "q_hybrid_rrf": (q_hybrid_rrf, Q_HYBRID_RRF_SQL),
     "q_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
     "q_dedup_containment": (q_dedup_containment, Q_DEDUP_CONTAINMENT_SQL),
+    "q_dedup_containment_canonical": (
+        q_dedup_containment_canonical,
+        Q_DEDUP_CONTAINMENT_CANONICAL_SQL,
+    ),
     "q_multimodal_phash": (q_multimodal_phash, Q_MULTIMODAL_PHASH_SQL),
     "q_ann_incremental": (q_ann_incremental, Q_ANN_INCREMENTAL_SQL),
     "q_join_bloom": (q_join_bloom, Q_JOIN_BLOOM_SQL),
     "q_graph_communities": (q_graph_communities, Q_GRAPH_COMMUNITIES_SQL),
+    "q_graph_communities_canonical": (
+        q_graph_communities_canonical,
+        Q_GRAPH_COMMUNITIES_CANONICAL_SQL,
+    ),
     "q_stream_ann_ingest": (q_stream_ann_ingest, Q_ANN_INCREMENTAL_SQL),
     "q_embedding_truncation": (q_embedding_truncation, Q_EMBEDDING_TRUNCATION_SQL),
     "q_mmr_rerank": (q_mmr_rerank, Q_MMR_RERANK_SQL),

@@ -467,26 +467,56 @@ def ngram_jaccard_pairs(
     return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def canonical_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dedup gate: one cheap md5 hash-groupBy collapses byte-identical
+    copies to their min-id canonical row. On duplicate-heavy corpora this is
+    THE scale lever for every downstream pairwise method — cluster copies
+    never reach the quadratic stage (each exact cluster of c copies would
+    otherwise emit Θ(c²) pairs). Composed front-end of
+    canonical_near_dup_pairs / canonical_containment_pairs."""
+    canon_ids = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    # plain semi join (NOT broadcast): the canonical-id set is ~corpus
+    # sized; AQE may still broadcast it when it is actually small
+    return df.join(canon_ids.select(id_col), id_col, "left_semi")
+
+
 def canonical_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """The production dedup recipe: exact-dedup FIRST (one cheap
-    hash-groupBy collapses identical copies to their min-id canonical),
+    """The production dedup recipe: exact-dedup FIRST (canonical_docs),
     then MinHash-LSH near-dup over canonicals only. On duplicate-heavy
     corpora this removes the quadratic in-cluster pair blow-up every
     pairwise method pays — cluster copies never reach the near-dup stage.
     Returns canonical-id pairs; exact-group membership comes from
     exact_dedup."""
-    canon_ids = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
-        F.min(id_col).alias(id_col)
-    )
-    # plain semi join (NOT broadcast): the canonical-id set is ~corpus
-    # sized; AQE may still broadcast it when it is actually small
-    canon = df.join(canon_ids.select(id_col), id_col, "left_semi")
+    canon = canonical_docs(df, text_col=text_col, id_col=id_col)
     return minhash_lsh_pairs(canon, text_col=text_col, id_col=id_col, threshold=threshold)
+
+
+def canonical_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact-first containment (the scale-safe form of containment_pairs):
+    directed containment pairs over CANONICAL docs only. The raw-pair form
+    is output-quadratic per exact-duplicate cluster (c copies of a quoted
+    doc ⇒ Θ(c²) directed rows); canonicals keep the output at true
+    cross-content containment. Identical text ⇒ identical shingle sets ⇒
+    every dropped pair is recoverable from the exact groups, so the
+    composed report loses no information (same theorem as
+    canonical_near_dup_pairs; measured ~flat at 100× vs no-100×-row for
+    the raw form — README 'Measured scaling')."""
+    canon = canonical_docs(df, text_col=text_col, id_col=id_col)
+    return containment_pairs(canon, text_col=text_col, id_col=id_col, threshold=threshold)
 
 
 def simhash_pairs(

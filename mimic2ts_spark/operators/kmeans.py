@@ -372,6 +372,10 @@ def kmeans_cluster_stats(
     )
 
 
+SEM_SUB_BOUND = 512  # max rows per exact-verify gram group (see below)
+_SEM_SIZES_CACHE: dict = {}  # (cache_key, k, rounds, id, vec) -> {cid: csize}
+
+
 def semantic_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -380,26 +384,116 @@ def semantic_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_key: str | None = None,
+    sub_bound: int = SEM_SUB_BOUND,
 ) -> DataFrame:
     """SemDeDup: (vec_a, vec_b, cid, cosine) for same-cluster pairs with
     cosine ≥ threshold. The cluster id is the blocking key of the
     pairwise join; cosine uses the exact float64 expression shared with
     the ANN oracle paths. Misses only pairs k-means separates — the
     accepted recall trade of clustering-blocked dedup (X24's LSH path
-    is the recall-bounded alternative)."""
+    is the recall-bounded alternative).
+
+    Bounded verify (the r06-verdict scale fix): past the Lloyd train cap
+    cells plateau, so |cluster| grows with n and an unbounded in-cluster
+    gram verify pays Σ cluster² (measured 33 s at the 100× sweep vs
+    0.94 s at sf0.1). Clusters larger than `sub_bound` are therefore
+    SUB-BUCKETED before the verify: each row gets SEM_SUB_TABLES
+    independent sign-bit sub-signatures (similarity.sem_sub_signatures —
+    deterministic closed-form planes disjoint from the X24 tables), the
+    per-cluster key width nb grows with cluster size
+    (2^nb ≈ csize / sub_bound, capped at SEM_SUB_MAX_BITS), and a pair
+    is a candidate if it co-buckets in ANY table (X24 OR-semantics,
+    dropDuplicates after the kernel). Verify work becomes
+    Σ T · csize · sub_bound — linear in n. Clusters ≤ sub_bound take the
+    single-group path unchanged (nb = 0, one table), so small-corpus
+    results and gate hashes are identical to the unbounded form. Within
+    an oversized cluster a true pair no table co-buckets is missed —
+    the same documented recall trade as X24, mirrored exactly by the
+    oracle (sql_semantic_near_dup_pairs replays the identical plane
+    folds and masks)."""
     import numpy as np
     import pandas as pd
 
-    a = kmeans_assign(vectors, k, rounds, id_col, vec_col, cache_key=cache_key)
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    grouped = a.select("vec_id", "cid").join(v, "vec_id")
+    from mimic2ts_spark.operators.similarity import (
+        SEM_SUB_MAX_BITS,
+        SEM_SUB_TABLES,
+        sem_sub_signatures,
+    )
 
-    # Per-cluster Arrow gram kernel (applyInPandas): the cluster IS the
-    # SemDeDup unit of work — the paper sizes clusters to a batch, and k
-    # growing with the corpus bounds |cluster| (a huge cluster means k is
-    # too small, not that this operator needs sub-blocking). The join-
-    # shaped alternative (pair rows + per-pair cosine expression) paid
-    # ~5s at sf0.1 in interpreted HOF evaluation for the same math.
+    a = kmeans_assign(vectors, k, rounds, id_col, vec_col, cache_key=cache_key).select(
+        "vec_id", "cid"
+    )
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    # Cluster sizes are ≤ cells rows — a bounded driver-side scalar (the
+    # same budget class as the centroid collects), memoized per corpus
+    # like the centroids themselves (a plain row cache: immune to
+    # release_storage, must NOT register — CLAUDE.md r06). Reading them
+    # here lets the common case (no cluster above sub_bound — every
+    # corpus below ~sub_bound·cells rows) keep the ORIGINAL single-leg
+    # plan with zero new plan weight; the decision is deterministic
+    # (sizes are), so the oracle — whose SQL takes the nb = 0 branch on
+    # the same data — stays value-identical either way.
+    skey = (cache_key, k, rounds, id_col, vec_col)
+    if cache_key is not None and skey in _SEM_SIZES_CACHE:
+        sizes = _SEM_SIZES_CACHE[skey]
+    else:
+        # persist: two consumers on the first call (sizes + main pass);
+        # repeat calls hit the canonical-plan cache or skip via the memo
+        a = a.persist()
+        sizes = {
+            r.cid: r.csize
+            for r in a.groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("long").alias("csize"))
+            .collect()
+        }
+        if cache_key is not None:
+            _SEM_SIZES_CACHE[skey] = sizes
+
+    def _nb(csize: int) -> int:
+        # bits for ceil(csize / sub_bound) buckets: Σ_i [m ≥ 2^i]
+        # = floor(log2 m) + 1 — pure ints, the exact math the SQL
+        # mirror's CASE chain replays (no float log, CLAUDE.md rule)
+        m = (csize - 1) // sub_bound
+        return sum(1 for i in range(SEM_SUB_MAX_BITS) if m >= (1 << i))
+
+    nb_rows = [(cid, _nb(cs)) for cid, cs in sizes.items() if cs > sub_bound]
+    if nb_rows:
+        nb_df = vectors.sparkSession.createDataFrame(nb_rows, "cid long, nb int")
+        grouped = a.join(v, "vec_id").join(F.broadcast(nb_df), "cid", "left").withColumn(
+            "nb", F.coalesce("nb", F.lit(0))
+        )
+    else:
+        grouped = a.join(v, "vec_id").withColumn("nb", F.lit(0))
+    # Two legs: bounded clusters (nb = 0) keep the original
+    # one-group-per-cluster path; only oversized clusters pay the
+    # signature UDF, the T-table fan-out and the pair dedup. Legs can't
+    # overlap (a cluster is entirely in one leg), so the union needs no
+    # global dedup.
+    any_oversized = bool(nb_rows)
+    small = grouped.where(F.col("nb") == 0).select("vec_id", "cid", "vec")
+    big = (
+        grouped.where(F.col("nb") > 0)
+        .withColumn("sig", sem_sub_signatures("vec"))
+        .select(
+            "vec_id",
+            "cid",
+            "vec",
+            "nb",
+            "sig",
+            F.explode(F.expr(f"sequence(0, {SEM_SUB_TABLES - 1})")).alias("t"),
+        )
+        .withColumn(
+            "sub",
+            F.expr("element_at(sig, t + 1) % CAST(shiftleft(1L, nb) AS BIGINT)"),
+        )
+    )
+
+    # Per-group Arrow gram kernel (applyInPandas): the (cluster, table,
+    # sub-bucket) group IS the SemDeDup unit of work — the paper sizes
+    # clusters to a batch; sub_bound re-establishes that invariant when
+    # derived-k plateaus. The join-shaped alternative (pair rows +
+    # per-pair cosine expression) paid ~5s at sf0.1 in interpreted HOF
+    # evaluation for the same math.
     # Accumulation is the dim-by-dim left-to-right loop shared with
     # similarity.py's kernels, so cosines bit-match sql_cosine; the
     # neighbor axis is tiled to keep the accumulator cache-resident.
@@ -435,9 +529,16 @@ def semantic_near_dup_pairs(
             }
         )
 
-    return grouped.groupBy("cid").applyInPandas(
-        score, schema="vec_a long, vec_b long, cid long, cosine double"
+    schema = "vec_a long, vec_b long, cid long, cosine double"
+    small_pairs = small.groupBy("cid").applyInPandas(score, schema)
+    if not any_oversized:
+        return small_pairs
+    big_pairs = (
+        big.groupBy("cid", "t", "sub")
+        .applyInPandas(score, schema)
+        .dropDuplicates(["vec_a", "vec_b"])
     )
+    return small_pairs.unionByName(big_pairs)
 
 
 # --- SQL mirrors -----------------------------------------------------------
@@ -565,17 +666,60 @@ def sql_semantic_near_dup_pairs(
     rounds: int = KM_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sub_bound: int = SEM_SUB_BOUND,
 ) -> str:
-    from mimic2ts_spark.operators.similarity import sql_cosine
+    """Mirror of semantic_near_dup_pairs INCLUDING the bounded verify:
+    per-cluster nb from the same integer bit-count, per-table signatures
+    from the identical plane folds (sql_sem_sub_signature), X24
+    OR-semantics via UNION of sub-tables + DISTINCT. Clusters ≤
+    sub_bound go through the nb = 0 branch (single group), so at gate
+    scale the result — and its cost — is identical to the unbounded
+    form; the sig folds are only evaluated for oversized clusters."""
+    from mimic2ts_spark.operators.similarity import (
+        SEM_SUB_MAX_BITS,
+        SEM_SUB_TABLES,
+        sql_cosine,
+        sql_sem_sub_signature,
+    )
 
     assign = sql_kmeans_assign(table, k, rounds, id_col, vec_col)
     cos = sql_cosine("l.vec", "r.vec")
+    nb_expr = " + ".join(
+        f"(CASE WHEN (csize - 1) // {int(sub_bound)} >= {1 << i} THEN 1 ELSE 0 END)"
+        for i in range(SEM_SUB_MAX_BITS)
+    )
+    sig_cols = ",\n           ".join(
+        f"{sql_sem_sub_signature('s.vec', t)} AS sig{t}"
+        for t in range(SEM_SUB_TABLES)
+    )
+    sig_case = " ".join(
+        f"WHEN {t} THEN sig{t}" for t in range(SEM_SUB_TABLES)
+    )
+    tables_list = ", ".join(str(t) for t in range(SEM_SUB_TABLES))
     return f"""
-WITH sides AS (
+WITH sides AS MATERIALIZED (
     SELECT a.vec_id, a.cid, t.{vec_col} AS vec
     FROM ({assign}) a JOIN {table} t ON a.vec_id = t.{id_col}
+),
+csz AS (
+    SELECT cid, ({nb_expr}) AS nb
+    FROM (SELECT cid, count(*) AS csize FROM sides GROUP BY cid)
+),
+sig AS (
+    SELECT s.vec_id, s.cid, s.vec, n.nb,
+           {sig_cols}
+    FROM sides s JOIN csz n USING (cid) WHERE n.nb > 0
+),
+keyed AS MATERIALIZED (
+    SELECT vec_id, cid, vec, tt.t,
+           (CASE tt.t {sig_case} END) % (1 << nb) AS sub
+    FROM sig, unnest([{tables_list}]) AS tt(t)
+    UNION ALL
+    SELECT s.vec_id, s.cid, s.vec, 0 AS t, 0::BIGINT AS sub
+    FROM sides s JOIN csz n USING (cid) WHERE n.nb = 0
 )
-SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.cid, {cos} AS cosine
-FROM sides l JOIN sides r ON l.cid = r.cid AND l.vec_id < r.vec_id
+SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b, l.cid, {cos} AS cosine
+FROM keyed l JOIN keyed r
+  ON l.cid = r.cid AND l.t = r.t AND l.sub = r.sub AND l.vec_id < r.vec_id
 WHERE {cos} >= {threshold}
 """

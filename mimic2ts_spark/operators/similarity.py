@@ -111,6 +111,76 @@ def lsh_buckets_all(vec_col: str) -> Column:
     return _buckets(F.col(vec_col))
 
 
+# SemDeDup sub-bucketing planes (kmeans.semantic_near_dup_pairs): clusters
+# larger than the verify bound are split by sign-bit sub-signatures so the
+# exact gram verify stays bounded per group. SEM_SUB_TABLES independent
+# signatures are OR-ed X24-style (a pair co-bucketed in ANY table is a
+# candidate) to keep recall high while each table's key uses only the
+# first nb bits (nb grows with cluster size). Plane indices start past
+# every X24 table so the weight streams never collide.
+SEM_SUB_TABLES = 4
+SEM_SUB_MAX_BITS = 12
+_SEM_PLANE_BASE = LSH_TABLES * LSH_PLANES  # first unused global plane index
+
+
+def _sem_plane_weights_py(t: int, p: int) -> list[float]:
+    """Weights for sub-table t, bit p: the plane_weight closed form at
+    global plane index base + t*MAX_BITS + p (passed as the `table` of a
+    1-plane table, so p_global = 4*(base + ...) ≥ 64 — disjoint from the
+    X24 planes 0..15)."""
+    return _plane_weights_py(_SEM_PLANE_BASE + t * SEM_SUB_MAX_BITS + p, 0)
+
+
+def sem_sub_signatures(vec_col: str) -> Column:
+    """array<long> of SEM_SUB_TABLES sign-bit signatures (SEM_SUB_MAX_BITS
+    bits each) — the Arrow-vectorized twin of the SQL mirror's per-plane
+    list folds; per-dim left-to-right accumulation keeps every projection
+    bit-identical to the list_reduce form (same discipline as
+    lsh_buckets_all)."""
+    W = np.array(
+        [
+            _sem_plane_weights_py(t, p)
+            for t in range(SEM_SUB_TABLES)
+            for p in range(SEM_SUB_MAX_BITS)
+        ],
+        dtype=np.float64,
+    ).T  # (DIM, TABLES*MAX_BITS)
+
+    @F.pandas_udf("array<long>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vecs), dtype=np.float64)
+        proj = np.zeros((mat.shape[0], W.shape[1]), dtype=np.float64)
+        for d in range(mat.shape[1]):  # left-to-right, matches list_reduce
+            proj += mat[:, d, None] * W[None, d, :]
+        bits = proj > 0
+        out = np.zeros((mat.shape[0], SEM_SUB_TABLES), dtype=np.int64)
+        for t in range(SEM_SUB_TABLES):
+            for p in range(SEM_SUB_MAX_BITS):
+                out[:, t] += bits[:, t * SEM_SUB_MAX_BITS + p].astype(np.int64) << p
+        return pd.Series(list(out))
+
+    return _sigs(F.col(vec_col))
+
+
+def sql_sem_sub_signature(vec: str, t: int) -> str:
+    """DuckDB mirror of sub-table t's signature (all SEM_SUB_MAX_BITS
+    bits; callers mask to the per-cluster width)."""
+    parts = []
+    for plane in range(SEM_SUB_MAX_BITS):
+        p = (_SEM_PLANE_BASE + t * SEM_SUB_MAX_BITS + plane) * LSH_PLANES
+        proj = (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(generate_series(1, {DIM}), "
+            f"d -> {vec}[d]::DOUBLE * "
+            f"(CAST((({2 * p + 3} * (5 * (d - 1) + 7) + 11) % 97 - 48) AS DOUBLE) / 48.0))), "
+            "(acc, x) -> acc + x)"
+        )
+        parts.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << plane} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")::BIGINT"
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
