@@ -553,28 +553,17 @@ ANN_RECALL_QUERIES = 32
 ANN_RECALL_K = 10
 
 
-def q_ann_recall(spark, sf_dir):
-    """X156 — ANN quality evaluation: recall@10 of the trained-cell IVF
-    index against the exact brute-force top-10 over a 32-query panel —
-    the eval every ANN dial (cells, nprobe, PQ bits) is tuned against.
-    Both legs break ties identically (cosine DESC, neighbor_id), so
-    recall is well-defined; the brute leg is the gold standard and
-    query-side bounded (a 32×n kernel pass), the IVF leg reuses the
-    memoized coarse artifact. One pinned float division (n_hits/k)."""
-    embs = _embs(spark, sf_dir)
-    qs = embs.where(F.col("vec_id") < ANN_RECALL_QUERIES)
-    exact = S.brute_force_topk(embs, qs, k=ANN_RECALL_K).select(
-        "query_id", "neighbor_id"
-    )
-    approx = S.ivf_topk(embs, qs, k=ANN_RECALL_K, cache_key=sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("_hit")
-    )
+def _recall_leg(exact, approx, leg: str):
+    """recall@k of one approximate leg against its exact panel —
+    shared fold of q_ann_recall (one pinned float division)."""
+    hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
     return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.count("_hit").cast("long").alias("n_hits"))
         .select(
             "query_id",
+            F.lit(leg).alias("leg"),
             "n_hits",
             (
                 F.col("n_hits").cast("double") / F.lit(float(ANN_RECALL_K))
@@ -583,13 +572,46 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """X156 — ANN quality evaluation: recall@10 over a 32-query panel
+    for BOTH index legs in one report — the eval every ANN dial
+    (cells, nprobe, PQ bits, M) is tuned against:
+    - leg 'ivf': the trained-cell IVF index vs the exact brute-force
+      cosine top-10 (both rank cosine DESC, ties by neighbor_id);
+    - leg 'ivfpq': the residual IVF-PQ ADC index vs the exact
+      quantized-int-L2 top-10 (pq.brute_force_l2_panel) — ADC
+      approximates quantized L2, so the gold standard is metric-matched
+      and the number isolates INDEX error (cells + codebook
+      distortion) from metric mismatch.
+    Every exact leg is query-side bounded (one 32×n kernel pass); both
+    approximate legs reuse the memoized coarse/codebook artifacts."""
+    from mimic2ts_spark.operators import pq as PQ
+
+    embs = _embs(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") < ANN_RECALL_QUERIES)
+    exact_cos = S.brute_force_topk(embs, qs, k=ANN_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = S.ivf_topk(embs, qs, k=ANN_RECALL_K, cache_key=sf_dir)
+    exact_l2 = PQ.brute_force_l2_panel(embs, qs, k=ANN_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivfpq = PQ.ivfpq_topk_panel(embs, qs, k=ANN_RECALL_K, cache_key=sf_dir)
+    return _recall_leg(exact_cos, ivf, "ivf").unionByName(
+        _recall_leg(exact_l2, ivfpq, "ivfpq")
+    )
+
+
 def _q_ann_recall_sql():
     from mimic2ts_spark.operators.kmeans import _SQL_DIST, sql_kmeans_parts
+    from mimic2ts_spark.operators.pq import sql_ivfpq_panel_topk, sql_l2_panel
 
     parts, final_a, final_c = sql_kmeans_parts(
         "embeddings", k=S.sql_derived_cells("embeddings"), prefix="ivf_"
     )
     nq, k = ANN_RECALL_QUERIES, ANN_RECALL_K
+    pq_exact = sql_l2_panel(nq, k)
+    pq_approx = sql_ivfpq_panel_topk(nq, k)
     return f"""
 WITH {','.join(parts)},
 v AS (SELECT vec_id, embedding FROM embeddings),
@@ -624,12 +646,25 @@ approx AS (
         JOIN v qq ON qq.vec_id = c.query_id
         JOIN v nn ON nn.vec_id = c.neighbor_id
     ) WHERE rn <= {k}
+),
+pq_exact AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({pq_exact})
+),
+pq_approx AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({pq_approx})
 )
-SELECT e.query_id,
+SELECT e.query_id, 'ivf' AS leg,
        CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
        CAST(count(a.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
 FROM exact e
 LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+UNION ALL
+SELECT e.query_id, 'ivfpq' AS leg,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+FROM pq_exact e
+LEFT JOIN pq_approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
 GROUP BY e.query_id
 """
 

@@ -518,6 +518,171 @@ def ivfpq_topk(
     )
 
 
+def brute_force_l2_panel(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact int-L2 top-k per panel query over the QUANTIZED vectors —
+    the metric-matched gold standard for ADC recall (ADC approximates
+    quantized L2, not cosine, so scoring it against a cosine panel
+    would measure metric mismatch instead of index quality). The panel
+    is collected driver-side (bounded — same budget class as the ADC
+    tables); one kernel pass over the corpus, per-query top-k as a
+    WindowGroupLimit. Integer-exact: every distance is an int64 sum."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qx")
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    Q = np.array([[int(v) for v in r["qx"]] for r in q_rows], dtype=np.int64)
+    q_norm = (Q * Q).sum(axis=1)
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["x"]), dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x_norm = (X * X).sum(axis=1)
+            D = x_norm[:, None] + q_norm[None, :] - 2 * (X @ Q.T)
+            qi, ni = np.meshgrid(np.arange(len(q_ids)), np.arange(len(ids)))
+            keep = q_ids[qi.ravel()] != ids[ni.ravel()]
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi.ravel()][keep],
+                    "neighbor_id": ids[ni.ravel()][keep],
+                    "d2": D[ni.ravel(), qi.ravel()][keep],
+                }
+            )
+
+    scored = _quant_base(vectors, id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, d2 long"
+    )
+    w = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivfpq_topk_panel(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = PQ_TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Multi-query IVF-PQ ADC top-k (the recall-eval form of
+    ivfpq_topk): the panel is collected driver-side (bounded), each
+    query probes its IVFPQ_NPROBE nearest coarse cells and gets
+    per-(cell, subspace) ADC tables — all integer literals shipped in
+    the kernel closure. ONE kernel pass over the union of probed cells
+    computes each row's residual codes once (query-independent) and
+    sums every probing query's table at those codes, vectorized per
+    (cell, query). Per-query top-k is a WindowGroupLimit. Same int
+    math as ivfpq_topk ⇒ same cross-engine exactness."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    coarse_rows, books = train_ivfpq(vectors, id_col, vec_col, cache_key)
+    coarse = _coarse_np(coarse_rows)
+    cids_c, mat_c = coarse
+    cent_of = {int(cid): mat_c[i] for i, cid in enumerate(cids_c)}
+    _, mats_b = _books_np(books)
+    norms_b = [(m * m).sum(axis=1) for m in mats_b]
+    c_index = {int(cid): i for i, cid in enumerate(cids_c)}
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qx")
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    tables: dict = {}
+    queries_by_cell: dict = {}
+    for r in q_rows:
+        qid = int(r["vec_id"])
+        qx = np.array([int(v) for v in r["qx"]], dtype=np.int64)
+        dq = ((mat_c - qx[None, :]) ** 2).sum(axis=1)
+        order = sorted(
+            range(len(cids_c)), key=lambda i: (int(dq[i]), int(cids_c[i]))
+        )
+        for cell in (int(cids_c[i]) for i in order[:IVFPQ_NPROBE]):
+            qr = qx - cent_of[cell]
+            tables[(qid, cell)] = [
+                ((mats_b[m] - qr[m * PQ_SUB:(m + 1) * PQ_SUB][None, :]) ** 2).sum(
+                    axis=1
+                )
+                for m in range(PQ_M)
+            ]
+            queries_by_cell.setdefault(cell, []).append(qid)
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["x"]), dtype=np.int64)
+            cellv = pdf["cell"].to_numpy(dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            R = X - mat_c[np.array([c_index[int(c)] for c in cellv])]
+            codes = np.zeros((len(ids), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                Rm = R[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                D = (
+                    (Rm * Rm).sum(axis=1)[:, None]
+                    + norms_b[m][None, :]
+                    - 2 * (Rm @ mats_b[m].T)
+                )
+                codes[:, m] = np.argmin(D, axis=1)
+            frames = []
+            for cell in np.unique(cellv):
+                idx = np.nonzero(cellv == cell)[0]
+                cd = codes[idx]
+                for qid in queries_by_cell[int(cell)]:
+                    t = tables[(qid, int(cell))]
+                    d = np.zeros(len(idx), dtype=np.int64)
+                    for m in range(PQ_M):
+                        d += t[m][cd[:, m]]
+                    keep = ids[idx] != qid
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(keep.sum(), qid, np.int64),
+                                "neighbor_id": ids[idx][keep],
+                                "adc_dist2": d[keep],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cells = _cells_of(_quant_base(vectors, id_col, vec_col), coarse)
+    pruned = cells.where(F.col("cell").isin(sorted(queries_by_cell)))
+    scored = pruned.mapInPandas(
+        score, schema="query_id long, neighbor_id long, adc_dist2 long"
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 # --- SQL mirrors -----------------------------------------------------------
 
 
@@ -659,6 +824,121 @@ FROM {finals[0]} e0 {joins}
 WHERE e0.vec_id != (SELECT min({id_col}) FROM {table})
 ORDER BY adc_dist2, e0.vec_id
 LIMIT {top_k}"""
+    )
+
+
+def sql_l2_panel(
+    nq: int,
+    k: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Mirror of brute_force_l2_panel: exact quantized-int L2 top-k per
+    panel query (vec_id < nq), ties to the lower neighbor id."""
+    base = f"(SELECT {id_col} AS vec_id, {_sql_quant(vec_col)} AS x FROM {table})"
+    d = _SQL_L2.format(a="q.x", b="v.x")
+    return f"""
+WITH pb AS MATERIALIZED (SELECT vec_id, x FROM {base} b)
+SELECT query_id, neighbor_id, d2 FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {d} AS d2,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d}, v.vec_id) AS rn
+    FROM (SELECT * FROM pb WHERE vec_id < {nq}) q
+    JOIN pb v ON q.vec_id <> v.vec_id
+) WHERE rn <= {k}
+"""
+
+
+def sql_ivfpq_panel_topk(
+    nq: int,
+    top_k: int = PQ_TOP_K,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Panel generalization of sql_ivfpq_topk: every CTE that was keyed
+    by the single min-id query carries query_id (vec_id < nq), the ADC
+    tables become (query_id, cell, cid) rows, and the final top-k is a
+    per-query row_number window. Identical integer math per query."""
+    from mimic2ts_spark.operators.similarity import sql_derived_cells
+
+    parts: list[str] = []
+    cparts, c_final_a, c_final_c = sql_kmeans_parts(
+        table, k=sql_derived_cells(table), rounds=KM_ROUNDS,
+        id_col=id_col, vec_col=vec_col, prefix="ivf_",
+    )
+    parts.extend(cparts)
+    parts.append(
+        f"""rbase AS (
+    SELECT a.vec_id, a.cid AS cell,
+           list_transform(generate_series(1, len(a.x)),
+                          i -> a.x[i] - c.m[i]) AS x
+    FROM {c_final_a} a JOIN {c_final_c} c ON a.cid = c.cid
+)"""
+    )
+    parts.append(
+        f"q AS (SELECT vec_id AS query_id, x FROM ivf_base WHERE vec_id < {nq})"
+    )
+    d_qc = _SQL_L2.format(a="q.x", b="c.m")
+    parts.append(
+        f"""probes AS (
+    SELECT query_id, cid AS cell, m FROM (
+        SELECT q.query_id, c.cid, c.m, {d_qc} AS d,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {d_qc}, c.cid) AS rn
+        FROM {c_final_c} c CROSS JOIN q
+    ) WHERE rn <= {IVFPQ_NPROBE}
+)"""
+    )
+    parts.append(
+        """qres AS (
+    SELECT p.query_id, p.cell,
+           list_transform(generate_series(1, len(p.m)),
+                          i -> q.x[i] - p.m[i]) AS qx
+    FROM probes p JOIN q ON q.query_id = p.query_id
+)"""
+    )
+    finals = []
+    for m in range(PQ_M):
+        p, final_a, final_c = _sql_subspace_parts(
+            "rbase", m, "vec_id", "x", pre_quantized=True
+        )
+        parts.extend(p)
+        d_adc = (
+            "list_aggregate(list_transform(generate_series(1, len(c.m)), "
+            f"i -> (r.qx[{m * PQ_SUB} + i] - c.m[i]) * (r.qx[{m * PQ_SUB} + i] - c.m[i])), "
+            "'sum')"
+        )
+        parts.append(
+            f"""adc{m} AS (
+    SELECT r.query_id, r.cell, c.cid, {d_adc} AS d2
+    FROM qres r CROSS JOIN {final_c} c
+)"""
+        )
+        finals.append(final_a)
+    joins = " ".join(
+        f"JOIN {finals[m]} e{m} ON e0.vec_id = e{m}.vec_id" for m in range(1, PQ_M)
+    )
+    joins += " JOIN rbase rb ON rb.vec_id = e0.vec_id"
+    joins += " JOIN probes pr ON pr.cell = rb.cell"
+    joins += " ".join(
+        f" JOIN adc{m} ON adc{m}.query_id = pr.query_id"
+        f" AND adc{m}.cell = rb.cell AND adc{m}.cid = e{m}.cid"
+        for m in range(PQ_M)
+    )
+    dist = " + ".join(f"adc{m}.d2" for m in range(PQ_M))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, adc_dist2 FROM (
+    SELECT pr.query_id, e0.vec_id AS neighbor_id,
+           CAST({dist} AS BIGINT) AS adc_dist2,
+           row_number() OVER (PARTITION BY pr.query_id
+                              ORDER BY CAST({dist} AS BIGINT), e0.vec_id) AS rn
+    FROM {finals[0]} e0 {joins}
+    WHERE e0.vec_id != pr.query_id
+) WHERE rn <= {top_k}"""
     )
 
 
