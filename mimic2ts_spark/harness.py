@@ -2252,6 +2252,10 @@ _GATE_CHANGED_THIS_ROUND = [
     # never-verified sorts first automatically).
     # r07: bounded SemDeDup verify (LSH sub-buckets past sub_bound)
     "q_dedup_semantic",
+    # r07: two-leg recall eval (IVF + IVF-PQ panel)
+    "q_ann_recall",
+    # r07: mmr left-join lone-candidate fix; cms left-join estimate
+    "q_mmr_rerank", "q_sketch_cms",
 ]
 
 

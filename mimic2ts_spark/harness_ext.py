@@ -2613,10 +2613,13 @@ exact AS MATERIALIZED (
     SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok
 ),
 est AS (
-    SELECT e.tok, e.exact_cnt, min(c.cnt) AS cms_est
+    -- LEFT join + coalesce 0 mirrors cms_estimate: an absent (j,
+    -- bucket) counter proves frequency 0 for that hash row (no-op for
+    -- seen candidates like these, but the operator contract)
+    SELECT e.tok, e.exact_cnt, min(coalesce(c.cnt, 0)) AS cms_est
     FROM exact e
     CROSS JOIN (VALUES {salts}) AS s(j)
-    JOIN counters c
+    LEFT JOIN counters c
       ON c.j = s.j
      AND c.bucket = {code.format(j='s.j', tok='e.tok')} % (SELECT w FROM params)
     GROUP BY e.tok, e.exact_cnt

@@ -541,8 +541,15 @@ def mmr_rerank(
         F.col("neighbor_id").alias("cand_b"),
         F.col("nvec").alias("vec_b"),
     )
+    # LEFT join: a query with exactly ONE candidate has no pair rows —
+    # an inner join would drop it from the kernel's groups entirely,
+    # while the SQL mirror's s1 CTE still emits its step-1 row (the r06
+    # advice divergence). The left row carries a null cand_b/sim the
+    # kernel skips; multi-candidate queries produce the identical rows.
     pairsim = a.join(
-        b, (F.col("query_id") == F.col("qb")) & (F.col("cand_a") != F.col("cand_b"))
+        b,
+        (F.col("query_id") == F.col("qb")) & (F.col("cand_a") != F.col("cand_b")),
+        "left",
     ).select(
         "query_id",
         "cand_a",
@@ -562,7 +569,8 @@ def mmr_rerank(
             pdf["cand_a"], pdf["cand_b"], pdf["rel_a"], pdf["sim"]
         ):
             rel[int(ca)] = float(ra)
-            sim[(int(ca), int(cb))] = float(sm)
+            if not pd.isna(cb):  # lone-candidate left rows carry no pair
+                sim[(int(ca), int(cb))] = float(sm)
         selected: list = []
         scores: list = []
         for _ in range(min(kk, len(rel))):

@@ -228,10 +228,13 @@ def cms_estimate(
     depth: int = CMS_DEPTH,
 ) -> DataFrame:
     """Point estimates for candidate values: est = min_j
-    counter[j][h_j(v)]. Every candidate that occurred in the sketched
-    data matches exactly one counter row per j, so the d-way min is a
-    groupBy over an inner join keyed (j, bucket). All candidate columns
-    are carried through."""
+    counter[j][h_j(v)]. The join is LEFT with missing counters coalesced
+    to 0: an absent (j, bucket) row PROVES nothing hashed there, so 0 is
+    the exact counter value — an inner join would silently drop that j
+    from the d-way min (or the whole candidate) and could violate the
+    CMS upper-bound / zero-for-unseen contract for candidates that never
+    occurred in the sketched data. All candidate columns are carried
+    through; the counter side stays the shuffle-joined d·w table."""
     carry = list(cand.columns)
     probes = cand.select(
         *carry,
@@ -240,7 +243,8 @@ def cms_estimate(
         ),
     )
     return (
-        probes.join(counters, ["j", "bucket"])
+        probes.join(counters, ["j", "bucket"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0).cast("long")))
         .groupBy(*carry)
         .agg(F.min("cnt").alias("cms_est"))
     )

@@ -1916,3 +1916,39 @@ def test_mmr_diversifies_vs_plain_topk(spark):
         for r in mmr_rerank(corpus, queries, k=2, n_cand=3, lam=0.5).collect()
     }
     assert steps == {1: 1, 2: 3}, steps
+
+
+def test_mmr_single_candidate_emits_step1(spark):
+    """Degenerate input (the r06 advice divergence): a query whose
+    candidate set has exactly ONE member produces no pair-sim rows, so
+    the old inner self-join dropped it from the output while the SQL
+    mirror's s1 CTE emitted it. The left-join form must emit the step-1
+    row with score = rel, bit-equal to the DuckDB mirror."""
+    import duckdb
+    import pandas as pd
+
+    from mimic2ts_spark.operators.similarity import DIM, mmr_rerank, sql_mmr_rerank
+
+    pad = [0.0] * (DIM - 2)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1],
+            "embedding": [[1.0, 0.0] + pad, [0.9, 0.436] + pad],
+        }
+    )
+    vecs = spark.createDataFrame(pdf)
+    got = mmr_rerank(
+        vecs, vecs.where(F.col("vec_id") == 0), k=3, n_cand=5
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.query_id, r.step, r.neighbor_id) == (0, 1, 1)
+
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = con.sql(
+        sql_mmr_rerank(k=3, n_cand=5, query_pred="vec_id = 0")
+    ).fetchall()
+    assert [(r.query_id, r.step, r.neighbor_id, r.score)] == [
+        (int(a), int(b), int(c), float(d)) for a, b, c, d in want
+    ]

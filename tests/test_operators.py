@@ -239,6 +239,20 @@ def test_cms_upper_bound_and_heavy_hitter_completeness(spark):
     true_heavy = {t for t, r in est2.items() if 200 * r.exact_cnt >= n_total}
     assert true_heavy and true_heavy <= flagged
 
+    # UNSEEN candidates (never sketched) must still get a well-defined
+    # estimate: an empty bucket proves frequency 0 for that hash row, so
+    # the d-way min is 0 unless EVERY row collides with sketched mass —
+    # never a dropped row/candidate (the r06 advice: inner-joining
+    # counters could return an estimate above the true min, or nothing).
+    unseen = spark.createDataFrame(
+        [(f"unseen{i}",) for i in range(16)], "tok string"
+    ).withColumn("exact_cnt", F.lit(0).cast("long"))
+    est_u = {r.tok: r.cms_est for r in cms_estimate(unseen, "tok", counters, w).collect()}
+    assert set(est_u) == {f"unseen{i}" for i in range(16)}  # none dropped
+    assert all(v >= 0 for v in est_u.values())
+    # at width >= 4*vocab most unseen values hit at least one empty row
+    assert any(v == 0 for v in est_u.values())
+
 
 def test_connected_components_vs_union_find(spark):
     """Chains force the pointer-jumping path (neighbor propagation
