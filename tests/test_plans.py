@@ -899,6 +899,57 @@ def test_registry_global_plan_invariants(utc):
     assert not problems, problems
 
 
+def test_stream_builders_batch_equivalent_plans(utc):
+    """q_stream_* queries are skipped by the global plan net (they
+    execute on call), so a regression in the SHARED transformation
+    builders could only surface as a slow drain. Pin the three heaviest
+    builders' plans on BATCH inputs (withWatermark is a no-op in batch;
+    the Column logic is identical to what each microbatch runs):
+    - ingest dedup gate: the corpus posting index is PERSISTED (built
+      once, reused by every microbatch), candidates come from an
+      equi-join on code — never a cartesian — and no row-wise Python;
+    - attribution join: ONE equi-join on user_id with the interval
+      range INSIDE the join condition (the bounded-state shape —
+      a post-join filter would mean unbounded buffered state), and the
+      event-type split pushed to the scan;
+    - tumbling agg: partial aggregation (map-side combine) with exactly
+      one exchange."""
+    from mimic2ts_spark import streaming as ST
+
+    ev = utc.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    docs = utc.read.parquet(f"{SF}/documents.parquet")
+
+    s = _plan(
+        ST.incremental_dedup_stream(
+            docs.where(F.col("doc_id") % 10 == 0),
+            docs.where(F.col("doc_id") % 10 != 0),
+        )
+    )
+    assert "InMemoryTableScan" in s or "InMemoryRelation" in s, "corpus index not persisted"
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+    s = _plan(
+        ST.attribution_join(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+        )
+    )
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert re.search(r"Left keys \[1\]: \[c_user", s), "join not keyed on user"
+    m = re.search(r"Join condition: (.*)", s)
+    assert m and "c_ts" in m.group(1), "interval range not inside the join condition"
+    assert "EqualTo(event_type,purchase)" in s  # split pushed to the scan
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+    s = _plan(ST.tumbling_agg(ev))
+    assert _count(r"\(\d+\) Exchange", s) == 1
+    assert _count(r"\(\d+\) HashAggregate", s) == 2  # partial + final
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
 def test_aqe_skew_join_splits_hot_key(utc):
     """The session's AQE skew-join config must actually FIRE: a join
     whose hot key exceeds the skew threshold is split at runtime
