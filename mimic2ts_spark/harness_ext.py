@@ -3972,6 +3972,48 @@ def _q_dedup_semantic_sql():
 Q_DEDUP_SEMANTIC_SQL = _q_dedup_semantic_sql()
 
 
+def q_dedup_semantic_canonical(spark, sf_dir):
+    """X160 — exact-first SemDeDup (the duplicate-heavy scale path for
+    X96, completing the exact-first family X157/X158): byte-identical
+    vectors collapse to min-id canonicals (md5 of the quantized int
+    coords — engine-portable), THEN clustering-blocked semantic dedup
+    runs over canonicals only. This handles the case the X159 LSH
+    sub-bucketing cannot: identical vectors co-bucket under every
+    deterministic function, so a c-copy cluster pays Θ(c²) pairs in any
+    pairwise stage unless the copies are removed first; output becomes
+    true cross-content pairs, exact groups reconstruct the rest."""
+    from mimic2ts_spark.operators.kmeans import (
+        canonical_vectors,
+        semantic_near_dup_pairs,
+    )
+
+    canon = canonical_vectors(_embs(spark, sf_dir))
+    return semantic_near_dup_pairs(
+        canon, SEMDEDUP_THRESHOLD, cache_key=sf_dir + ":semcanon"
+    )
+
+
+def _q_dedup_semantic_canonical_sql():
+    from mimic2ts_spark.operators.kmeans import (
+        sql_canonical_vectors,
+        sql_semantic_near_dup_pairs,
+    )
+
+    # hoist the canonical base into ONE materialized CTE — DuckDB
+    # re-inlines a derived table once per reference (CLAUDE.md), and the
+    # semantic chain references the base from the kmeans CTEs, the
+    # derived-k scalar and the sides join
+    inner = sql_semantic_near_dup_pairs(SEMDEDUP_THRESHOLD, table="canon")
+    return inner.replace(
+        "WITH ",
+        f"WITH canon AS MATERIALIZED (SELECT * FROM {sql_canonical_vectors()} c),\n",
+        1,
+    )
+
+
+Q_DEDUP_SEMANTIC_CANONICAL_SQL = _q_dedup_semantic_canonical_sql()
+
+
 def q_stream_rollup(spark, sf_dir):
     """X109 — streaming incremental rollup (streaming.py rollup_stream):
     the live form of X91 — per-(user, event_type) state IS the
@@ -4905,6 +4947,10 @@ EXT_REGISTRY = {
     "q_quality_gate": (q_quality_gate, Q_QUALITY_GATE_SQL),
     "q_kmeans": (q_kmeans, Q_KMEANS_SQL),
     "q_dedup_semantic": (q_dedup_semantic, Q_DEDUP_SEMANTIC_SQL),
+    "q_dedup_semantic_canonical": (
+        q_dedup_semantic_canonical,
+        Q_DEDUP_SEMANTIC_CANONICAL_SQL,
+    ),
     "q_stream_kmv": (q_stream_kmv, Q_STREAM_KMV_SQL),
     "q_stream_rollup": (q_stream_rollup, Q_INCREMENTAL_AGG_SQL),
     "q_incremental_agg": (q_incremental_agg, Q_INCREMENTAL_AGG_SQL),

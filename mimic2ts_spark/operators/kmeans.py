@@ -376,6 +376,41 @@ SEM_SUB_BOUND = 512  # max rows per exact-verify gram group (see below)
 _SEM_SIZES_CACHE: dict = {}  # (cache_key, k, rounds, id, vec) -> {cid: csize}
 
 
+def canonical_vectors(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact-dedup gate for the embedding side (the vector twin of
+    dedup.canonical_docs): byte-identical vectors collapse to their
+    min-id canonical row, keyed on the md5 of the comma-joined QUANTIZED
+    int coordinates (integer→string rendering is engine-portable, float
+    rendering is not). This is the composition that handles what LSH
+    sub-bucketing cannot: identical vectors co-bucket under EVERY
+    deterministic function of the vector, so a 100-copy cluster pays its
+    Θ(c²) pairs in any pairwise stage unless the copies are removed
+    first — exact groups reconstruct the dropped pairs."""
+    key = F.md5(
+        F.concat_ws(
+            ",", F.transform(quantize(F.col(vec_col)), lambda v: v.cast("string"))
+        )
+    )
+    canon_ids = vectors.groupBy(key.alias("_h")).agg(F.min(id_col).alias(id_col))
+    # plain semi join (NOT broadcast): the canonical-id set is ~corpus
+    # sized; AQE may still broadcast it when it is actually small
+    return vectors.join(canon_ids.select(id_col), id_col, "left_semi")
+
+
+def sql_canonical_vectors(
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB mirror of canonical_vectors as a derived-table expression."""
+    q = _sql_quant(vec_col)
+    return f"""(SELECT e.* FROM {table} e JOIN (
+        SELECT min({id_col}) AS {id_col} FROM (
+            SELECT {id_col}, md5(array_to_string({q}, ',')) AS _h FROM {table}
+        ) GROUP BY _h
+    ) k ON k.{id_col} = e.{id_col})"""
+
+
 def semantic_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -450,10 +485,14 @@ def semantic_near_dup_pairs(
             _SEM_SIZES_CACHE[skey] = sizes
 
     def _nb(csize: int) -> int:
-        # bits for ceil(csize / sub_bound) buckets: Σ_i [m ≥ 2^i]
+        # Key width must absorb the T-table OR fan-out: gram work per
+        # oversized cluster is T·c²/2^nb, so break-even needs
+        # 2^nb ≥ T·c/bound (with 2^nb ≈ c/bound the fan-out would make
+        # splitting WORSE than the unbounded gram until nb > log2 T).
+        # nb = bits of m = (T·(c−1)) div bound: Σ_i [m ≥ 2^i]
         # = floor(log2 m) + 1 — pure ints, the exact math the SQL
         # mirror's CASE chain replays (no float log, CLAUDE.md rule)
-        m = (csize - 1) // sub_bound
+        m = (SEM_SUB_TABLES * (csize - 1)) // sub_bound
         return sum(1 for i in range(SEM_SUB_MAX_BITS) if m >= (1 << i))
 
     nb_rows = [(cid, _nb(cs)) for cid, cs in sizes.items() if cs > sub_bound]
@@ -685,7 +724,8 @@ def sql_semantic_near_dup_pairs(
     assign = sql_kmeans_assign(table, k, rounds, id_col, vec_col)
     cos = sql_cosine("l.vec", "r.vec")
     nb_expr = " + ".join(
-        f"(CASE WHEN (csize - 1) // {int(sub_bound)} >= {1 << i} THEN 1 ELSE 0 END)"
+        f"(CASE WHEN ({SEM_SUB_TABLES} * (csize - 1)) // {int(sub_bound)}"
+        f" >= {1 << i} THEN 1 ELSE 0 END)"
         for i in range(SEM_SUB_MAX_BITS)
     )
     sig_cols = ",\n           ".join(
@@ -702,7 +742,10 @@ WITH sides AS MATERIALIZED (
     FROM ({assign}) a JOIN {table} t ON a.vec_id = t.{id_col}
 ),
 csz AS (
-    SELECT cid, ({nb_expr}) AS nb
+    -- nb only for clusters past the TRIGGER (csize > bound — the same
+    -- predicate the Spark side splits legs on); the width then absorbs
+    -- the T-table fan-out: 2^nb >= T*csize/bound
+    SELECT cid, (CASE WHEN csize > {int(sub_bound)} THEN ({nb_expr}) ELSE 0 END) AS nb
     FROM (SELECT cid, count(*) AS csize FROM sides GROUP BY cid)
 ),
 sig AS (

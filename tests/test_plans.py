@@ -857,6 +857,7 @@ def test_registry_global_plan_invariants(utc):
         "q_zorder_layout",   # 1-row (min,max) range scalar cross join
         "q_kmeans",          # k-row centroid broadcast cross join (declared)
         "q_dedup_semantic",  # same centroid cross join inside kmeans_assign
+        "q_dedup_semantic_canonical",  # same centroid cross join (canonical base)
         "q_skew_report",     # 1-row total-count scalar cross join
         "q_graph_triangles",  # 1-row multiplicity-stats scalar cross join (r04 derived threshold)
         "q_mixture_temperature",  # 1-row total-weight scalar cross join
