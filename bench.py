@@ -126,6 +126,11 @@ HEADLINE = [
     "q_embedding_truncation",
     "q_mmr_rerank",
     "q_sketch_join_card",
+    # round 7: two-leg recall eval + exact-first compositions
+    "q_ann_recall",
+    "q_dedup_containment_canonical",
+    "q_graph_communities_canonical",
+    "q_dedup_semantic_canonical",
 ]
 
 
