@@ -131,6 +131,7 @@ HEADLINE = [
     "q_dedup_containment_canonical",
     "q_graph_communities_canonical",
     "q_dedup_semantic_canonical",
+    "q_record_linkage",
 ]
 
 

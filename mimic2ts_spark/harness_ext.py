@@ -4901,6 +4901,119 @@ def _q_dsir_weights_sql():
 Q_DSIR_WEIGHTS_SQL = _q_dsir_weights_sql()
 
 
+LINKAGE_DIRTY_MOD = 4
+
+
+def q_record_linkage(spark, sf_dir):
+    """X161 — record linkage / entity resolution: dirty records (a
+    deterministic one-character deletion at an md5-derived position, the
+    data-entry-typo stand-in, on ~1/4 of customers) resolved against the
+    clean customer reference under levenshtein <= 1.
+
+    Blocking is the SymSpell deletion-neighborhood scheme
+    (operators/linkage.py): variants are n*(L+1) rows — linear — and the
+    candidate join is an ordinary hash join on the variant string, so
+    unlike X104's (end-char, length) keys there is no alphabet-sized key
+    skew and candidates are exact-neighborhood tight. Linkage runs on
+    DISTINCT names (the exact-first doctrine: duplicate-heavy references
+    would otherwise fan copies x copies through the join) and rejoins
+    per-record: best candidate = min (dist, clean key) — name-level
+    min of per-name min keys is the same order — and ambiguity counts
+    sum the copies of each matched name. The oracle is the NAIVE
+    all-pairs lev filter: it shares no blocking theorem, so a blocking
+    hole cannot hide behind a matching hash."""
+    from mimic2ts_spark.operators import linkage as L
+    from mimic2ts_spark.operators.sketch import kmv_code
+    from mimic2ts_spark.operators.spread import ensure_parallelism
+
+    # spread: customer is a few-hundred-KB single split but the variant
+    # explode + md5 coding is compute-dense per byte (CLAUDE.md r01 trap)
+    cust = ensure_parallelism(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    code = kmv_code(F.col("c_name"))
+    dirty = (
+        cust.where((code % LINKAGE_DIRTY_MOD) == 0)
+        .withColumn("_pos", ((code % F.length("c_name")) + 1).cast("int"))
+        .select(
+            "c_custkey",
+            F.expr(
+                "concat(substr(c_name, 1, _pos - 1), substr(c_name, _pos + 1))"
+            ).alias("dirty_name"),
+        )
+    )
+    clean_names = cust.groupBy("c_name").agg(
+        F.min("c_custkey").alias("_min_key"),
+        F.count(F.lit(1)).cast("long").alias("_n_copies"),
+    )
+    name_pairs = L.fuzzy_link(
+        dirty.select("dirty_name").distinct(),
+        clean_names,
+        dirty_key="dirty_name",
+        clean_key="c_name",
+        dirty_col="dirty_name",
+        clean_col="c_name",
+        max_dist=1,
+    )
+    name_report = (
+        name_pairs.join(
+            clean_names.select(
+                F.col("c_name").alias("clean_key"), "_min_key", "_n_copies"
+            ),
+            "clean_key",
+        )
+        .groupBy(F.col("dirty_key").alias("dirty_name"))
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("_min_key"))).alias("_best"),
+            F.sum("_n_copies").cast("long").alias("n_cand"),
+        )
+    )
+    return dirty.join(name_report, "dirty_name").select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.col("_best._min_key").alias("best_clean_key"),
+        F.col("_best.dist").alias("best_dist"),
+        "n_cand",
+        (F.col("_best._min_key") == F.col("c_custkey"))
+        .cast("long")
+        .alias("hit_origin"),
+    )
+
+
+def _q_record_linkage_sql():
+    code = X.SQL_CODE.format(tok="c_name")
+    return f"""
+WITH dirty AS (
+    SELECT c_custkey AS dirty_key,
+           substr(c_name, 1, pos - 1) || substr(c_name, pos + 1) AS dirty_name
+    FROM (
+        SELECT c_custkey, c_name,
+               CAST(1 + ({code} % length(c_name)) AS INTEGER) AS pos
+        FROM customer
+        WHERE ({code} % {LINKAGE_DIRTY_MOD}) = 0
+    )
+),
+cand AS (
+    SELECT d.dirty_key, c.c_custkey AS clean_key,
+           CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS dist
+    FROM dirty d, customer c
+    WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+),
+ranked AS (
+    SELECT dirty_key, clean_key, dist,
+           row_number() OVER (PARTITION BY dirty_key
+                              ORDER BY dist, clean_key) AS rn,
+           count(*) OVER (PARTITION BY dirty_key) AS n_cand
+    FROM cand
+)
+SELECT dirty_key, clean_key AS best_clean_key, dist AS best_dist,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(CASE WHEN clean_key = dirty_key THEN 1 ELSE 0 END AS BIGINT)
+         AS hit_origin
+FROM ranked WHERE rn = 1
+"""
+
+
+Q_RECORD_LINKAGE_SQL = _q_record_linkage_sql()
+
+
 EXT_REGISTRY = {
     "q_dsir_weights": (q_dsir_weights, Q_DSIR_WEIGHTS_SQL),
     "q_bpe_apply": (q_bpe_apply, Q_BPE_APPLY_SQL),
@@ -5033,6 +5146,7 @@ EXT_REGISTRY = {
     "q_sketch_cms": (q_sketch_cms, Q_SKETCH_CMS_SQL),
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
+    "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),
 }
 
 # close the harness ⇄ harness_ext import cycle from THIS side too, so

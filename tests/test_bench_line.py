@@ -34,9 +34,11 @@ def test_line_fits_for_current_headline():
     assert len(line) <= TAIL_BYTES
     d = json.loads(line)
     # truncation, if any, drops only the fastest entries; the full set
-    # always survives in BENCH_DETAIL.json — the line must keep the
-    # overwhelming majority (a fixed -10 slack broke as HEADLINE grew)
-    assert len(d["queries"]) >= int(0.8 * len(HEADLINE))
+    # always survives in BENCH_DETAIL.json — the line must keep at least
+    # the 80 slowest (the signal-bearing tail; a fixed -10 slack and an
+    # 80% ratio both broke as HEADLINE grew — the ratio demands ever more
+    # entries in the same fixed byte budget)
+    assert len(d["queries"]) >= min(len(HEADLINE), 80)
 
 
 def test_no_vs_totals_is_fine():
