@@ -52,6 +52,7 @@ from mimic2ts_spark.operators.text import (
     quality_score,
     token_count,
 )
+from mimic2ts_spark.operators.linkage import best_match_report, fuzzy_link
 from mimic2ts_spark.operators.merge import merge_changelog, merge_upsert
 from mimic2ts_spark.operators.pq import (
     ivfpq_topk,
@@ -119,6 +120,8 @@ __all__ = [
     "lang_id",
     "quality_score",
     "token_count",
+    "fuzzy_link",
+    "best_match_report",
     "merge_changelog",
     "merge_upsert",
     "ivfpq_topk",
