@@ -2633,6 +2633,70 @@ WHERE {CMS_HH_FACTOR} * cms_est >= (SELECT total FROM params)
 Q_SKETCH_CMS_SQL = _q_sketch_cms_sql()
 
 
+def q_sketch_hll(spark, sf_dir):
+    """X162 — HyperLogLog distinct sketch + register merge:
+    per-event_type register tables over user_id (CONSTANT m=256 state
+    per group — HLL's error is cardinality-free, so the width-derivation
+    rule the other sketches need does not apply), merged to an 'ALL' row
+    by elementwise register max. Third mergeable algebra of the sketch
+    family: KMV re-ranks min-values (X19), CMS adds counters (X154),
+    HLL maxes registers. Estimates are reported against the exact
+    distinct counts; integer registers (bin()-msb rho), an int64-scaled
+    harmonic denominator and ONE pinned double chain keep the estimate
+    bit-reproducible in DuckDB (operators/sketch.py). Scale shape: one
+    raw pass into a map-side-combining max aggregate; the merge and the
+    estimate touch only <=m-row register tables."""
+    from mimic2ts_spark.operators import sketch as K
+
+    ev = _h._t(spark, sf_dir, "events")
+    # persist: the register table feeds the per-group AND merged legs;
+    # harness drivers release_storage() after.
+    regs = K.hll_registers(ev, ["event_type"], "user_id").persist()
+    per = K.hll_estimate(regs, ["event_type"])
+    glob = K.hll_estimate(
+        K.hll_merge(regs, []).withColumn("event_type", F.lit("ALL")),
+        ["event_type"],
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    exact_all = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    ).withColumn("event_type", F.lit("ALL"))
+    return per.unionByName(glob).join(
+        F.broadcast(exact.unionByName(exact_all)), "event_type"
+    )
+
+
+def _q_sketch_hll_sql():
+    from mimic2ts_spark.operators import sketch as K
+
+    parts = K.hll_sql_parts("events", "event_type", "user_id")
+    est = K.hll_estimate_sql("allregs", "event_type")
+    return f"""
+WITH {parts.lstrip()},
+allregs AS (
+    SELECT event_type, idx, reg FROM hll_regs
+    UNION ALL
+    SELECT 'ALL' AS event_type, idx, max(reg) AS reg
+    FROM hll_regs GROUP BY idx
+),
+est AS ({est}),
+exact AS (
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+)
+SELECT e.event_type, e.n_regs, e.z53, e.est_raw, e.est_hll, x.exact_distinct
+FROM est e JOIN exact x USING (event_type)
+"""
+
+
+Q_SKETCH_HLL_SQL = _q_sketch_hll_sql()
+
+
 def q_mmr_rerank(spark, sf_dir):
     """X151 — MMR diversified top-k: greedy maximal-marginal-relevance
     rerank of the exact top-20 candidates (λ=0.7), k=5 unrolled argmax
@@ -5144,6 +5208,7 @@ EXT_REGISTRY = {
     "q_mmr_rerank": (q_mmr_rerank, Q_MMR_RERANK_SQL),
     "q_sketch_join_card": (q_sketch_join_card, Q_SKETCH_JOIN_CARD_SQL),
     "q_sketch_cms": (q_sketch_cms, Q_SKETCH_CMS_SQL),
+    "q_sketch_hll": (q_sketch_hll, Q_SKETCH_HLL_SQL),
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),

@@ -248,3 +248,175 @@ def cms_estimate(
         .groupBy(*carry)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+# --- HyperLogLog distinct sketch -------------------------------------------
+#
+# The register-max companion to KMV: CONSTANT O(m) state per group with
+# ~1.04/sqrt(m) relative error regardless of cardinality, merged by
+# elementwise register max (KMV merges by re-ranking k values; CMS by
+# adding counters — three distinct mergeable algebras). The module
+# docstring's original objection to HLL (engine-internal hashing + float
+# summation order) is solved the same way as everything else here:
+# md5-derived 60-bit codes, INTEGER registers via bin()-string msb
+# positions (both engines render integers binary without leading
+# zeros), an int64-scaled harmonic-mean denominator
+# z53 = sum_j 2^(53 - M_j) (absent register ⇒ M_j = 0 ⇒ 2^53), and ONE
+# pinned-order double expression at the very end. Every float input is
+# an exact int64 cast, so the estimate is bit-reproducible from SQL.
+#
+# Scale shape (100 TB): one raw pass into a map-side-combining max
+# aggregate (the partial state is ≤ m rows per group per task); the
+# register table is ≤ m rows per group FOREVER, and merges touch only
+# register tables. m is fixed by the error target, not the corpus (the
+# width-derivation lesson does NOT apply: HLL error is cardinality-free).
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers → ~6.5% relative error
+HLL_REM_BITS = 60 - HLL_P  # rho field of the 60-bit md5 code
+HLL_RHO_MAX = HLL_REM_BITS + 1  # rho when the whole field is zero
+# alpha_m * m^2 as an exact rational: alpha_m = 0.7213/(1 + 1.079/m)
+HLL_ALPHA_NUM = 7213 * HLL_M**3  # 121014059008 < 2^53: double-exact
+HLL_ALPHA_DEN = 10 * (1000 * HLL_M + 1079)
+HLL_LC_BOUND = 5 * HLL_M // 2  # raw <= 2.5m → small-range correction
+
+# Small-range (linear counting) correction: for E_raw <= 2.5m with V > 0
+# empty registers, the published estimator is m*ln(m/V). ln is NOT
+# bit-safe cross-engine — but V is an integer in [1, m], so the whole
+# correction is a 256-entry LOOKUP of m*ln(m/V) values computed ONCE
+# here and embedded as identical `<digits>e0` TEXT literals in the Spark
+# expression and the DuckDB SQL (exponent literals parse as DOUBLE in
+# both engines; both strtod round-trips of repr() yield the same bits).
+import math  # noqa: E402
+
+_HLL_LC_LIST = ", ".join(
+    repr(HLL_M * math.log(HLL_M / v)) + "e0" for v in range(1, HLL_M + 1)
+)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL register table (idx, reg): the ONLY pass that sees
+    raw volume — select + hash-aggregate max with map-side partials.
+    idx = low HLL_P bits of the md5 code, rho = leading zeros of the
+    remaining HLL_REM_BITS-bit field + 1 (via msb position =
+    length(bin(val)), integer-exact cross-engine)."""
+    group_cols = list(group_cols)
+    code = kmv_code(F.col(value_col))
+    idx = code.bitwiseAND(F.lit(HLL_M - 1))
+    val = F.shiftright(code, HLL_P)
+    rho = F.when(val == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(val))
+    )
+    return (
+        df.select(*group_cols, idx.alias("idx"), rho.cast("long").alias("rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(state: DataFrame, merge_to: Sequence[str]) -> DataFrame:
+    """Merge register tables to a coarser grouping WITHOUT touching raw
+    data: elementwise max per idx. EXACT merge — max is associative and
+    idempotent, so the merged table bit-equals the from-scratch sketch
+    over the unioned inputs (the oracle computes from scratch)."""
+    return state.groupBy(*list(merge_to), "idx").agg(
+        F.max("reg").alias("reg")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """(n_regs, z53, est_raw, est_hll) per group. z53 = sum_present
+    2^(53-reg) + (m - n_present)*2^53 — pure int64 (max 256*2^53 =
+    2^61). The classic raw estimate alpha_m*m^2/Z with Z = z53/2^53 is
+    one fixed-order double chain ((alpha_num * 2^53) / alpha_den) /
+    z53; every operand is a double-exact literal or a deterministic
+    int64→double cast, so both engines produce identical bits. est_hll
+    applies the published small-range correction (raw <= 2.5m and
+    V = m - n_regs > 0 → linear counting m*ln(m/V)) via the literal
+    lookup table — bit-exact because the ln values are shared text
+    literals, not engine math."""
+    group_cols = list(group_cols)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - reg)"))
+        .cast("long")
+        .alias("_zp"),
+    )
+    z53 = (
+        F.col("_zp")
+        + (F.lit(HLL_M).cast("long") - F.col("n_regs"))
+        * F.lit(1 << HLL_RHO_MAX).cast("long")
+    ).alias("z53")
+    raw = (
+        F.lit(float(HLL_ALPHA_NUM))
+        * F.lit(float(1 << HLL_RHO_MAX))
+        / F.lit(float(HLL_ALPHA_DEN))
+        / F.col("z53").cast("double")
+    ).alias("est_raw")
+    # single-use literal array (the r2 literal-set trap does not bite:
+    # one element_at per OUTPUT row, and output is per-group)
+    lc = F.expr(
+        f"element_at(array({_HLL_LC_LIST}), cast({HLL_M} - n_regs as int))"
+    )
+    est = (
+        F.when(
+            (F.col("n_regs") < HLL_M) & (F.col("est_raw") <= F.lit(HLL_LC_BOUND)),
+            lc,
+        )
+        .otherwise(F.col("est_raw"))
+        .alias("est_hll")
+    )
+    return (
+        agg.select(*group_cols, "n_regs", z53)
+        .select(*group_cols, "n_regs", "z53", raw)
+        .select(*group_cols, "n_regs", "z53", "est_raw", est)
+    )
+
+
+def hll_sql_parts(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB CTE block `hll_regs` mirroring hll_registers: per-group
+    register table from the same md5 code / bit split / bin()-msb rho.
+    ltrim('0') guards a hypothetical zero-padded bin rendering (no-op
+    on DuckDB's unpadded output; Spark's val=0 case is the CASE arm)."""
+    code = f"CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+hll_parts AS (
+    SELECT {group_col},
+           ({code}) & {HLL_M - 1} AS idx,
+           CASE WHEN (({code}) >> {HLL_P}) = 0 THEN {HLL_RHO_MAX}
+                ELSE {HLL_RHO_MAX}
+                     - length(ltrim(bin(({code}) >> {HLL_P}), '0'))
+           END AS rho
+    FROM {table}
+),
+hll_regs AS MATERIALIZED (
+    SELECT {group_col}, idx, max(rho) AS reg
+    FROM hll_parts GROUP BY {group_col}, idx
+)"""
+
+
+def hll_estimate_sql(regs_cte: str, group_col: str) -> str:
+    """SELECT mirroring hll_estimate over a (group, idx, reg) CTE —
+    identical z53 integer build, identical double chain, identical
+    literal ln-lookup list for the small-range correction."""
+    z53 = (
+        f"CAST(sum(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - reg)) AS BIGINT)"
+        f" + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {HLL_RHO_MAX})"
+    )
+    raw = (
+        f"CAST({HLL_ALPHA_NUM} AS DOUBLE) * CAST({1 << HLL_RHO_MAX} AS DOUBLE)"
+        f" / CAST({HLL_ALPHA_DEN} AS DOUBLE) / CAST({z53} AS DOUBLE)"
+    )
+    return f"""
+SELECT {group_col},
+       CAST(count(*) AS BIGINT) AS n_regs,
+       {z53} AS z53,
+       {raw} AS est_raw,
+       CASE WHEN count(*) < {HLL_M} AND ({raw}) <= {HLL_LC_BOUND}
+            THEN ([{_HLL_LC_LIST}])[CAST({HLL_M} - count(*) AS INT)]
+            ELSE {raw}
+       END AS est_hll
+FROM {regs_cte}
+GROUP BY {group_col}"""

@@ -1952,3 +1952,46 @@ def test_mmr_single_candidate_emits_step1(spark):
     assert [(r.query_id, r.step, r.neighbor_id, r.score)] == [
         (int(a), int(b), int(c), float(d)) for a, b, c, d in want
     ]
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """X162: merging per-group register tables by elementwise max must
+    bit-equal the from-scratch global sketch — the defining mergeable-
+    aggregate property (max is associative + idempotent)."""
+    from mimic2ts_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    per = hll_registers(ev, ["event_type"], "user_id")
+    merged = hll_estimate(hll_merge(per, []), []).collect()
+    direct = hll_estimate(hll_registers(ev, [], "user_id"), []).collect()
+    assert len(merged) == len(direct) == 1
+    assert merged[0].asDict() == direct[0].asDict()
+
+
+def test_hll_register_state_bounded_and_accurate(spark):
+    """X162: register state is <= m rows at ANY cardinality, the raw
+    estimate lands within ~3 standard errors (1.04/sqrt(256) = 6.5%)
+    on a 20k-distinct input, and the small-range corrected estimate is
+    within 5% on a 150-distinct input (raw HLL is badly biased there —
+    the correction is what makes the small range usable)."""
+    from mimic2ts_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    big = spark.range(0, 20000).select(F.col("id").alias("v"))
+    regs = hll_registers(big, [], "v")
+    assert regs.count() <= HLL_M
+    est = hll_estimate(regs, []).collect()[0]
+    assert abs(est.est_hll - 20000) / 20000 < 0.20
+    assert est.est_hll == est.est_raw  # out of the small range: raw wins
+
+    small = spark.range(0, 150).select(F.col("id").alias("v"))
+    s = hll_estimate(hll_registers(small, [], "v"), []).collect()[0]
+    assert s.est_hll != s.est_raw  # correction engaged
+    assert abs(s.est_hll - 150) / 150 < 0.05
