@@ -2697,6 +2697,36 @@ FROM est e JOIN exact x USING (event_type)
 Q_SKETCH_HLL_SQL = _q_sketch_hll_sql()
 
 
+# literals chosen to FIRE at gate scale (round-6 lesson): "table hash" /
+# "part filter" occur ~30-50x at sf0.001 AND sf0.01; the trigram leg
+# exercises k=3 anchors (may be 0 rows at the smallest sf — the bigram
+# legs keep the query non-empty everywhere).
+PHRASE_QUERIES = ("table hash", "part filter", "slow hash batch")
+
+
+def q_search_phrase(spark, sf_dir):
+    """X163 — exact token-phrase search: per-(phrase, doc) occurrence
+    counts for a 3-phrase panel by anchor intersection over the shared
+    whitespace tokenization — the positional-postings query bag-of-words
+    BM25 (X78) cannot express. One corpus pass: posexplode -> broadcast
+    join on the tiny term table (map-side filter: only phrase-vocabulary
+    tokens survive) -> two hash aggs; work O(matching tokens). Overlap
+    semantics: occurrences at every start (text 'a a a', phrase 'a a'
+    -> 2), pinned by pytest on constructed docs."""
+    from mimic2ts_spark.operators.search import phrase_occurrences
+
+    return phrase_occurrences(_docs(spark, sf_dir), PHRASE_QUERIES)
+
+
+def _q_search_phrase_sql():
+    from mimic2ts_spark.operators.search import sql_phrase_occurrences
+
+    return sql_phrase_occurrences(PHRASE_QUERIES)
+
+
+Q_SEARCH_PHRASE_SQL = _q_search_phrase_sql()
+
+
 def q_mmr_rerank(spark, sf_dir):
     """X151 — MMR diversified top-k: greedy maximal-marginal-relevance
     rerank of the exact top-20 candidates (λ=0.7), k=5 unrolled argmax
@@ -5209,6 +5239,7 @@ EXT_REGISTRY = {
     "q_sketch_join_card": (q_sketch_join_card, Q_SKETCH_JOIN_CARD_SQL),
     "q_sketch_cms": (q_sketch_cms, Q_SKETCH_CMS_SQL),
     "q_sketch_hll": (q_sketch_hll, Q_SKETCH_HLL_SQL),
+    "q_search_phrase": (q_search_phrase, Q_SEARCH_PHRASE_SQL),
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),

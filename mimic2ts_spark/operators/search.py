@@ -479,3 +479,99 @@ def bm25_from_postings(
         .orderBy(F.desc("score_scaled"), "doc_id")
         .limit(k)
     )
+
+
+# --- token-phrase search ----------------------------------------------------
+
+
+def phrase_occurrences(
+    df: DataFrame,
+    phrases: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-phrase match counts per (phrase, doc) — the
+    positional-postings query BM25's bag-of-words scoring cannot
+    express (quote search, boilerplate span lookup, benchmark-prompt
+    containment at token granularity).
+
+    Anchor intersection: token w at position pos matching phrase term
+    index i anchors candidate start pos - i; a start where ALL k term
+    indexes anchored is one occurrence. One corpus pass: posexplode of
+    the shared whitespace tokenization, broadcast join against the tiny
+    (phrase, idx, term) table (map-side filter — only phrase-vocabulary
+    tokens survive the join), then two hash aggregates. Work is
+    O(matching tokens), never O(tokens x phrases); duplicate terms
+    inside a phrase are correct because each term index must anchor the
+    SAME start from its OWN position (count(DISTINCT idx) = k).
+
+    Scale shape (100 TB): the only raw-volume pass is scan ->
+    posexplode -> broadcast-hash-join; the (phrase, doc, anchor)
+    shuffle carries only phrase-vocabulary hits. For a standing corpus,
+    the same join runs against a positional-postings artifact pruned to
+    the phrase vocabulary (the X152 pattern); the scan form here is the
+    artifact-free equivalent."""
+    spark = df.sparkSession
+    term_rows = []
+    for p in phrases:
+        terms = p.split()
+        for i, t in enumerate(terms):
+            term_rows.append((p, i, t, len(terms)))
+    terms_df = spark.createDataFrame(
+        term_rows, "phrase string, idx int, term string, k int"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    hits = toks.join(
+        F.broadcast(terms_df), F.col("tok") == F.col("term"), "inner"
+    ).select("phrase", id_col, (F.col("pos") - F.col("idx")).alias("anchor"), "idx", "k")
+    starts = (
+        hits.groupBy("phrase", id_col, "anchor")
+        .agg(
+            F.countDistinct("idx").alias("_n"),
+            F.max("k").alias("_k"),
+        )
+        .where(F.col("_n") == F.col("_k"))
+    )
+    return starts.groupBy("phrase", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+def sql_phrase_occurrences(
+    phrases: tuple[str, ...], table: str = "documents"
+) -> str:
+    """DuckDB oracle for phrase_occurrences: identical tokenization
+    (SQL_TOKENS), 0-based positions via generate_series, identical
+    anchor-intersection aggregation."""
+    values = ", ".join(
+        f"('{p}', {i}, '{t}', {len(p.split())})"
+        for p in phrases
+        for i, t in enumerate(p.split())
+    )
+    toks = SQL_TOKENS.format(text="text")
+    return f"""
+WITH toklist AS (
+    SELECT doc_id, {toks} AS toks FROM {table}
+),
+tokpos AS MATERIALIZED (
+    SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+    FROM toklist, UNNEST(generate_series(1, len(toks))) AS s(i)
+),
+terms(phrase, idx, term, k) AS (VALUES {values}),
+hits AS (
+    SELECT t.phrase, x.doc_id, x.pos - t.idx AS anchor, t.idx, t.k
+    FROM tokpos x JOIN terms t ON x.tok = t.term
+),
+starts AS (
+    SELECT phrase, doc_id, anchor
+    FROM hits
+    GROUP BY phrase, doc_id, anchor
+    HAVING count(DISTINCT idx) = max(k)
+)
+SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM starts
+GROUP BY phrase, doc_id
+"""

@@ -1995,3 +1995,35 @@ def test_hll_register_state_bounded_and_accurate(spark):
     s = hll_estimate(hll_registers(small, [], "v"), []).collect()[0]
     assert s.est_hll != s.est_raw  # correction engaged
     assert abs(s.est_hll - 150) / 150 < 0.05
+
+
+def test_phrase_occurrences_overlap_and_duplicate_terms(spark):
+    """X163: anchors count OVERLAPPING starts ('a a a' w/ 'a a' -> 2),
+    duplicate terms must anchor the same start from their OWN positions
+    (phrase 'x x' does NOT match text 'x y x'), and a k=3 phrase only
+    fires on a full consecutive run."""
+    import pandas as pd
+
+    from mimic2ts_spark.operators.search import phrase_occurrences
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["a a a", "x y x", "p q r s", "q r p q r"],
+            }
+        )
+    )
+    got = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in phrase_occurrences(
+            docs, ("a a", "x x", "p q r", "q r")
+        ).collect()
+    }
+    assert got == {
+        ("a a", 1): 2,
+        ("p q r", 3): 1,
+        ("q r", 3): 1,
+        ("q r", 4): 2,
+        ("p q r", 4): 1,
+    }
