@@ -132,6 +132,9 @@ HEADLINE = [
     "q_graph_communities_canonical",
     "q_dedup_semantic_canonical",
     "q_record_linkage",
+    # round 7: HLL sketch + token-phrase search
+    "q_sketch_hll",
+    "q_search_phrase",
 ]
 
 
