@@ -117,6 +117,11 @@ def main(argv: list[str] | None = None) -> None:
     p_po.add_argument("src")
     p_po.add_argument("--text-col", default="text")
     p_po.add_argument("--id-col", default="doc_id")
+    p_po.add_argument(
+        "--positions", action="store_true",
+        help="also persist the positional index (term, doc_id, positions) "
+             "that serves phrase queries without a corpus scan",
+    )
 
     p_poa = sub.add_parser(
         "postings-append",
@@ -126,6 +131,11 @@ def main(argv: list[str] | None = None) -> None:
     p_poa.add_argument("delta")
     p_poa.add_argument("--text-col", default="text")
     p_poa.add_argument("--id-col", default="doc_id")
+    p_poa.add_argument(
+        "--positions", action="store_true",
+        help="also append the delta's positional postings (NEW doc_ids "
+             "only, so rows append without array merges)",
+    )
 
     p_iva = sub.add_parser(
         "ivf-append",
@@ -203,11 +213,27 @@ def main(argv: list[str] | None = None) -> None:
         # layout, like every artifact here.
         import os
 
-        from mimic2ts_spark.operators.search import build_postings, corpus_stats
+        from mimic2ts_spark.operators.search import (
+            build_positional_postings,
+            build_postings,
+            corpus_stats,
+        )
 
         stats_path = os.path.join(args.out_dir, "stats.json")
         data_dir = os.path.join(args.out_dir, "postings")
+        pos_dir = os.path.join(args.out_dir, "positions")
         par = spark.sparkContext.defaultParallelism
+
+        def write_positions(src_df, mode):
+            (
+                build_positional_postings(
+                    src_df, text_col=args.text_col, id_col=args.id_col
+                )
+                .repartition(par, "term")
+                .sortWithinPartitions("term", "doc_id")
+                .write.mode(mode)
+                .parquet(pos_dir)
+            )
         if args.cmd == "postings":
             docs = spark.read.parquet(args.src)
             os.makedirs(args.out_dir, exist_ok=True)
@@ -223,6 +249,9 @@ def main(argv: list[str] | None = None) -> None:
                 json.dump(stats, f)
             audit = {"cmd": "postings", "out": args.out_dir, **stats,
                      "n_postings": spark.read.parquet(data_dir).count()}
+            if args.positions:
+                write_positions(docs, "overwrite")
+                audit["n_positional"] = spark.read.parquet(pos_dir).count()
         else:
             delta = spark.read.parquet(args.delta)
             with open(stats_path) as f:
@@ -241,6 +270,9 @@ def main(argv: list[str] | None = None) -> None:
             audit = {"cmd": "postings-append", "out": args.out_dir,
                      "n_delta_docs": d_stats["n_docs"], **stats,
                      "n_postings": spark.read.parquet(data_dir).count()}
+            if args.positions:
+                write_positions(delta, "append")
+                audit["n_positional"] = spark.read.parquet(pos_dir).count()
         audit["runtime_seconds"] = round(time.time() - t0, 3)
         print(json.dumps(audit))
         release_storage(spark)

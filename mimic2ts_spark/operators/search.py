@@ -575,3 +575,64 @@ SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM starts
 GROUP BY phrase, doc_id
 """
+
+
+def build_positional_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc_id, positions): the POSITIONAL inverted index that
+    serves phrase queries without a corpus scan — one posexplode + one
+    collect-over-group pass. Positions are sorted (array_sort: grouped
+    collect order is nondeterministic) so the artifact is deterministic
+    and mergeable per (term, doc). Array-grouped rather than flat
+    (term, doc, pos) rows: one row per posting keeps the term-sorted
+    file's rowgroup min/max stats tight, and the reader explodes only
+    phrase-vocabulary rows."""
+    toks = tokens(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(F.array_sort(F.collect_list(F.col("pos").cast("long"))).alias("positions"))
+    )
+
+
+def phrase_from_postings(
+    spark, postings_dir: str, phrases: tuple[str, ...]
+) -> DataFrame:
+    """Phrase occurrences served FROM the persisted positional index:
+    the postings scan is pruned to the phrase vocabulary (term-sorted
+    files ⇒ `PushedFilters: [In(term, …)]` skips rowgroups), then the
+    identical anchor-intersection aggregation as phrase_occurrences —
+    index-served results bit-equal the corpus-scan form (pinned by
+    pytest). Cost is the phrase vocabulary's postings, never the
+    corpus."""
+    terms = sorted({t for p in phrases for t in p.split()})
+    term_rows = [
+        (p, i, t, len(p.split()))
+        for p in phrases
+        for i, t in enumerate(p.split())
+    ]
+    terms_df = spark.createDataFrame(
+        term_rows, "phrase string, idx int, term string, k int"
+    )
+    hits = (
+        spark.read.parquet(postings_dir)
+        .where(F.col("term").isin(*terms))
+        .select("term", "doc_id", F.explode("positions").alias("pos"))
+        .join(F.broadcast(terms_df), "term")
+        .select(
+            "phrase",
+            "doc_id",
+            (F.col("pos") - F.col("idx")).alias("anchor"),
+            "idx",
+            "k",
+        )
+    )
+    starts = (
+        hits.groupBy("phrase", "doc_id", "anchor")
+        .agg(F.countDistinct("idx").alias("_n"), F.max("k").alias("_k"))
+        .where(F.col("_n") == F.col("_k"))
+    )
+    return starts.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )

@@ -286,3 +286,54 @@ def test_maintain_postings_build_append_serve(spark, tmp_path, capsys):
     served2 = bm25_from_postings(spark, f"{out}/postings", stats2, terms).collect()
     direct2 = bm25_topk(docs, terms).collect()
     assert [tuple(r) for r in served2] == [tuple(r) for r in direct2]
+
+
+def test_maintain_positional_postings_phrase_serve(spark, tmp_path, capsys):
+    """Positional-index artifact (X164): `postings --positions` persists
+    the (term, doc_id, positions) index beside the BM25 postings; phrase
+    queries served FROM it must bit-equal the corpus-scan
+    phrase_occurrences on the same slice, stay equal after a NEW-docs
+    `postings-append --positions` delta (new doc_ids => rows append, no
+    array merges), and the served scan must show the pushed In(term, ...)
+    vocabulary filter (term-sorted files => rowgroup skip)."""
+    import json as _json
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.search import (
+        phrase_from_postings,
+        phrase_occurrences,
+    )
+
+    out = str(tmp_path / "idx")
+    base_dir = str(tmp_path / "base")
+    delta_dir = str(tmp_path / "delta")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.where(F.col("doc_id") % 10 != 0).write.parquet(base_dir)
+    docs.where(F.col("doc_id") % 10 == 0).write.parquet(delta_dir)
+    phrases = ("table hash", "part filter")
+
+    main(["postings", out, base_dir, "--positions"])
+    a1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a1["n_positional"] > 0
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    base = spark.read.parquet(base_dir)
+    served = phrase_from_postings(spark, f"{out}/positions", phrases)
+    direct = phrase_occurrences(base, phrases)
+    assert key(served.collect()) == key(direct.collect())
+
+    plan = phrase_from_postings(
+        spark, f"{out}/positions", phrases
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "In(term" in plan
+
+    main(["postings-append", out, delta_dir, "--positions"])
+    a2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a2["n_positional"] > a1["n_positional"]
+    served2 = phrase_from_postings(spark, f"{out}/positions", phrases)
+    direct2 = phrase_occurrences(docs, phrases)
+    assert key(served2.collect()) == key(direct2.collect())
