@@ -135,6 +135,7 @@ HEADLINE = [
     # round 7: HLL sketch + token-phrase search
     "q_sketch_hll",
     "q_search_phrase",
+    "q_sketch_ddq",
 ]
 
 

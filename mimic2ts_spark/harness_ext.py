@@ -2697,6 +2697,59 @@ FROM est e JOIN exact x USING (event_type)
 Q_SKETCH_HLL_SQL = _q_sketch_hll_sql()
 
 
+def q_sketch_ddq(spark, sf_dir):
+    """X165 — log-bucket quantile sketch (DDSketch-flavored): per-
+    event_type RELATIVE-error quantiles of value-cents from integer
+    bit-position buckets (16 sub-buckets per octave => est within 1/32
+    of the discrete quantile, pytest-pinned vs exact), merged to an
+    'ALL' row by counter ADDITION — completing the mergeable-sketch
+    algebra (KMV mins / HLL register-max / CMS+DDQ add) on the quantile
+    problem, where the existing fixed-width histogram (X40) bounds only
+    ABSOLUTE error and dies when values span decades. No engine log():
+    buckets come from bin()-length msb (the HLL rho idiom); quantile
+    ranks stay integer ((num*n + den-1) div den — float ceil(0.99*n) is
+    not portable). State O(16*log2(max)) counters per group at any row
+    count; one raw pass with map-side partials."""
+    from mimic2ts_spark.operators import sketch as K
+
+    ev = _h._t(spark, sf_dir, "events")
+    cents = "CAST(round(value * 100, 0) AS BIGINT)"
+    # persist: the counter table feeds the per-group AND merged legs;
+    # harness drivers release_storage() after.
+    cnts = K.ddq_counters(ev, ["event_type"], cents).persist()
+    per = K.ddq_quantiles(cnts, ["event_type"])
+    glob = K.ddq_quantiles(
+        K.ddq_merge(cnts, []).withColumn("event_type", F.lit("ALL")),
+        ["event_type"],
+    )
+    return per.unionByName(glob)
+
+
+def _q_sketch_ddq_sql():
+    from mimic2ts_spark.operators import sketch as K
+
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    bucket = K.ddq_bucket_sql(cents, "duckdb")
+    est = K.ddq_quantiles_sql("allcnts", "event_type")
+    return f"""
+WITH cnts AS MATERIALIZED (
+    SELECT event_type, CAST({bucket} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+allcnts AS (
+    SELECT event_type, bucket, cnt FROM cnts
+    UNION ALL
+    SELECT 'ALL' AS event_type, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM cnts GROUP BY bucket
+)
+{est}
+"""
+
+
+Q_SKETCH_DDQ_SQL = _q_sketch_ddq_sql()
+
+
 # literals chosen to FIRE at gate scale (round-6 lesson): "table hash" /
 # "part filter" occur ~30-50x at sf0.001 AND sf0.01; the trigram leg
 # exercises k=3 anchors (may be 0 rows at the smallest sf — the bigram
@@ -5239,6 +5292,7 @@ EXT_REGISTRY = {
     "q_sketch_join_card": (q_sketch_join_card, Q_SKETCH_JOIN_CARD_SQL),
     "q_sketch_cms": (q_sketch_cms, Q_SKETCH_CMS_SQL),
     "q_sketch_hll": (q_sketch_hll, Q_SKETCH_HLL_SQL),
+    "q_sketch_ddq": (q_sketch_ddq, Q_SKETCH_DDQ_SQL),
     "q_search_phrase": (q_search_phrase, Q_SEARCH_PHRASE_SQL),
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),

@@ -420,3 +420,171 @@ SELECT {group_col},
        END AS est_hll
 FROM {regs_cte}
 GROUP BY {group_col}"""
+
+
+# --- log-bucket quantile sketch (DDSketch-flavored, integer-exact) ----------
+# The DDSketch idea (Masson et al. 2019: relative-error quantiles from
+# log-spaced buckets) restated on INTEGER bit positions so both engines
+# compute the identical bucket id with no engine log(): positive values
+# below 32 index themselves (exact region); above, the bucket is
+# (msb, next 4 bits) — 16 sub-buckets per octave, so bucket width over
+# lower bound is <= 1/16 and the integer-midpoint estimate is within
+# ~1/32 relative error of any value in the bucket. This is the
+# RELATIVE-error companion to the fixed-width histogram sketch
+# (q_quantiles_hist, error <= absolute width): per-group state is
+# O(16 * log2(max_value)) counters at ANY row count, and the merge is
+# counter ADDITION — the CMS algebra applied to the quantile problem
+# (KMV re-ranks mins, HLL maxes registers, CMS/DDQ add counters).
+
+DDQ_SUB_BITS = 4   # 16 sub-buckets per octave
+DDQ_EXACT = 32     # 1 << (DDQ_SUB_BITS + 1): below this, buckets are exact
+
+
+def _ddq_msb(v: str, engine: str) -> str:
+    """floor(log2(v)) of a positive integer expression via the binary
+    rendering's length — the HLL rho idiom (integer-exact both engines;
+    DuckDB needs the ltrim-zeros guard, Spark's bin() is unpadded)."""
+    if engine == "duckdb":
+        return f"(length(ltrim(bin({v}), '0')) - 1)"
+    return f"(length(bin({v})) - 1)"
+
+
+def ddq_bucket_sql(v: str, engine: str) -> str:
+    """Monotone bucket id of positive-integer expression {v}. Shared
+    arithmetic, engine-specific msb/shift idioms only."""
+    msb = _ddq_msb(v, engine)
+    shr = (
+        f"({v} >> ({msb} - 4))" if engine == "duckdb"
+        else f"shiftright({v}, {msb} - 4)"
+    )
+    return (
+        f"(CASE WHEN {v} < {DDQ_EXACT} THEN {v} "
+        f"ELSE {DDQ_EXACT} + (({msb} - 5) * 16) + ({shr} - 16) END)"
+    )
+
+
+def ddq_lo_sql(b: str, engine: str) -> str:
+    """Inclusive lower bound of bucket id {b} (inverse of
+    ddq_bucket_sql): sub = (b-32)%16 + 16 shifted left by
+    (b-32)//16 + 1 octaves; exact-region ids decode to themselves."""
+    div = "//" if engine == "duckdb" else "div"
+    shl = (
+        f"((({b} - 32) % 16 + 16) << (({b} - 32) {div} 16 + 1))"
+        if engine == "duckdb"
+        else f"shiftleft(({b} - 32) % 16 + 16, ({b} - 32) {div} 16 + 1)"
+    )
+    return f"(CASE WHEN {b} < {DDQ_EXACT} THEN {b} ELSE {shl} END)"
+
+
+def ddq_width_sql(b: str, engine: str) -> str:
+    """Bucket width (hi = lo + width - 1)."""
+    div = "//" if engine == "duckdb" else "div"
+    shl = (
+        f"(1 << (({b} - 32) {div} 16 + 1))"
+        if engine == "duckdb"
+        else f"shiftleft(1, ({b} - 32) {div} 16 + 1)"
+    )
+    return f"(CASE WHEN {b} < {DDQ_EXACT} THEN 1 ELSE {shl} END)"
+
+
+def ddq_counters(
+    df: DataFrame, group_cols: Sequence[str], value_expr: str
+) -> DataFrame:
+    """Per-group (bucket, cnt) counter table — the ONLY pass that sees
+    raw volume (map-side-combining count). {value_expr} must be a
+    POSITIVE integer SQL expression (callers hash out zero/negative
+    domains before sketching — same precondition as DDSketch's
+    positive-store)."""
+    group_cols = list(group_cols)
+    b = ddq_bucket_sql(value_expr, "spark")
+    return (
+        df.groupBy(*group_cols, F.expr(b).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def ddq_merge(counters: DataFrame, merge_to: Sequence[str]) -> DataFrame:
+    """Merge counter tables to a coarser grouping WITHOUT raw data:
+    counters add. EXACT merge — the merged table bit-equals the
+    from-scratch sketch over the unioned inputs."""
+    return counters.groupBy(*list(merge_to), "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+# (numerator, denominator, name): quantile ranks stay INTEGER —
+# ceil(p*n) via (num*n + den - 1) div den. A float ceil(0.99*n) is NOT
+# portable: 0.99*n rounds UP past the integer in IEEE double for many n
+# while DuckDB's DECIMAL literal product is exact (CLAUDE.md r6 trap).
+DDQ_PS = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+
+
+def ddq_quantiles(counters: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Quantile report per group from a counter table: cumulative sum
+    over bucket order (a window over <=O(16*log2(max)) bucket rows per
+    group, never raw rows), first bucket whose cum reaches the integer
+    rank, decoded to the integer bucket midpoint. est_* carries the
+    sketch guarantee |est - exact_disc_quantile| <= width/2, i.e.
+    relative error <= 1/32 outside the exact region (0 inside)."""
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*group_cols)
+    x = counters.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "total", F.sum("cnt").over(wall)
+    )
+    aggs = [
+        F.max("total").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    ]
+    for num, den, name in DDQ_PS:
+        rank = F.expr(f"({num}L * total + {den - 1}L) div {den}L")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("bucket"))).alias(f"_b_{name}")
+        )
+    out = x.groupBy(*group_cols).agg(*aggs)
+    ests = [
+        F.expr(
+            f"{ddq_lo_sql(f'_b_{name}', 'spark')} + "
+            f"({ddq_width_sql(f'_b_{name}', 'spark')} - 1) div 2"
+        ).cast("long").alias(f"est_{name}")
+        for _, _, name in DDQ_PS
+    ]
+    return out.select(*group_cols, "n_rows", "n_buckets", *ests)
+
+
+def ddq_quantiles_sql(counters_cte: str, group_col: str) -> str:
+    """DuckDB SELECT mirroring ddq_quantiles over a
+    (group, bucket, cnt) CTE — identical integer ranks, identical
+    decode arithmetic."""
+    cols = [
+        f"CAST(max(total) AS BIGINT) AS n_rows",
+        f"CAST(count(*) AS BIGINT) AS n_buckets",
+    ]
+    for num, den, name in DDQ_PS:
+        crossing = (
+            f"min(CASE WHEN cum >= ({num} * total + {den - 1}) // {den} "
+            f"THEN bucket END)"
+        )
+        cols.append(
+            f"CAST({ddq_lo_sql(f'({crossing})', 'duckdb')} + "
+            f"({ddq_width_sql(f'({crossing})', 'duckdb')} - 1) // 2 "
+            f"AS BIGINT) AS est_{name}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+SELECT {group_col},
+       {sel}
+FROM (
+    SELECT {group_col}, bucket, cnt,
+           sum(cnt) OVER (PARTITION BY {group_col} ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER (PARTITION BY {group_col}) AS total
+    FROM {counters_cte}
+)
+GROUP BY {group_col}"""

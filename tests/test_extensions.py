@@ -2027,3 +2027,85 @@ def test_phrase_occurrences_overlap_and_duplicate_terms(spark):
         ("q r", 4): 2,
         ("p q r", 4): 1,
     }
+
+
+def _py_ddq_bucket(v: int) -> int:
+    if v < 32:
+        return v
+    msb = v.bit_length() - 1
+    return 32 + (msb - 5) * 16 + ((v >> (msb - 4)) - 16)
+
+
+def _py_ddq_bounds(b: int) -> tuple[int, int]:
+    if b < 32:
+        return b, b
+    m = (b - 32) // 16 + 5
+    sub = (b - 32) % 16 + 16
+    lo = sub << (m - 4)
+    return lo, lo + (1 << (m - 4)) - 1
+
+
+def test_ddq_bucket_decode_and_monotone(spark):
+    """X165: the Spark bucket expression equals the python mirror on a
+    boundary-heavy panel, every value lies inside its decoded bucket
+    bounds, relative width is <= 1/16 outside the exact region, and
+    the id is monotone in the value (the quantile-crossing argument
+    requires monotonicity)."""
+    from mimic2ts_spark.operators.sketch import ddq_bucket_sql
+
+    vals = sorted(
+        set(
+            list(range(1, 200))
+            + [2**k + d for k in range(8, 40) for d in (-1, 0, 1)]
+            + [49002, 10**12]
+        )
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.v: r.b
+        for r in df.select(
+            "v", F.expr(ddq_bucket_sql("v", "spark")).cast("long").alias("b")
+        ).collect()
+    }
+    prev = None
+    for v in vals:
+        b = _py_ddq_bucket(v)
+        assert got[v] == b
+        lo, hi = _py_ddq_bounds(b)
+        assert lo <= v <= hi
+        if v >= 32:
+            assert (hi - lo + 1) * 16 <= lo  # relative width <= 1/16
+        if prev is not None:
+            assert b >= prev
+        prev = b
+
+
+def test_ddq_merge_equals_direct_and_error_bound(spark):
+    """X165: (a) adding per-type counter tables bit-equals the
+    from-scratch global sketch (counters add — the defining mergeable
+    property); (b) every reported estimate's bucket CONTAINS the exact
+    discrete quantile of the cents values, so |est - exact| <= width/2
+    (relative error <= 1/32 outside the exact region); (c) counter
+    state stays O(16 * log2(max)) rows regardless of row count."""
+    from mimic2ts_spark.operators import sketch as K
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cents_expr = "CAST(round(value * 100, 0) AS BIGINT)"
+    cnts = K.ddq_counters(ev, ["event_type"], cents_expr)
+    merged = K.ddq_quantiles(K.ddq_merge(cnts, []), []).collect()
+    direct = K.ddq_quantiles(K.ddq_counters(ev, [], cents_expr), []).collect()
+    assert len(merged) == len(direct) == 1
+    assert merged[0].asDict() == direct[0].asDict()
+
+    row = direct[0]
+    assert row.n_buckets <= 16 * 64
+    vals = sorted(r.c for r in ev.selectExpr(f"{cents_expr} AS c").collect())
+    n = len(vals)
+    assert row.n_rows == n
+    for num, den, name in K.DDQ_PS:
+        rank = (num * n + den - 1) // den
+        exact = vals[rank - 1]
+        est = row[f"est_{name}"]
+        lo, hi = _py_ddq_bounds(_py_ddq_bucket(est))
+        assert lo <= exact <= hi
+        assert abs(est - exact) <= (hi - lo + 1) / 2
