@@ -136,6 +136,7 @@ HEADLINE = [
     "q_sketch_hll",
     "q_search_phrase",
     "q_sketch_ddq",
+    "q_search_substring",
 ]
 
 

@@ -2780,6 +2780,37 @@ def _q_search_phrase_sql():
 Q_SEARCH_PHRASE_SQL = _q_search_phrase_sql()
 
 
+# char-level needles: inside-word ("able", "ilter") and crossing a token
+# boundary ("hash ta", "rge batch") — the cases token-aligned search
+# cannot serve; all four fire at sf0.001 AND sf0.01 (19-400 docs each).
+SUBSTRING_NEEDLES = ("able", "ilter", "hash ta", "rge batch")
+
+
+def q_search_substring(spark, sf_dir):
+    """X166 — substring (grep) search: NON-OVERLAPPING occurrence
+    counts per (needle, doc) for a 4-needle panel via the
+    replace-difference identity — pure integer math, one corpus pass
+    with a k-row broadcast crossJoin. Char-level containment is the
+    retrieval mode neither BM25 (bag of words) nor phrase search
+    (token-aligned) covers. The standing-corpus twin serves the same
+    counts from the persisted char-trigram inverted index
+    (`maintain postings --trigrams`; every occurrence contains all its
+    trigrams => gram-pruned candidates are a complete superset), pinned
+    bit-equal by pytest."""
+    from mimic2ts_spark.operators.search import substring_occurrences
+
+    return substring_occurrences(_docs(spark, sf_dir), SUBSTRING_NEEDLES)
+
+
+def _q_search_substring_sql():
+    from mimic2ts_spark.operators.search import sql_substring_occurrences
+
+    return sql_substring_occurrences(SUBSTRING_NEEDLES)
+
+
+Q_SEARCH_SUBSTRING_SQL = _q_search_substring_sql()
+
+
 def q_mmr_rerank(spark, sf_dir):
     """X151 — MMR diversified top-k: greedy maximal-marginal-relevance
     rerank of the exact top-20 candidates (λ=0.7), k=5 unrolled argmax
@@ -5294,6 +5325,7 @@ EXT_REGISTRY = {
     "q_sketch_hll": (q_sketch_hll, Q_SKETCH_HLL_SQL),
     "q_sketch_ddq": (q_sketch_ddq, Q_SKETCH_DDQ_SQL),
     "q_search_phrase": (q_search_phrase, Q_SEARCH_PHRASE_SQL),
+    "q_search_substring": (q_search_substring, Q_SEARCH_SUBSTRING_SQL),
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),

@@ -122,6 +122,11 @@ def main(argv: list[str] | None = None) -> None:
         help="also persist the positional index (term, doc_id, positions) "
              "that serves phrase queries without a corpus scan",
     )
+    p_po.add_argument(
+        "--trigrams", action="store_true",
+        help="also persist the char-trigram index (gram, doc_id) that "
+             "serves substring (grep) queries without a corpus scan",
+    )
 
     p_poa = sub.add_parser(
         "postings-append",
@@ -135,6 +140,10 @@ def main(argv: list[str] | None = None) -> None:
         "--positions", action="store_true",
         help="also append the delta's positional postings (NEW doc_ids "
              "only, so rows append without array merges)",
+    )
+    p_poa.add_argument(
+        "--trigrams", action="store_true",
+        help="also append the delta's trigram postings (NEW doc_ids only)",
     )
 
     p_iva = sub.add_parser(
@@ -216,12 +225,14 @@ def main(argv: list[str] | None = None) -> None:
         from mimic2ts_spark.operators.search import (
             build_positional_postings,
             build_postings,
+            build_trigram_postings,
             corpus_stats,
         )
 
         stats_path = os.path.join(args.out_dir, "stats.json")
         data_dir = os.path.join(args.out_dir, "postings")
         pos_dir = os.path.join(args.out_dir, "positions")
+        tri_dir = os.path.join(args.out_dir, "trigrams")
         par = spark.sparkContext.defaultParallelism
 
         def write_positions(src_df, mode):
@@ -233,6 +244,17 @@ def main(argv: list[str] | None = None) -> None:
                 .sortWithinPartitions("term", "doc_id")
                 .write.mode(mode)
                 .parquet(pos_dir)
+            )
+
+        def write_trigrams(src_df, mode):
+            (
+                build_trigram_postings(
+                    src_df, text_col=args.text_col, id_col=args.id_col
+                )
+                .repartition(par, "gram")
+                .sortWithinPartitions("gram", "doc_id")
+                .write.mode(mode)
+                .parquet(tri_dir)
             )
         if args.cmd == "postings":
             docs = spark.read.parquet(args.src)
@@ -252,6 +274,9 @@ def main(argv: list[str] | None = None) -> None:
             if args.positions:
                 write_positions(docs, "overwrite")
                 audit["n_positional"] = spark.read.parquet(pos_dir).count()
+            if args.trigrams:
+                write_trigrams(docs, "overwrite")
+                audit["n_trigram"] = spark.read.parquet(tri_dir).count()
         else:
             delta = spark.read.parquet(args.delta)
             with open(stats_path) as f:
@@ -273,6 +298,9 @@ def main(argv: list[str] | None = None) -> None:
             if args.positions:
                 write_positions(delta, "append")
                 audit["n_positional"] = spark.read.parquet(pos_dir).count()
+            if args.trigrams:
+                write_trigrams(delta, "append")
+                audit["n_trigram"] = spark.read.parquet(tri_dir).count()
         audit["runtime_seconds"] = round(time.time() - t0, 3)
         print(json.dumps(audit))
         release_storage(spark)

@@ -636,3 +636,120 @@ def phrase_from_postings(
     return starts.groupBy("phrase", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )
+
+
+# --- substring (grep) search + trigram index ---------------------------------
+# Char-level containment search — the retrieval mode neither BM25 (bag
+# of words) nor phrase search (token-aligned) covers: needles may cross
+# token boundaries ("hash ta") or sit inside words ("ilter"). The scan
+# form is one corpus pass; the artifact form serves a standing corpus
+# from a trigram inverted index (the code-search / pg_trgm design):
+# every occurrence of a needle contains every char trigram of the
+# needle, so docs holding ALL needle trigrams are a complete candidate
+# superset, verified by the exact count expression.
+
+
+def substring_occurrences(
+    df: DataFrame,
+    needles: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NON-OVERLAPPING occurrence counts per (needle, doc) — python
+    str.count semantics, pytest-pinned — via the replace-difference
+    identity (length(text) - length(replace(text, needle, ''))) /
+    length(needle): pure integer math, bit-exact in both engines.
+    k-row broadcast crossJoin (k = panel size) then one replace pass
+    per (row, needle); rows with zero occurrences drop."""
+    spark = df.sparkSession
+    needles_df = spark.createDataFrame([(n,) for n in needles], "needle string")
+    n_occ = F.expr(
+        f"(length({text_col}) - length(replace({text_col}, needle, ''))) "
+        f"div length(needle)"
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(needles_df))
+        .select("needle", F.col(id_col).alias("doc_id"), n_occ.alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+    )
+
+
+def sql_substring_occurrences(
+    needles: tuple[str, ...], table: str = "documents"
+) -> str:
+    """DuckDB oracle: identical replace-difference count (integer //)."""
+    values = ", ".join(f"('{n}')" for n in needles)
+    return f"""
+WITH needles(needle) AS (VALUES {values}),
+counted AS (
+    SELECT n.needle, d.doc_id,
+           CAST((length(d.text) - length(replace(d.text, n.needle, '')))
+                // length(n.needle) AS BIGINT) AS n_occurrences
+    FROM {table} d CROSS JOIN needles n
+)
+SELECT needle, doc_id, n_occurrences FROM counted WHERE n_occurrences > 0
+"""
+
+
+def build_trigram_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(gram, doc_id) distinct char-trigram inverted index — one pass:
+    per-doc distinct trigrams (array_distinct over a transform of
+    overlapping substrings; the explicit CASE guards sequence()'s
+    DESCENDING rendering of 1..len-2 when len < 3)."""
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) < 3 THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, length({text_col}) - 2), "
+        f"i -> substring({text_col}, i, 3))) END"
+    )
+    return df.select(
+        F.explode(grams).alias("gram"), F.col(id_col).alias("doc_id")
+    )
+
+
+def substring_from_trigram_postings(
+    spark,
+    postings_dir: str,
+    corpus: DataFrame,
+    needles: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring search served from the persisted trigram index:
+    candidates = docs holding ALL distinct trigrams of the needle
+    (complete superset — an occurrence contains each of its trigrams),
+    from a gram-pruned index scan (pushed In(gram, …), gram-sorted
+    files => rowgroup skip); then the exact replace-difference count
+    verifies candidates against the corpus via one doc_id join.
+    Bit-equals the corpus-scan substring_occurrences (pytest-pinned).
+    Cost: needle-vocabulary postings + |candidates| text fetches, never
+    a corpus scan. Needles must be >= 3 chars (no trigrams below)."""
+    short = [n for n in needles if len(n) < 3]
+    if short:
+        raise ValueError(f"needles shorter than 3 chars have no trigrams: {short}")
+    gram_rows = []
+    for n in needles:
+        grams = sorted({n[i : i + 3] for i in range(len(n) - 2)})
+        for g in grams:
+            gram_rows.append((n, g, len(grams)))
+    vocab = sorted({g for _, g, _ in gram_rows})
+    grams_df = spark.createDataFrame(gram_rows, "needle string, gram string, k int")
+    cand = (
+        spark.read.parquet(postings_dir)
+        .where(F.col("gram").isin(*vocab))
+        .join(F.broadcast(grams_df), "gram")
+        .groupBy("needle", "doc_id")
+        .agg(F.countDistinct("gram").alias("_n"), F.max("k").alias("_k"))
+        .where(F.col("_n") == F.col("_k"))
+        .select("needle", "doc_id")
+    )
+    n_occ = F.expr(
+        f"(length({text_col}) - length(replace({text_col}, needle, ''))) "
+        f"div length(needle)"
+    ).cast("long")
+    return (
+        cand.join(corpus.withColumnRenamed(id_col, "doc_id"), "doc_id")
+        .select("needle", "doc_id", n_occ.alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+    )

@@ -2109,3 +2109,26 @@ def test_ddq_merge_equals_direct_and_error_bound(spark):
         lo, hi = _py_ddq_bounds(_py_ddq_bucket(est))
         assert lo <= exact <= hi
         assert abs(est - exact) <= (hi - lo + 1) / 2
+
+
+def test_substring_occurrences_matches_python_count(spark):
+    """X166: replace-difference counts == python str.count
+    (NON-overlapping: 'aaaa' with needle 'aa' -> 2, not 3), needles
+    crossing token boundaries match, absent needles emit no row."""
+    import pandas as pd
+
+    from mimic2ts_spark.operators.search import substring_occurrences
+
+    texts = {1: "aaaa b aa", 2: "hash table hash tab", 3: "no match here"}
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    needles = ("aa", "hash ta", "aaa")
+    got = {
+        (r.needle, r.doc_id): r.n_occurrences
+        for r in substring_occurrences(docs, needles).collect()
+    }
+    expect = {
+        (n, d): t.count(n) for n in needles for d, t in texts.items() if t.count(n)
+    }
+    assert got == expect

@@ -337,3 +337,57 @@ def test_maintain_positional_postings_phrase_serve(spark, tmp_path, capsys):
     served2 = phrase_from_postings(spark, f"{out}/positions", phrases)
     direct2 = phrase_occurrences(docs, phrases)
     assert key(served2.collect()) == key(direct2.collect())
+
+
+def test_maintain_trigram_postings_substring_serve(spark, tmp_path, capsys):
+    """Trigram-index artifact (X166): `postings --trigrams` persists the
+    (gram, doc_id) char-trigram index; substring search served FROM it
+    (gram-pruned candidates, all-trigrams intersection, exact verify)
+    must bit-equal the corpus-scan substring_occurrences on the base
+    slice AND after a NEW-docs `postings-append --trigrams` delta; the
+    index scan must show the pushed In(gram, ...) filter; needles
+    shorter than 3 chars are rejected (no trigrams)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.search import (
+        substring_from_trigram_postings,
+        substring_occurrences,
+    )
+
+    out = str(tmp_path / "idx")
+    base_dir = str(tmp_path / "base")
+    delta_dir = str(tmp_path / "delta")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.where(F.col("doc_id") % 10 != 0).write.parquet(base_dir)
+    docs.where(F.col("doc_id") % 10 == 0).write.parquet(delta_dir)
+    needles = ("able", "hash ta")
+
+    main(["postings", out, base_dir, "--trigrams"])
+    a1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a1["n_trigram"] > 0
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    base = spark.read.parquet(base_dir)
+    served = substring_from_trigram_postings(spark, f"{out}/trigrams", base, needles)
+    assert key(served.collect()) == key(substring_occurrences(base, needles).collect())
+
+    plan = substring_from_trigram_postings(
+        spark, f"{out}/trigrams", base, needles
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "In(gram" in plan
+
+    with _pytest.raises(ValueError):
+        substring_from_trigram_postings(spark, f"{out}/trigrams", base, ("ab",))
+
+    main(["postings-append", out, delta_dir, "--trigrams"])
+    a2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a2["n_trigram"] > a1["n_trigram"]
+    served2 = substring_from_trigram_postings(spark, f"{out}/trigrams", docs, needles)
+    assert key(served2.collect()) == key(substring_occurrences(docs, needles).collect())
