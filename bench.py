@@ -137,6 +137,7 @@ HEADLINE = [
     "q_search_phrase",
     "q_sketch_ddq",
     "q_search_substring",
+    "q_dedup_recall",
 ]
 
 

@@ -203,6 +203,54 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
 """
 
 
+def q_dedup_recall(spark, sf_dir):
+    """X167 — dedup recall eval (the X156 eval story for the dedup
+    family): MinHash-LSH banding (X2) scored against the EXACT AllPairs
+    n-gram Jaccard reference (X4, completeness property-tested), so the
+    banding dials (NUM_HASHES x BANDS at threshold 0.8) get a measured
+    candidate-recall instead of a theoretical S-curve. Reported per
+    exact-jaccard decile — banding misses concentrate just above the
+    threshold, exactly where the decile breakdown shows it. recall =
+    n_hit / n_exact as one cast-division on per-group counts (n_exact
+    > 0 by construction: groups exist only from exact rows)."""
+    docs = _docs(spark, sf_dir)
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    lsh = (
+        D.minhash_lsh_pairs(docs, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["doc_a", "doc_b"], "left")
+        .groupBy(
+            F.expr("CAST(floor(jaccard * 10) AS BIGINT)").alias("jacc_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+        )
+    )
+
+
+# the full ngram and minhash WITH-queries compose as CTE bodies
+# (DuckDB accepts a WITH-query wrapped as a CTE body; MATERIALIZED so
+# neither leg re-runs per reference — the r6 CTE-inlining lesson).
+Q_DEDUP_RECALL_SQL = f"""
+WITH exact AS MATERIALIZED ({Q_DEDUP_NGRAM_SQL}),
+lsh AS MATERIALIZED ({Q_DEDUP_MINHASH_SQL})
+SELECT CAST(floor(e.jaccard * 10) AS BIGINT) AS jacc_decile,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(l.doc_a) AS BIGINT) AS n_hit,
+       CAST(count(l.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+FROM exact e LEFT JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+GROUP BY 1
+"""
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Delta-vs-corpus near-dup (the production dedup cadence): docs
     with doc_id % 10 == 0 play the incoming shard, the rest the
@@ -5264,6 +5312,7 @@ EXT_REGISTRY = {
     "q_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "q_dedup_minhash": (q_dedup_minhash, Q_DEDUP_MINHASH_SQL),
     "q_dedup_ngram": (q_dedup_ngram, Q_DEDUP_NGRAM_SQL),
+    "q_dedup_recall": (q_dedup_recall, Q_DEDUP_RECALL_SQL),
     "q_dedup_ngram_blocked": (q_dedup_ngram_blocked, Q_DEDUP_NGRAM_BLOCKED_SQL),
     "q_dedup_incremental": (q_dedup_incremental, Q_DEDUP_INCREMENTAL_SQL),
     "q_ingest_admission": (q_ingest_admission, Q_INGEST_ADMISSION_SQL),
