@@ -4302,6 +4302,40 @@ GROUP BY j, bucket
 Q_STREAM_CMS_SQL = _q_stream_cms_sql()
 
 
+def q_stream_ddq(spark, sf_dir):
+    """X168 — streaming log-bucket quantile sketch (streaming.py
+    ddq_stream): live percentile monitoring as the quantile-side
+    companion of q_stream_cms. Counters are additive, so the stream
+    form is a plain complete-mode aggregation; the report post-
+    processes the DRAINED counter state with the identical batch
+    quantile decode (operators/sketch.ddq_quantiles), and the oracle
+    recomputes everything from the static events table — drained state
+    must bit-equal the batch sketch under any batching."""
+    from mimic2ts_spark.operators.sketch import ddq_quantiles
+    from mimic2ts_spark.streaming import run_ddq_available_now
+
+    return ddq_quantiles(run_ddq_available_now(spark, sf_dir), ["event_type"])
+
+
+def _q_stream_ddq_sql():
+    from mimic2ts_spark.operators import sketch as K
+
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    bucket = K.ddq_bucket_sql(cents, "duckdb")
+    est = K.ddq_quantiles_sql("cnts", "event_type")
+    return f"""
+WITH cnts AS (
+    SELECT event_type, CAST({bucket} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+)
+{est}
+"""
+
+
+Q_STREAM_DDQ_SQL = _q_stream_ddq_sql()
+
+
 INCR_CUTOFF = "2024-01-22 00:00:00"
 
 
@@ -5376,6 +5410,7 @@ EXT_REGISTRY = {
     "q_search_phrase": (q_search_phrase, Q_SEARCH_PHRASE_SQL),
     "q_search_substring": (q_search_substring, Q_SEARCH_SUBSTRING_SQL),
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
+    "q_stream_ddq": (q_stream_ddq, Q_STREAM_DDQ_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),
 }

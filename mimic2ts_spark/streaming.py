@@ -797,6 +797,37 @@ def run_cms_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def ddq_stream(stream: DataFrame) -> DataFrame:
+    """Streaming log-bucket quantile counters (X165's live form) over
+    per-type value-cents: like the CMS, the state is ADDITIVE counters,
+    so a plain complete-mode groupBy((event_type, bucket)) count is the
+    whole stateful operator and the drained table bit-equals the batch
+    ddq_counters under ANY batching — live latency/size percentile
+    monitoring from O(16*log2(max)) rows per group."""
+    from mimic2ts_spark.operators.sketch import ddq_bucket_sql
+
+    cents = "CAST(round(value * 100, 0) AS BIGINT)"
+    b = ddq_bucket_sql(cents, "spark")
+    return stream.groupBy(
+        "event_type", F.expr(b).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def run_ddq_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the streaming quantile sketch to its final counter table."""
+    name = f"ddq_{uuid.uuid4().hex[:8]}"
+    q = (
+        ddq_stream(events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # --- streaming incremental rollup (X91's stream form) -----------------------
 
 _ROLLUP_OUT = (

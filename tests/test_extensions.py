@@ -2147,3 +2147,24 @@ def test_dedup_recall_floor(spark):
     n_hit = sum(r.n_hit for r in rows)
     assert n_exact >= 20  # the corpus fires the eval (round-6 lesson)
     assert n_hit / n_exact >= 0.9
+
+
+def test_stream_ddq_equals_batch_counters(spark):
+    """X168: the drained streaming quantile-sketch counter table must
+    bit-equal the batch ddq_counters — counters add, so no microbatch
+    split can change any (event_type, bucket) count."""
+    from mimic2ts_spark.operators.sketch import ddq_counters
+    from mimic2ts_spark.streaming import run_ddq_available_now
+
+    got = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in run_ddq_available_now(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in ddq_counters(
+            ev, ["event_type"], "CAST(round(value * 100, 0) AS BIGINT)"
+        ).collect()
+    }
+    assert got == want
