@@ -212,8 +212,13 @@ def q_dedup_recall(spark, sf_dir):
     exact-jaccard decile — banding misses concentrate just above the
     threshold, exactly where the decile breakdown shows it. recall =
     n_hit / n_exact as one cast-division on per-group counts (n_exact
-    > 0 by construction: groups exist only from exact rows)."""
-    docs = _docs(spark, sf_dir)
+    > 0 by construction: groups exist only from exact rows). Both legs
+    run on CANONICAL docs (exact-first doctrine): byte-identical copies
+    collide in EVERY band, so they measure nothing about banding while
+    making both legs Θ(cluster²) on duplicate-heavy corpora — over
+    canonicals the eval stays ~flat at the 10×/100× sweeps AND scores
+    only the pairs banding can actually miss."""
+    docs = D.canonical_docs(_docs(spark, sf_dir))
     exact = D.ngram_jaccard_pairs(docs, threshold=0.8)
     lsh = (
         D.minhash_lsh_pairs(docs, threshold=0.8)
@@ -238,10 +243,14 @@ def q_dedup_recall(spark, sf_dir):
 
 # the full ngram and minhash WITH-queries compose as CTE bodies
 # (DuckDB accepts a WITH-query wrapped as a CTE body; MATERIALIZED so
-# neither leg re-runs per reference — the r6 CTE-inlining lesson).
+# neither leg re-runs per reference — the r6 CTE-inlining lesson);
+# both legs read the canonical-docs subquery (the pipeline-SQL rewrite).
+_CANON_FROM = """FROM (SELECT d.* FROM documents d
+          JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+            ON k.doc_id = d.doc_id)"""
 Q_DEDUP_RECALL_SQL = f"""
-WITH exact AS MATERIALIZED ({Q_DEDUP_NGRAM_SQL}),
-lsh AS MATERIALIZED ({Q_DEDUP_MINHASH_SQL})
+WITH exact AS MATERIALIZED ({Q_DEDUP_NGRAM_SQL.replace("FROM documents", _CANON_FROM)}),
+lsh AS MATERIALIZED ({Q_DEDUP_MINHASH_SQL.replace("FROM documents", _CANON_FROM)})
 SELECT CAST(floor(e.jaccard * 10) AS BIGINT) AS jacc_decile,
        CAST(count(*) AS BIGINT) AS n_exact,
        CAST(count(l.doc_a) AS BIGINT) AS n_hit,
