@@ -4345,6 +4345,77 @@ WITH cnts AS (
 Q_STREAM_DDQ_SQL = _q_stream_ddq_sql()
 
 
+def q_trend_daily(spark, sf_dir):
+    """X169 — per-type daily-volume trend: exact-integer OLS normal
+    equations over PER-DAY aggregates (is this event type's traffic
+    growing?) — the temporal companion of X75's token-distribution
+    drift. Slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) with x = days since
+    the corpus origin (2024-01-01, range-checked against the table:
+    events span 2024-01, 30 distinct days at every sf) and y = daily
+    row count. The regression state is one row PER DAY per group —
+    never raw rows — so the int64 sums hold to ~10^15 total rows
+    (beyond that the upgrade is DECIMAL sums, same shape). Reported as
+    the exact (num, den) rational plus ONE double division, identical
+    both engines; den > 0 filtered BEFORE the division (ANSI Spark
+    errors on /0 where DuckDB returns inf)."""
+    ev = _h._t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT)")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum("y").cast("long").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
+    )
+    s = g.select(
+        "event_type",
+        "n_days",
+        F.col("_sy").alias("n_events"),
+        (F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).alias(
+            "slope_den"
+        ),
+    ).where(F.col("slope_den") > 0)
+    return s.withColumn(
+        "slope",
+        F.col("slope_num").cast("double") / F.col("slope_den").cast("double"),
+    )
+
+
+Q_TREND_DAILY_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+g AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM daily GROUP BY 1
+),
+s AS (
+    SELECT event_type, n_days, sy AS n_events,
+           n_days * sxy - sx * sy AS slope_num,
+           n_days * sxx - sx * sx AS slope_den
+    FROM g
+)
+SELECT event_type, n_days, n_events, slope_num, slope_den,
+       CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE) AS slope
+FROM s WHERE slope_den > 0
+"""
+
+
 INCR_CUTOFF = "2024-01-22 00:00:00"
 
 
@@ -5420,6 +5491,7 @@ EXT_REGISTRY = {
     "q_search_substring": (q_search_substring, Q_SEARCH_SUBSTRING_SQL),
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
     "q_stream_ddq": (q_stream_ddq, Q_STREAM_DDQ_SQL),
+    "q_trend_daily": (q_trend_daily, Q_TREND_DAILY_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),
 }

@@ -2168,3 +2168,39 @@ def test_stream_ddq_equals_batch_counters(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_trend_daily_exact_on_arithmetic_series(spark):
+    """X169: on constructed daily counts y = 10 + 2x (x = 0..4) the OLS
+    normal equations are EXACT integers — slope_num/slope_den must
+    reduce to 2/1 and the double slope be exactly 2.0; a second flat
+    series must give slope_num == 0."""
+    import datetime
+
+    import pandas as pd
+
+    from mimic2ts_spark.harness_ext import q_trend_daily
+
+    rows = []
+    eid = 0
+    for day in range(5):
+        ts = datetime.datetime(2024, 1, 1 + day, 12, 0, 0)
+        for _ in range(10 + 2 * day):
+            rows.append((eid, ts, 1, "grow", 1.0, "{}"))
+            eid += 1
+        for _ in range(7):
+            rows.append((eid, ts, 1, "flat", 1.0, "{}"))
+            eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="trend_")
+    spark.createDataFrame(df).write.parquet(f"{d}/events.parquet")
+    got = {r.event_type: r for r in q_trend_daily(spark, d).collect()}
+    g = got["grow"]
+    assert g.slope_num / g.slope_den == 2.0 and g.slope == 2.0
+    assert g.n_days == 5 and g.n_events == sum(10 + 2 * x for x in range(5))
+    f = got["flat"]
+    assert f.slope_num == 0 and f.slope == 0.0
