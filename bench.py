@@ -138,6 +138,7 @@ HEADLINE = [
     "q_sketch_ddq",
     "q_search_substring",
     "q_dedup_recall",
+    "q_trend_daily",
 ]
 
 
