@@ -155,6 +155,25 @@ def main(argv: list[str] | None = None) -> None:
     p_iva.add_argument("--id-col", default="vec_id")
     p_iva.add_argument("--vec-col", default="embedding")
 
+    p_dq = sub.add_parser(
+        "ddq",
+        help="build + persist the log-bucket quantile-sketch counter table",
+    )
+    p_dq.add_argument("out_dir")
+    p_dq.add_argument("src")
+    p_dq.add_argument("--group-col", default="event_type")
+    p_dq.add_argument("--value-col", default="value")
+
+    p_dqa = sub.add_parser(
+        "ddq-append",
+        help="append a delta batch's quantile-sketch counters "
+             "(counters ADD — merge happens at read time)",
+    )
+    p_dqa.add_argument("out_dir")
+    p_dqa.add_argument("delta")
+    p_dqa.add_argument("--group-col", default="event_type")
+    p_dqa.add_argument("--value-col", default="value")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "vacuum":  # pure driver-side FS walk, no Spark session
@@ -302,6 +321,37 @@ def main(argv: list[str] | None = None) -> None:
                 write_trigrams(delta, "append")
                 audit["n_trigram"] = spark.read.parquet(tri_dir).count()
         audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd in ("ddq", "ddq-append"):
+        # The quantile sketch is maintained table state in its purest
+        # form: counters ADD, so `ddq-append` is a blind row append and
+        # the merge (one sum per (group, bucket)) happens at read time —
+        # no reconciliation, no retraining, and the artifact-served
+        # report bit-equals the from-scratch sketch at any append state
+        # (operators/sketch.ddq_from_artifact; pinned by pytest).
+        import os
+
+        from mimic2ts_spark.operators.sketch import ddq_counters
+
+        data_dir = os.path.join(args.out_dir, "counters")
+        src = args.src if args.cmd == "ddq" else args.delta
+        df = spark.read.parquet(src)
+        cents = f"CAST(round({args.value_col} * 100, 0) AS BIGINT)"
+        mode = "overwrite" if args.cmd == "ddq" else "append"
+        if args.cmd == "ddq":
+            os.makedirs(args.out_dir, exist_ok=True)
+        ddq_counters(df, [args.group_col], cents).write.mode(mode).parquet(data_dir)
+        state = spark.read.parquet(data_dir)
+        audit = {
+            "cmd": args.cmd,
+            "out": args.out_dir,
+            "n_counter_rows": state.count(),
+            "n_groups": state.select(args.group_col).distinct().count(),
+            "runtime_seconds": round(time.time() - t0, 3),
+        }
         print(json.dumps(audit))
         release_storage(spark)
         return

@@ -588,3 +588,15 @@ FROM (
     FROM {counters_cte}
 )
 GROUP BY {group_col}"""
+
+
+def ddq_from_artifact(spark, counters_dir: str, group_cols: Sequence[str]) -> DataFrame:
+    """Quantile report served from the persisted counter artifact
+    (`maintain ddq` / `ddq-append`): appended delta rows merge AT READ
+    TIME by the counter-add algebra (one sum per (group, bucket) over
+    an O(groups * 16 * log2(max))-row table), so artifact-served
+    quantiles bit-equal the from-scratch sketch at any append state —
+    the monitoring read path never touches raw data."""
+    return ddq_quantiles(
+        ddq_merge(spark.read.parquet(counters_dir), group_cols), list(group_cols)
+    )

@@ -391,3 +391,48 @@ def test_maintain_trigram_postings_substring_serve(spark, tmp_path, capsys):
     assert a2["n_trigram"] > a1["n_trigram"]
     served2 = substring_from_trigram_postings(spark, f"{out}/trigrams", docs, needles)
     assert key(served2.collect()) == key(substring_occurrences(docs, needles).collect())
+
+
+def test_maintain_ddq_build_append_serve(spark, tmp_path, capsys):
+    """Quantile-sketch artifact (X165/X170): `maintain ddq` persists the
+    per-group counter table; the artifact-served report must bit-equal
+    the from-scratch sketch on the base slice, `ddq-append` is a blind
+    row append (counters ADD, merged at read), after which the served
+    report must bit-equal the from-scratch sketch over the FULL corpus;
+    state stays O(groups * 16 * log2(max)) rows."""
+    import json as _json
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.sketch import (
+        ddq_counters,
+        ddq_from_artifact,
+        ddq_quantiles,
+    )
+
+    out = str(tmp_path / "sk")
+    base_dir = str(tmp_path / "base")
+    delta_dir = str(tmp_path / "delta")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.where(F.col("event_id") % 10 != 0).write.parquet(base_dir)
+    ev.where(F.col("event_id") % 10 == 0).write.parquet(delta_dir)
+    cents = "CAST(round(value * 100, 0) AS BIGINT)"
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    main(["ddq", out, base_dir])
+    a1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a1["n_groups"] == 5 and a1["n_counter_rows"] <= 5 * 16 * 64
+
+    base = spark.read.parquet(base_dir)
+    served = ddq_from_artifact(spark, f"{out}/counters", ["event_type"])
+    direct = ddq_quantiles(ddq_counters(base, ["event_type"], cents), ["event_type"])
+    assert key(served.collect()) == key(direct.collect())
+
+    main(["ddq-append", out, delta_dir])
+    a2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a2["n_counter_rows"] >= a1["n_counter_rows"]
+
+    served2 = ddq_from_artifact(spark, f"{out}/counters", ["event_type"])
+    direct2 = ddq_quantiles(ddq_counters(ev, ["event_type"], cents), ["event_type"])
+    assert key(served2.collect()) == key(direct2.collect())
