@@ -139,6 +139,7 @@ HEADLINE = [
     "q_search_substring",
     "q_dedup_recall",
     "q_trend_daily",
+    "q_ann_lsh_multiprobe",
 ]
 
 

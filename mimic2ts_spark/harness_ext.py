@@ -553,6 +553,75 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """X171 — multi-probe LSH ANN (Lv et al. 2007): queries probe the
+    base bucket plus the 2 lowest-|projection| single-bit flips per
+    table, recovering most of an extra hash table's recall with ZERO
+    index growth (the corpus keeps its base buckets — multi-probe is
+    query-side only). Candidates are a SUPERSET of q_ann_lsh's, so
+    recall vs the exact panel is monotone non-decreasing (theorem,
+    pytest-pinned with the measured gain); cost grows by at most
+    (1+nprobe)x candidates and the shuffle stays on (table, bucket)."""
+    embs = _embs(spark, sf_dir)
+    return S.lsh_multiprobe_topk(embs, embs.where(F.col("vec_id") < 5), k=5)
+
+
+_QPROJ = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {t} AS tbl, {p} AS plane, "
+    f"({S.sql_lsh_proj('embedding', t, p)}) AS proj FROM qe"
+    for t in range(S.LSH_TABLES)
+    for p in range(S.LSH_PLANES)
+)
+Q_ANN_LSH_MULTIPROBE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+qe AS (SELECT vec_id, embedding FROM e WHERE vec_id < 5),
+banded AS (
+{_LSH_BANDED_V}
+),
+qproj AS MATERIALIZED (
+{_QPROJ}
+),
+qbase AS (
+    SELECT vec_id, tbl,
+           CAST(sum(CASE WHEN proj > 0 THEN (1 << plane) ELSE 0 END) AS BIGINT)
+               AS bucket
+    FROM qproj GROUP BY vec_id, tbl
+),
+flips AS (
+    SELECT vec_id, tbl, plane,
+           row_number() OVER (PARTITION BY vec_id, tbl
+                              ORDER BY abs(proj), plane) AS rn
+    FROM qproj
+),
+qprobes AS (
+    SELECT vec_id, tbl, bucket FROM qbase
+    UNION ALL
+    SELECT f.vec_id, f.tbl, xor(b.bucket, CAST((1 << f.plane) AS BIGINT)) AS bucket
+    FROM flips f JOIN qbase b ON b.vec_id = f.vec_id AND b.tbl = f.tbl
+    WHERE f.rn <= {S.LSH_NPROBE}
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+    FROM qprobes q JOIN banded v ON q.tbl = v.tbl AND q.bucket = v.bucket
+    WHERE q.vec_id <> v.vec_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           {S.sql_cosine('eq.embedding', 'ev.embedding')} AS cosine
+    FROM cand c
+    JOIN e eq ON eq.vec_id = c.query_id
+    JOIN e ev ON ev.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """X8 — IVF-flat with TRAINED cells (r05): k-means coarse centroids
     (integer-exact Lloyd, memoized per sf_dir and shared with IVF-PQ's
@@ -5447,6 +5516,7 @@ EXT_REGISTRY = {
     "q_text_pii_scrub": (q_text_pii_scrub, Q_TEXT_PII_SCRUB_SQL),
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
+    "q_ann_lsh_multiprobe": (q_ann_lsh_multiprobe, Q_ANN_LSH_MULTIPROBE_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "q_multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),

@@ -280,6 +280,108 @@ def lsh_topk(
     )
 
 
+LSH_NPROBE = 2  # extra single-bit-flip probes per table (query side)
+
+
+def lsh_probe_buckets(vec_col: str, nprobe: int = LSH_NPROBE) -> Column:
+    """Multi-probe bucket ids for a QUERY vector (Lv et al. 2007,
+    VLDB): per table the base sign-bit bucket PLUS `nprobe` single-bit
+    flips of the lowest-|projection| planes — a near-boundary plane is
+    the likeliest single bit on which a true neighbor's signature
+    differs, so probing those buckets recovers most of the recall a
+    second hash table would buy WITHOUT growing the index (multi-probe
+    is query-side only; the corpus keeps its base buckets).
+
+    Returns array<long> of length LSH_TABLES*(1+nprobe), laid out
+    [t0 base, t0 flip1, …, t1 base, …] so pos div (1+nprobe) is the
+    table id. Deterministic: projections use the identical left-to-
+    right per-dim accumulation as lsh_buckets_all (base buckets are
+    bit-identical), and |proj| ties break by plane index (stable
+    argsort / SQL ORDER BY abs(proj), plane)."""
+    W = np.array(
+        [_plane_weights_py(t, p) for t in range(LSH_TABLES) for p in range(LSH_PLANES)],
+        dtype=np.float64,
+    ).T  # (DIM, TABLES*PLANES)
+
+    @F.pandas_udf("array<long>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vecs), dtype=np.float64)
+        proj = np.zeros((mat.shape[0], W.shape[1]), dtype=np.float64)
+        for d in range(mat.shape[1]):  # left-to-right, matches aggregate()
+            proj += mat[:, d, None] * W[None, d, :]
+        bits = proj > 0
+        out = np.zeros((mat.shape[0], LSH_TABLES * (1 + nprobe)), dtype=np.int64)
+        for t in range(LSH_TABLES):
+            pt = proj[:, t * LSH_PLANES : (t + 1) * LSH_PLANES]
+            base = np.zeros(mat.shape[0], dtype=np.int64)
+            for p in range(LSH_PLANES):
+                base += bits[:, t * LSH_PLANES + p].astype(np.int64) << p
+            order = np.argsort(np.abs(pt), axis=1, kind="stable")
+            out[:, t * (1 + nprobe)] = base
+            for j in range(nprobe):
+                out[:, t * (1 + nprobe) + 1 + j] = base ^ (
+                    np.int64(1) << order[:, j].astype(np.int64)
+                )
+        return pd.Series(list(out))
+
+    return _probes(F.col(vec_col))
+
+
+def lsh_multiprobe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = LSH_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with multi-probe LSH: the corpus index is UNCHANGED
+    (base buckets), queries probe (1+nprobe) buckets per table. The
+    candidate set is a SUPERSET of lsh_topk's (base probes included),
+    and top-k by exact cosine over a candidate superset has monotone
+    non-decreasing recall vs the exact panel — any candidate scoring
+    above a true top-k member is itself in the exact top-k — so
+    recall(multiprobe) >= recall(single-probe) by construction
+    (pytest-pinned alongside the measured gain). Per-query cost grows
+    by at most (1+nprobe)x candidates; the shuffle stays on
+    (table, bucket)."""
+    vb = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+        .withColumn("_buckets", lsh_buckets_all("nvec"))
+        .select(
+            "neighbor_id", "nvec", F.posexplode("_buckets").alias("table", "bucket")
+        )
+    )
+    qb = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("_probes", lsh_probe_buckets(vec_col="qvec", nprobe=nprobe))
+        .select(
+            "query_id",
+            "qvec",
+            F.posexplode("_probes").alias("_pos", "bucket"),
+        )
+        .withColumn("table", (F.col("_pos") / (1 + nprobe)).cast("int"))
+    )
+    cand = (
+        qb.join(vb, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qvec", "nvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("nvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 IVF_K = 16       # MINIMUM coarse-cell count (floor of the derived value)
 IVF_NPROBE = 4
 
@@ -864,16 +966,24 @@ def sql_cosine(a: str, b: str, dim: int = DIM) -> str:
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
+def sql_lsh_proj(vec: str, table: int, plane: int) -> str:
+    """One hyperplane projection as DuckDB SQL — a strict left-to-right
+    list_reduce fold, bit-identical to the zip_with/aggregate expression
+    and the Arrow kernels' per-dim accumulation loop."""
+    p = table * LSH_PLANES + plane
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, {DIM}), "
+        f"d -> {vec}[d]::DOUBLE * "
+        f"(CAST((({2 * p + 3} * (5 * (d - 1) + 7) + 11) % 97 - 48) AS DOUBLE) / 48.0))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
 def sql_lsh_bucket(vec: str, table: int) -> str:
-    parts = []
-    for plane in range(LSH_PLANES):
-        p = table * LSH_PLANES + plane
-        proj = (
-            "list_reduce(list_prepend(0.0::DOUBLE, "
-            f"list_transform(generate_series(1, {DIM}), "
-            f"d -> {vec}[d]::DOUBLE * "
-            f"(CAST((({2 * p + 3} * (5 * (d - 1) + 7) + 11) % 97 - 48) AS DOUBLE) / 48.0))), "
-            "(acc, x) -> acc + x)"
-        )
-        parts.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << plane} ELSE 0 END)")
+    parts = [
+        f"(CASE WHEN ({sql_lsh_proj(vec, table, plane)}) > 0 "
+        f"THEN {1 << plane} ELSE 0 END)"
+        for plane in range(LSH_PLANES)
+    ]
     return "(" + " + ".join(parts) + ")::BIGINT"
