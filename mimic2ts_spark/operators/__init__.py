@@ -42,6 +42,7 @@ from mimic2ts_spark.operators.similarity import (
     embedding_near_dup_pairs_lsh,
     ivf_delta_assign,
     ivf_topk,
+    lsh_multiprobe_topk,
     lsh_topk,
 )
 from mimic2ts_spark.operators.sketch import kmv_sketch
@@ -113,6 +114,7 @@ __all__ = [
     "save_centroids",
     "ivf_topk",
     "lsh_topk",
+    "lsh_multiprobe_topk",
     "kmv_sketch",
     "with_split",
     "epoch_shuffle",
