@@ -482,3 +482,73 @@ def test_containment_prefix_filter_is_complete(spark, docs, threshold):
     assert set(got) == set(want), (set(got) ^ set(want), docs)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12
+
+
+@given(v=st.integers(min_value=1, max_value=(1 << 62) - 2))
+@settings(max_examples=300, deadline=None)
+def test_ddq_bucket_bounds_and_monotone(v):
+    """X165 bucket math holds for ARBITRARY positive int64, not just the
+    panel: the value lies inside its decoded bucket, relative width is
+    <= 1/16 outside the exact region, and ids are monotone (v -> v+1
+    never decreases) — the property the quantile-crossing argument
+    needs. Pure python mirror (engine equality is pinned separately on
+    the boundary panel in test_extensions)."""
+    from tests.test_extensions import _py_ddq_bounds, _py_ddq_bucket
+
+    b = _py_ddq_bucket(v)
+    lo, hi = _py_ddq_bounds(b)
+    assert lo <= v <= hi
+    if v >= 32:
+        assert (hi - lo + 1) * 16 <= lo
+    assert _py_ddq_bucket(v + 1) >= b
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=6
+    ),
+    needle=st.text(alphabet="ab ", min_size=1, max_size=4),
+)
+@settings(**_SETTINGS)
+def test_substring_counts_match_python(spark, texts, needle):
+    """X166 scan form == python str.count (non-overlapping) for
+    arbitrary texts and needles over a tiny alphabet chosen to force
+    self-overlapping matches ('aa' in 'aaa') and space-crossing
+    needles — the replace-difference identity's hard cases."""
+    from mimic2ts_spark.operators.search import substring_occurrences
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.needle, r.doc_id): r.n_occurrences
+        for r in substring_occurrences(docs, (needle,)).collect()
+    }
+    expect = {
+        (needle, i): t.count(needle)
+        for i, t in enumerate(texts)
+        if t.count(needle) > 0
+    }
+    assert got == expect
+
+
+@given(
+    toks=st.lists(st.sampled_from("xyz"), min_size=0, max_size=20),
+    phrase=st.lists(st.sampled_from("xyz"), min_size=1, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_phrase_occurrences_match_python(spark, toks, phrase):
+    """X163 anchor intersection == the python sliding-window count
+    (tokens[i:i+k] == phrase for every start i, overlaps included) for
+    arbitrary token sequences over a 3-token vocabulary — duplicate
+    terms inside the phrase and self-overlapping runs are the cases the
+    count(DISTINCT idx) = k argument must survive."""
+    from mimic2ts_spark.operators.search import phrase_occurrences
+
+    text = " ".join(toks)
+    p = " ".join(phrase)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = {r.doc_id: r.n_occurrences for r in phrase_occurrences(docs, (p,)).collect()}
+    k = len(phrase)
+    expect = sum(1 for i in range(len(toks) - k + 1) if toks[i : i + k] == phrase)
+    assert got.get(0, 0) == expect
