@@ -174,6 +174,25 @@ def main(argv: list[str] | None = None) -> None:
     p_dqa.add_argument("--group-col", default="event_type")
     p_dqa.add_argument("--value-col", default="value")
 
+    p_mh = sub.add_parser(
+        "minhash-index",
+        help="build + persist the MinHash banding index (band, key, doc_id, codes)",
+    )
+    p_mh.add_argument("out_dir")
+    p_mh.add_argument("src")
+    p_mh.add_argument("--text-col", default="text")
+    p_mh.add_argument("--id-col", default="doc_id")
+
+    p_mha = sub.add_parser(
+        "minhash-index-append",
+        help="append a NEW-docs delta's banded rows (bands are per-doc "
+             "=> blind row append, no reconciliation)",
+    )
+    p_mha.add_argument("out_dir")
+    p_mha.add_argument("delta")
+    p_mha.add_argument("--text-col", default="text")
+    p_mha.add_argument("--id-col", default="doc_id")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "vacuum":  # pure driver-side FS walk, no Spark session
@@ -321,6 +340,43 @@ def main(argv: list[str] | None = None) -> None:
                 write_trigrams(delta, "append")
                 audit["n_trigram"] = spark.read.parquet(tri_dir).count()
         audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd in ("minhash-index", "minhash-index-append"):
+        # The near-dup banding index as maintained table state: bands
+        # are a pure per-doc function, so `minhash-index-append` is a
+        # blind row append and incremental dedup of the NEXT batch never
+        # re-scans or re-hashes the corpus — it joins the batch's bands
+        # against this table (operators/dedup.incremental_pairs_from_index,
+        # pinned bit-equal to the full-corpus cross pairs by pytest).
+        import os
+
+        from mimic2ts_spark.operators.dedup import minhash_banded_rows
+
+        data_dir = os.path.join(args.out_dir, "bands")
+        src = args.src if args.cmd == "minhash-index" else args.delta
+        df = spark.read.parquet(src)
+        mode = "overwrite" if args.cmd == "minhash-index" else "append"
+        if args.cmd == "minhash-index":
+            os.makedirs(args.out_dir, exist_ok=True)
+        par = spark.sparkContext.defaultParallelism
+        (
+            minhash_banded_rows(df, text_col=args.text_col, id_col=args.id_col)
+            .repartition(par, "band", "key")
+            .sortWithinPartitions("band", "key", "doc_id")
+            .write.mode(mode)
+            .parquet(data_dir)
+        )
+        state = spark.read.parquet(data_dir)
+        audit = {
+            "cmd": args.cmd,
+            "out": args.out_dir,
+            "n_band_rows": state.count(),
+            "n_docs": state.select("doc_id").distinct().count(),
+            "runtime_seconds": round(time.time() - t0, 3),
+        }
         print(json.dumps(audit))
         release_storage(spark)
         return

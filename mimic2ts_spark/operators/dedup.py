@@ -223,6 +223,87 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def minhash_banded_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(band, key, doc_id, codes) — the corpus's signature/banding state
+    in persistable form: ONE scan computes shingle codes + the minhash
+    signature, then explodes to BANDS rows per doc carrying the codes
+    payload (the r2 carry-vs-rejoin lesson: the exact-Jaccard verify
+    needs codes, and carrying them through the band shuffle beats a
+    rejoin). Bands are a pure per-doc function, so a NEW-docs delta
+    APPENDS rows — this is the `maintain minhash-index` artifact that
+    serves incremental dedup without re-scanning the corpus.
+
+    Pre-filter note: the cheap token-count predicate stands in for
+    size(codes) > 0 — pushing a filter on the derived codes column would
+    substitute the whole md5 pass into the pushed predicate (r1 trap)."""
+    base = with_shingle_codes(
+        ensure_parallelism(
+            df.select(F.col(id_col).alias("doc_id"), text_col).where(
+                F.size(tokens(F.col(text_col))) >= SHINGLE_N
+            )
+        )
+    ).select("doc_id", "codes")
+    sig = base.withColumn("_mh", minhash_signature(F.col("codes")))
+    return sig.select(
+        "doc_id",
+        "codes",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(F.col("_mh"), b).alias("key"))
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "codes", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def incremental_pairs_from_index(
+    spark,
+    index_dir: str,
+    delta: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_new, doc_old, jaccard) near-dup pairs of a delta batch
+    against the PERSISTED banding index (`maintain minhash-index`) —
+    the standing-corpus dedup cadence without re-scanning or
+    re-hashing the corpus: the delta's one-pass banded rows equi-join
+    the index on (band, key), and the exact-Jaccard verify runs on the
+    codes carried in both sides. Bit-equals the cross-side pairs of the
+    full-corpus minhash_lsh_pairs over corpus ∪ delta (pytest-pinned at
+    every append state): banding candidates between new and old docs
+    are exactly the (band, key) matches, and the verify expression is
+    identical. Cost: delta hashing + one shuffle join keyed on the
+    delta's bands."""
+    idx = spark.read.parquet(index_dir).select(
+        "band",
+        "key",
+        F.col("doc_id").alias("doc_old"),
+        F.col("codes").alias("codes_old"),
+    )
+    d = minhash_banded_rows(delta, text_col=text_col, id_col=id_col).select(
+        "band",
+        "key",
+        F.col("doc_id").alias("doc_new"),
+        F.col("codes").alias("codes_new"),
+    )
+    cand = (
+        d.join(idx, ["band", "key"])
+        .select("doc_new", "doc_old", "codes_new", "codes_old")
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    verified = cand.withColumn(
+        "jaccard", jaccard(F.col("codes_new"), F.col("codes_old"))
+    )
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "doc_new", "doc_old", "jaccard"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -246,26 +327,7 @@ def minhash_lsh_pairs(
     # predicate pushdown SUBSTITUTES the whole codes expression (md5 pass
     # and all) into the pushed filter — every upstream row then pays the
     # token-hash pass several times before any join/limit prunes it.
-    base = with_shingle_codes(
-        ensure_parallelism(
-            df.select(F.col(id_col).alias("doc_id"), text_col).where(
-                F.size(tokens(F.col(text_col))) >= SHINGLE_N
-            )
-        )
-    ).select("doc_id", "codes")
-    sig = base.withColumn("_mh", minhash_signature(F.col("codes")))
-    banded = sig.select(
-        "doc_id",
-        "codes",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(F.col("_mh"), b).alias("key"))
-                    for b in range(BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "codes", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = minhash_banded_rows(df, text_col=text_col, id_col=id_col)
 
     members = F.array_sort(
         F.collect_list(F.struct(F.col("doc_id"), F.col("codes")))

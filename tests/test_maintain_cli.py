@@ -436,3 +436,62 @@ def test_maintain_ddq_build_append_serve(spark, tmp_path, capsys):
     served2 = ddq_from_artifact(spark, f"{out}/counters", ["event_type"])
     direct2 = ddq_quantiles(ddq_counters(ev, ["event_type"], cents), ["event_type"])
     assert key(served2.collect()) == key(direct2.collect())
+
+
+def test_maintain_minhash_index_incremental_serve(spark, tmp_path, capsys):
+    """Banding-index artifact (X172): `minhash-index` persists the
+    (band, key, doc_id, codes) state; incremental dedup of a delta
+    SERVED from the index must bit-equal the cross-side pairs of the
+    full-corpus minhash_lsh_pairs (same banding candidates, same
+    verify), and after `minhash-index-append` of the first delta, a
+    SECOND delta's served pairs must match against the grown corpus —
+    the corpus is never re-scanned or re-hashed."""
+    import json as _json
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.dedup import (
+        incremental_pairs_from_index,
+        minhash_lsh_pairs,
+    )
+
+    out = str(tmp_path / "mh")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 10 > 1)
+    d1 = docs.where(F.col("doc_id") % 10 == 0)
+    d2 = docs.where(F.col("doc_id") % 10 == 1)
+    base_dir = str(tmp_path / "base")
+    d1_dir = str(tmp_path / "d1")
+    base.write.parquet(base_dir)
+    d1.write.parquet(d1_dir)
+
+    def expected(corpus, delta):
+        """Cross-side pairs of the full minhash run, oriented (new, old)."""
+        full = minhash_lsh_pairs(corpus.unionByName(delta))
+        new_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+        out_pairs = {}
+        for r in full.collect():
+            a_new, b_new = r.doc_a in new_ids, r.doc_b in new_ids
+            if a_new != b_new:
+                k = (r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a)
+                out_pairs[k] = r.jaccard
+        return out_pairs
+
+    main(["minhash-index", out, base_dir])
+    a1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a1["n_band_rows"] == a1["n_docs"] * 4  # BANDS rows per doc
+
+    got1 = {
+        (r.doc_new, r.doc_old): r.jaccard
+        for r in incremental_pairs_from_index(spark, f"{out}/bands", d1).collect()
+    }
+    assert got1 == expected(base, d1) and got1
+
+    main(["minhash-index-append", out, d1_dir])
+    a2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a2["n_docs"] == a1["n_docs"] + d1.count()
+
+    got2 = {
+        (r.doc_new, r.doc_old): r.jaccard
+        for r in incremental_pairs_from_index(spark, f"{out}/bands", d2).collect()
+    }
+    assert got2 == expected(base.unionByName(d1), d2)
