@@ -140,6 +140,7 @@ HEADLINE = [
     "q_dedup_recall",
     "q_trend_daily",
     "q_ann_lsh_multiprobe",
+    "q_kcenter_coreset",
 ]
 
 

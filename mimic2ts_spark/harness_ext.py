@@ -553,6 +553,28 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+def q_kcenter_coreset(spark, sf_dir):
+    """X173 — greedy k-center coreset (Gonzalez farthest-point,
+    2-approx): an 8-vector diversity-maximizing selection over the
+    embedding corpus — corpus-level data selection (seed-set picking,
+    eval-panel construction), the global companion of per-query MMR.
+    Integer-exact quantized distances; each round is one running-min
+    tightening pass + one bounded argmax; oracle unrolls the identical
+    greedy as CTE steps."""
+    from mimic2ts_spark.operators.kmeans import kcenter_coreset
+
+    return kcenter_coreset(_embs(spark, sf_dir))
+
+
+def _q_kcenter_sql():
+    from mimic2ts_spark.operators.kmeans import sql_kcenter_coreset
+
+    return sql_kcenter_coreset("embeddings")
+
+
+Q_KCENTER_CORESET_SQL = _q_kcenter_sql()
+
+
 def q_ann_lsh_multiprobe(spark, sf_dir):
     """X171 — multi-probe LSH ANN (Lv et al. 2007): queries probe the
     base bucket plus the 2 lowest-|projection| single-bit flips per
@@ -5517,6 +5539,7 @@ EXT_REGISTRY = {
     "q_ann_bruteforce": (q_ann_bruteforce, Q_ANN_BRUTEFORCE_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_lsh_multiprobe": (q_ann_lsh_multiprobe, Q_ANN_LSH_MULTIPROBE_SQL),
+    "q_kcenter_coreset": (q_kcenter_coreset, Q_KCENTER_CORESET_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "q_multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),

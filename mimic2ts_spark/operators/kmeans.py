@@ -766,3 +766,95 @@ FROM keyed l JOIN keyed r
   ON l.cid = r.cid AND l.t = r.t AND l.sub = r.sub AND l.vec_id < r.vec_id
 WHERE {cos} >= {threshold}
 """
+
+
+# --- greedy k-center coreset (diversity-maximizing data selection) ----------
+
+KC_ROUNDS = 8
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = KC_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy farthest-point selection (Gonzalez 1985, the classic
+    2-approximation of the k-center objective) over quantized integer
+    coordinates — CORPUS-LEVEL diversity selection, the companion of
+    per-query MMR (X151): pick the min-id vector as the seed, then k-1
+    times select the vector with the MAXIMUM running min-distance to
+    the selected set (ties to the lowest id).
+
+    Each round is ONE Column-expression pass tightening the running
+    min (least(dmin, dist-to-latest-pick), the latest pick shipped as
+    a parsed literal int array — r6: never F.array of 64 F.lits) plus
+    one max-struct aggregate; the iterated dmin lineage is truncated
+    per round (eager localCheckpoint, the r2 rule). Integer distances
+    make every round bit-exact against the oracle's unrolled CTE
+    chain; per-round argmax collects are bounded scalars (a documented
+    broadcast-budget choice, like BPE's per-round argmax).
+
+    Returns (round, vec_id, dist): dist is the selection-time distance
+    to the previously selected set (0 for the seed) — monotone
+    non-increasing over rounds, a property pinned in pytest."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("x")
+    )
+    seed = base.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(0, int(seed.vec_id), 0)]
+    latest_x = list(seed.x)
+    state = base.withColumn("dmin", F.lit((1 << 62)).cast("long"))
+    for rnd in range(1, k):
+        lit_x = F.expr("array(" + ",".join(f"{int(v)}L" for v in latest_x) + ")")
+        state = state.withColumn(
+            "dmin", F.least(F.col("dmin"), _dist2(F.col("x"), lit_x))
+        ).localCheckpoint(eager=True)
+        top = (
+            state.select(
+                F.struct(F.col("dmin"), (-F.col("vec_id")).alias("nid")).alias("s"),
+                "vec_id",
+                "x",
+            )
+            .orderBy(F.desc("s"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((rnd, int(top.vec_id), int(top.s.dmin)))
+        latest_x = list(top.x)
+    spark = df.sparkSession
+    return spark.createDataFrame(picks, "round long, vec_id long, dist long")
+
+
+def sql_kcenter_coreset(table: str, k: int = KC_ROUNDS) -> str:
+    """DuckDB oracle: the identical greedy unrolled as k-1 CTE steps —
+    each step tightens the running min against the previous pick
+    (1-row cross join) and takes the (dist DESC, id ASC) top-1."""
+    dist = (
+        "list_aggregate(list_transform(generate_series(1, len({a})), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+    )
+    parts = [
+        f"b AS (SELECT vec_id, {_sql_quant('embedding')} AS x FROM {table})",
+        "s0 AS (SELECT vec_id, x FROM b ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (SELECT b.vec_id, b.x,
+            CAST({dist.format(a='b.x', b='s0.x')} AS BIGINT) AS dmin
+            FROM b CROSS JOIN s0)""",
+        "p1 AS (SELECT vec_id, x, dmin FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1)",
+    ]
+    for r in range(2, k):
+        parts.append(
+            f"""d{r} AS (SELECT d.vec_id, d.x,
+            least(d.dmin, CAST({dist.format(a='d.x', b=f'p{r-1}.x')} AS BIGINT)) AS dmin
+            FROM d{r-1} d CROSS JOIN p{r-1})"""
+        )
+        parts.append(
+            f"p{r} AS (SELECT vec_id, x, dmin FROM d{r} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+    unions = ["SELECT CAST(0 AS BIGINT) AS round, s0.vec_id, CAST(0 AS BIGINT) AS dist FROM s0"]
+    unions += [
+        f"SELECT CAST({r} AS BIGINT), p{r}.vec_id, CAST(p{r}.dmin AS BIGINT) FROM p{r}"
+        for r in range(1, k)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(unions)

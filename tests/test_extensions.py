@@ -2234,3 +2234,37 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark, embs):
     r_single, r_multi = recall(single), recall(multi)
     assert r_multi >= r_single
     assert r_multi >= 0.7 and r_single >= 0.3
+
+
+def test_kcenter_coreset_matches_python_greedy(spark, embs):
+    """X173: the distributed greedy k-center selection must equal a
+    driver-side python replay of Gonzalez's algorithm on the collected
+    corpus (same quantization, same (dist DESC, id ASC) tie-break), and
+    selection distances must be monotone non-increasing — the greedy
+    invariant."""
+    from mimic2ts_spark.operators.kmeans import QUANT, kcenter_coreset
+
+    import math
+
+    vecs = {
+        r.vec_id: [math.floor(float(v) * QUANT) for v in r.embedding]
+        for r in embs.select("vec_id", "embedding").collect()
+    }
+    got = [(r.round, r.vec_id, r.dist) for r in
+           kcenter_coreset(embs).orderBy("round").collect()]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    seed = min(vecs)
+    picks = [(0, seed, 0)]
+    dmin = {i: d2(v, vecs[seed]) for i, v in vecs.items()}
+    for rnd in range(1, 8):
+        best = max(dmin, key=lambda i: (dmin[i], -i))
+        picks.append((rnd, best, dmin[best]))
+        for i, v in vecs.items():
+            dmin[i] = min(dmin[i], d2(v, vecs[best]))
+    assert got == picks
+    dists = [d for _, _, d in got[1:]]
+    assert dists == sorted(dists, reverse=True)
+    assert len({v for _, v, _ in got}) == 8
