@@ -223,41 +223,35 @@ def q_dedup_recall(spark, sf_dir):
     lsh = (
         D.minhash_lsh_pairs(docs, threshold=0.8)
         .select("doc_a", "doc_b")
-        .withColumn("hit", F.lit(1))
+        .withColumn("hit_mh", F.lit(1))
+    )
+    sh = (
+        D.simhash_pairs(docs, max_hamming=3)
+        .select("doc_a", "doc_b")
+        .withColumn("hit_sh", F.lit(1))
     )
     return (
         exact.join(lsh, ["doc_a", "doc_b"], "left")
+        .join(sh, ["doc_a", "doc_b"], "left")
         .groupBy(
             F.expr("CAST(floor(jaccard * 10) AS BIGINT)").alias("jacc_decile")
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_exact"),
-            F.count("hit").cast("long").alias("n_hit"),
+            F.count("hit_mh").cast("long").alias("n_hit_minhash"),
+            F.count("hit_sh").cast("long").alias("n_hit_simhash"),
         )
         .withColumn(
-            "recall",
-            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+            "recall_minhash",
+            F.col("n_hit_minhash").cast("double") / F.col("n_exact").cast("double"),
+        )
+        .withColumn(
+            "recall_simhash",
+            F.col("n_hit_simhash").cast("double") / F.col("n_exact").cast("double"),
         )
     )
 
 
-# the full ngram and minhash WITH-queries compose as CTE bodies
-# (DuckDB accepts a WITH-query wrapped as a CTE body; MATERIALIZED so
-# neither leg re-runs per reference — the r6 CTE-inlining lesson);
-# both legs read the canonical-docs subquery (the pipeline-SQL rewrite).
-_CANON_FROM = """FROM (SELECT d.* FROM documents d
-          JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
-            ON k.doc_id = d.doc_id)"""
-Q_DEDUP_RECALL_SQL = f"""
-WITH exact AS MATERIALIZED ({Q_DEDUP_NGRAM_SQL.replace("FROM documents", _CANON_FROM)}),
-lsh AS MATERIALIZED ({Q_DEDUP_MINHASH_SQL.replace("FROM documents", _CANON_FROM)})
-SELECT CAST(floor(e.jaccard * 10) AS BIGINT) AS jacc_decile,
-       CAST(count(*) AS BIGINT) AS n_exact,
-       CAST(count(l.doc_a) AS BIGINT) AS n_hit,
-       CAST(count(l.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
-FROM exact e LEFT JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
-GROUP BY 1
-"""
 
 
 def q_dedup_incremental(spark, sf_dir):
@@ -445,6 +439,31 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
+
+
+# the full ngram and minhash WITH-queries compose as CTE bodies
+# (DuckDB accepts a WITH-query wrapped as a CTE body; MATERIALIZED so
+# neither leg re-runs per reference — the r6 CTE-inlining lesson);
+# both legs read the canonical-docs subquery (the pipeline-SQL rewrite).
+_CANON_FROM = """FROM (SELECT d.* FROM documents d
+          JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+            ON k.doc_id = d.doc_id)"""
+Q_DEDUP_RECALL_SQL = f"""
+WITH exact AS MATERIALIZED ({Q_DEDUP_NGRAM_SQL.replace("FROM documents", _CANON_FROM)}),
+lsh AS MATERIALIZED ({Q_DEDUP_MINHASH_SQL.replace("FROM documents", _CANON_FROM)}),
+sh AS MATERIALIZED ({Q_DEDUP_SIMHASH_SQL.replace("FROM documents", _CANON_FROM)})
+SELECT CAST(floor(e.jaccard * 10) AS BIGINT) AS jacc_decile,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(l.doc_a) AS BIGINT) AS n_hit_minhash,
+       CAST(count(s.doc_a) AS BIGINT) AS n_hit_simhash,
+       CAST(count(l.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_minhash,
+       CAST(count(s.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_simhash
+FROM exact e
+LEFT JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+LEFT JOIN sh s ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b
+GROUP BY 1
+"""
+
 
 
 def q_dedup_embedding(spark, sf_dir):

@@ -2137,16 +2137,18 @@ def test_substring_occurrences_matches_python_count(spark):
 def test_dedup_recall_floor(spark):
     """X167: MinHash-LSH banding at the current dials must keep >= 0.9
     candidate recall against the exact AllPairs reference on the
-    sf0.001 corpus (observed 1.0) — the eval that guards any future
-    NUM_HASHES/BANDS retuning, like the ANN recall floors guard the
-    IVF dials."""
+    sf0.001 corpus (observed 1.0), SimHash at hamming<=3 >= 0.7
+    (observed 0.82 — the eval's point: it shows SimHash's misses where
+    theory only gives an S-curve) — the floors guard any future
+    width/band retuning, like the ANN recall floors guard the IVF
+    dials."""
     from mimic2ts_spark.harness_ext import q_dedup_recall
 
     rows = q_dedup_recall(spark, SF).collect()
     n_exact = sum(r.n_exact for r in rows)
-    n_hit = sum(r.n_hit for r in rows)
     assert n_exact >= 20  # the corpus fires the eval (round-6 lesson)
-    assert n_hit / n_exact >= 0.9
+    assert sum(r.n_hit_minhash for r in rows) / n_exact >= 0.9
+    assert sum(r.n_hit_simhash for r in rows) / n_exact >= 0.7
 
 
 def test_stream_ddq_equals_batch_counters(spark):
