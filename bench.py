@@ -141,6 +141,7 @@ HEADLINE = [
     "q_trend_daily",
     "q_ann_lsh_multiprobe",
     "q_kcenter_coreset",
+    "q_shard_balanced",
 ]
 
 

@@ -572,6 +572,67 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+N_BALANCED_SHARDS = 8
+
+
+def q_shard_balanced(spark, sf_dir):
+    """X174 — token-balanced shard assignment: writers want N output
+    shards with near-equal TOKEN mass, not near-equal doc counts (doc
+    sizes are heavy-tailed, and hash sharding balances only in
+    expectation). Size-descending snake round-robin — the distributed
+    LPT bin packing — over a SCALE-SAFE global rank: per-weight-group
+    offsets (a tiny distinct-weights cumulative) + row_number
+    partitioned by the weight value, so no single-partition window ever
+    materializes the corpus; the oracle runs the naive global
+    row_number and must produce identical shard masses (pytest also
+    pins rank equality and that the snake beats md5-hash sharding's
+    token imbalance). Output: per-shard (n_docs, sum_tokens)."""
+    from mimic2ts_spark.operators.split import distributed_rank, snake_shard
+    from mimic2ts_spark.operators.text import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("w")
+    )
+    ranked = distributed_rank(docs, weight_col="w", id_col="doc_id")
+    return (
+        ranked.withColumn("shard", snake_shard(F.col("rank"), N_BALANCED_SHARDS))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+def _q_shard_balanced_sql():
+    from mimic2ts_spark.operators.text import SQL_TOKENS
+
+    n = N_BALANCED_SHARDS
+    toks = SQL_TOKENS.format(text="text")
+    return f"""
+WITH t AS (
+    SELECT doc_id, CAST(len({toks}) AS BIGINT) AS w FROM documents
+),
+r AS (
+    SELECT doc_id, w,
+           row_number() OVER (ORDER BY w DESC, doc_id) AS rnk
+    FROM t
+),
+s AS (
+    SELECT w,
+           CAST(CASE WHEN (rnk - 1) % {2 * n} < {n} THEN (rnk - 1) % {2 * n}
+                     ELSE {2 * n - 1} - (rnk - 1) % {2 * n} END AS BIGINT) AS shard
+    FROM r
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS sum_tokens
+FROM s GROUP BY shard
+"""
+
+
+Q_SHARD_BALANCED_SQL = _q_shard_balanced_sql()
+
+
 def q_kcenter_coreset(spark, sf_dir):
     """X173 — greedy k-center coreset (Gonzalez farthest-point,
     2-approx): an 8-vector diversity-maximizing selection over the
@@ -5559,6 +5620,7 @@ EXT_REGISTRY = {
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_lsh_multiprobe": (q_ann_lsh_multiprobe, Q_ANN_LSH_MULTIPROBE_SQL),
     "q_kcenter_coreset": (q_kcenter_coreset, Q_KCENTER_CORESET_SQL),
+    "q_shard_balanced": (q_shard_balanced, Q_SHARD_BALANCED_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "q_multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),

@@ -98,3 +98,48 @@ SELECT {cols},
        ) AS BIGINT) AS position
 FROM (SELECT {cols}, {code} AS code FROM {table})
 """
+
+
+def distributed_rank(
+    df: DataFrame, weight_col: str = "w", id_col: str = "doc_id"
+) -> DataFrame:
+    """Global (weight DESC, id ASC) rank WITHOUT a single-partition
+    window — the scale-safe form of row_number() OVER (ORDER BY ...):
+    (1) per-weight-group counts aggregate to a TINY table (one row per
+    distinct weight — bounded: token counts, byte sizes), where an
+    empty-partition cumulative window is harmless; (2) the exclusive
+    cumulative offset broadcasts back; (3) row_number PARTITIONED BY
+    the weight value ranks within each group by id. rank = offset +
+    within-group row_number. Every wide operation on the big side keys
+    on the weight value, so no task materializes the whole corpus —
+    the naive global window would (its single partition is the oracle
+    form, which must return identical ranks; pytest-pinned)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(weight_col).agg(F.count(F.lit(1)).alias("_n"))
+    wcum = Window.orderBy(F.desc(weight_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    offs = (
+        counts.withColumn("_off", F.sum("_n").over(wcum) - F.col("_n"))
+        .select(weight_col, "_off")
+    )
+    win = Window.partitionBy(weight_col).orderBy(id_col)
+    return (
+        df.join(F.broadcast(offs), weight_col)
+        .withColumn(
+            "rank", (F.col("_off") + F.row_number().over(win)).cast("long")
+        )
+        .drop("_off")
+    )
+
+
+def snake_shard(rank: Column, n_shards: int) -> Column:
+    """Boustrophedon (snake) assignment of a 1-based size-descending
+    rank to n shards: window w = (rank-1) % 2n maps w -> w for w < n,
+    else -> 2n-1-w. Plain modulo would hand shard 0 every window's
+    LARGEST doc (systematic bias); the snake alternates direction so
+    consecutive windows cancel — the distributed form of greedy
+    longest-first (LPT) bin packing."""
+    w = (rank - F.lit(1)) % F.lit(2 * n_shards)
+    return F.when(w < n_shards, w).otherwise(F.lit(2 * n_shards - 1) - w).cast("long")

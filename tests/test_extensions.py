@@ -2270,3 +2270,45 @@ def test_kcenter_coreset_matches_python_greedy(spark, embs):
     dists = [d for _, _, d in got[1:]]
     assert dists == sorted(dists, reverse=True)
     assert len({v for _, v, _ in got}) == 8
+
+
+def test_distributed_rank_and_snake_balance(spark, docs):
+    """X174: (a) the two-level rank (group offsets + per-weight
+    row_number) must equal the naive single-partition global
+    row_number exactly; (b) snake sharding's token imbalance
+    (max/min shard mass) must beat md5-hash sharding's on the same
+    corpus — the reason the operator exists."""
+    from pyspark.sql import Window
+
+    from mimic2ts_spark.harness_ext import N_BALANCED_SHARDS, q_shard_balanced
+    from mimic2ts_spark.operators.sketch import kmv_code
+    from mimic2ts_spark.operators.split import distributed_rank
+    from mimic2ts_spark.operators.text import token_count
+
+    base = docs.select("doc_id", token_count(F.col("text")).alias("w"))
+    two = {
+        r.doc_id: r.rank for r in distributed_rank(base, "w", "doc_id").collect()
+    }
+    naive_w = Window.orderBy(F.desc("w"), F.asc("doc_id"))
+    naive = {
+        r.doc_id: r.rank
+        for r in base.withColumn(
+            "rank", F.row_number().over(naive_w).cast("long")
+        ).collect()
+    }
+    assert two == naive
+
+    snake = {r.shard: r.sum_tokens for r in q_shard_balanced(spark, SF).collect()}
+    hashed = {
+        r.shard: r.sum_tokens
+        for r in base.withColumn(
+            "shard", kmv_code(F.col("doc_id")) % N_BALANCED_SHARDS
+        )
+        .groupBy("shard")
+        .agg(F.sum("w").alias("sum_tokens"))
+        .collect()
+    }
+    ratio = lambda d: max(d.values()) / min(d.values())  # noqa: E731
+    assert len(snake) == N_BALANCED_SHARDS
+    assert ratio(snake) < ratio(hashed)
+    assert ratio(snake) < 1.01  # near-perfect token balance
