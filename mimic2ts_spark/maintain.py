@@ -193,6 +193,19 @@ def main(argv: list[str] | None = None) -> None:
     p_mha.add_argument("--text-col", default="text")
     p_mha.add_argument("--id-col", default="doc_id")
 
+    p_cla = sub.add_parser(
+        "cluster-append",
+        help="O(delta) cluster-label maintenance: dedup a delta batch "
+             "against the minhash index, merge components on the label "
+             "table, append the delta's bands to the index",
+    )
+    p_cla.add_argument("labels_dir")
+    p_cla.add_argument("index_dir")
+    p_cla.add_argument("delta")
+    p_cla.add_argument("--threshold", type=float, default=0.8)
+    p_cla.add_argument("--id-col", default="doc_id")
+    p_cla.add_argument("--text-col", default="text")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "vacuum":  # pure driver-side FS walk, no Spark session
@@ -340,6 +353,69 @@ def main(argv: list[str] | None = None) -> None:
                 write_trigrams(delta, "append")
                 audit["n_trigram"] = spark.read.parquet(tri_dir).count()
         audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "cluster-append":
+        # The full standing-corpus dedup ingest loop at delta cost:
+        # (1) cross pairs from the persisted banding index (X172 — the
+        # corpus is never re-hashed), (2) within-delta pairs on the
+        # small batch, (3) O(delta) component merge on the labels table
+        # (labels are a sufficient summary of the old graph —
+        # operators/cluster.merge_labels), (4) the delta's bands append
+        # to the index so the NEXT batch sees this one. The labels
+        # rewrite is a full overwrite of a 2-int-per-doc table; at
+        # lakehouse scale route it through the partition-pruned MERGE
+        # (X124) keyed on the affected cluster_ids instead.
+        from pyspark.sql import functions as F
+
+        from mimic2ts_spark.operators.cluster import merge_labels
+        from mimic2ts_spark.operators.dedup import (
+            incremental_pairs_from_index,
+            minhash_banded_rows,
+            minhash_lsh_pairs,
+        )
+
+        bands_dir = args.index_dir.rstrip("/") + "/bands"
+        delta = spark.read.parquet(args.delta)
+        cross = incremental_pairs_from_index(
+            spark, bands_dir, delta,
+            threshold=args.threshold,
+            text_col=args.text_col, id_col=args.id_col,
+        ).select(
+            F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b")
+        )
+        within = minhash_lsh_pairs(
+            delta, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold,
+        ).select("doc_a", "doc_b")
+        labels = spark.read.parquet(args.labels_dir)
+        new_labels = merge_labels(
+            labels, cross.unionByName(within),
+            delta.select(args.id_col), id_col=args.id_col,
+        ).localCheckpoint(eager=True)  # sever lineage from the table being overwritten
+        new_labels.write.mode("overwrite").parquet(args.labels_dir)
+        par = spark.sparkContext.defaultParallelism
+        (
+            minhash_banded_rows(delta, text_col=args.text_col, id_col=args.id_col)
+            .repartition(par, "band", "key")
+            .sortWithinPartitions("band", "key", "doc_id")
+            .write.mode("append")
+            .parquet(bands_dir)
+        )
+        out = spark.read.parquet(args.labels_dir)
+        stats = out.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        ).collect()[0]
+        audit = {
+            "cmd": "cluster-append", "labels": args.labels_dir,
+            "index": args.index_dir, "n_delta_docs": delta.count(),
+            "n_docs": stats["n_docs"], "n_clusters": stats["n_clusters"],
+            "n_duplicates": stats["n_docs"] - stats["n_clusters"],
+            "runtime_seconds": round(time.time() - t0, 3),
+        }
         print(json.dumps(audit))
         release_storage(spark)
         return

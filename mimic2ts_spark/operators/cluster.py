@@ -117,3 +117,57 @@ def canonical_ids(
         .withColumn("cluster_id", F.coalesce(F.col("comp"), F.col(id_col)))
         .drop("comp")
     )
+
+
+def merge_labels(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """O(delta) connected-components maintenance: the standing labels
+    table is a SUFFICIENT summary of the old graph — merging components
+    on new edges never touches old edges. Each delta-edge endpoint maps
+    to its supernode (existing cluster_id, or itself for a new node),
+    CC runs on the REDUCED edge set (|delta| edges over supernodes),
+    and exactly the affected labels rewrite. The 'cluster_id = min node
+    id in component' invariant is preserved: old labels ARE their
+    components' minima, so the reduced CC's min-supernode label is the
+    merged component's global minimum. Unpaired new nodes label
+    themselves. Pinned bit-equal to a full recompute over
+    old-edges ∪ delta-edges (pytest, two successive deltas)."""
+    lab = labels.select(
+        F.col(id_col).alias("_n"), F.col("cluster_id").alias("_l")
+    )
+    e = new_edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    e = (
+        e.join(lab.withColumnRenamed("_n", "_a").withColumnRenamed("_l", "_la"), "_a", "left")
+        .join(lab.withColumnRenamed("_n", "_b").withColumnRenamed("_l", "_lb"), "_b", "left")
+        .select(
+            F.coalesce(F.col("_la"), F.col("_a")).alias("su"),
+            F.coalesce(F.col("_lb"), F.col("_b")).alias("sv"),
+        )
+        .where(F.col("su") != F.col("sv"))
+    )
+    red = connected_components(e, src="su", dst="sv")
+    upd = (
+        labels.join(
+            red.select(F.col("node").alias("cluster_id"), "comp"),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("comp"), F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    newl = (
+        new_nodes.select(F.col(id_col))
+        .join(red.select(F.col("node").alias(id_col), "comp"), id_col, "left")
+        .select(
+            id_col, F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster_id")
+        )
+    )
+    return upd.unionByName(newl)

@@ -495,3 +495,54 @@ def test_maintain_minhash_index_incremental_serve(spark, tmp_path, capsys):
         for r in incremental_pairs_from_index(spark, f"{out}/bands", d2).collect()
     }
     assert got2 == expected(base.unionByName(d1), d2)
+
+
+def test_maintain_cluster_append_equals_full_recompute(spark, tmp_path, capsys):
+    """O(delta) label maintenance (X175): `cluster-append` must leave
+    the labels table IDENTICAL to a from-scratch `cluster` over the
+    grown corpus, across TWO successive deltas — CC over incrementally
+    merged supernodes equals CC over the union edge set, and the
+    min-id label invariant survives because old labels are their
+    components' minima."""
+    import json as _json
+
+    from mimic2ts_spark.maintain import main
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    parts = {
+        "base": docs.where(F.col("doc_id") % 10 > 1),
+        "d1": docs.where(F.col("doc_id") % 10 == 0),
+        "d2": docs.where(F.col("doc_id") % 10 == 1),
+    }
+    dirs = {}
+    for name, df in parts.items():
+        dirs[name] = str(tmp_path / name)
+        df.write.parquet(dirs[name])
+    for name, df in (
+        ("base_d1", parts["base"].unionByName(parts["d1"])),
+        ("all", docs),
+    ):
+        dirs[name] = str(tmp_path / name)
+        df.write.parquet(dirs[name])
+
+    idx = str(tmp_path / "idx")
+    labels = str(tmp_path / "labels")
+    main(["minhash-index", idx, dirs["base"]])
+    main(["cluster", labels, dirs["base"]])
+
+    def read_labels(path):
+        return {
+            r.doc_id: r.cluster_id for r in spark.read.parquet(path).collect()
+        }
+
+    def full(path, src):
+        main(["cluster", path, src])
+        return read_labels(path)
+
+    main(["cluster-append", labels, idx, dirs["d1"]])
+    a1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a1["n_docs"] == parts["base"].count() + parts["d1"].count()
+    assert read_labels(labels) == full(str(tmp_path / "f1"), dirs["base_d1"])
+
+    main(["cluster-append", labels, idx, dirs["d2"]])
+    assert read_labels(labels) == full(str(tmp_path / "f2"), dirs["all"])
