@@ -230,17 +230,45 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("mimic2ts_spark_maintain")
 
     if args.cmd == "cluster":
-        from mimic2ts_spark.operators.cluster import canonical_ids
-        from mimic2ts_spark.operators.dedup import minhash_lsh_pairs
+        # Exact-first build (r07): CC runs over CANONICAL near-dup pairs
+        # and every doc takes its canonical's component. Labels are
+        # IDENTICAL to the raw-pair form (identical text => identical
+        # signature => same component; the component's min doc id is
+        # the min over its canonicals, which are their exact groups'
+        # minima) — pinned by test_maintain_cluster_artifact — but the
+        # duplicate-heavy Θ(cluster²) pair blow-up never happens
+        # (466 s -> ~30 s at the 100× dup-heavy sweep).
+        from pyspark.sql import functions as F
+
+        from mimic2ts_spark.operators.cluster import connected_components
+        from mimic2ts_spark.operators.dedup import canonical_near_dup_pairs
 
         docs = spark.read.parquet(args.src)
-        pairs = minhash_lsh_pairs(
+        canon = (
+            docs.groupBy(F.md5(F.col(args.text_col)).alias("_h"))
+            .agg(F.min(args.id_col).alias("_cid"))
+            .join(
+                docs.select(args.id_col, F.md5(F.col(args.text_col)).alias("_h")),
+                "_h",
+            )
+            .select(args.id_col, F.col("_cid").alias("_canon"))
+        )
+        pairs_c = canonical_near_dup_pairs(
             docs, text_col=args.text_col, id_col=args.id_col,
             threshold=args.threshold,
         )
-        labels = canonical_ids(
-            docs.select(args.id_col), pairs, id_col=args.id_col
-        ).select(args.id_col, "cluster_id")
+        comp = connected_components(pairs_c)
+        labels = (
+            canon.join(
+                comp.select(F.col("node").alias("_canon"), "comp"),
+                "_canon",
+                "left",
+            )
+            .select(
+                args.id_col,
+                F.coalesce(F.col("comp"), F.col("_canon")).alias("cluster_id"),
+            )
+        )
         labels.write.mode("overwrite").parquet(args.out_dir)
         # audit from the PERSISTED artifact (what a consumer will read)
         out = spark.read.parquet(args.out_dir)
