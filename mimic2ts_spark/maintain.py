@@ -182,6 +182,12 @@ def main(argv: list[str] | None = None) -> None:
     p_mh.add_argument("src")
     p_mh.add_argument("--text-col", default="text")
     p_mh.add_argument("--id-col", default="doc_id")
+    p_mh.add_argument(
+        "--canonical", action="store_true",
+        help="exact-first layout: bands over CANONICAL docs only plus an "
+             "exact (text_md5, canon) map — dup-heavy corpora then attach "
+             "copies by one md5 join instead of per-copy band collisions",
+    )
 
     p_mha = sub.add_parser(
         "minhash-index-append",
@@ -192,6 +198,12 @@ def main(argv: list[str] | None = None) -> None:
     p_mha.add_argument("delta")
     p_mha.add_argument("--text-col", default="text")
     p_mha.add_argument("--id-col", default="doc_id")
+    p_mha.add_argument(
+        "--canonical", action="store_true",
+        help="append to an exact-first layout: only genuinely NEW texts' "
+             "batch canonicals enter the bands; the exact map gains the "
+             "new (text_md5, canon) rows",
+    )
 
     p_cla = sub.add_parser(
         "cluster-append",
@@ -405,33 +417,58 @@ def main(argv: list[str] | None = None) -> None:
             minhash_lsh_pairs,
         )
 
+        import os
+
         bands_dir = args.index_dir.rstrip("/") + "/bands"
+        exact_dir = args.index_dir.rstrip("/") + "/exact"
         delta = spark.read.parquet(args.delta)
-        cross = incremental_pairs_from_index(
-            spark, bands_dir, delta,
-            threshold=args.threshold,
-            text_col=args.text_col, id_col=args.id_col,
-        ).select(
-            F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b")
-        )
-        within = minhash_lsh_pairs(
-            delta, text_col=args.text_col, id_col=args.id_col,
-            threshold=args.threshold,
-        ).select("doc_a", "doc_b")
+        par = spark.sparkContext.defaultParallelism
+        if os.path.isdir(exact_dir):
+            # exact-first canonical layout (X176): copies attach by one
+            # md5 join; only new-text batch canonicals touch the bands.
+            from mimic2ts_spark.operators.dedup import canonical_delta_edges
+
+            edges, new_canon_docs, new_exact_rows = canonical_delta_edges(
+                spark, args.index_dir.rstrip("/"), delta,
+                threshold=args.threshold,
+                text_col=args.text_col, id_col=args.id_col,
+            )
+            new_canon_docs = new_canon_docs.localCheckpoint(eager=True)
+            new_exact_rows = new_exact_rows.localCheckpoint(eager=True)
+            # canonical_delta_edges normalizes to (doc_id, text)
+            band_delta = new_canon_docs.withColumnRenamed(
+                "doc_id", args.id_col
+            ).withColumnRenamed("text", args.text_col)
+        else:
+            cross = incremental_pairs_from_index(
+                spark, bands_dir, delta,
+                threshold=args.threshold,
+                text_col=args.text_col, id_col=args.id_col,
+            ).select(
+                F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b")
+            )
+            within = minhash_lsh_pairs(
+                delta, text_col=args.text_col, id_col=args.id_col,
+                threshold=args.threshold,
+            ).select("doc_a", "doc_b")
+            edges = cross.unionByName(within)
+            band_delta = delta
+            new_exact_rows = None
         labels = spark.read.parquet(args.labels_dir)
         new_labels = merge_labels(
-            labels, cross.unionByName(within),
+            labels, edges,
             delta.select(args.id_col), id_col=args.id_col,
         ).localCheckpoint(eager=True)  # sever lineage from the table being overwritten
         new_labels.write.mode("overwrite").parquet(args.labels_dir)
-        par = spark.sparkContext.defaultParallelism
         (
-            minhash_banded_rows(delta, text_col=args.text_col, id_col=args.id_col)
+            minhash_banded_rows(band_delta, text_col=args.text_col, id_col=args.id_col)
             .repartition(par, "band", "key")
             .sortWithinPartitions("band", "key", "doc_id")
             .write.mode("append")
             .parquet(bands_dir)
         )
+        if new_exact_rows is not None:
+            new_exact_rows.write.mode("append").parquet(exact_dir)
         out = spark.read.parquet(args.labels_dir)
         stats = out.agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -455,19 +492,55 @@ def main(argv: list[str] | None = None) -> None:
         # re-scans or re-hashes the corpus — it joins the batch's bands
         # against this table (operators/dedup.incremental_pairs_from_index,
         # pinned bit-equal to the full-corpus cross pairs by pytest).
+        # With --canonical (X176), only one row per DISTINCT text is
+        # banded and byte-identical arrivals resolve through the exact
+        # (text_md5, canon) map — exact-first applied to the artifact.
         import os
 
-        from mimic2ts_spark.operators.dedup import minhash_banded_rows
+        from pyspark.sql import functions as F
+
+        from mimic2ts_spark.operators.dedup import (
+            canonical_docs,
+            exact_text_map,
+            minhash_banded_rows,
+        )
 
         data_dir = os.path.join(args.out_dir, "bands")
+        exact_dir = os.path.join(args.out_dir, "exact")
         src = args.src if args.cmd == "minhash-index" else args.delta
         df = spark.read.parquet(src)
         mode = "overwrite" if args.cmd == "minhash-index" else "append"
         if args.cmd == "minhash-index":
             os.makedirs(args.out_dir, exist_ok=True)
         par = spark.sparkContext.defaultParallelism
+        if args.canonical and args.cmd == "minhash-index":
+            band_src = canonical_docs(df, text_col=args.text_col, id_col=args.id_col)
+            exact_text_map(df, text_col=args.text_col, id_col=args.id_col)\
+                .write.mode("overwrite").parquet(exact_dir)
+        elif args.canonical:
+            exact = spark.read.parquet(exact_dir)
+            d = df.withColumn("_h", F.md5(F.col(args.text_col)))
+            new = d.join(
+                exact.select(F.col("text_md5").alias("_h")), "_h", "left_anti"
+            )
+            new_map = new.groupBy(F.col("_h").alias("text_md5")).agg(
+                F.min(args.id_col).alias("canon")
+            )
+            band_src = (
+                new.join(
+                    new_map.select(
+                        F.col("text_md5").alias("_h"), F.col("canon").alias(args.id_col)
+                    ),
+                    ["_h", args.id_col],
+                )
+                .drop("_h")
+                .localCheckpoint(eager=True)  # sever from exact_dir before its append
+            )
+            new_map.write.mode("append").parquet(exact_dir)
+        else:
+            band_src = df
         (
-            minhash_banded_rows(df, text_col=args.text_col, id_col=args.id_col)
+            minhash_banded_rows(band_src, text_col=args.text_col, id_col=args.id_col)
             .repartition(par, "band", "key")
             .sortWithinPartitions("band", "key", "doc_id")
             .write.mode(mode)
@@ -481,6 +554,8 @@ def main(argv: list[str] | None = None) -> None:
             "n_docs": state.select("doc_id").distinct().count(),
             "runtime_seconds": round(time.time() - t0, 3),
         }
+        if args.canonical:
+            audit["n_distinct_texts"] = spark.read.parquet(exact_dir).count()
         print(json.dumps(audit))
         release_storage(spark)
         return

@@ -927,3 +927,81 @@ SELECT s.doc_id,
 FROM segs s LEFT JOIN hot h ON md5(s.seg) = h.k
 GROUP BY 1
 """
+
+
+def exact_text_map(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(text_md5, canon) — one row per DISTINCT text, canon = min id of
+    its exact group: the exact-attach side of the canonical banding
+    index (X176). New batches join this map to resolve byte-identical
+    arrivals WITHOUT touching the banding stage."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.min(id_col).alias("canon")
+    )
+
+
+def canonical_delta_edges(
+    spark,
+    index_dir: str,
+    delta: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact-first incremental dedup against a CANONICAL banding index
+    (`maintain minhash-index --canonical`): returns
+
+      (edges, new_canon_docs, new_exact_rows)
+
+    where `edges` connects every delta doc into the near-dup graph at
+    delta cost on ANY corpus, including duplicate-heavy ones — the
+    decision-precedence doctrine (r05 admission lesson) applied to the
+    X172 artifact: byte-identical arrivals attach by ONE md5 join
+    against the exact map (never reaching the banding stage, where each
+    would collide with every stored copy), and only canonicals of
+    genuinely new texts pay signature hashing + the (band, key) join
+    against the CANONICAL-ONLY bands (one stored row per distinct text
+    ⇒ no per-copy candidate fan-out). `new_canon_docs` /
+    `new_exact_rows` are what an appender persists so the next batch
+    sees this one.
+
+    Component-correctness: exact-attach edges (doc → stored canon or
+    batch-group canon) plus canonical near-dup edges generate the same
+    connected components as the full raw pair graph — every raw pair
+    (a, b) is reachable via a→canon(a)→canon(b)→b."""
+    exact = spark.read.parquet(f"{index_dir}/exact")
+    d = delta.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("text_md5"),
+    )
+    hit = d.join(exact, "text_md5", "left")
+    # byte-identical to a stored text: one edge to its stored canonical
+    exact_edges = (
+        hit.where(F.col("canon").isNotNull())
+        .select(F.col("doc_id").alias("doc_a"), F.col("canon").alias("doc_b"))
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    new = hit.where(F.col("canon").isNull()).drop("canon")
+    # collapse new texts within the batch to their min-id group canonical
+    new_exact_rows = new.groupBy("text_md5").agg(F.min("doc_id").alias("canon"))
+    grouped = new.join(new_exact_rows, "text_md5")
+    intra_edges = (
+        grouped.where(F.col("doc_id") != F.col("canon"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("canon").alias("doc_b"))
+    )
+    new_canon_docs = (
+        grouped.where(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "text")
+    )
+    # only new canonicals reach the banding stage
+    cross = incremental_pairs_from_index(
+        spark, f"{index_dir}/bands", new_canon_docs,
+        threshold=threshold, text_col="text", id_col="doc_id",
+    ).select(F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b"))
+    within = minhash_lsh_pairs(
+        new_canon_docs, text_col="text", id_col="doc_id", threshold=threshold
+    ).select("doc_a", "doc_b")
+    edges = exact_edges.unionByName(intra_edges).unionByName(cross).unionByName(within)
+    return edges, new_canon_docs, new_exact_rows

@@ -546,3 +546,60 @@ def test_maintain_cluster_append_equals_full_recompute(spark, tmp_path, capsys):
 
     main(["cluster-append", labels, idx, dirs["d2"]])
     assert read_labels(labels) == full(str(tmp_path / "f2"), dirs["all"])
+
+
+def test_maintain_cluster_append_canonical_layout(spark, tmp_path, capsys):
+    """X176: with the --canonical index layout (bands over canonicals +
+    exact md5 map), cluster-append must STILL leave labels identical to
+    the from-scratch recompute across two deltas — exact-attach edges
+    plus canonical near-dup edges generate the same components as the
+    raw pair graph — while only genuinely new texts' canonicals ever
+    enter the banding stage (band rows grow by <= 4x new distinct
+    texts, audited)."""
+    import json as _json
+
+    from mimic2ts_spark.maintain import main
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    parts = {
+        "base": docs.where(F.col("doc_id") % 10 > 1),
+        "d1": docs.where(F.col("doc_id") % 10 == 0),
+        "d2": docs.where(F.col("doc_id") % 10 == 1),
+    }
+    dirs = {}
+    for name, df in parts.items():
+        dirs[name] = str(tmp_path / name)
+        df.write.parquet(dirs[name])
+    for name, df in (
+        ("base_d1", parts["base"].unionByName(parts["d1"])),
+        ("all", docs),
+    ):
+        dirs[name] = str(tmp_path / name)
+        df.write.parquet(dirs[name])
+
+    idx = str(tmp_path / "idx")
+    labels = str(tmp_path / "labels")
+    main(["minhash-index", idx, dirs["base"], "--canonical"])
+    a0 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a0["n_docs"] == a0["n_distinct_texts"]  # canonical-only bands
+    main(["cluster", labels, dirs["base"]])
+    capsys.readouterr()
+
+    def read_labels(path):
+        return {
+            r.doc_id: r.cluster_id for r in spark.read.parquet(path).collect()
+        }
+
+    def full(path, src):
+        main(["cluster", path, src])
+        capsys.readouterr()
+        return read_labels(path)
+
+    main(["cluster-append", labels, idx, dirs["d1"]])
+    a1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a1["n_docs"] == parts["base"].count() + parts["d1"].count()
+    assert read_labels(labels) == full(str(tmp_path / "f1"), dirs["base_d1"])
+
+    main(["cluster-append", labels, idx, dirs["d2"]])
+    capsys.readouterr()
+    assert read_labels(labels) == full(str(tmp_path / "f2"), dirs["all"])
