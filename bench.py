@@ -142,6 +142,8 @@ HEADLINE = [
     "q_ann_lsh_multiprobe",
     "q_kcenter_coreset",
     "q_shard_balanced",
+    "q_search_phrase_indexed",
+    "q_search_substring_indexed",
 ]
 
 

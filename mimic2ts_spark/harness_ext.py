@@ -3008,10 +3008,76 @@ def _q_search_phrase_sql():
 Q_SEARCH_PHRASE_SQL = _q_search_phrase_sql()
 
 
+# Search-index artifacts memoized per sf_dir (driver-side PATH cache —
+# like pq._CODEBOOKS_CACHE, immune to release_storage: the state is
+# parquet on disk, not Spark storage). Queries sharing a corpus share
+# one index build; determinism keeps the oracle hashes fixed.
+_SEARCH_INDEX_CACHE: dict = {}
+
+
+def _search_index_dir(spark, sf_dir):
+    if sf_dir in _SEARCH_INDEX_CACHE:
+        return _SEARCH_INDEX_CACHE[sf_dir]
+    import tempfile
+
+    from mimic2ts_spark.operators.search import (
+        build_positional_postings,
+        build_trigram_postings,
+    )
+
+    out = tempfile.mkdtemp(prefix="search_idx_")
+    docs = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    (
+        build_positional_postings(docs)
+        .repartition(par, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{out}/positions")
+    )
+    (
+        build_trigram_postings(docs)
+        .repartition(par, "gram")
+        .sortWithinPartitions("gram", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{out}/trigrams")
+    )
+    _SEARCH_INDEX_CACHE[sf_dir] = out
+    return out
+
+
+def q_search_phrase_indexed(spark, sf_dir):
+    """X177 — phrase search SERVED FROM the positional-postings
+    artifact (X164), under the full oracle gate: the oracle is the
+    corpus-scan SQL, so the driver's hash compare IS the
+    served-equals-scan contract — every phrase occurrence must come out
+    of the vocabulary-pruned index scan bit-identical. The index builds
+    once per corpus (driver-side path memo, the PQ-codebook pattern);
+    the query itself touches only the phrase vocabulary's postings."""
+    from mimic2ts_spark.operators.search import phrase_from_postings
+
+    idx = _search_index_dir(spark, sf_dir)
+    return phrase_from_postings(spark, f"{idx}/positions", PHRASE_QUERIES)
+
+
 # char-level needles: inside-word ("able", "ilter") and crossing a token
 # boundary ("hash ta", "rge batch") — the cases token-aligned search
 # cannot serve; all four fire at sf0.001 AND sf0.01 (19-400 docs each).
 SUBSTRING_NEEDLES = ("able", "ilter", "hash ta", "rge batch")
+
+
+def q_search_substring_indexed(spark, sf_dir):
+    """X177 — substring (grep) search served from the char-trigram
+    artifact (X166): gram-pruned all-trigrams candidate intersection +
+    exact verify against the corpus, oracle = the corpus-scan SQL
+    (served-equals-scan under the driver's hash gate). Shares the
+    memoized per-corpus index build with q_search_phrase_indexed."""
+    from mimic2ts_spark.operators.search import substring_from_trigram_postings
+
+    idx = _search_index_dir(spark, sf_dir)
+    return substring_from_trigram_postings(
+        spark, f"{idx}/trigrams", _docs(spark, sf_dir), SUBSTRING_NEEDLES
+    )
 
 
 def q_search_substring(spark, sf_dir):
@@ -5663,6 +5729,13 @@ EXT_REGISTRY = {
     "q_sketch_ddq": (q_sketch_ddq, Q_SKETCH_DDQ_SQL),
     "q_search_phrase": (q_search_phrase, Q_SEARCH_PHRASE_SQL),
     "q_search_substring": (q_search_substring, Q_SEARCH_SUBSTRING_SQL),
+    # X177: index-served twins under the SCAN-form oracles — the hash
+    # compare is the served-equals-scan contract.
+    "q_search_phrase_indexed": (q_search_phrase_indexed, Q_SEARCH_PHRASE_SQL),
+    "q_search_substring_indexed": (
+        q_search_substring_indexed,
+        Q_SEARCH_SUBSTRING_SQL,
+    ),
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
     "q_stream_ddq": (q_stream_ddq, Q_STREAM_DDQ_SQL),
     "q_trend_daily": (q_trend_daily, Q_TREND_DAILY_SQL),
