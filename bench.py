@@ -144,6 +144,7 @@ HEADLINE = [
     "q_shard_balanced",
     "q_search_phrase_indexed",
     "q_search_substring_indexed",
+    "q_json_props",
 ]
 
 

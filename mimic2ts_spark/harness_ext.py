@@ -4582,6 +4582,47 @@ WITH cnts AS (
 Q_STREAM_DDQ_SQL = _q_stream_ddq_sql()
 
 
+def q_json_props(spark, sf_dir):
+    """X178 — semi-structured (JSON) analytics: schema-on-read
+    extraction from the events `props` JSON column (get_json_object
+    path '$.k' → long; a missing key or null document yields NULL in
+    BOTH engines — verified parity including the '{}' and NULL cases)
+    feeding a per-type integer aggregate: presence count, sum, distinct
+    count, parity split, min/max. The JSON parse is a row-local Column
+    expression on the scan — no UDF, no shuffle beyond the final
+    hash-agg; at 100 TB the parse cost rides the one raw pass."""
+    ev = _h._t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_even_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
+Q_JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+       CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (
+    SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+"""
+
+
 def q_trend_daily(spark, sf_dir):
     """X169 — per-type daily-volume trend: exact-integer OLS normal
     equations over PER-DAY aggregates (is this event type's traffic
@@ -5739,6 +5780,7 @@ EXT_REGISTRY = {
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
     "q_stream_ddq": (q_stream_ddq, Q_STREAM_DDQ_SQL),
     "q_trend_daily": (q_trend_daily, Q_TREND_DAILY_SQL),
+    "q_json_props": (q_json_props, Q_JSON_PROPS_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),
 }
