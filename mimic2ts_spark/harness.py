@@ -2256,6 +2256,10 @@ _GATE_CHANGED_THIS_ROUND = [
     "q_ann_recall",
     # r07: mmr left-join lone-candidate fix; cms left-join estimate
     "q_mmr_rerank", "q_sketch_cms",
+    # r07 late-session: banded-rows refactor shared by every minhash
+    # consumer (plans identical, verified locally — re-gate them early)
+    "q_dedup_minhash", "q_dedup_pipeline", "q_dedup_clusters",
+    "q_dedup_representatives",
 ]
 
 
