@@ -145,6 +145,7 @@ HEADLINE = [
     "q_search_phrase_indexed",
     "q_search_substring_indexed",
     "q_json_props",
+    "q_search_bm25_pruned",
 ]
 
 

@@ -2512,6 +2512,20 @@ def _bm25_sql():
 Q_SEARCH_BM25_SQL = _bm25_sql()
 
 
+def q_search_bm25_pruned(spark, sf_dir):
+    """X179 — MaxScore-pruned BM25 top-k (Turtle & Flood 1995): docs
+    not matching the highest-impact query term are pruned wholesale
+    when their summed per-term maxima cannot reach the k-th
+    anchor-matching score (strict inequality makes the prune tie-safe
+    under ascending-id tie-break). The ORACLE IS FULL SCORING — the
+    gate's hash compare re-proves the prune lossless on the real corpus
+    every round; a pytest pins that the prune branch actually FIRES
+    here and on a constructed skewed corpus."""
+    from mimic2ts_spark.operators.search import bm25_topk_maxscore
+
+    return bm25_topk_maxscore(_docs(spark, sf_dir), BM25_QUERY_TERMS)
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """X142 — hybrid retrieval: reciprocal-rank fusion of the lexical
     BM25 leg (fixed bag-of-words query) and the dense cosine leg (the
@@ -5770,6 +5784,7 @@ EXT_REGISTRY = {
     "q_sketch_ddq": (q_sketch_ddq, Q_SKETCH_DDQ_SQL),
     "q_search_phrase": (q_search_phrase, Q_SEARCH_PHRASE_SQL),
     "q_search_substring": (q_search_substring, Q_SEARCH_SUBSTRING_SQL),
+    "q_search_bm25_pruned": (q_search_bm25_pruned, Q_SEARCH_BM25_SQL),
     # X177: index-served twins under the SCAN-form oracles — the hash
     # compare is the served-equals-scan contract.
     "q_search_phrase_indexed": (q_search_phrase_indexed, Q_SEARCH_PHRASE_SQL),

@@ -753,3 +753,94 @@ def substring_from_trigram_postings(
         .select("needle", "doc_id", n_occ.alias("n_occurrences"))
         .where(F.col("n_occurrences") > 0)
     )
+
+
+def bm25_topk_maxscore(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = TOP_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _stats: dict | None = None,
+) -> DataFrame:
+    """MaxScore-pruned BM25 top-k (Turtle & Flood 1995, restated for a
+    batch engine) — PROVABLY identical output to bm25_topk:
+
+    - per-term max contribution U(t) over matched postings (|q| scalar
+      rows); anchor = the argmax-U term (ties: term asc);
+    - θ = the k-th best exact total among docs MATCHING the anchor
+      (score desc, id asc);
+    - prune theorem: a doc not matching the anchor scores at most
+      B = Σ_{t≠anchor} U(t); if B < θ STRICTLY, no such doc can reach
+      the top-k even on ties (a tie needs score = θ > B ≥ its score),
+      so the answer is exactly the anchor-matching top-k and the
+      non-anchor postings never reach the final aggregate. Otherwise
+      fall back to full scoring — equal output either way.
+
+    Integer-exact contributions make every comparison exact; the
+    driver oracle runs FULL scoring, so the gate's hash compare
+    re-proves the prune lossless on real data each round. `_stats`
+    (tests) records which branch ran and the θ/B scalars."""
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("long").alias("dl"), toks.alias("_toks")
+    )
+    tf = (
+        base.select(
+            id_col,
+            "dl",
+            F.explode(
+                F.filter(F.col("_toks"), lambda t: t.isin(*query_terms))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    totals = df.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("sum_dl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf_scaled",
+            F.expr(f"({SCALE} * (2 * (n_docs - df) + 1)) div (2 * df + 1)"),
+        )
+        .withColumn(
+            "tf_scaled",
+            F.expr(
+                f"({SCALE} * 22 * sum_dl * tf) div "
+                "(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs)"
+            ),
+        )
+        .withColumn("contrib", F.col("idf_scaled") * F.col("tf_scaled"))
+        .persist()
+    )
+    # bounded scalar collects (broadcast-budget: |q| rows + k rows)
+    umax = {
+        r.term: r.u
+        for r in scored.groupBy("term").agg(F.max("contrib").alias("u")).collect()
+    }
+    full_tail = (
+        lambda s: s.groupBy(id_col)
+        .agg(F.sum("contrib").alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), id_col)
+        .limit(k)
+    )
+    if not umax:
+        return full_tail(scored)
+    anchor = min(umax, key=lambda t: (-umax[t], t))
+    bound_rest = sum(u for t, u in umax.items() if t != anchor)
+    anchor_ids = scored.where(F.col("term") == anchor).select(id_col)
+    anchor_top = full_tail(scored.join(anchor_ids, id_col, "left_semi"))
+    top_rows = anchor_top.collect()
+    pruned = len(top_rows) == k and bound_rest < top_rows[-1].score_scaled
+    if _stats is not None:
+        _stats.update(
+            pruned=pruned,
+            bound_rest=bound_rest,
+            theta=top_rows[-1].score_scaled if len(top_rows) == k else None,
+        )
+    return anchor_top if pruned else full_tail(scored)

@@ -2312,3 +2312,39 @@ def test_distributed_rank_and_snake_balance(spark, docs):
     assert len(snake) == N_BALANCED_SHARDS
     assert ratio(snake) < ratio(hashed)
     assert ratio(snake) < 1.01  # near-perfect token balance
+
+
+def test_bm25_maxscore_prune_fires_and_is_lossless(spark, docs):
+    """X179: on the sf0.001 corpus the MaxScore prune FIRES (the gate
+    corpus exercises the fast path — round-6 lesson) and the result
+    equals full-scoring bm25_topk row-for-row; on a constructed corpus
+    where every term has equal impact the prune CANNOT fire (bound >=
+    theta) and the fallback still equals full scoring."""
+    import pandas as pd
+
+    from mimic2ts_spark.harness_ext import BM25_QUERY_TERMS
+    from mimic2ts_spark.operators.search import bm25_topk, bm25_topk_maxscore
+
+    st = {}
+    got = bm25_topk_maxscore(docs, BM25_QUERY_TERMS, _stats=st).collect()
+    want = bm25_topk(docs, BM25_QUERY_TERMS).collect()
+    assert st["pruned"] is True
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # adversarial corpus: DISJOINT equal-impact term sets — theta (the
+    # k-th anchor score) exactly EQUALS bound_rest (the other term's
+    # max), so the strict tie-safe prune cannot fire and the fallback
+    # must still equal full scoring.
+    flat = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "text": ["alpha x", "alpha y", "beta x", "beta y"],
+            }
+        )
+    )
+    st2 = {}
+    got2 = bm25_topk_maxscore(flat, ("alpha", "beta"), k=2, _stats=st2).collect()
+    want2 = bm25_topk(flat, ("alpha", "beta"), k=2).collect()
+    assert st2["pruned"] is False and st2["bound_rest"] == st2["theta"]
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
