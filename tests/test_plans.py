@@ -853,6 +853,7 @@ def test_registry_global_plan_invariants(utc):
         "q_tpch_q15",        # 1-row scalar max cross join (AQE may BHJ it)
         "q_source_drift",    # 1-row total-token-count scalar cross join
         "q_search_bm25",     # 1-row corpus-totals (N, sum dl) cross join
+        "q_search_bm25_pruned",  # same corpus-totals scalar cross join
         "q_tfidf_keywords",  # 1-row corpus-count scalar cross join
         "q_zorder_layout",   # 1-row (min,max) range scalar cross join
         "q_kmeans",          # k-row centroid broadcast cross join (declared)
