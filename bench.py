@@ -146,6 +146,8 @@ HEADLINE = [
     "q_search_substring_indexed",
     "q_json_props",
     "q_search_bm25_pruned",
+    "q_ann_knn_graph",
+    "q_ann_knn_beam",
 ]
 
 

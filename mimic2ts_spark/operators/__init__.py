@@ -46,6 +46,7 @@ from mimic2ts_spark.operators.similarity import (
     lsh_topk,
 )
 from mimic2ts_spark.operators.sketch import kmv_sketch
+from mimic2ts_spark.operators.knn import knn_beam_topk, knn_graph
 from mimic2ts_spark.operators.split import epoch_shuffle, with_split
 from mimic2ts_spark.operators.text import (
     bpe_ish_token_count,
@@ -115,6 +116,8 @@ __all__ = [
     "ivf_topk",
     "lsh_topk",
     "lsh_multiprobe_topk",
+    "knn_graph",
+    "knn_beam_topk",
     "kmv_sketch",
     "with_split",
     "epoch_shuffle",

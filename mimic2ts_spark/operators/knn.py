@@ -1,0 +1,446 @@
+"""Distributed k-NN graph construction via NN-Descent (Dong, Moses &
+Li, "Efficient k-nearest neighbor graph construction for generic
+similarity measures", WWW 2011) and fixed-hop beam-search ANN serving
+over the built graph — the graph-ANN family (the batch analogue of
+HNSW-style indexes), complementing the LSH (X7/X171), IVF (X8) and PQ
+(X119-X123) families.
+
+Reference scope note: the reference engine (`/root/reference/
+src/mimic2ts/__init__.py` — a 539-line pandas/Dask ICU ETL) has no
+similarity machinery; this module extends the engine for LLM-training-
+data pipelines, where the k-NN graph is the bulk primitive behind
+graph-ANN index builds, SemDeDup-style candidate generation and
+diversity analysis.
+
+Why NN-Descent and not HNSW insertion: HNSW builds by SEQUENTIAL
+insertion (each insert searches the graph built so far) — a driver
+loop of O(n) tiny jobs, hostile to a batch engine. NN-Descent is the
+bulk-synchronous formulation: start from a cheap random graph and
+repeat "compare each node against its neighbors' neighbors, keep the
+k closest" — every round is two corpus-wide joins plus one windowed
+top-k, exactly the operations Spark does well, and the candidate
+volume is O(n·k²) per round regardless of corpus size.
+
+Determinism/exactness contract (CLAUDE.md rules):
+- distances are integer L2² over QUANT-quantized coordinates
+  (kmeans.quantize) — integer math is associative, so the numpy
+  mapInPandas kernel needs no accumulation-order discipline and is
+  bit-identical to the SQL fold;
+- the init graph draws k pseudo-random neighbors per node from
+  md5-derived codes (never rand()); all top-k ties break on ascending
+  neighbor id;
+- the DuckDB oracle (sql_knn_graph / sql_knn_beam_topk) is the SAME
+  algorithm unrolled as a CTE chain — candidate generation, distances
+  and tie-breaks mirror term for term, so hashes are bit-exact. Graph
+  QUALITY (recall vs the true k-NN graph) is pinned separately by a
+  python-replay pytest floor, because the unrolled oracle shares the
+  algorithm and cannot judge it.
+
+Scale shape:
+- init: each node draws k UNIFORM pseudo-random partners, addressed as
+  (md5 bucket, md5 rank-within-bucket) so the ranking windows stay
+  bucket-partitioned (a global row_number window would materialize the
+  corpus in one task). Buckets hold ~RING_BUCKET nodes, derived from n
+  (the derived-dial rule); at n <= RING_BUCKET there is exactly one
+  bucket, so small-sf oracle hashes never move as corpora grow.
+  Randomness is LOAD-BEARING here: a structured start (e.g. a ring in
+  hash order) is a 1-D lattice whose neighbor-of-neighbor expansion
+  crawls ±k ranks per round and never mixes — measured recall@8 at
+  sf0.001 was 0.05 from a ring vs 0.62/0.72/0.76 from the random start
+  at 2/3/4 rounds (the synthetic embeddings are near-uniform in 64
+  dims — the hard, locality-free regime for NN-Descent; clustered
+  real-world embeddings converge faster). KNN_ROUNDS = 3 is the
+  measured knee.
+- per round: neighbors symmetrize (one distinct), then NN-Descent's
+  LOCAL JOIN — each pivot node's member set ({self} ∪ neighbors,
+  n·(2k+1) rows) fetches coordinates ONCE per membership and a
+  partition-buffered numpy kernel emits all within-group pairs as
+  SKINNY (id, nbr, d2) rows. Pair-expanding the coordinate arrays
+  through a self-join instead would shuffle ~n·4k²·dim·8 bytes per
+  round (tens of GB at 200 k vectors); the local join moves
+  n·(2k+1)·dim·8 of coordinates plus n·4k²·24 of pair rows — ~20×
+  less. The within-pivot pair set equals gen ∪ gen∘gen exactly
+  (m=a gives the direct edges; a,b ∈ gen(m) gives the
+  neighbor-of-neighbor pairs, gen being symmetric), so the unrolled
+  oracle keeps the self-join formulation. Per-node top-k is a
+  dense_rank WindowGroupLimit (duplicate pivot emissions share rank,
+  deduped after the cut — cheaper than a full pre-distinct).
+- iterated lineage is cut with eager localCheckpoints each round
+  (CLAUDE.md: iterated join lineage grows exponentially).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators.kmeans import QUANT, _dist2, quantize, _sql_quant
+from mimic2ts_spark.operators.sketch import kmv_code
+from mimic2ts_spark.operators.text import SQL_CODE
+
+KNN_K = 8        # neighbors kept per node
+KNN_ROUNDS = 3   # NN-Descent refinement rounds (fixed — linear lineage)
+RING_BUCKET = 4096  # target nodes per init-ring bucket (derived dial)
+
+# Serving dials, measured on the sf0.001 32-query panel (recall@5 vs
+# the exact panel): (beam 16, hops 3, 1 entry) 0.425 → (32, 4, 4)
+# 0.944 — multiple md5-min entry seeds and a 4th hop are what rescue
+# greedy search on locality-free data; candidates stay ≤ beam·(k+1)
+# per query per hop.
+BEAM_WIDTH = 32   # beam-search frontier size (serving)
+BEAM_HOPS = 4     # fixed expansion hops (serving)
+BEAM_ENTRIES = 4  # md5-min entry seeds shared by every query
+
+
+def _probe_hash(id_col: F.Column, j: F.Column) -> F.Column:
+    """32-hex md5 of 'id_j' — two independent 60-bit codes (chars 1-15
+    and 16-30) address the target's (bucket, rank-in-bucket)."""
+    return F.md5(F.concat_ws("_", id_col.cast("string"), j.cast("string")))
+
+
+def _hex_code(h: F.Column, start: int) -> F.Column:
+    return F.conv(F.substring(h, start, 15), 16, 10).cast("long")
+
+
+def _local_join_pairs(members: DataFrame) -> DataFrame:
+    """(m, mid, x) -> (id, nbr, d2): all ordered within-group pairs
+    (mid_a != mid_b) per pivot m, exact int64 L2² via |a|²+|b|²-2a·b
+    matmul (integers are associative — numpy order is irrelevant and
+    the result equals the SQL fold bit-for-bit; kmeans._assign_kernel
+    precedent). The stream repartitions on m so every group is
+    complete within one partition, then the kernel buffers the
+    partition (bounded: n·(2k+1)/partitions rows) and loops groups
+    vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs(it):
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        order = np.argsort(pdf["m"].to_numpy(), kind="stable")
+        ms = pdf["m"].to_numpy()[order]
+        ids = pdf["mid"].to_numpy()[order]
+        X = np.array(list(pdf["x"]), dtype=np.int64)[order]
+        bounds = np.flatnonzero(np.r_[True, ms[1:] != ms[:-1], True])
+        out_a, out_b, out_d = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = e - s
+            if g < 2:
+                continue
+            G = X[s:e]
+            dots = G @ G.T
+            sq = np.diag(dots)
+            D = sq[:, None] + sq[None, :] - 2 * dots
+            ai, bi = np.nonzero(~np.eye(g, dtype=bool))
+            out_a.append(ids[s:e][ai])
+            out_b.append(ids[s:e][bi])
+            out_d.append(D[ai, bi])
+        if not out_a:
+            return
+        # out dict in exact schema order (positional matching)
+        yield pd.DataFrame(
+            {
+                "id": np.concatenate(out_a),
+                "nbr": np.concatenate(out_b),
+                "d2": np.concatenate(out_d),
+            }
+        )
+
+    return members.repartition("m").mapInPandas(
+        pairs, schema="id long, nbr long, d2 long"
+    )
+
+
+def _init_random(base: DataFrame, n: int, k: int) -> DataFrame:
+    """(id, nbr): the deterministic pseudo-random start graph — each
+    node draws k partners addressed by (md5 bucket, md5 rank within
+    bucket). Windows are bucket-partitioned (>= 1 bucket of
+    ~RING_BUCKET nodes), the per-bucket size table is tiny and
+    broadcast. Hash collisions / self-draws thin a node's degree
+    slightly below k — harmless for a random start."""
+    nb = max(1, n // RING_BUCKET)
+    coded = base.select(
+        F.col("id"),
+        F.pmod(kmv_code(F.col("id")), F.lit(nb)).alias("bucket"),
+        kmv_code(F.col("id")).alias("code"),
+    )
+    w = Window.partitionBy("bucket").orderBy("code", "id")
+    ranked = coded.select(
+        "id", "bucket", (F.row_number().over(w) - 1).alias("rk")
+    )
+    sizes = ranked.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    js = F.expr("array(" + ",".join(f"{j}L" for j in range(k)) + ")")
+    h = _probe_hash(F.col("id"), F.col("j"))
+    probes = (
+        base.select("id", F.explode(js).alias("j"))
+        .select("id", h.alias("h"))
+        .select(
+            "id",
+            F.pmod(_hex_code(F.col("h"), 1), F.lit(nb)).alias("bucket"),
+            _hex_code(F.col("h"), 16).alias("h2"),
+        )
+        .join(F.broadcast(sizes), "bucket")
+        .select("id", "bucket", F.pmod(F.col("h2"), F.col("bn")).alias("rk"))
+    )
+    return (
+        probes.join(
+            ranked.select(F.col("id").alias("nbr"), "bucket", "rk"),
+            ["bucket", "rk"],
+        )
+        .where(F.col("id") != F.col("nbr"))
+        .select("id", "nbr")
+        .distinct()
+    )
+
+
+def _refine(nbrs: DataFrame, base: DataFrame, k: int) -> DataFrame:
+    """One NN-Descent round: candidates = symmetrized neighbors plus
+    neighbors-of-neighbors (generated by the LOCAL JOIN — all pairs
+    within each pivot's {self} ∪ neighbors group), exact distances,
+    keep the k closest (ties ascending nbr id). Candidates always
+    INCLUDE the current neighbors, so per-node distance profiles
+    improve monotonically."""
+    e = nbrs.select("id", "nbr")
+    gen = e.union(
+        e.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+    ).distinct()
+    members = gen.select(F.col("id").alias("m"), F.col("nbr").alias("mid")).union(
+        base.select(F.col("id").alias("m"), F.col("id").alias("mid"))
+    )
+    mx = members.join(base.select(F.col("id").alias("mid"), "x"), "mid")
+    d = _local_join_pairs(mx)
+    # duplicate pivot emissions of the same (id, nbr) carry the same d2,
+    # so dense_rank (WindowGroupLimit) equals row_number over the
+    # distinct pair set; dedupe only the surviving top-k rows
+    w = Window.partitionBy("id").orderBy("d2", "nbr")
+    out = (
+        d.withColumn("rank", F.dense_rank().over(w))
+        .where(F.col("rank") <= k)
+        .dropDuplicates(["id", "nbr"])
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def knn_graph(
+    embs: DataFrame,
+    k: int = KNN_K,
+    rounds: int = KNN_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, nbr, d2, rank): the NN-Descent k-NN graph of the corpus.
+    The single .count() is a documented bounded driver scalar (ring
+    modulus + bucket derivation; the oracle mirrors it as scalar
+    subqueries)."""
+    base = embs.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("x")
+    ).persist()
+    n = base.count()  # bounded driver scalar (materializes the persist)
+    nbrs = _init_random(base, n, k)
+    for _ in range(rounds):
+        nbrs = _refine(nbrs, base, k)
+    base.unpersist()  # rounds end checkpointed — lineage no longer needs it
+    return nbrs.select("id", "nbr", "d2", "rank")
+
+
+# --- beam-search serving over the graph -------------------------------------
+
+
+def knn_beam_topk(
+    embs: DataFrame,
+    queries: DataFrame,
+    graph: DataFrame,
+    k: int = 5,
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+    entries: int = BEAM_ENTRIES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, nbr, d2, rank): top-k per query served FROM the k-NN graph
+    by fixed-hop beam search — every query starts at the `entries`
+    global md5-min entry nodes, and each hop expands the beam's graph
+    neighbors, rescores, and keeps the `beam` closest (ties ascending
+    node id). The candidate set per query grows monotonically within a
+    hop (the beam is always rescored alongside its expansion), so more
+    hops never lose a found neighbor.
+
+    Scale shape: per hop, ONE join of the tiny (queries × beam)
+    frontier against the graph (frontier side broadcast), one distinct,
+    one kernel pass over at most |q|·beam·(k+1) rows, one per-query
+    top-beam (WindowGroupLimit). The corpus is touched only through
+    the graph and the coordinate fetch join — never scanned whole per
+    hop. Rescoring already-visited nodes each hop is deliberate: the
+    frontier volume is bounded by beam·k per query, far below the cost
+    of carrying/merging distance state across hops."""
+    base = embs.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("x")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("qid"), quantize(F.col(vec_col)).alias("xq")
+    ).persist()
+    g = graph.select("id", "nbr").persist()
+    entry = (
+        base.select("id", kmv_code(F.col("id")).alias("code"))
+        .orderBy("code", "id")
+        .limit(entries)
+        .select(F.col("id").alias("node"))
+    )
+    # `entries`-row scalar cross join (declared bounded pattern)
+    s = qv.select("qid").crossJoin(F.broadcast(entry))
+    for _ in range(hops):
+        # the frontier is the broadcast side everywhere — the graph and
+        # the coordinate table are corpus-sized and stay partitioned
+        exp = (
+            g.withColumnRenamed("id", "node")
+            .join(F.broadcast(s.select("qid", "node")), "node")
+            .select("qid", F.col("nbr").alias("node"))
+        )
+        u = s.select("qid", "node").unionByName(exp).distinct()
+        scored = base.select(
+            F.col("id").alias("node"), F.col("x").alias("xn")
+        ).join(F.broadcast(u.join(F.broadcast(qv), "qid")), "node")
+        # JVM HOF fold, not the Arrow kernel: the frontier is at most
+        # |q|·beam·(k+1) rows per hop — interpreted zip_with over that
+        # is far below one Python-worker round-trip, and integer sums
+        # are order-free so both paths are bit-identical.
+        d = scored.select(
+            "qid", "node", _dist2(F.col("xq"), F.col("xn")).alias("d2")
+        )
+        w = Window.partitionBy("qid").orderBy("d2", "node")
+        s = (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= beam)
+            .localCheckpoint(eager=True)
+        )
+    qv.unpersist()
+    g.unpersist()
+    return s.where(F.col("rn") <= k).select(
+        "qid", F.col("node").alias("nbr"), "d2", F.col("rn").alias("rank")
+    )
+
+
+# --- DuckDB oracle (same algorithm, unrolled) -------------------------------
+
+_SQL_PAIR_DIST = (
+    "CAST(list_aggregate(list_transform(generate_series(1, len(ba.x)), "
+    "i -> (ba.x[i] - bb.x[i]) * (ba.x[i] - bb.x[i])), 'sum') AS BIGINT)"
+)
+
+
+def _sql_init_parts(table: str, id_col: str, vec_col: str, k: int) -> list[str]:
+    code = SQL_CODE.format(tok="CAST(id AS VARCHAR)")
+    h = "md5(CAST(id AS VARCHAR) || '_' || CAST(t.j AS VARCHAR))"
+    js = ", ".join(f"{j}::BIGINT" for j in range(k))
+    return [
+        f"base AS MATERIALIZED (SELECT {id_col} AS id, {_sql_quant(vec_col)} AS x "
+        f"FROM {table})",
+        "nn AS (SELECT count(*) AS n FROM base)",
+        f"nbk AS (SELECT greatest(1, n // {RING_BUCKET}) AS nb FROM nn)",
+        f"coded AS (SELECT id, {code} % (SELECT nb FROM nbk) AS bucket, "
+        f"{code} AS code FROM base)",
+        "rkd AS MATERIALIZED (SELECT id, bucket, "
+        "row_number() OVER (PARTITION BY bucket ORDER BY code, id) - 1 AS rk "
+        "FROM coded)",
+        "sizes AS (SELECT bucket, count(*) AS bn FROM rkd GROUP BY bucket)",
+        f"hashes AS (SELECT id, {h} AS h FROM base "
+        f"CROSS JOIN unnest([{js}]) AS t(j))",
+        "probes AS (SELECT p.id, p.bucket, "
+        "CAST(('0x' || substr(p.h, 16, 15)) AS BIGINT) % s.bn AS rk "
+        "FROM (SELECT id, h, CAST(('0x' || substr(h, 1, 15)) AS BIGINT) "
+        "% (SELECT nb FROM nbk) AS bucket FROM hashes) p "
+        "JOIN sizes s ON s.bucket = p.bucket)",
+        "nb0 AS (SELECT DISTINCT p.id, b.id AS nbr "
+        "FROM probes p JOIN rkd b ON b.bucket = p.bucket AND b.rk = p.rk "
+        "WHERE p.id <> b.id)",
+    ]
+
+
+def _sql_round_parts(r: int, k: int) -> list[str]:
+    return [
+        f"g{r} AS MATERIALIZED (SELECT id, nbr FROM nb{r} "
+        f"UNION SELECT nbr AS id, id AS nbr FROM nb{r})",
+        f"ff{r} AS (SELECT a.id AS id, b.nbr AS nbr "
+        f"FROM g{r} a JOIN g{r} b ON a.nbr = b.id)",
+        f"cand{r} AS (SELECT DISTINCT id, nbr FROM "
+        f"(SELECT id, nbr FROM g{r} UNION ALL SELECT id, nbr FROM ff{r}) u "
+        f"WHERE id <> nbr)",
+        f"sc{r} AS (SELECT c.id, c.nbr, {_SQL_PAIR_DIST} AS d2 "
+        f"FROM cand{r} c JOIN base ba ON ba.id = c.id "
+        f"JOIN base bb ON bb.id = c.nbr)",
+        f"nb{r + 1} AS MATERIALIZED (SELECT id, nbr, d2, rank FROM "
+        f"(SELECT id, nbr, d2, row_number() OVER "
+        f"(PARTITION BY id ORDER BY d2, nbr) AS rank FROM sc{r}) "
+        f"WHERE rank <= {k})",
+    ]
+
+
+def sql_knn_graph(
+    table: str = "embeddings",
+    k: int = KNN_K,
+    rounds: int = KNN_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    parts = _sql_init_parts(table, id_col, vec_col, k)
+    for r in range(rounds):
+        parts += _sql_round_parts(r, k)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id AS vec_id, nbr, d2, rank FROM nb{rounds}"
+    )
+
+
+_SQL_QDIST = (
+    "CAST(list_aggregate(list_transform(generate_series(1, len(q.xq)), "
+    "i -> (q.xq[i] - b.x[i]) * (q.xq[i] - b.x[i])), 'sum') AS BIGINT)"
+)
+
+
+def sql_knn_beam_topk(
+    table: str = "embeddings",
+    query_pred: str = "id < 32",
+    k: int = 5,
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+    entries: int = BEAM_ENTRIES,
+    graph_k: int = KNN_K,
+    graph_rounds: int = KNN_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Unrolled mirror of knn_beam_topk over the unrolled knn graph
+    (one composed CTE chain — the oracle re-derives the same graph and
+    walks it with the same beam/tie rules)."""
+    parts = _sql_init_parts(table, id_col, vec_col, graph_k)
+    for r in range(graph_rounds):
+        parts += _sql_round_parts(r, graph_k)
+    parts += [
+        f"graph AS MATERIALIZED (SELECT id, nbr FROM nb{graph_rounds})",
+        f"q AS MATERIALIZED (SELECT id AS qid, x AS xq FROM base "
+        f"WHERE {query_pred})",
+        f"entry AS (SELECT id AS node FROM coded ORDER BY code, id "
+        f"LIMIT {entries})",
+        "s0 AS (SELECT qid, node FROM q CROSS JOIN entry)",
+    ]
+    for h in range(hops):
+        parts += [
+            f"e{h} AS (SELECT s.qid, gg.nbr AS node "
+            f"FROM s{h} s JOIN graph gg ON gg.id = s.node)",
+            f"u{h} AS (SELECT DISTINCT qid, node FROM "
+            f"(SELECT qid, node FROM s{h} UNION ALL "
+            f"SELECT qid, node FROM e{h}) t)",
+            f"d{h} AS (SELECT u.qid, u.node, {_SQL_QDIST} AS d2 "
+            f"FROM u{h} u JOIN q ON q.qid = u.qid JOIN base b ON b.id = u.node)",
+            f"s{h + 1} AS MATERIALIZED (SELECT qid, node, d2, rn FROM "
+            f"(SELECT qid, node, d2, row_number() OVER "
+            f"(PARTITION BY qid ORDER BY d2, node) AS rn FROM d{h}) "
+            f"WHERE rn <= {beam})",
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT qid, node AS nbr, d2, rn AS rank FROM s{hops} "
+        f"WHERE rn <= {k}"
+    )

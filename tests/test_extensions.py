@@ -2348,3 +2348,155 @@ def test_bm25_maxscore_prune_fires_and_is_lossless(spark, docs):
     want2 = bm25_topk(flat, ("alpha", "beta"), k=2).collect()
     assert st2["pruned"] is False and st2["bound_rest"] == st2["theta"]
     assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
+
+
+# --- X180/X181: NN-Descent k-NN graph + beam-search serving ----------------
+
+
+def _knn_python_replay(vecs, k, rounds):
+    """Driver-side replay of knn_graph: same md5 addressing, same
+    candidate rule, same (d2, nbr) tie-break. vecs: {id: [int coords]}."""
+    import hashlib
+
+    def h15(s, start=0):
+        return int(hashlib.md5(s.encode()).hexdigest()[start : start + 15], 16)
+
+    n = len(vecs)
+    nb = max(1, n // 4096)
+    ranked = {}  # bucket -> [ids ordered by (code, id)]
+    for i in vecs:
+        ranked.setdefault(h15(str(i)) % nb, []).append(i)
+    for b in ranked:
+        ranked[b].sort(key=lambda i: (h15(str(i)), i))
+    nbrs = set()
+    for i in vecs:
+        for j in range(k):
+            hx = hashlib.md5(f"{i}_{j}".encode()).hexdigest()
+            b = int(hx[:15], 16) % nb
+            rk = int(hx[15:30], 16) % len(ranked[b])
+            t = ranked[b][rk]
+            if t != i:
+                nbrs.add((i, t))
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(vecs[a], vecs[b]))
+
+    out = None
+    for _ in range(rounds):
+        gen = nbrs | {(b, a) for a, b in nbrs}
+        fwd = {}
+        for a, b in gen:
+            fwd.setdefault(a, set()).add(b)
+        cand = set(gen)
+        for a, mids in fwd.items():
+            for m in mids:
+                for b in fwd.get(m, ()):
+                    if a != b:
+                        cand.add((a, b))
+        per = {}
+        for a, b in cand:
+            per.setdefault(a, []).append(b)
+        out = []
+        for a, bs in per.items():
+            bs.sort(key=lambda b: (d2(a, b), b))
+            out += [(a, b, d2(a, b), r + 1) for r, b in enumerate(bs[:k])]
+        nbrs = {(a, b) for a, b, _, _ in out}
+    return sorted(out)
+
+
+def test_knn_graph_matches_python_replay(spark, embs):
+    """X180: the distributed NN-Descent build must equal a full python
+    replay (init addressing, candidate generation, integer distances,
+    tie-breaks) — the same trajectory-pin style as k-center."""
+    import math
+
+    from mimic2ts_spark.operators.kmeans import QUANT
+    from mimic2ts_spark.operators.knn import KNN_K, KNN_ROUNDS, knn_graph
+
+    vecs = {
+        r.vec_id: [math.floor(float(v) * QUANT) for v in r.embedding]
+        for r in embs.select("vec_id", "embedding").collect()
+    }
+    got = sorted(tuple(r) for r in knn_graph(embs).collect())
+    assert got == _knn_python_replay(vecs, KNN_K, KNN_ROUNDS)
+
+
+def test_knn_graph_recall_floor(spark, embs):
+    """X180: graph quality vs the TRUE k-NN graph — the property the
+    algorithm-sharing oracle cannot check. Deterministic build ⇒ the
+    measured 0.72 recall@8 reproduces exactly; floor guards dial
+    changes (rounds/k/init) from silently degrading the graph."""
+    import math
+
+    import numpy as np
+
+    from mimic2ts_spark.operators.kmeans import QUANT
+    from mimic2ts_spark.operators.knn import KNN_K, knn_graph
+
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array(
+        [[math.floor(float(v) * QUANT) for v in r.embedding] for r in rows],
+        dtype=np.int64,
+    )
+    got = {}
+    for r in knn_graph(embs).collect():
+        got.setdefault(r.id, set()).add(r.nbr)
+    hit = tot = 0
+    for i in range(len(ids)):
+        D = ((X - X[i]) ** 2).sum(axis=1)
+        D[i] = np.iinfo(np.int64).max
+        true = {ids[j] for j in np.lexsort((ids, D))[:KNN_K]}
+        hit += len(true & got.get(ids[i], set()))
+        tot += KNN_K
+    assert hit / tot >= 0.70
+
+
+def test_knn_beam_recall_floor(spark, embs):
+    """X181: beam-search serving vs the exact panel — measured
+    recall@5 0.94 at (beam 32, hops 4, 4 entries); floor 0.9 guards
+    dial retunes. Bit-exactness vs the unrolled oracle is the driver
+    gate's job (q_ann_knn_beam)."""
+    import math
+
+    import numpy as np
+
+    from mimic2ts_spark.harness_ext import _knn_graph
+    from mimic2ts_spark.operators.kmeans import QUANT
+    from mimic2ts_spark.operators.knn import knn_beam_topk
+
+    g = _knn_graph(spark, f"{SF}")
+    beam = knn_beam_topk(embs, embs.where(F.col("vec_id") < 32), g, k=5)
+    got = {}
+    for r in beam.collect():
+        got.setdefault(r.qid, set()).add(r.nbr)
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array(
+        [[math.floor(float(v) * QUANT) for v in r.embedding] for r in rows],
+        dtype=np.int64,
+    )
+    hit = tot = 0
+    for i in range(len(ids)):
+        if ids[i] >= 32:
+            continue
+        D = ((X - X[i]) ** 2).sum(axis=1)
+        true = {ids[j] for j in np.lexsort((ids, D))[:5]}
+        hit += len(true & got.get(ids[i], set()))
+        tot += 5
+    assert hit / tot >= 0.90
+
+
+def test_knn_init_windows_stay_bucket_partitioned(spark, embs):
+    """X180 scale pin: the init ranking windows must partition by the
+    md5 bucket — a corpus-wide single-partition window would
+    materialize the corpus in one task at scale."""
+    from mimic2ts_spark.operators.kmeans import quantize
+    from mimic2ts_spark.operators.knn import _init_random
+
+    base = embs.select(
+        F.col("vec_id").alias("id"), quantize(F.col("embedding")).alias("x")
+    )
+    # derived buckets >1 exercises the partitioned path (n=500 → force 8)
+    plan = _init_random(base, 4096 * 8, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
