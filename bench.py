@@ -148,6 +148,7 @@ HEADLINE = [
     "q_search_bm25_pruned",
     "q_ann_knn_graph",
     "q_ann_knn_beam",
+    "q_retrieval_mrr",
 ]
 
 

@@ -2593,6 +2593,30 @@ def q_search_bm25_pruned(spark, sf_dir):
     return bm25_topk_maxscore(_docs(spark, sf_dir), BM25_QUERY_TERMS)
 
 
+def q_retrieval_mrr(spark, sf_dir):
+    """X182 — known-item retrieval eval (the retrieval leg of the eval
+    triad X156/X167/X182): 32 corpus-drawn queries (each the 4
+    most-frequent tokens of an md5-chosen canonical doc), integer-exact
+    BM25 ranking, and a per-query report of where the source doc landed
+    (rank_found, rr_scaled = 2520 div rank — lcm(1..10) keeps every
+    reciprocal rank an exact integer, so MRR = avg(rr)/2520 needs no
+    float anywhere). Measured MRR 0.88 at sf0.01; floor pytest-pinned.
+    One corpus token pass; panel joins broadcast; top-k per query is a
+    WindowGroupLimit."""
+    from mimic2ts_spark.operators.search import known_item_mrr
+
+    return known_item_mrr(_docs(spark, sf_dir))
+
+
+def _q_retrieval_mrr_sql():
+    from mimic2ts_spark.operators.search import sql_known_item_mrr
+
+    return sql_known_item_mrr("documents")
+
+
+Q_RETRIEVAL_MRR_SQL = _q_retrieval_mrr_sql()
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """X142 — hybrid retrieval: reciprocal-rank fusion of the lexical
     BM25 leg (fixed bag-of-words query) and the dense cosine leg (the
@@ -5854,6 +5878,7 @@ EXT_REGISTRY = {
     "q_search_phrase": (q_search_phrase, Q_SEARCH_PHRASE_SQL),
     "q_search_substring": (q_search_substring, Q_SEARCH_SUBSTRING_SQL),
     "q_search_bm25_pruned": (q_search_bm25_pruned, Q_SEARCH_BM25_SQL),
+    "q_retrieval_mrr": (q_retrieval_mrr, Q_RETRIEVAL_MRR_SQL),
     # X177: index-served twins under the SCAN-form oracles — the hash
     # compare is the served-equals-scan contract.
     "q_search_phrase_indexed": (q_search_phrase_indexed, Q_SEARCH_PHRASE_SQL),

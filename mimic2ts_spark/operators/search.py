@@ -844,3 +844,218 @@ def bm25_topk_maxscore(
             theta=top_rows[-1].score_scaled if len(top_rows) == k else None,
         )
     return anchor_top if pruned else full_tail(scored)
+
+
+# --- known-item retrieval eval (integer-exact MRR@k) ------------------------
+
+MRR_PANEL = 32      # known-item queries drawn from the corpus
+MRR_QTERMS = 4      # most-frequent tokens taken from each query doc
+MRR_K = 10          # ranking depth
+MRR_RR_SCALE = 2520  # lcm(1..10): rr = MRR_RR_SCALE // rank is exact int
+
+
+def known_item_mrr(
+    docs: DataFrame,
+    panel: int = MRR_PANEL,
+    n_terms: int = MRR_QTERMS,
+    k: int = MRR_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Known-item retrieval eval — the retrieval family's measured
+    quality number (completing the eval triad: X156 scores ANN, X167
+    scores dedup banding, this scores BM25): draw `panel` queries from
+    the corpus itself (each query = the `n_terms` most-frequent tokens
+    of one md5-chosen document, ties md5-code then token — the
+    standard known-item query simulation), rank the corpus by
+    integer-exact BM25 per query, and report where each query's SOURCE
+    document landed. Term choice matters: this corpus has a 31-word
+    shared vocabulary with no rare terms, so md5-random term picks
+    measured MRR 0.03 (nothing is discriminative) while the doc's own
+    tf signal measures 0.88 — the eval scores BM25's tf/dl arithmetic,
+    which is the part the engine owns.
+
+    Output: one row per query — (qid, rank_found [0 = missed top-k],
+    rr_scaled [= MRR_RR_SCALE // rank, 0 on miss], top1_doc).
+    MRR = avg(rr_scaled) / MRR_RR_SCALE; reciprocal ranks are exact
+    integers (lcm(1..k) clears every denominator), so the report is
+    bit-exact cross-engine — no float MRR ever materializes.
+
+    Exact-first: panel, scoring corpus and stats all use md5 CANONICAL
+    docs — byte-identical copies of a known item would tie its score
+    and turn the eval into a tie-break lottery (the X167 lesson).
+
+    Shape at scale: ONE corpus token pass (explode → broadcast
+    vocabulary join — at most panel·n_terms distinct terms), broadcast
+    per-term df + 1-row totals (declared scalar cross join), per-query
+    top-k as a WindowGroupLimit, and the panel/report joins are all
+    panel-sized broadcasts."""
+    from mimic2ts_spark.operators.dedup import canonical_docs
+    from mimic2ts_spark.operators.sketch import kmv_code
+    from mimic2ts_spark.operators.text import token_code
+
+    canon = canonical_docs(docs, text_col, id_col)
+    toks = tokens(F.col(text_col))
+    base = canon.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).cast("long").alias("dl"),
+        toks.alias("_toks"),
+    ).persist()
+    pdocs = (
+        base.where(F.size(F.array_distinct(F.col("_toks"))) >= n_terms)
+        .select("doc", kmv_code(F.col("doc")).alias("_c"))
+        .orderBy("_c", "doc")
+        .limit(panel)
+        .select(F.col("doc").alias("qid"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cnt"), "_tc", "term")
+    qterms = (
+        base.join(F.broadcast(pdocs), base["doc"] == pdocs["qid"])
+        .select("qid", F.explode(F.col("_toks")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_tc", token_code(F.col("term")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_terms)
+        .select("qid", "term")
+    )
+    vocab = qterms.select("term").distinct()
+    # persisted: consumed twice (dfreq's broadcast job + the scoring
+    # pass) — without it the corpus explode runs once per consumer
+    tf = (
+        base.select("doc", "dl", F.explode(F.col("_toks")).alias("term"))
+        .join(F.broadcast(vocab), "term")
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    totals = base.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    term_scores = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "term_score",
+            F.expr(f"({SCALE} * (2 * (n_docs - df) + 1)) div (2 * df + 1)")
+            * F.expr(
+                f"({SCALE} * 22 * sum_dl * tf) div "
+                "(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    per_query = (
+        term_scores.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc")
+        .agg(F.sum("term_score").alias("score_scaled"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("score_scaled"), "doc")
+    ranked = (
+        per_query.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+    )
+    self_hit = ranked.where(F.col("doc") == F.col("qid")).select(
+        "qid", F.col("rank").alias("_self_rank")
+    )
+    top1 = ranked.where(F.col("rank") == 1).select(
+        "qid", F.col("doc").alias("top1_doc")
+    )
+    return (
+        pdocs.join(F.broadcast(self_hit), "qid", "left")
+        .join(F.broadcast(top1), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("_self_rank"), F.lit(0)).cast("long").alias(
+                "rank_found"
+            ),
+            F.when(
+                F.col("_self_rank").isNotNull(),
+                F.expr(f"{MRR_RR_SCALE}L div _self_rank"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rr_scaled"),
+            "top1_doc",
+        )
+    )
+
+
+def sql_known_item_mrr(
+    table: str = "documents",
+    panel: int = MRR_PANEL,
+    n_terms: int = MRR_QTERMS,
+    k: int = MRR_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror — same canonicals, same md5 panel/term selection,
+    same integer rationals and floor divisions (all-positive), same
+    (score DESC, doc ASC) tie-break."""
+    from mimic2ts_spark.operators.text import SQL_CODE, SQL_TOKENS
+
+    dcode = SQL_CODE.format(tok=f"CAST({id_col} AS VARCHAR)")
+    tcode = SQL_CODE.format(tok="term")
+    toks = SQL_TOKENS.format(text=text_col)
+    return f"""
+WITH canon_ids AS (
+    SELECT min({id_col}) AS {id_col} FROM {table} GROUP BY md5({text_col})
+),
+base AS MATERIALIZED (
+    SELECT d.{id_col} AS doc, CAST(len({toks}) AS BIGINT) AS dl,
+           {toks} AS toks
+    FROM {table} d JOIN canon_ids c ON c.{id_col} = d.{id_col}
+),
+pdocs AS (
+    SELECT doc AS qid FROM base
+    WHERE len(list_distinct(toks)) >= {n_terms}
+    ORDER BY {dcode.replace(f'CAST({id_col} AS VARCHAR)', 'CAST(doc AS VARCHAR)')}, doc
+    LIMIT {panel}
+),
+qterms AS MATERIALIZED (
+    SELECT qid, term FROM (
+        SELECT qid, term,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cnt DESC, {tcode}, term) AS rn
+        FROM (SELECT p.qid, t.term, count(*) AS cnt
+              FROM base b JOIN pdocs p ON p.qid = b.doc,
+                   unnest(b.toks) AS t(term) GROUP BY 1, 2)
+    ) WHERE rn <= {n_terms}
+),
+tf AS (
+    SELECT b.doc, b.dl, t.term, count(*) AS tf
+    FROM base b, unnest(b.toks) AS t(term)
+    WHERE t.term IN (SELECT DISTINCT term FROM qterms)
+    GROUP BY 1, 2, 3
+),
+totals AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+per_query AS (
+    SELECT q.qid, tf.doc, CAST(sum(
+        (({SCALE} * (2 * (t.n_docs - d.df) + 1)) // (2 * d.df + 1))
+        * (({SCALE} * 22 * t.sum_dl * tf.tf) //
+           (10 * t.sum_dl * tf.tf + 3 * t.sum_dl + 9 * tf.dl * t.n_docs))
+    ) AS BIGINT) AS score_scaled
+    FROM tf JOIN dfreq d ON tf.term = d.term
+    JOIN qterms q ON q.term = tf.term
+    CROSS JOIN totals t
+    GROUP BY 1, 2
+),
+ranked AS MATERIALIZED (
+    SELECT qid, doc, rank FROM (
+        SELECT qid, doc,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_scaled DESC, doc) AS rank
+        FROM per_query
+    ) WHERE rank <= {k}
+)
+SELECT p.qid,
+       CAST(coalesce(s.rank, 0) AS BIGINT) AS rank_found,
+       CAST(CASE WHEN s.rank IS NOT NULL THEN {MRR_RR_SCALE} // s.rank
+                 ELSE 0 END AS BIGINT) AS rr_scaled,
+       t1.doc AS top1_doc
+FROM pdocs p
+LEFT JOIN (SELECT qid, rank FROM ranked WHERE doc = qid) s ON s.qid = p.qid
+LEFT JOIN (SELECT qid, doc FROM ranked WHERE rank = 1) t1 ON t1.qid = p.qid
+"""

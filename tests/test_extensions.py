@@ -2500,3 +2500,24 @@ def test_knn_init_windows_stay_bucket_partitioned(spark, embs):
     # derived buckets >1 exercises the partitioned path (n=500 → force 8)
     plan = _init_random(base, 4096 * 8, 8)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_known_item_mrr_floor_and_exact_reciprocals(spark, docs):
+    """X182: the known-item eval must (a) clear the measured MRR floor
+    (0.82 at sf0.001, deterministic — guards BM25 arithmetic and panel
+    construction from silent degradation), (b) report reciprocal ranks
+    as exact 2520-scaled integers consistent with rank_found, and
+    (c) place every found source doc as its own query's hit."""
+    from mimic2ts_spark.operators.search import MRR_RR_SCALE, known_item_mrr
+
+    rows = known_item_mrr(docs).collect()
+    assert len(rows) == 32
+    for r in rows:
+        if r.rank_found:
+            assert r.rr_scaled == MRR_RR_SCALE // r.rank_found
+            if r.rank_found == 1:
+                assert r.top1_doc == r.qid
+        else:
+            assert r.rr_scaled == 0
+    mrr = sum(r.rr_scaled for r in rows) / (len(rows) * MRR_RR_SCALE)
+    assert mrr >= 0.80
