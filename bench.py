@@ -149,6 +149,7 @@ HEADLINE = [
     "q_ann_knn_graph",
     "q_ann_knn_beam",
     "q_retrieval_mrr",
+    "q_graph_seed_distance",
 ]
 
 

@@ -791,6 +791,30 @@ def _q_ann_knn_beam_sql():
 Q_ANN_KNN_BEAM_SQL = _q_ann_knn_beam_sql()
 
 
+def q_graph_seed_distance(spark, sf_dir):
+    """X183 — multi-source BFS seed distance over the X180 k-NN graph:
+    every vector scored by its minimum hop count from 8 md5-min
+    trusted seeds through the undirected graph (-1 = unreached within
+    4 hops) — trusted-seed proximity filtering through embedding
+    space, the graph-traversal companion of PageRank/LPA. Whole-set
+    min-propagation: one edge join + one min-groupBy per round,
+    checkpointed; the graph is the memoized X180 artifact."""
+    from mimic2ts_spark.operators.knn import seed_hop_distance
+
+    return seed_hop_distance(
+        _embs(spark, sf_dir), _knn_graph(spark, sf_dir)
+    )
+
+
+def _q_graph_seed_distance_sql():
+    from mimic2ts_spark.operators.knn import sql_seed_hop_distance
+
+    return sql_seed_hop_distance("embeddings")
+
+
+Q_GRAPH_SEED_DISTANCE_SQL = _q_graph_seed_distance_sql()
+
+
 def q_ann_ivf(spark, sf_dir):
     """X8 — IVF-flat with TRAINED cells (r05): k-means coarse centroids
     (integer-exact Lloyd, memoized per sf_dir and shared with IVF-PQ's
@@ -5833,6 +5857,7 @@ EXT_REGISTRY = {
     "q_ann_lsh_multiprobe": (q_ann_lsh_multiprobe, Q_ANN_LSH_MULTIPROBE_SQL),
     "q_ann_knn_graph": (q_ann_knn_graph, Q_ANN_KNN_GRAPH_SQL),
     "q_ann_knn_beam": (q_ann_knn_beam, Q_ANN_KNN_BEAM_SQL),
+    "q_graph_seed_distance": (q_graph_seed_distance, Q_GRAPH_SEED_DISTANCE_SQL),
     "q_kcenter_coreset": (q_kcenter_coreset, Q_KCENTER_CORESET_SQL),
     "q_shard_balanced": (q_shard_balanced, Q_SHARD_BALANCED_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),

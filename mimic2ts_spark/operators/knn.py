@@ -322,6 +322,97 @@ def knn_beam_topk(
     )
 
 
+# --- multi-source BFS over the graph (seed hop distance) --------------------
+
+BFS_SEEDS = 8   # md5-min trusted-seed nodes
+BFS_HOPS = 4    # fixed propagation rounds (distances cap at BFS_HOPS)
+
+
+def seed_hop_distance(
+    nodes: DataFrame,
+    graph: DataFrame,
+    n_seeds: int = BFS_SEEDS,
+    hops: int = BFS_HOPS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, dist): minimum hop count from any of the `n_seeds`
+    md5-min seed nodes through the UNDIRECTED k-NN graph, -1 when no
+    path within `hops` exists — seed-distance propagation through
+    embedding space (the curation pattern behind trusted-seed quality
+    filters: score every item by its graph proximity to a vetted set).
+
+    Shape at scale: per round ONE shuffle join of the settled-distance
+    table against the symmetrized edge list plus one min-groupBy —
+    whole-set propagation (no frontier bookkeeping) is exact for
+    fixed small hop counts and keeps the plan two hash shuffles per
+    round; iterated lineage is checkpointed per round."""
+    ids = nodes.select(F.col(id_col).alias("id"))
+    seeds = (
+        ids.select("id", kmv_code(F.col("id")).alias("code"))
+        .orderBy("code", "id")
+        .limit(n_seeds)
+        .select("id")
+    )
+    e = graph.select(F.col("id").alias("src"), F.col("nbr").alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    d = seeds.select("id", F.lit(0).cast("long").alias("dist"))
+    for _ in range(hops):
+        step = (
+            d.join(edges, d["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        d = (
+            d.unionByName(step)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return ids.join(d, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
+    )
+
+
+def sql_seed_hop_distance(
+    table: str = "embeddings",
+    n_seeds: int = BFS_SEEDS,
+    hops: int = BFS_HOPS,
+    graph_k: int = KNN_K,
+    graph_rounds: int = KNN_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Unrolled mirror over the unrolled graph chain: same seeds, same
+    symmetrized edges, same whole-set min-propagation per round."""
+    parts = _sql_init_parts(table, id_col, vec_col, graph_k)
+    for r in range(graph_rounds):
+        parts += _sql_round_parts(r, graph_k)
+    parts += [
+        f"graph AS (SELECT id, nbr FROM nb{graph_rounds})",
+        f"seeds AS (SELECT id FROM coded ORDER BY code, id LIMIT {n_seeds})",
+        "edges AS MATERIALIZED (SELECT id AS src, nbr AS dst FROM graph "
+        "UNION SELECT nbr AS src, id AS dst FROM graph)",
+        "bfs0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM seeds)",
+    ]
+    for r in range(hops):
+        parts.append(
+            f"bfs{r + 1} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT id, dist FROM bfs{r} UNION ALL "
+            f"SELECT e.dst AS id, b.dist + 1 AS dist "
+            f"FROM bfs{r} b JOIN edges e ON e.src = b.id) GROUP BY id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT b.id AS {id_col}, "
+        f"CAST(coalesce(d.dist, -1) AS BIGINT) AS dist "
+        f"FROM base b LEFT JOIN bfs{hops} d ON d.id = b.id"
+    )
+
+
 # --- DuckDB oracle (same algorithm, unrolled) -------------------------------
 
 _SQL_PAIR_DIST = (

@@ -2521,3 +2521,54 @@ def test_known_item_mrr_floor_and_exact_reciprocals(spark, docs):
             assert r.rr_scaled == 0
     mrr = sum(r.rr_scaled for r in rows) / (len(rows) * MRR_RR_SCALE)
     assert mrr >= 0.80
+
+
+def test_seed_hop_distance_matches_python_bfs(spark, embs):
+    """X183: the distributed min-propagation must equal a python BFS
+    over the replayed X180 graph (same seeds, same symmetrized edges,
+    distances capped at the hop budget, -1 = unreached)."""
+    import hashlib
+    import math
+
+    from mimic2ts_spark.harness_ext import _knn_graph
+    from mimic2ts_spark.operators.kmeans import QUANT
+    from mimic2ts_spark.operators.knn import (
+        BFS_HOPS,
+        BFS_SEEDS,
+        KNN_K,
+        KNN_ROUNDS,
+        seed_hop_distance,
+    )
+
+    vecs = {
+        r.vec_id: [math.floor(float(v) * QUANT) for v in r.embedding]
+        for r in embs.select("vec_id", "embedding").collect()
+    }
+    graph = _knn_python_replay(vecs, KNN_K, KNN_ROUNDS)
+    adj = {}
+    for a, b, _, _ in graph:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    seeds = sorted(vecs, key=lambda i: (h15(str(i)), i))[:BFS_SEEDS]
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, BFS_HOPS + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        frontier = nxt
+    want = sorted((i, dist.get(i, -1)) for i in vecs)
+    got = sorted(
+        (r.vec_id, r.dist)
+        for r in seed_hop_distance(embs, _knn_graph(spark, SF)).collect()
+    )
+    assert got == want
+    assert sum(1 for _, d in got if d == 0) == BFS_SEEDS
+    assert any(d >= 1 for _, d in got)
