@@ -205,6 +205,28 @@ def main(argv: list[str] | None = None) -> None:
              "new (text_md5, canon) rows",
     )
 
+    p_kg = sub.add_parser(
+        "knn-graph",
+        help="build + persist the NN-Descent k-NN graph artifact "
+             "(vectors + graph + meta)",
+    )
+    p_kg.add_argument("out_dir")
+    p_kg.add_argument("src")
+    p_kg.add_argument("--id-col", default="vec_id")
+    p_kg.add_argument("--vec-col", default="embedding")
+
+    p_kga = sub.add_parser(
+        "knn-graph-append",
+        help="insert a NEW-ids delta at delta cost: beam-search the "
+             "existing graph, exact within-batch pairs, reverse "
+             "adoption on beam-found nodes only (batches <= 4096 "
+             "vectors; chunk larger ingests)",
+    )
+    p_kga.add_argument("out_dir")
+    p_kga.add_argument("delta")
+    p_kga.add_argument("--id-col", default="vec_id")
+    p_kga.add_argument("--vec-col", default="embedding")
+
     p_cla = sub.add_parser(
         "cluster-append",
         help="O(delta) cluster-label maintenance: dedup a delta batch "
@@ -587,6 +609,33 @@ def main(argv: list[str] | None = None) -> None:
             "n_groups": state.select(args.group_col).distinct().count(),
             "runtime_seconds": round(time.time() - t0, 3),
         }
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd in ("knn-graph", "knn-graph-append"):
+        from mimic2ts_spark.operators.knn import (
+            append_knn_artifact,
+            build_knn_artifact,
+        )
+
+        if args.cmd == "knn-graph":
+            audit = {"cmd": "knn-graph", "out": args.out_dir}
+            audit.update(
+                build_knn_artifact(
+                    spark, args.out_dir, spark.read.parquet(args.src),
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            )
+        else:
+            audit = {"cmd": "knn-graph-append", "out": args.out_dir}
+            audit.update(
+                append_knn_artifact(
+                    spark, args.out_dir, spark.read.parquet(args.delta),
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            )
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
         print(json.dumps(audit))
         release_storage(spark)
         return

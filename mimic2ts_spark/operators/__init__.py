@@ -46,7 +46,14 @@ from mimic2ts_spark.operators.similarity import (
     lsh_topk,
 )
 from mimic2ts_spark.operators.sketch import kmv_sketch
-from mimic2ts_spark.operators.knn import knn_beam_topk, knn_graph
+from mimic2ts_spark.operators.knn import (
+    append_knn_artifact,
+    build_knn_artifact,
+    knn_beam_topk,
+    knn_graph,
+    seed_hop_distance,
+    serve_knn_artifact,
+)
 from mimic2ts_spark.operators.split import epoch_shuffle, with_split
 from mimic2ts_spark.operators.text import (
     bpe_ish_token_count,
@@ -118,6 +125,10 @@ __all__ = [
     "lsh_multiprobe_topk",
     "knn_graph",
     "knn_beam_topk",
+    "seed_hop_distance",
+    "build_knn_artifact",
+    "append_knn_artifact",
+    "serve_knn_artifact",
     "kmv_sketch",
     "with_split",
     "epoch_shuffle",

@@ -280,7 +280,23 @@ def knn_beam_topk(
     )
     qv = queries.select(
         F.col(id_col).alias("qid"), quantize(F.col(vec_col)).alias("xq")
-    ).persist()
+    )
+    return _beam_quantized(base, qv, graph, k, beam, hops, entries)
+
+
+def _beam_quantized(
+    base: DataFrame,
+    qv: DataFrame,
+    graph: DataFrame,
+    k: int,
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+    entries: int = BEAM_ENTRIES,
+) -> DataFrame:
+    """knn_beam_topk over ALREADY-QUANTIZED frames — base (id, x) and
+    queries (qid, xq) — so artifact serving/maintenance (stored int
+    coordinates) skips re-quantization."""
+    qv = qv.persist()
     g = graph.select("id", "nbr").persist()
     entry = (
         base.select("id", kmv_code(F.col("id")).alias("code"))
@@ -535,3 +551,166 @@ def sql_knn_beam_topk(
         + f"\nSELECT qid, node AS nbr, d2, rn AS rank FROM s{hops} "
         f"WHERE rn <= {k}"
     )
+
+
+# --- maintained artifact: build / O(delta) append / serve --------------------
+#
+# The graph-ANN family's standing-corpus form (the X152/X172 artifact
+# pattern): `maintain knn-graph` persists (vectors, graph, meta);
+# `knn-graph-append` inserts a NEW-ids batch at delta cost — exactly how
+# incremental graph-ANN insertion works (HNSW: search, then connect):
+#   1. each delta vector BEAM-SEARCHES the existing graph for its
+#      approximate top-k (frontier-bound — the corpus is never scanned),
+#   2. within-batch exact pairs come from one bounded |delta|² kernel
+#      block (batches are documented <= RING_BUCKET vectors; chunk
+#      larger ingests),
+#   3. delta nodes adopt the k closest of (found ∪ within-batch),
+#   4. REVERSE edges: only the nodes the beam search actually found
+#      (<= |delta|·k of them) rescore their neighbor lists against the
+#      delta — untouched nodes' rows are carried verbatim,
+#   5. vectors append; the graph table is rewritten (n·k skinny rows —
+#      at lakehouse scale the rewrite routes through the partition-
+#      pruned MERGE (X124) keyed on affected ids, the X175 note).
+# The merged graph is NOT the bit-image of a from-scratch NN-Descent
+# run (insertion is a different — also approximate — path), so the pin
+# is QUALITY, not hashes: recall of the merged graph stays within a
+# fixed margin of the from-scratch build on the grown corpus, and the
+# delta rows are exactly the top-k of their candidate sets (replayable).
+
+KNN_META = "_knn_meta.json"
+
+
+def _read_meta(out_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(out_dir, KNN_META)) as f:
+        return json.load(f)
+
+
+def build_knn_artifact(
+    spark,
+    out_dir: str,
+    src: DataFrame,
+    k: int = KNN_K,
+    rounds: int = KNN_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    import json
+    import os
+
+    base = src.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("x")
+    )
+    graph = knn_graph(src, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col)
+    os.makedirs(out_dir, exist_ok=True)
+    base.repartition(1).sortWithinPartitions("id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "vectors"))
+    graph.repartition(1).sortWithinPartitions("id", "rank").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "graph"))
+    n = spark.read.parquet(os.path.join(out_dir, "vectors")).count()
+    ne = spark.read.parquet(os.path.join(out_dir, "graph")).count()
+    with open(os.path.join(out_dir, KNN_META), "w") as f:
+        json.dump({"k": k, "rounds": rounds, "n": n, "edges": ne}, f)
+    return {"n": n, "edges": ne, "k": k}
+
+
+def append_knn_artifact(
+    spark,
+    out_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Insert a NEW-ids delta batch (see module comment for the five
+    steps). Returns audit counts."""
+    import json
+    import os
+
+    meta = _read_meta(out_dir)
+    k = meta["k"]
+    vectors = spark.read.parquet(os.path.join(out_dir, "vectors"))
+    graph = spark.read.parquet(os.path.join(out_dir, "graph"))
+    dq = delta.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("x")
+    ).persist()
+    n_delta = dq.count()
+
+    # 1. search: approximate top-k among EXISTING ids per delta vector
+    found = _beam_quantized(
+        vectors,
+        dq.select(F.col("id").alias("qid"), F.col("x").alias("xq")),
+        graph,
+        k=k,
+    ).persist()
+    found.count()  # settle before the graph table is overwritten below
+
+    # 2. exact within-batch pairs (single bounded kernel block)
+    dd = _local_join_pairs(
+        dq.select(F.lit(0).alias("m"), F.col("id").alias("mid"), "x")
+    )
+
+    # 3. delta neighbor lists (found ∪ within-batch are disjoint nbr
+    # spaces — existing vs new ids — so no dedupe is needed)
+    wd = Window.partitionBy("id").orderBy("d2", "nbr")
+    delta_rows = (
+        found.select(F.col("qid").alias("id"), "nbr", "d2")
+        .unionByName(dd)
+        .withColumn("rank", F.row_number().over(wd))
+        .where(F.col("rank") <= k)
+    )
+
+    # 4. reverse adoption: only beam-found nodes rescore
+    rev = found.select(
+        F.col("nbr").alias("id"), F.col("qid").alias("nbr"), "d2"
+    )
+    affected = rev.select("id").distinct()
+    old_affected = graph.join(F.broadcast(affected), "id").select(
+        "id", "nbr", "d2"
+    )
+    re_topk = (
+        old_affected.unionByName(rev)
+        .withColumn("rank", F.row_number().over(wd))
+        .where(F.col("rank") <= k)
+    )
+    keep = graph.join(F.broadcast(affected), "id", "left_anti")
+    new_graph = keep.unionByName(re_topk).unionByName(delta_rows)
+
+    # 5. persist the new state (vectors append; graph rewrite — see
+    # module comment for the lakehouse-scale MERGE route)
+    new_graph = new_graph.localCheckpoint(eager=True)  # pre-overwrite settle
+    dq.write.mode("append").parquet(os.path.join(out_dir, "vectors"))
+    new_graph.repartition(1).sortWithinPartitions("id", "rank").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "graph"))
+    n = spark.read.parquet(os.path.join(out_dir, "vectors")).count()
+    ne = spark.read.parquet(os.path.join(out_dir, "graph")).count()
+    n_aff = affected.count()
+    dq.unpersist()
+    found.unpersist()
+    with open(os.path.join(out_dir, KNN_META), "w") as f:
+        json.dump(
+            {"k": k, "rounds": meta["rounds"], "n": n, "edges": ne}, f
+        )
+    return {"n": n, "edges": ne, "delta": n_delta, "rescored": n_aff}
+
+
+def serve_knn_artifact(
+    spark,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    import os
+
+    vectors = spark.read.parquet(os.path.join(out_dir, "vectors"))
+    graph = spark.read.parquet(os.path.join(out_dir, "graph"))
+    qv = queries.select(
+        F.col(id_col).alias("qid"), quantize(F.col(vec_col)).alias("xq")
+    )
+    return _beam_quantized(vectors, qv, graph, k=k)

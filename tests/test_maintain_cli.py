@@ -603,3 +603,98 @@ def test_maintain_cluster_append_canonical_layout(spark, tmp_path, capsys):
     main(["cluster-append", labels, idx, dirs["d2"]])
     capsys.readouterr()
     assert read_labels(labels) == full(str(tmp_path / "f2"), dirs["all"])
+
+
+def test_maintain_knn_graph_build_append_serve(spark, tmp_path, capsys):
+    """X184: the k-NN graph as maintained state. Build on 400 vectors,
+    append the other 100 at delta cost (beam-search insertion + exact
+    within-batch pairs + reverse adoption), then pin:
+    (a) structure — every id has <= k unique ascending-ranked rows,
+        delta d2 values equal exact integer distances;
+    (b) QUALITY — merged-graph recall@8 vs the true graph stays within
+        0.05 of a from-scratch build on the grown corpus (insertion is
+        a different approximate path, so the contract is quality, not
+        hashes);
+    (c) serving from the merged artifact clears the beam recall floor."""
+    import math
+
+    import numpy as np
+
+    from mimic2ts_spark.operators.kmeans import QUANT
+    from mimic2ts_spark.operators.knn import KNN_K, serve_knn_artifact
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base_dir = str(tmp_path / "kbase")
+    delta_dir = str(tmp_path / "kdelta")
+    art = str(tmp_path / "kg")
+    scratch = str(tmp_path / "kg_scratch")
+    embs.where(F.col("vec_id") < 400).write.parquet(base_dir)
+    embs.where(F.col("vec_id") >= 400).write.parquet(delta_dir)
+
+    a1 = _run("knn-graph", art, base_dir)
+    assert a1["n"] == 400 and a1["k"] == KNN_K
+    a2 = _run("knn-graph-append", art, delta_dir)
+    assert a2["n"] == 500 and a2["delta"] == 100
+    assert a2["rescored"] <= 100 * KNN_K
+
+    rows = spark.read.parquet(f"{art}/graph").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.id, []).append((r.rank, r.nbr, r.d2))
+    assert len(per) == 500
+    vecs = {
+        r.vec_id: np.array(
+            [math.floor(float(v) * QUANT) for v in r.embedding], dtype=np.int64
+        )
+        for r in embs.collect()
+    }
+    for i, lst in per.items():
+        lst.sort()
+        assert len(lst) <= KNN_K
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        assert len({b for _, b, _ in lst}) == len(lst)
+        ds = [d for _, _, d in lst]
+        assert ds == sorted(ds)
+    for i in range(400, 500):
+        for _, b, d in per[i]:
+            assert d == int(((vecs[i] - vecs[b]) ** 2).sum())
+
+    # quality vs from-scratch on the grown corpus
+    a3 = _run("knn-graph", scratch, f"{SF}/embeddings.parquet")
+    assert a3["n"] == 500
+
+    def recall(graph_dir):
+        got = {}
+        for r in spark.read.parquet(f"{graph_dir}/graph").collect():
+            got.setdefault(r.id, set()).add(r.nbr)
+        ids = np.array(sorted(vecs))
+        X = np.stack([vecs[i] for i in ids])
+        hit = tot = 0
+        for ix in range(len(ids)):
+            D = ((X - X[ix]) ** 2).sum(axis=1)
+            D[ix] = np.iinfo(np.int64).max
+            true = {ids[j] for j in np.lexsort((ids, D))[:KNN_K]}
+            hit += len(true & got.get(ids[ix], set()))
+            tot += KNN_K
+        return hit / tot
+
+    r_merged, r_scratch = recall(art), recall(scratch)
+    assert r_merged >= r_scratch - 0.05, (r_merged, r_scratch)
+
+    served = serve_knn_artifact(
+        spark, art, embs.where(F.col("vec_id") < 32), k=5
+    )
+    got = {}
+    for r in served.collect():
+        got.setdefault(r.qid, set()).add(r.nbr)
+    ids = np.array(sorted(vecs))
+    X = np.stack([vecs[i] for i in ids])
+    hit = tot = 0
+    for ix in range(len(ids)):
+        if ids[ix] >= 32:
+            continue
+        D = ((X - X[ix]) ** 2).sum(axis=1)
+        true = {ids[j] for j in np.lexsort((ids, D))[:5]}
+        hit += len(true & got.get(ids[ix], set()))
+        tot += 5
+    assert hit / tot >= 0.85
