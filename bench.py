@@ -150,6 +150,8 @@ HEADLINE = [
     "q_ann_knn_beam",
     "q_retrieval_mrr",
     "q_graph_seed_distance",
+    "q_knn_diagnostics",
+    "q_cluster_mutual_knn",
 ]
 
 

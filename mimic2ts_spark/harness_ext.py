@@ -815,6 +815,129 @@ def _q_graph_seed_distance_sql():
 Q_GRAPH_SEED_DISTANCE_SQL = _q_graph_seed_distance_sql()
 
 
+def q_knn_diagnostics(spark, sf_dir):
+    """X185 — k-NN graph diagnostics, two classic signals in one pass
+    over the memoized X180 graph:
+    - kth_d2: distance to the farthest kept neighbor — the standard
+      kNN outlier score (Ramaswamy et al. 2000); large = isolated,
+      the data-quality filter for stray/corrupt embeddings;
+    - indeg: reverse-edge count — hubness (Radovanović et al. 2010),
+      the high-dim pathology diagnostic (hubs appear in many neighbor
+      lists and distort retrieval).
+    Two hash aggs + two broadcast joins back to the node list; the
+    max-rank row is fetched by an (id, rank) equi-join, not a sort."""
+    g = _knn_graph(spark, sf_dir)
+    nodes = _embs(spark, sf_dir).select(F.col("vec_id").alias("id"))
+    kthr = g.groupBy("id").agg(F.max("rank").alias("kth_rank")).select(
+        F.col("id").alias("kid"), "kth_rank"
+    )
+    kth = g.join(
+        kthr, (g["id"] == kthr["kid"]) & (g["rank"] == kthr["kth_rank"])
+    ).select("kid", "kth_rank", F.col("d2").alias("kth_d2"))
+    indeg = g.groupBy(F.col("nbr").alias("iid")).agg(
+        F.count(F.lit(1)).cast("long").alias("indeg")
+    )
+    return (
+        nodes.join(kth, nodes["id"] == kth["kid"], "left")
+        .join(indeg, nodes["id"] == indeg["iid"], "left")
+        .select(
+            nodes["id"].alias("vec_id"),
+            F.coalesce(F.col("kth_rank"), F.lit(0)).cast("long").alias("kth_rank"),
+            F.coalesce(F.col("kth_d2"), F.lit(-1)).cast("long").alias("kth_d2"),
+            F.coalesce(F.col("indeg"), F.lit(0)).cast("long").alias("indeg"),
+        )
+    )
+
+
+def _q_knn_diagnostics_sql():
+    from mimic2ts_spark.operators.knn import KNN_ROUNDS, sql_knn_graph
+
+    graph = sql_knn_graph("embeddings")
+    body = graph.strip().removeprefix("WITH")
+    chain = body.split(f"\nSELECT id AS vec_id")[0]
+    return f"""
+WITH {chain},
+g AS (SELECT id, nbr, d2, rank FROM nb{KNN_ROUNDS}),
+kthr AS (SELECT id, max(rank) AS kth_rank FROM g GROUP BY id),
+kth AS (
+    SELECT g.id, k.kth_rank, g.d2 AS kth_d2
+    FROM g JOIN kthr k ON k.id = g.id AND g.rank = k.kth_rank
+),
+indeg AS (SELECT nbr AS id, CAST(count(*) AS BIGINT) AS indeg FROM g GROUP BY 1)
+SELECT b.id AS vec_id,
+       CAST(coalesce(k.kth_rank, 0) AS BIGINT) AS kth_rank,
+       CAST(coalesce(k.kth_d2, -1) AS BIGINT) AS kth_d2,
+       CAST(coalesce(i.indeg, 0) AS BIGINT) AS indeg
+FROM base b
+LEFT JOIN kth k ON k.id = b.id
+LEFT JOIN indeg i ON i.id = b.id
+"""
+
+
+Q_KNN_DIAGNOSTICS_SQL = _q_knn_diagnostics_sql()
+
+
+def q_cluster_mutual_knn(spark, sf_dir):
+    """X186 — mutual-kNN clustering: connected components over the
+    MUTUAL edge set (i→j AND j→i — the parameter-free denoised graph;
+    one-way edges are how hubs attach to everything, so requiring
+    reciprocity is the classic cluster-extraction step on kNN graphs).
+    Composes X180's graph with the X30 CC machinery; every vector is
+    labeled with its component's min id (self when unpaired)."""
+    from mimic2ts_spark.operators.cluster import connected_components
+
+    g = _knn_graph(spark, sf_dir)
+    e = g.select("id", "nbr")
+    rev = e.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+    mutual = e.intersect(rev).where(F.col("id") < F.col("nbr"))
+    pairs = mutual.select(
+        F.col("id").alias("doc_a"), F.col("nbr").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    nodes = _embs(spark, sf_dir).select(F.col("vec_id").alias("id"))
+    return (
+        nodes.join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.coalesce(F.col("comp"), F.col("id")).cast("long").alias(
+                "cluster_id"
+            ),
+        )
+    )
+
+
+def _q_cluster_mutual_knn_sql():
+    from mimic2ts_spark.operators.knn import KNN_ROUNDS, sql_knn_graph
+
+    graph = sql_knn_graph("embeddings")
+    body = graph.strip().removeprefix("WITH")
+    chain = body.split(f"\nSELECT id AS vec_id")[0]
+    return f"""
+WITH RECURSIVE {chain},
+g AS (SELECT id, nbr FROM nb{KNN_ROUNDS}),
+mutual AS (
+    SELECT a.id, a.nbr FROM g a JOIN g b ON b.id = a.nbr AND b.nbr = a.id
+    WHERE a.id < a.nbr
+),
+sym AS (
+    SELECT id AS u, nbr AS v FROM mutual
+    UNION
+    SELECT nbr, id FROM mutual
+),
+reach(node, lab) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym) AS t(u)
+    UNION
+    SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+),
+comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node)
+SELECT b.id AS vec_id, CAST(coalesce(c.comp, b.id) AS BIGINT) AS cluster_id
+FROM base b LEFT JOIN comp c ON c.node = b.id
+"""
+
+
+Q_CLUSTER_MUTUAL_KNN_SQL = _q_cluster_mutual_knn_sql()
+
+
 def q_ann_ivf(spark, sf_dir):
     """X8 — IVF-flat with TRAINED cells (r05): k-means coarse centroids
     (integer-exact Lloyd, memoized per sf_dir and shared with IVF-PQ's
@@ -5858,6 +5981,8 @@ EXT_REGISTRY = {
     "q_ann_knn_graph": (q_ann_knn_graph, Q_ANN_KNN_GRAPH_SQL),
     "q_ann_knn_beam": (q_ann_knn_beam, Q_ANN_KNN_BEAM_SQL),
     "q_graph_seed_distance": (q_graph_seed_distance, Q_GRAPH_SEED_DISTANCE_SQL),
+    "q_knn_diagnostics": (q_knn_diagnostics, Q_KNN_DIAGNOSTICS_SQL),
+    "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
     "q_kcenter_coreset": (q_kcenter_coreset, Q_KCENTER_CORESET_SQL),
     "q_shard_balanced": (q_shard_balanced, Q_SHARD_BALANCED_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
