@@ -152,6 +152,8 @@ HEADLINE = [
     "q_graph_seed_distance",
     "q_knn_diagnostics",
     "q_cluster_mutual_knn",
+    "q_doc_hash_vectors",
+    "q_lexical_vector_topk",
 ]
 
 

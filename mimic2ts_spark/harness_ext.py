@@ -938,6 +938,86 @@ FROM base b LEFT JOIN comp c ON c.node = b.id
 Q_CLUSTER_MUTUAL_KNN_SQL = _q_cluster_mutual_knn_sql()
 
 
+def q_doc_hash_vectors(spark, sf_dir):
+    """X187 — feature hashing (the hashing trick, Weinberger et al.
+    2009): text → 64-dim signed integer count vector with NO trained
+    model (bucket = md5(token) % 64, ±1 sign from the next hash bit —
+    the sign makes collisions cancel in expectation). Long-form
+    output; one explode + one hash agg. The dense form is a drop-in
+    `embedding` column for the whole vector family — the bridge that
+    runs similarity ops on corpora that ship no embeddings (X188)."""
+    from mimic2ts_spark.operators.text import hashed_vector_rows
+
+    return hashed_vector_rows(_docs(spark, sf_dir))
+
+
+def _q_doc_hash_vectors_sql():
+    from mimic2ts_spark.operators.text import sql_hashed_vector_rows
+
+    return sql_hashed_vector_rows("documents")
+
+
+Q_DOC_HASH_VECTORS_SQL = _q_doc_hash_vectors_sql()
+
+
+def q_lexical_vector_topk(spark, sf_dir):
+    """X188 — similarity search over DERIVED vectors: the X187 hashed
+    doc vectors (integer counts, exactly representable as doubles)
+    feed the exact cosine top-k machinery — lexical nearest-docs with
+    zero model dependencies. Zero-norm vectors (all signs cancelled)
+    are excluded by an exact integer check BEFORE the cosine (ANSI /0
+    trap). Declared bounded brute-force leg (5-query side); the scale
+    path is the same derived column through lsh/ivf/knn_graph."""
+    from mimic2ts_spark.operators.text import (
+        hashed_vector_rows,
+        hashed_vectors_dense,
+    )
+
+    rows = hashed_vector_rows(_docs(spark, sf_dir))
+    nonzero = (
+        rows.groupBy("doc_id")
+        .agg(F.sum(F.col("v") * F.col("v")).alias("_n2"))
+        .where(F.col("_n2") > 0)
+        .select("doc_id")
+    )
+    dense = hashed_vectors_dense(rows.join(nonzero, "doc_id")).persist()
+    return S.brute_force_topk(
+        dense, dense.where(F.col("vec_id") < 5), k=5
+    )
+
+
+def _q_lexical_vector_topk_sql():
+    from mimic2ts_spark.operators.text import (
+        sql_hashed_vector_rows,
+        sql_hashed_vectors_dense,
+    )
+
+    rows = sql_hashed_vector_rows("documents").strip()
+    dense = sql_hashed_vectors_dense("nzrows")
+    return f"""
+WITH hrows AS MATERIALIZED ({rows}),
+nz AS (SELECT doc_id FROM hrows GROUP BY doc_id HAVING sum(v * v) > 0),
+nzrows AS (SELECT h.* FROM hrows h JOIN nz USING (doc_id)),
+dense AS MATERIALIZED (SELECT * FROM {dense} d),
+scored AS (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           {S.sql_cosine('q.embedding', 'v.embedding')} AS cosine
+    FROM dense q CROSS JOIN dense v
+    WHERE q.vec_id < 5 AND q.vec_id <> v.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+Q_LEXICAL_VECTOR_TOPK_SQL = _q_lexical_vector_topk_sql()
+
+
 def q_ann_ivf(spark, sf_dir):
     """X8 — IVF-flat with TRAINED cells (r05): k-means coarse centroids
     (integer-exact Lloyd, memoized per sf_dir and shared with IVF-PQ's
@@ -5983,6 +6063,8 @@ EXT_REGISTRY = {
     "q_graph_seed_distance": (q_graph_seed_distance, Q_GRAPH_SEED_DISTANCE_SQL),
     "q_knn_diagnostics": (q_knn_diagnostics, Q_KNN_DIAGNOSTICS_SQL),
     "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
+    "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
+    "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
     "q_kcenter_coreset": (q_kcenter_coreset, Q_KCENTER_CORESET_SQL),
     "q_shard_balanced": (q_shard_balanced, Q_SHARD_BALANCED_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),

@@ -57,6 +57,8 @@ from mimic2ts_spark.operators.knn import (
 from mimic2ts_spark.operators.split import epoch_shuffle, with_split
 from mimic2ts_spark.operators.text import (
     bpe_ish_token_count,
+    hashed_vector_rows,
+    hashed_vectors_dense,
     lang_id,
     quality_score,
     token_count,
@@ -136,6 +138,8 @@ __all__ = [
     "lang_id",
     "quality_score",
     "token_count",
+    "hashed_vector_rows",
+    "hashed_vectors_dense",
     "fuzzy_link",
     "best_match_report",
     "merge_changelog",

@@ -216,3 +216,99 @@ def normalize_text(col: Column) -> Column:
 
 
 SQL_NORMALIZE = "trim(regexp_replace(lower({text}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+# --- hashed doc vectors (feature hashing / the hashing trick) ---------------
+#
+# Text -> fixed-dim vector WITHOUT a trained model (Weinberger et al.
+# 2009): every token lands in bucket md5(token) % HASH_DIM with a
+# ±1 sign drawn from the next hash bit (the sign is what makes the
+# estimator unbiased — collisions cancel in expectation instead of
+# accumulating). The result is a 64-dim signed integer count vector —
+# integer-exact cross-engine, and (cast to double, exactly
+# representable) a drop-in `embedding` column for the whole vector
+# family (brute force / LSH / IVF / kNN graph / k-means) — the bridge
+# that lets the similarity operators run on corpora that ship no
+# embeddings.
+
+HASH_DIM = 64
+
+
+def hashed_vector_rows(
+    df, dim: int = HASH_DIM, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Long-form (doc_id, dim, v): one hash-agg pass over the exploded
+    tokens; only touched buckets emit rows (v can be 0 when signs
+    cancel — both engines emit the group)."""
+    from pyspark.sql import functions as F
+
+    code = token_code(F.col("_tok"))
+    sign = F.expr(
+        f"CASE WHEN ((cast(conv(substring(md5(_tok), 1, 15), 16, 10) "
+        f"AS BIGINT) div {dim}) % 2) = 1 THEN 1 ELSE -1 END"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+        .select(
+            id_col,
+            F.pmod(code, F.lit(dim)).alias("dim"),
+            sign.alias("_s"),
+        )
+        .groupBy(id_col, "dim")
+        .agg(F.sum("_s").cast("long").alias("v"))
+    )
+
+
+def hashed_vectors_dense(rows_df, dim: int = HASH_DIM, id_col: str = "doc_id"):
+    """(vec_id, embedding): the long form assembled into a dense
+    double array (integer counts are exactly representable). The map
+    lookup runs over a MATERIALIZED agg output column — not a
+    re-evaluated expression — so the per-element element_at is O(1),
+    not the HOF re-evaluation trap."""
+    from pyspark.sql import functions as F
+
+    m = F.map_from_entries(F.collect_list(F.struct("dim", "v")))
+    return rows_df.groupBy(id_col).agg(m.alias("_m")).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.coalesce(
+                F.element_at(F.col("_m"), d), F.lit(0)
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+def sql_hashed_vector_rows(
+    table: str = "documents",
+    dim: int = HASH_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = SQL_TOKENS.format(text=text_col)
+    code = SQL_CODE.format(tok="t.tok")
+    return f"""
+SELECT {id_col}, {code} % {dim} AS dim,
+       CAST(sum(CASE WHEN ({code} // {dim}) % 2 = 1 THEN 1 ELSE -1 END)
+            AS BIGINT) AS v
+FROM {table}, unnest({toks}) AS t(tok)
+GROUP BY 1, 2
+"""
+
+
+def sql_hashed_vectors_dense(
+    rows_rel: str, dim: int = HASH_DIM, id_col: str = "doc_id"
+) -> str:
+    """Dense assembly: per-doc map(dim -> v), then a 0..dim-1 fill
+    (map_extract returns a list — empty when absent)."""
+    return f"""(
+    SELECT {id_col} AS vec_id,
+           list_transform(generate_series(0, {dim - 1}),
+               d -> CAST(coalesce(map_extract(m, d)[1], 0) AS DOUBLE))
+               AS embedding
+    FROM (
+        SELECT {id_col},
+               map(list(dim ORDER BY dim), list(v ORDER BY dim)) AS m
+        FROM {rows_rel} GROUP BY {id_col}
+    )
+)"""
