@@ -154,6 +154,8 @@ HEADLINE = [
     "q_cluster_mutual_knn",
     "q_doc_hash_vectors",
     "q_lexical_vector_topk",
+    "q_item_cf",
+    "q_semantic_representatives",
 ]
 
 

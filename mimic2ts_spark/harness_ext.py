@@ -877,6 +877,40 @@ LEFT JOIN indeg i ON i.id = b.id
 Q_KNN_DIAGNOSTICS_SQL = _q_knn_diagnostics_sql()
 
 
+_MUTUAL_LABELS_CACHE: dict = _rpc({})
+
+
+def _mutual_knn_labels(spark, sf_dir):
+    """(vec_id, cluster_id) for every vector — CC over the mutual edge
+    set of the memoized X180 graph; shared by X186/X190 (the
+    _dedup_cluster_labels pattern: lineage passes checkpoints, so the
+    memo registers as a plan cache)."""
+    got = _MUTUAL_LABELS_CACHE.get(sf_dir)
+    if got is None:
+        from mimic2ts_spark.operators.cluster import connected_components
+
+        g = _knn_graph(spark, sf_dir)
+        e = g.select("id", "nbr")
+        rev = e.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+        mutual = e.intersect(rev).where(F.col("id") < F.col("nbr"))
+        pairs = mutual.select(
+            F.col("id").alias("doc_a"), F.col("nbr").alias("doc_b")
+        )
+        comp = connected_components(pairs)
+        nodes = _embs(spark, sf_dir).select(F.col("vec_id").alias("id"))
+        got = (
+            nodes.join(comp.withColumnRenamed("node", "id"), "id", "left")
+            .select(
+                F.col("id").alias("vec_id"),
+                F.coalesce(F.col("comp"), F.col("id")).cast("long").alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        _MUTUAL_LABELS_CACHE[sf_dir] = got
+    return got.persist()
+
+
 def q_cluster_mutual_knn(spark, sf_dir):
     """X186 — mutual-kNN clustering: connected components over the
     MUTUAL edge set (i→j AND j→i — the parameter-free denoised graph;
@@ -884,26 +918,7 @@ def q_cluster_mutual_knn(spark, sf_dir):
     reciprocity is the classic cluster-extraction step on kNN graphs).
     Composes X180's graph with the X30 CC machinery; every vector is
     labeled with its component's min id (self when unpaired)."""
-    from mimic2ts_spark.operators.cluster import connected_components
-
-    g = _knn_graph(spark, sf_dir)
-    e = g.select("id", "nbr")
-    rev = e.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
-    mutual = e.intersect(rev).where(F.col("id") < F.col("nbr"))
-    pairs = mutual.select(
-        F.col("id").alias("doc_a"), F.col("nbr").alias("doc_b")
-    )
-    comp = connected_components(pairs)
-    nodes = _embs(spark, sf_dir).select(F.col("vec_id").alias("id"))
-    return (
-        nodes.join(comp.withColumnRenamed("node", "id"), "id", "left")
-        .select(
-            F.col("id").alias("vec_id"),
-            F.coalesce(F.col("comp"), F.col("id")).cast("long").alias(
-                "cluster_id"
-            ),
-        )
-    )
+    return _mutual_knn_labels(spark, sf_dir)
 
 
 def _q_cluster_mutual_knn_sql():
@@ -936,6 +951,70 @@ FROM base b LEFT JOIN comp c ON c.node = b.id
 
 
 Q_CLUSTER_MUTUAL_KNN_SQL = _q_cluster_mutual_knn_sql()
+
+
+def q_semantic_representatives(spark, sf_dir):
+    """X190 — keep-best semantic curation: per mutual-kNN cluster
+    (X186 labels, shared memo) keep the member with the highest
+    quality score (X10's fixed fp expression tree, doc_id ≡ vec_id) —
+    the SemDeDup-style 'keep one good exemplar per semantic
+    neighborhood' selection, composing graph + cluster + text-quality
+    families end-to-end. Per-cluster argmax is a row_number=1
+    WindowGroupLimit; sizes ride the same labels."""
+    from pyspark.sql import Window as W
+
+    labels = _mutual_knn_labels(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"),
+        X.quality_score(F.col("text")).alias("q"),
+    )
+    labeled = labels.join(docs, "vec_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("q"), "vec_id")
+    reps = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("vec_id").alias("rep_id"), F.col("q").alias("rep_quality"))
+    )
+    counts = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return reps.join(counts, "cluster_id")
+
+
+def _q_semantic_representatives_sql():
+    from mimic2ts_spark.operators import text as _X
+
+    quality = (
+        f"least(1.0, CAST({_X.SQL_TOKEN_COUNT.format(text='d.text')} AS DOUBLE) / 200.0) * 0.5"
+        f" + least(1.0, (CAST({_X.SQL_STOP_HITS.format(text='d.text')} AS DOUBLE)"
+        f" / CAST({_X.SQL_TOKEN_COUNT.format(text='d.text')} AS DOUBLE)) * 4.0) * 0.5"
+    )
+    body = Q_CLUSTER_MUTUAL_KNN_SQL.rsplit("SELECT b.id AS vec_id", 1)[0].rstrip()
+    return f"""{body},
+labels AS (
+    SELECT b.id AS vec_id, CAST(coalesce(c.comp, b.id) AS BIGINT) AS cluster_id
+    FROM base b LEFT JOIN comp c ON c.node = b.id
+),
+labeled AS (
+    SELECT l.vec_id, l.cluster_id, {quality} AS q
+    FROM labels l JOIN documents d ON d.doc_id = l.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY q DESC, vec_id) AS rn
+    FROM labeled
+),
+counts AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM labeled GROUP BY 1
+)
+SELECT r.cluster_id, r.vec_id AS rep_id, r.q AS rep_quality, c.n_members
+FROM ranked r JOIN counts c USING (cluster_id)
+WHERE r.rn = 1
+"""
+
+
+Q_SEMANTIC_REPS_SQL = _q_semantic_representatives_sql()
 
 
 def q_doc_hash_vectors(spark, sf_dir):
@@ -1016,6 +1095,84 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 Q_LEXICAL_VECTOR_TOPK_SQL = _q_lexical_vector_topk_sql()
+
+
+CF_TOP_K = 5
+CF_SCALE = 100_000
+
+
+def q_item_cf(spark, sf_dir):
+    """X189 — item-item collaborative filtering from the event stream
+    (Sarwar et al. 2001): items = the props JSON `k` values, baskets =
+    users; similarity = exact scaled Jaccard of the items' user sets —
+    jac_scaled = SCALE·|A∩B| div (|A|+|B|−|A∩B|), pure int64 — with
+    top-5 neighbors per item (ties ascending item id). Shape: distinct
+    (user, item) once, co-occurrence via a within-user self-join (Σ
+    per-user items² fan-out — basket-bound like X105, never corpus²),
+    one hash agg, per-item WindowGroupLimit; per-item user counts
+    broadcast back."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ui = ev.select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull()).distinct()
+    sizes = ui.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .where(F.col("a.item") != F.col("b.item"))
+        .groupBy(F.col("a.item").alias("item"), F.col("b.item").alias("nbr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    scored = (
+        co.join(F.broadcast(sizes), "item")
+        .join(
+            F.broadcast(
+                sizes.select(F.col("item").alias("nbr"), F.col("n").alias("nn"))
+            ),
+            "nbr",
+        )
+        .withColumn(
+            "jac_scaled",
+            F.expr(f"({CF_SCALE}L * inter) div (n + nn - inter)"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item").orderBy(
+        F.desc("jac_scaled"), F.desc("inter"), "nbr"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= CF_TOP_K)
+        .select("item", "nbr", "inter", "jac_scaled", "rank")
+    )
+
+
+Q_ITEM_CF_SQL = f"""
+WITH ui AS MATERIALIZED (
+    SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+),
+sizes AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY 1),
+co AS (
+    SELECT a.item AS item, b.item AS nbr, CAST(count(*) AS BIGINT) AS inter
+    FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT c.item, c.nbr, c.inter,
+           ({CF_SCALE} * c.inter) // (s.n + t.n - c.inter) AS jac_scaled
+    FROM co c JOIN sizes s ON s.item = c.item JOIN sizes t ON t.item = c.nbr
+)
+SELECT item, nbr, inter, jac_scaled, rank FROM (
+    SELECT item, nbr, inter, jac_scaled,
+           CAST(row_number() OVER (PARTITION BY item
+                ORDER BY jac_scaled DESC, inter DESC, nbr) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {CF_TOP_K}
+"""
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -6065,6 +6222,11 @@ EXT_REGISTRY = {
     "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
     "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
+    "q_item_cf": (q_item_cf, Q_ITEM_CF_SQL),
+    "q_semantic_representatives": (
+        q_semantic_representatives,
+        Q_SEMANTIC_REPS_SQL,
+    ),
     "q_kcenter_coreset": (q_kcenter_coreset, Q_KCENTER_CORESET_SQL),
     "q_shard_balanced": (q_shard_balanced, Q_SHARD_BALANCED_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
