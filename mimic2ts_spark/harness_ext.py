@@ -1261,10 +1261,17 @@ def q_ann_recall(spark, sf_dir):
       quantized-int-L2 top-10 (pq.brute_force_l2_panel) — ADC
       approximates quantized L2, so the gold standard is metric-matched
       and the number isolates INDEX error (cells + codebook
-      distortion) from metric mismatch.
-    Every exact leg is query-side bounded (one 32×n kernel pass); both
-    approximate legs reuse the memoized coarse/codebook artifacts."""
+      distortion) from metric mismatch;
+    - leg 'graph': X181's beam search over the NN-Descent graph vs the
+      SAME exact quantized-int-L2 panel (the beam ranks by exactly that
+      metric) — the three index families (cell-probed, quantized,
+      graph-walked) scored against metric-matched references in ONE
+      report.
+    Every exact leg is query-side bounded (one 32×n kernel pass); the
+    approximate legs reuse the memoized coarse/codebook/graph
+    artifacts."""
     from mimic2ts_spark.operators import pq as PQ
+    from mimic2ts_spark.operators.knn import knn_beam_topk
 
     embs = _embs(spark, sf_dir)
     qs = embs.where(F.col("vec_id") < ANN_RECALL_QUERIES)
@@ -1274,10 +1281,15 @@ def q_ann_recall(spark, sf_dir):
     ivf = S.ivf_topk(embs, qs, k=ANN_RECALL_K, cache_key=sf_dir)
     exact_l2 = PQ.brute_force_l2_panel(embs, qs, k=ANN_RECALL_K).select(
         "query_id", "neighbor_id"
-    )
+    ).persist()  # shared by the ivfpq AND graph legs
     ivfpq = PQ.ivfpq_topk_panel(embs, qs, k=ANN_RECALL_K, cache_key=sf_dir)
-    return _recall_leg(exact_cos, ivf, "ivf").unionByName(
-        _recall_leg(exact_l2, ivfpq, "ivfpq")
+    beam = knn_beam_topk(
+        embs, qs, _knn_graph(spark, sf_dir), k=ANN_RECALL_K
+    ).select(F.col("qid").alias("query_id"), F.col("nbr").alias("neighbor_id"))
+    return (
+        _recall_leg(exact_cos, ivf, "ivf")
+        .unionByName(_recall_leg(exact_l2, ivfpq, "ivfpq"))
+        .unionByName(_recall_leg(exact_l2, beam, "graph"))
     )
 
 
@@ -1288,9 +1300,14 @@ def _q_ann_recall_sql():
     parts, final_a, final_c = sql_kmeans_parts(
         "embeddings", k=S.sql_derived_cells("embeddings"), prefix="ivf_"
     )
+    from mimic2ts_spark.operators.knn import sql_knn_beam_topk
+
     nq, k = ANN_RECALL_QUERIES, ANN_RECALL_K
     pq_exact = sql_l2_panel(nq, k)
     pq_approx = sql_ivfpq_panel_topk(nq, k)
+    graph_beam = sql_knn_beam_topk(
+        "embeddings", query_pred=f"id < {nq}", k=k
+    )
     return f"""
 WITH {','.join(parts)},
 v AS (SELECT vec_id, embedding FROM embeddings),
@@ -1331,6 +1348,9 @@ pq_exact AS MATERIALIZED (
 ),
 pq_approx AS MATERIALIZED (
     SELECT query_id, neighbor_id FROM ({pq_approx})
+),
+graph_approx AS MATERIALIZED (
+    SELECT qid AS query_id, nbr AS neighbor_id FROM ({graph_beam})
 )
 SELECT e.query_id, 'ivf' AS leg,
        CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
@@ -1344,6 +1364,13 @@ SELECT e.query_id, 'ivfpq' AS leg,
        CAST(count(a.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
 FROM pq_exact e
 LEFT JOIN pq_approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+UNION ALL
+SELECT e.query_id, 'graph' AS leg,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+FROM pq_exact e
+LEFT JOIN graph_approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
 GROUP BY e.query_id
 """
 

@@ -1620,10 +1620,11 @@ def test_pq_adc_recall_floor(spark):
 def test_ann_recall_eval_floors(spark):
     """X156's recall report must stay a working eval: 32 rows per leg,
     recall in [0,1], and mean recall above a per-leg floor (measured
-    0.73 ivf / 0.31 ivfpq at sf0.001 — floors at 0.5/0.15 catch a
-    broken probe path, distance table, or panel join, not
-    codebook-quality drift). Guards every future dial change
-    (cells/nprobe/M) the eval exists to inform."""
+    0.73 ivf / 0.31 ivfpq / 0.88 graph at sf0.001 — floors at
+    0.5/0.15/0.8 catch a broken probe path, distance table, beam walk
+    or panel join, not codebook-quality drift). Guards every future
+    dial change (cells/nprobe/M/beam/hops) the eval exists to
+    inform."""
     from mimic2ts_spark import harness_ext as H
 
     rows = H.q_ann_recall(spark, SF).collect()
@@ -1632,8 +1633,8 @@ def test_ann_recall_eval_floors(spark):
         assert 0.0 <= r["recall"] <= 1.0
         assert r["n_hits"] == round(r["recall"] * H.ANN_RECALL_K)
         by_leg.setdefault(r["leg"], []).append(r["recall"])
-    assert set(by_leg) == {"ivf", "ivfpq"}
-    for leg, floor in (("ivf", 0.5), ("ivfpq", 0.15)):
+    assert set(by_leg) == {"ivf", "ivfpq", "graph"}
+    for leg, floor in (("ivf", 0.5), ("ivfpq", 0.15), ("graph", 0.8)):
         assert len(by_leg[leg]) == H.ANN_RECALL_QUERIES
         mean = sum(by_leg[leg]) / len(by_leg[leg])
         assert mean >= floor, (leg, mean)
