@@ -156,6 +156,7 @@ HEADLINE = [
     "q_lexical_vector_topk",
     "q_item_cf",
     "q_semantic_representatives",
+    "q_graph_trustrank",
 ]
 
 

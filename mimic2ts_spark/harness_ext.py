@@ -877,6 +877,46 @@ LEFT JOIN indeg i ON i.id = b.id
 Q_KNN_DIAGNOSTICS_SQL = _q_knn_diagnostics_sql()
 
 
+def q_graph_trustrank(spark, sf_dir):
+    """X191 — TrustRank (Gyöngyi et al., VLDB 2004): personalized
+    PageRank whose teleport mass goes ONLY to the 8 md5-min trusted
+    seeds (X183's set), run over the directed X180 k-NN graph — the
+    graded random-walk companion of the hop-quantized seed-distance
+    BFS (spam-demotion / trusted-proximity curation scoring).
+    Integer-exact scaled arithmetic (the X89 contract: mass splits,
+    never amplifies); one shuffle join + one hash agg per round."""
+    from mimic2ts_spark.operators.graph import trustrank_scaled
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    g = _knn_graph(spark, sf_dir)
+    edges = g.select(F.col("id").alias("src"), F.col("nbr").alias("dst"))
+    seeds = (
+        _embs(spark, sf_dir)
+        .select(F.col("vec_id").alias("node"), kmv_code(F.col("vec_id")).alias("_c"))
+        .orderBy("_c", "node")
+        .limit(8)
+        .select("node")
+    )
+    return trustrank_scaled(edges, seeds)
+
+
+def _q_graph_trustrank_sql():
+    from mimic2ts_spark.operators.graph import sql_trustrank
+    from mimic2ts_spark.operators.knn import KNN_ROUNDS, sql_knn_graph
+
+    graph = sql_knn_graph("embeddings")
+    chain = graph.strip().removeprefix("WITH").split("\nSELECT id AS vec_id")[0]
+    inner = sql_trustrank(
+        f"SELECT id AS src, nbr AS dst FROM nb{KNN_ROUNDS}",
+        "SELECT id AS node FROM coded ORDER BY code, id LIMIT 8",
+    )
+    inner_body = inner.strip().removeprefix("WITH")
+    return f"WITH {chain},\n{inner_body}"
+
+
+Q_GRAPH_TRUSTRANK_SQL = _q_graph_trustrank_sql()
+
+
 _MUTUAL_LABELS_CACHE: dict = _rpc({})
 
 
@@ -6246,6 +6286,7 @@ EXT_REGISTRY = {
     "q_ann_knn_beam": (q_ann_knn_beam, Q_ANN_KNN_BEAM_SQL),
     "q_graph_seed_distance": (q_graph_seed_distance, Q_GRAPH_SEED_DISTANCE_SQL),
     "q_knn_diagnostics": (q_knn_diagnostics, Q_KNN_DIAGNOSTICS_SQL),
+    "q_graph_trustrank": (q_graph_trustrank, Q_GRAPH_TRUSTRANK_SQL),
     "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
     "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),

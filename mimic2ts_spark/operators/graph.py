@@ -252,3 +252,113 @@ l{i + 1} AS (
         + ",\n".join(parts)
         + f"\nSELECT node, lab AS community FROM l{iters}"
     )
+
+
+# --- TrustRank (personalized PageRank with a trusted teleport set) ----------
+
+TR_ITERS = 3
+
+
+def trustrank_scaled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = TR_ITERS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """(node, tr_scaled): TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004) — PageRank whose teleport mass goes ONLY to the trusted
+    seed set, so score = damped random-walk proximity to vetted nodes
+    (the spam-demotion / trusted-seed curation scorer; the
+    power-iteration cousin of the X183 hop-distance BFS, graded rather
+    than hop-quantized).
+
+        tr0(v)  = scale · [v ∈ seeds]
+        tr_i(v) = (15·scale div 100)·[v ∈ seeds]
+                + (85 · Σ_{u→v} tr_{i−1}(u) div outdeg(u)) div 100
+
+    Integer-exact: total mass never exceeds |seeds|·scale (mass is
+    split, never amplified), int64-safe at any corpus size. Same
+    per-round shape as pagerank_scaled: outdeg fused once, ONE shuffle
+    join + one hash agg per round."""
+    from pyspark.sql import Window as _W
+
+    edges = edges.withColumn(
+        "outdeg", F.count(F.lit(1)).over(_W.partitionBy("src"))
+    ).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    seed_marks = seeds.select(F.col("node"), F.lit(1).alias("_seed"))
+    nodes_s = nodes.join(F.broadcast(seed_marks), "node", "left").select(
+        "node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed")
+    ).persist()
+    base = (15 * scale) // 100
+    tr = nodes_s.select(
+        "node", "_seed", (F.col("_seed") * scale).cast("long").alias("tr")
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(tr.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"), F.expr("tr div outdeg").alias("c")
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        tr = nodes_s.join(contribs, "node", "left").select(
+            "node",
+            "_seed",
+            (
+                F.col("_seed") * base
+                + F.expr(
+                    f"({PR_DAMP_NUM} * coalesce(in_mass, 0)) div {PR_DAMP_DEN}"
+                )
+            ).cast("long").alias("tr"),
+        )
+    return tr.select("node", F.col("tr").alias("tr_scaled"))
+
+
+def sql_trustrank(
+    edges_rel: str,
+    seeds_rel: str,
+    iters: int = TR_ITERS,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB mirror: identical rounds unrolled; `//` ≡ `div` on the
+    non-negative operands here."""
+    base = (15 * scale) // 100
+    parts = [
+        f"tr_edges AS ({edges_rel})",
+        "tr_nodes AS (SELECT src AS node FROM tr_edges "
+        "UNION SELECT dst FROM tr_edges)",
+        f"tr_seeds AS ({seeds_rel})",
+        "tr_nodes_s AS (SELECT n.node, "
+        "CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS seed "
+        "FROM tr_nodes n LEFT JOIN tr_seeds s ON s.node = n.node)",
+        "tr_outdeg AS (SELECT src, count(*) AS outdeg FROM tr_edges GROUP BY 1)",
+        f"tr0 AS (SELECT node, seed, CAST(seed * {scale} AS BIGINT) AS tr "
+        f"FROM tr_nodes_s)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""trc{i} AS (
+    SELECT e.dst AS node, sum(p.tr // o.outdeg) AS in_mass
+    FROM tr_edges e JOIN tr{i} p ON e.src = p.node
+    JOIN tr_outdeg o ON e.src = o.src
+    GROUP BY 1
+),
+tr{i + 1} AS (
+    SELECT n.node, n.seed,
+           CAST(n.seed * {base} + ({PR_DAMP_NUM} * coalesce(c.in_mass, 0)) // {PR_DAMP_DEN}
+                AS BIGINT) AS tr
+    FROM tr_nodes_s n LEFT JOIN trc{i} c ON n.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, tr AS tr_scaled FROM tr{iters}"
+    )
