@@ -157,6 +157,7 @@ HEADLINE = [
     "q_item_cf",
     "q_semantic_representatives",
     "q_graph_trustrank",
+    "q_constraint_audit",
 ]
 
 

@@ -917,6 +917,99 @@ def _q_graph_trustrank_sql():
 Q_GRAPH_TRUSTRANK_SQL = _q_graph_trustrank_sql()
 
 
+_AUDIT_PKS = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+]
+_AUDIT_FKS = [
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+def q_constraint_audit(spark, sf_dir):
+    """X192 — warehouse constraint audit: the data-quality gate every
+    ingest at scale runs before publishing a snapshot — in ONE report:
+    - pk_dup_<t>: primary-key duplicate rows (count − distinct) for
+      each dimension/fact key;
+    - fk_orphan_<t.c>: child rows whose key has no parent (left_anti
+      against the broadcast parent key set — dims broadcast, facts
+      stream);
+    - null_key_<t.c>: NULL foreign keys (counted separately — an
+      orphan check's anti join would conflate them).
+    Every check is one linear pass with pushdown-friendly single-column
+    scans; the report is a fixed small table of (check, n_bad)."""
+    rows = []
+    for t, pk in _AUDIT_PKS:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        rows.append(
+            df.agg(
+                (F.count(pk) - F.countDistinct(pk)).cast("long").alias("n_bad")
+            ).select(F.lit(f"pk_dup_{t}").alias("check"), "n_bad")
+        )
+    for ct, ck, pt, pk in _AUDIT_FKS:
+        child = spark.read.parquet(f"{sf_dir}/{ct}.parquet")
+        parent = spark.read.parquet(f"{sf_dir}/{pt}.parquet").select(
+            F.col(pk).alias(ck)
+        ).distinct()
+        orphans = (
+            child.select(ck)
+            .where(F.col(ck).isNotNull())
+            .join(F.broadcast(parent), ck, "left_anti")
+        )
+        rows.append(
+            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_bad")).select(
+                F.lit(f"fk_orphan_{ct}.{ck}").alias("check"), "n_bad"
+            )
+        )
+        rows.append(
+            child.agg(
+                F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_bad")
+            ).select(F.lit(f"null_key_{ct}.{ck}").alias("check"), "n_bad")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _q_constraint_audit_sql():
+    parts = []
+    for t, pk in _AUDIT_PKS:
+        parts.append(
+            f"SELECT 'pk_dup_{t}' AS \"check\", "
+            f"CAST(count({pk}) - count(DISTINCT {pk}) AS BIGINT) AS n_bad "
+            f"FROM {t}"
+        )
+    for ct, ck, pt, pk in _AUDIT_FKS:
+        parts.append(
+            f"SELECT 'fk_orphan_{ct}.{ck}' AS \"check\", "
+            f"CAST(count(*) AS BIGINT) AS n_bad FROM {ct} c "
+            f"WHERE c.{ck} IS NOT NULL AND NOT EXISTS "
+            f"(SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})"
+        )
+        parts.append(
+            f"SELECT 'null_key_{ct}.{ck}' AS \"check\", "
+            f"CAST(sum(CASE WHEN {ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_bad FROM {ct}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+Q_CONSTRAINT_AUDIT_SQL = _q_constraint_audit_sql()
+
+
 _MUTUAL_LABELS_CACHE: dict = _rpc({})
 
 
@@ -6287,6 +6380,7 @@ EXT_REGISTRY = {
     "q_graph_seed_distance": (q_graph_seed_distance, Q_GRAPH_SEED_DISTANCE_SQL),
     "q_knn_diagnostics": (q_knn_diagnostics, Q_KNN_DIAGNOSTICS_SQL),
     "q_graph_trustrank": (q_graph_trustrank, Q_GRAPH_TRUSTRANK_SQL),
+    "q_constraint_audit": (q_constraint_audit, Q_CONSTRAINT_AUDIT_SQL),
     "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
     "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),

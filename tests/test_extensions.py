@@ -2573,3 +2573,37 @@ def test_seed_hop_distance_matches_python_bfs(spark, embs):
     assert got == want
     assert sum(1 for _, d in got if d == 0) == BFS_SEEDS
     assert any(d >= 1 for _, d in got)
+
+
+def test_constraint_audit_fires_on_dirty_fixture(spark, tmp_path):
+    """X192: on the pristine testdata every check reports 0 (pinned by
+    the driver gate), so the FIRING path needs a constructed corpus —
+    duplicate PKs, FK orphans and NULL keys must be counted exactly
+    and attributed to the right check."""
+    import shutil
+
+    import pandas as pd
+
+    from mimic2ts_spark.harness_ext import q_constraint_audit
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "dirty")
+    shutil.copytree(src, d)
+    cust = pd.read_parquet(f"{src}/customer.parquet")
+    cust = pd.concat([cust, cust.head(3)], ignore_index=True)  # 3 dup PKs
+    cust.to_parquet(f"{d}/customer.parquet", index=False)
+    orders = pd.read_parquet(f"{src}/orders.parquet")
+    orders.loc[orders.index[:5], "o_custkey"] = 10_000_000  # 5 orphans
+    # pandas: use astype object to hold None for 2 NULL keys
+    orders["o_custkey"] = orders["o_custkey"].astype("Int64")
+    orders.loc[orders.index[5:7], "o_custkey"] = None
+    orders.to_parquet(f"{d}/orders.parquet", index=False)
+
+    got = {r.check: r.n_bad for r in q_constraint_audit(spark, d).collect()}
+    assert got["pk_dup_customer"] == 3
+    assert got["fk_orphan_orders.o_custkey"] == 5
+    assert got["null_key_orders.o_custkey"] == 2
+    # checks not targeted by the corruption stay quiet... except the
+    # duplicated customers keep their (valid) nation keys
+    assert got["fk_orphan_lineitem.l_orderkey"] == 0
+    assert got["pk_dup_orders"] == 0
