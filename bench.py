@@ -158,6 +158,7 @@ HEADLINE = [
     "q_semantic_representatives",
     "q_graph_trustrank",
     "q_constraint_audit",
+    "q_sample_apportion",
 ]
 
 

@@ -1010,6 +1010,69 @@ def _q_constraint_audit_sql():
 Q_CONSTRAINT_AUDIT_SQL = _q_constraint_audit_sql()
 
 
+APPORTION_BUDGET = 10_000
+
+
+def q_sample_apportion(spark, sf_dir):
+    """X193 — exact proportional sample allocation via Hamilton's
+    largest-remainder method (the apportionment classic): given a
+    fixed sample budget, each event_type gets floor(budget·cnt/total)
+    seats plus one of the leftover seats in descending remainder order
+    (ties by type) — allocations sum to the budget EXACTLY, no float
+    rounding drift ever (the mixture-sampling companion of X72/X122:
+    those weight, this seats). All arithmetic int64: budget·cnt ≤
+    1e4·rows stays far inside int64; the group table is tiny so the
+    remainder window is harmless."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    totals = counts.agg(F.sum("n_rows").cast("long").alias("total"))
+    b = APPORTION_BUDGET
+    seats = counts.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "n_rows",
+        F.expr(f"({b}L * n_rows) div total").alias("base"),
+        F.expr(f"({b}L * n_rows) % total").alias("rem"),
+    )
+    wr = Window.orderBy(F.desc("rem"), "event_type")
+    wl = Window.partitionBy(F.lit(1))
+    return (
+        seats.withColumn("_rk", F.row_number().over(wr))
+        .withColumn("_left", F.lit(b) - F.sum("base").over(wl))
+        .select(
+            "event_type",
+            "n_rows",
+            (
+                F.col("base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+    )
+
+
+Q_SAMPLE_APPORTION_SQL = f"""
+WITH counts AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+),
+totals AS (SELECT sum(n_rows) AS total FROM counts),
+seats AS (
+    SELECT event_type, n_rows,
+           ({APPORTION_BUDGET} * n_rows) // total AS base,
+           ({APPORTION_BUDGET} * n_rows) % total AS rem
+    FROM counts CROSS JOIN totals
+)
+SELECT event_type, n_rows,
+       CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, event_type)
+                        <= {APPORTION_BUDGET} - (SELECT sum(base) FROM seats)
+                   THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM seats
+"""
+
+
 _MUTUAL_LABELS_CACHE: dict = _rpc({})
 
 
@@ -6381,6 +6444,7 @@ EXT_REGISTRY = {
     "q_knn_diagnostics": (q_knn_diagnostics, Q_KNN_DIAGNOSTICS_SQL),
     "q_graph_trustrank": (q_graph_trustrank, Q_GRAPH_TRUSTRANK_SQL),
     "q_constraint_audit": (q_constraint_audit, Q_CONSTRAINT_AUDIT_SQL),
+    "q_sample_apportion": (q_sample_apportion, Q_SAMPLE_APPORTION_SQL),
     "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
     "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),

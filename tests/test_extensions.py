@@ -2607,3 +2607,22 @@ def test_constraint_audit_fires_on_dirty_fixture(spark, tmp_path):
     # duplicated customers keep their (valid) nation keys
     assert got["fk_orphan_lineitem.l_orderkey"] == 0
     assert got["pk_dup_orders"] == 0
+
+
+def test_sample_apportion_exact_budget_and_quota_property(spark):
+    """X193: Hamilton allocation must (a) sum EXACTLY to the budget,
+    (b) satisfy quota (floor(share) <= alloc <= ceil(share)), and
+    (c) reproduce a python replay on the same counts."""
+    from mimic2ts_spark.harness_ext import APPORTION_BUDGET, q_sample_apportion
+
+    rows = q_sample_apportion(spark, SF).collect()
+    total = sum(r.n_rows for r in rows)
+    assert sum(r.alloc for r in rows) == APPORTION_BUDGET
+    base = {r.event_type: (APPORTION_BUDGET * r.n_rows) // total for r in rows}
+    rem = {r.event_type: (APPORTION_BUDGET * r.n_rows) % total for r in rows}
+    for r in rows:
+        assert base[r.event_type] <= r.alloc <= base[r.event_type] + 1
+    left = APPORTION_BUDGET - sum(base.values())
+    order = sorted(rem, key=lambda t: (-rem[t], t))
+    want = {t: base[t] + (1 if i < left else 0) for i, t in enumerate(order)}
+    assert {r.event_type: r.alloc for r in rows} == want
