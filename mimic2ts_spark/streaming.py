@@ -1037,3 +1037,46 @@ def run_ann_ingest_available_now(
     )
     q.awaitTermination()
     return spark.read.parquet(postings_dir)
+
+
+def run_knn_ingest_available_now(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Streaming graph-ANN ingest (X194) — the streaming form of the
+    X184 insertion contract: the k-NN graph artifact builds ONCE on the
+    accepted corpus (vec_id % 10 != 0), then the delta stream
+    (vec_id % 10 == 0) drains through foreachBatch, each microbatch
+    inserted by beam-search + reverse adoption (append_knn_artifact) —
+    the graph grows while readers keep serving the committed artifact.
+
+    Unlike the IVF form (per-row assignment against FIXED centroids —
+    batching-invariant, oracle-shared), graph insertion consults the
+    graph AS OF its batch, so the result depends on microbatch
+    boundaries: the contract is the X184 QUALITY pin (recall within
+    margin of a from-scratch build), not a hash. With availableNow over
+    the single staged file the drain is one microbatch and equals one
+    direct append (pinned in tests/test_maintain_cli.py)."""
+    from mimic2ts_spark.operators.knn import (
+        append_knn_artifact,
+        build_knn_artifact,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") % 10 != 0
+    )
+    build_knn_artifact(spark, out_dir, base)
+
+    delta = embeddings_stream(spark, sf_dir).where(F.col("vec_id") % 10 == 0)
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_knn_artifact(spark, out_dir, batch_df)
+
+    q = (
+        delta.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{out_dir}/graph")

@@ -698,3 +698,40 @@ def test_maintain_knn_graph_build_append_serve(spark, tmp_path, capsys):
         hit += len(true & got.get(ids[ix], set()))
         tot += 5
     assert hit / tot >= 0.85
+
+
+def test_streaming_knn_ingest_equals_direct_append(spark, tmp_path):
+    """X194: the availableNow drain over the single staged embeddings
+    file is one microbatch, so the streamed artifact must equal the
+    direct build + one append on the same split — and clear the X184
+    structure invariants."""
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.operators.knn import (
+        KNN_K,
+        append_knn_artifact,
+        build_knn_artifact,
+    )
+    from mimic2ts_spark.streaming import run_knn_ingest_available_now
+
+    stream_dir = str(tmp_path / "kg_stream")
+    direct_dir = str(tmp_path / "kg_direct")
+    got = run_knn_ingest_available_now(spark, SF, stream_dir)
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_knn_artifact(
+        spark, direct_dir, embs.where(F.col("vec_id") % 10 != 0)
+    )
+    append_knn_artifact(
+        spark, direct_dir, embs.where(F.col("vec_id") % 10 == 0)
+    )
+    want = spark.read.parquet(f"{direct_dir}/graph")
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+    per: dict = {}
+    for i, nbr, d2, rank in g:
+        per.setdefault(i, []).append(rank)
+    assert len(per) == embs.count()
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= KNN_K
+               for v in per.values())
