@@ -159,6 +159,7 @@ HEADLINE = [
     "q_graph_trustrank",
     "q_constraint_audit",
     "q_sample_apportion",
+    "q_lexical_knn_graph",
 ]
 
 

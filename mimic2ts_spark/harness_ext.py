@@ -1293,6 +1293,41 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 Q_LEXICAL_VECTOR_TOPK_SQL = _q_lexical_vector_topk_sql()
 
 
+def q_lexical_knn_graph(spark, sf_dir):
+    """X195 — the X187 bridge feeding the graph family: the NN-Descent
+    k-NN graph built over the hashed doc vectors (text corpora get
+    graph-ANN with NO embedding model); identical algorithm and
+    oracle chain, the vector table is just the derived dense form.
+    Zero vectors stay in (L2 distance has no norm division)."""
+    got = _KNN_GRAPH_CACHE.get(sf_dir + ":lex")
+    if got is None:
+        from mimic2ts_spark.operators.knn import knn_graph
+        from mimic2ts_spark.operators.text import (
+            hashed_vector_rows,
+            hashed_vectors_dense,
+        )
+
+        dense = hashed_vectors_dense(hashed_vector_rows(_docs(spark, sf_dir)))
+        got = knn_graph(dense)
+        _KNN_GRAPH_CACHE[sf_dir + ":lex"] = got
+    return got.select(F.col("id").alias("vec_id"), "nbr", "d2", "rank")
+
+
+def _q_lexical_knn_graph_sql():
+    from mimic2ts_spark.operators.knn import sql_knn_graph
+    from mimic2ts_spark.operators.text import (
+        sql_hashed_vector_rows,
+        sql_hashed_vectors_dense,
+    )
+
+    rows = sql_hashed_vector_rows("documents").strip()
+    dense = sql_hashed_vectors_dense(f"({rows}) hr")
+    return sql_knn_graph(f"({dense.strip()}) hv")
+
+
+Q_LEXICAL_KNN_GRAPH_SQL = _q_lexical_knn_graph_sql()
+
+
 CF_TOP_K = 5
 CF_SCALE = 100_000
 
@@ -6445,6 +6480,7 @@ EXT_REGISTRY = {
     "q_graph_trustrank": (q_graph_trustrank, Q_GRAPH_TRUSTRANK_SQL),
     "q_constraint_audit": (q_constraint_audit, Q_CONSTRAINT_AUDIT_SQL),
     "q_sample_apportion": (q_sample_apportion, Q_SAMPLE_APPORTION_SQL),
+    "q_lexical_knn_graph": (q_lexical_knn_graph, Q_LEXICAL_KNN_GRAPH_SQL),
     "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
     "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
