@@ -872,6 +872,7 @@ def test_registry_global_plan_invariants(utc):
         "q_ann_knn_beam",  # 4-row entry-seed scalar cross join (declared)
         "q_retrieval_mrr",  # 1-row corpus-totals scalar cross join (BM25)
         "q_lexical_vector_topk",  # declared brute-force leg (5-query side)
+        "q_sample_apportion",  # 1-row grand-total scalar cross join
     }
     skip = {
         "q_sink_partitioned",
