@@ -160,6 +160,7 @@ HEADLINE = [
     "q_constraint_audit",
     "q_sample_apportion",
     "q_lexical_knn_graph",
+    "q_audio_features",
 ]
 
 

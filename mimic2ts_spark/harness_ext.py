@@ -3394,6 +3394,32 @@ Q_DEDUP_CONTAINMENT_CANONICAL_SQL = Q_DEDUP_CONTAINMENT_SQL.replace(
 )
 
 
+def q_audio_features(spark, sf_dir):
+    """X196 — audio frame features (energy + zero-crossing rate per
+    fixed PCM frame — the classic VAD / energy-gating signals for
+    speech-data curation): the Spark side decodes the REAL WAV
+    container (stdlib wave via mapInPandas, the X54 path) and runs
+    exact integer frame math; the oracle never parses WAV — the
+    synthetic payload IS the utf-8 text, so it recomputes samples via
+    ascii() and the gate's hash compare re-proves the container
+    roundtrip row by row, every round."""
+    from mimic2ts_spark.operators.multimodal import (
+        attach_media,
+        audio_frame_features,
+    )
+
+    return audio_frame_features(attach_media(_docs(spark, sf_dir)))
+
+
+def _q_audio_features_sql():
+    from mimic2ts_spark.operators.multimodal import sql_audio_frame_features
+
+    return sql_audio_frame_features("documents")
+
+
+Q_AUDIO_FEATURES_SQL = _q_audio_features_sql()
+
+
 def q_multimodal_phash(spark, sf_dir):
     """X145 — perceptual-hash image fingerprints: aHash over the REAL
     decoded PNG pixels (128 mean-thresholded taps, integer-exact) as
@@ -6487,6 +6513,7 @@ EXT_REGISTRY = {
     "q_constraint_audit": (q_constraint_audit, Q_CONSTRAINT_AUDIT_SQL),
     "q_sample_apportion": (q_sample_apportion, Q_SAMPLE_APPORTION_SQL),
     "q_lexical_knn_graph": (q_lexical_knn_graph, Q_LEXICAL_KNN_GRAPH_SQL),
+    "q_audio_features": (q_audio_features, Q_AUDIO_FEATURES_SQL),
     "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
     "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),

@@ -673,3 +673,85 @@ def features_long(feats: DataFrame) -> DataFrame:
         "height",
         F.posexplode("features").alias("feature_idx", "feature_value"),
     ).withColumn("feature_idx", F.col("feature_idx").cast("long"))
+
+
+# --- audio frame features (energy + zero crossings) -------------------------
+
+AUDIO_FRAME = 400  # samples per analysis frame (50 ms at 8 kHz)
+
+
+def audio_frame_features(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """(doc_id, frame, energy, zero_crossings, n_samples): classic
+    voice-activity / energy-gating features per fixed PCM frame, after
+    per-doc DC-offset removal (center = floor of the doc's sample
+    mean — the standard first step, and load-bearing here: a fixed 128
+    center never fires zero crossings on this corpus because every
+    ASCII sample sits below it) — energy = Σ (s−c)², zero crossings =
+    strict sign flips between CONSECUTIVE centered samples within the
+    frame (frame-local; zero samples never count). Pure integer math
+    (the center is an exact floor-div), so the kernel is exact.
+
+    The Spark side decodes the REAL WAV container (stdlib wave, the
+    X54 path); the DuckDB oracle never parses WAV — the synthetic
+    payload IS the utf-8 text (attach_media), so the oracle recomputes
+    samples via ascii() directly. The hash compare therefore re-proves
+    the container roundtrip on every gate run, row by row."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame": [], "energy": [],
+                   "zero_crossings": [], "n_samples": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = decode_wav(bytes(content))["payload"]
+                raw = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                s = raw - int(raw.sum()) // len(raw)
+                for f0 in range(0, len(s), frame):
+                    seg = s[f0 : f0 + frame]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame"].append(f0 // frame)
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["zero_crossings"].append(
+                        int((seg[:-1] * seg[1:] < 0).sum())
+                    )
+                    out["n_samples"].append(len(seg))
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("media_type") == "audio/wav").mapInPandas(
+        batches,
+        schema="doc_id long, frame long, energy long, "
+        "zero_crossings long, n_samples long",
+    )
+
+
+def sql_audio_frame_features(
+    table: str = "documents", frame: int = AUDIO_FRAME
+) -> str:
+    """Oracle via the generative identity (payload == utf-8 text, all
+    ASCII in the synthetic corpus): samples from ascii(), the same
+    frame math in SQL."""
+    return f"""
+WITH audio AS (SELECT doc_id, text FROM {table} WHERE doc_id % 3 = 1),
+raw AS (
+    SELECT doc_id, g.i - 1 AS pos,
+           ascii(substr(text, CAST(g.i AS INTEGER), 1)) AS b
+    FROM audio, unnest(generate_series(1, length(text))) AS g(i)
+),
+ctr AS (SELECT doc_id, sum(b) // count(*) AS c FROM raw GROUP BY 1),
+samp AS (
+    SELECT r.doc_id, r.pos, r.b - t.c AS s
+    FROM raw r JOIN ctr t ON t.doc_id = r.doc_id
+),
+fr AS (
+    SELECT doc_id, pos // {frame} AS frame, s, pos % {frame} AS off,
+           lead(s) OVER (PARTITION BY doc_id ORDER BY pos) AS s2
+    FROM samp
+)
+SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN off < {frame - 1} AND s2 IS NOT NULL
+                     AND s * s2 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_crossings,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM fr GROUP BY doc_id, frame
+"""
