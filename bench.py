@@ -161,6 +161,7 @@ HEADLINE = [
     "q_sample_apportion",
     "q_lexical_knn_graph",
     "q_audio_features",
+    "q_assoc_rules",
 ]
 
 

@@ -3420,6 +3420,88 @@ def _q_audio_features_sql():
 Q_AUDIO_FEATURES_SQL = _q_audio_features_sql()
 
 
+RULES_MINSUP = 3
+RULES_TOP_K = 20
+RULES_SCALE = 100_000
+
+
+def q_assoc_rules(spark, sf_dir):
+    """X197 — association rules (Agrawal & Srikant's classic, scored
+    exactly): directed rules a→b over the order baskets with
+    confidence = n_ab/n_a and lift = n_ab·B/(n_a·n_b), both as
+    SCALE-scaled int64 floor rationals (B = basket count; worst case
+    SCALE·n_ab·B < 2^61 — exact at any sweep scale); support floor
+    MINSUP prunes the pair tail BEFORE the metric joins; top-20 rules
+    by (lift, confidence, a, b). Completes X105's co-occurrence into
+    the full support/confidence/lift mining surface; the Σ basket²
+    fan-out bound is X105's."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = li.select(
+        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
+    )
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("ante"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("cons"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= RULES_MINSUP)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(item.select(F.col("l_partkey").alias("ante"),
+                                    F.col("n_item").alias("n_a"))), "ante"
+        )
+        .join(
+            F.broadcast(item.select(F.col("l_partkey").alias("cons"),
+                                    F.col("n_item").alias("n_b"))), "cons"
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante", "cons", "n_ab",
+            F.expr(f"({RULES_SCALE}L * n_ab) div n_a").alias("conf_scaled"),
+            F.expr(
+                f"({RULES_SCALE}L * n_ab * n_baskets) div (n_a * n_b)"
+            ).alias("lift_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_scaled"), F.desc("conf_scaled"), "ante", "cons"
+    ).limit(RULES_TOP_K)
+
+
+Q_ASSOC_RULES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM li),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM li a JOIN li b ON a.o = b.o AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {RULES_MINSUP}
+)
+SELECT ante, cons, n_ab,
+       ({RULES_SCALE} * n_ab) // ia.n_item AS conf_scaled,
+       ({RULES_SCALE} * n_ab * t.n_baskets) // (ia.n_item * ib.n_item)
+           AS lift_scaled
+FROM pairs
+JOIN item ia ON ia.l_partkey = ante
+JOIN item ib ON ib.l_partkey = cons
+CROSS JOIN nb t
+ORDER BY lift_scaled DESC, conf_scaled DESC, ante, cons
+LIMIT {RULES_TOP_K}
+"""
+
+
 def q_multimodal_phash(spark, sf_dir):
     """X145 — perceptual-hash image fingerprints: aHash over the REAL
     decoded PNG pixels (128 mean-thresholded taps, integer-exact) as
@@ -6514,6 +6596,7 @@ EXT_REGISTRY = {
     "q_sample_apportion": (q_sample_apportion, Q_SAMPLE_APPORTION_SQL),
     "q_lexical_knn_graph": (q_lexical_knn_graph, Q_LEXICAL_KNN_GRAPH_SQL),
     "q_audio_features": (q_audio_features, Q_AUDIO_FEATURES_SQL),
+    "q_assoc_rules": (q_assoc_rules, Q_ASSOC_RULES_SQL),
     "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
     "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
