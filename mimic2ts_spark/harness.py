@@ -2248,18 +2248,10 @@ _CORE_REGISTRY = dict(REGISTRY)
 # row at worst every ceil(159/50) = 4 rounds instead of the §2 core
 # sitting r02-stale forever behind a static tail.
 _GATE_CHANGED_THIS_ROUND = [
-    # r07: entries appended per in-round edit (new queries need no slot —
-    # never-verified sorts first automatically).
-    # r07: bounded SemDeDup verify (LSH sub-buckets past sub_bound)
-    "q_dedup_semantic",
-    # r07: two-leg recall eval (IVF + IVF-PQ panel)
-    "q_ann_recall",
-    # r07: mmr left-join lone-candidate fix; cms left-join estimate
-    "q_mmr_rerank", "q_sketch_cms",
-    # r07 late-session: banded-rows refactor shared by every minhash
-    # consumer (plans identical, verified locally — re-gate them early)
-    "q_dedup_minhash", "q_dedup_pipeline", "q_dedup_clusters",
-    "q_dedup_representatives",
+    # r08: entries appended per in-round edit (new queries need no slot —
+    # never-verified sorts first automatically). Kept near-empty early in
+    # the round so the stalest-first order soaks the r02/r03 tail
+    # (VERDICT r07 next-round item 4).
 ]
 
 
