@@ -162,6 +162,8 @@ HEADLINE = [
     "q_lexical_knn_graph",
     "q_audio_features",
     "q_assoc_rules",
+    # round 8
+    "q_assoc_rules_longtail",
 ]
 
 

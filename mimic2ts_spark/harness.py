@@ -2252,6 +2252,8 @@ _GATE_CHANGED_THIS_ROUND = [
     # never-verified sorts first automatically). Kept near-empty early in
     # the round so the stalest-first order soaks the r02/r03 tail
     # (VERDICT r07 next-round item 4).
+    # r08: Apriori item pre-prune + broadcast-hint removal
+    "q_assoc_rules", "q_item_cf",
 ]
 
 

@@ -1347,7 +1347,9 @@ def q_item_cf(spark, sf_dir):
     (user, item) once, co-occurrence via a within-user self-join (Σ
     per-user items² fan-out — basket-bound like X105, never corpus²),
     one hash agg, per-item WindowGroupLimit; per-item user counts
-    broadcast back."""
+    joined back WITHOUT a broadcast hint — the item vocabulary is
+    unbounded at 100 TB, so AQE picks the strategy (it still broadcasts
+    when the counts table is small)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ui = ev.select(
         "user_id",
@@ -1362,11 +1364,9 @@ def q_item_cf(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
     scored = (
-        co.join(F.broadcast(sizes), "item")
+        co.join(sizes, "item")
         .join(
-            F.broadcast(
-                sizes.select(F.col("item").alias("nbr"), F.col("n").alias("nn"))
-            ),
+            sizes.select(F.col("item").alias("nbr"), F.col("n").alias("nn")),
             "nbr",
         )
         .withColumn(
@@ -3434,20 +3434,37 @@ def q_assoc_rules(spark, sf_dir):
     MINSUP prunes the pair tail BEFORE the metric joins; top-20 rules
     by (lift, confidence, a, b). Completes X105's co-occurrence into
     the full support/confidence/lift mining surface; the Σ basket²
-    fan-out bound is X105's."""
+    fan-out bound is X105's.
+
+    Apriori item prune (r08): support is anti-monotone — n_ab ≤
+    min(n_a, n_b), so a pair can reach MINSUP only if BOTH items do.
+    Both self-join sides are pre-filtered to frequent items (lossless
+    by the theorem; the oracle mirrors it with one WHERE), which cuts
+    the Σ basket² fan-out on any long-tail corpus before the shuffle.
+    The item-count tables are NOT force-broadcast: the item vocabulary
+    is unbounded at 100 TB, so AQE decides (only the 1-row basket-count
+    scalar keeps an explicit broadcast)."""
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_orderkey", "l_partkey")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item"))
         .distinct()
     )
-    nb = li.select(
-        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
-    )
-    item = li.groupBy("l_partkey").agg(
+    return assoc_rules_mine(li, prune=True)
+
+
+def assoc_rules_mine(li, prune: bool = True):
+    """Shared support/confidence/lift mining over a distinct (o, item)
+    basket table; `prune=False` is the pre-Apriori baseline a pytest
+    compares against to pin the prune's losslessness."""
+    nb = li.select(F.countDistinct("o").cast("long").alias("n_baskets"))
+    item = li.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("n_item")
     )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("ante"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("cons"))
+    freq = item.where(F.col("n_item") >= RULES_MINSUP) if prune else item
+    if prune:
+        li = li.join(freq.select("item"), "item")
+    a = li.select("o", F.col("item").alias("ante"))
+    b = li.select("o", F.col("item").alias("cons"))
     pairs = (
         a.join(b, "o")
         .where(F.col("ante") != F.col("cons"))
@@ -3457,12 +3474,12 @@ def q_assoc_rules(spark, sf_dir):
     )
     scored = (
         pairs.join(
-            F.broadcast(item.select(F.col("l_partkey").alias("ante"),
-                                    F.col("n_item").alias("n_a"))), "ante"
+            freq.select(F.col("item").alias("ante"),
+                        F.col("n_item").alias("n_a")), "ante"
         )
         .join(
-            F.broadcast(item.select(F.col("l_partkey").alias("cons"),
-                                    F.col("n_item").alias("n_b"))), "cons"
+            freq.select(F.col("item").alias("cons"),
+                        F.col("n_item").alias("n_b")), "cons"
         )
         .crossJoin(F.broadcast(nb))
         .select(
@@ -3478,14 +3495,53 @@ def q_assoc_rules(spark, sf_dir):
     ).limit(RULES_TOP_K)
 
 
-Q_ASSOC_RULES_SQL = f"""
-WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey FROM lineitem),
+# Deterministic SKU-variant item key for the long-tail variant: head
+# parts (partkey % 4 == 0) keep one item per part (frequent); tail parts
+# split their baskets across 63 orderkey-derived variants, dropping
+# nearly all of them below MINSUP. Same integer arithmetic both engines.
+RULES_SKU_EXPR = (
+    "CASE WHEN l_partkey % 4 = 0 THEN l_partkey * 64{L} "
+    "ELSE l_partkey * 64{L} + 1{L} + (l_orderkey % 63{L}) END"
+)
+
+
+def q_assoc_rules_longtail(spark, sf_dir):
+    """X198 — association rules on a LONG-TAIL item vocabulary (the
+    regime Apriori's item prune was designed for, Agrawal & Srikant
+    1994 §2.1.1): items are SKU-variants — head parts stay one item,
+    tail parts shatter into orderkey-derived variants that land below
+    MINSUP — so the frequent-item pre-filter removes ~2/3 of the
+    self-join input BEFORE the Σ basket² shuffle (sf0.01: 59,945 →
+    18,764 basket rows; the uniform-corpus q_assoc_rules prunes 0).
+    Same exact scaled-integer scoring as X197; losslessness of the
+    prune is pinned by a pytest comparing against the unpruned
+    baseline."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.expr(RULES_SKU_EXPR.format(L="L")).alias("item"),
+        )
+        .distinct()
+    )
+    return assoc_rules_mine(li, prune=True)
+
+
+def _assoc_sql(item_expr: str) -> str:
+    """Oracle twin of assoc_rules_mine(prune=True) over baskets
+    `SELECT DISTINCT l_orderkey AS o, {item_expr} AS item FROM
+    lineitem` — the Apriori freq filter mirrors the Spark side's."""
+    return f"""
+WITH li AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS o, {item_expr} AS item FROM lineitem),
 nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM li),
-item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY 1),
+item AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY 1),
+freq AS (SELECT * FROM item WHERE n_item >= {RULES_MINSUP}),
+lif AS (SELECT li.* FROM li JOIN freq USING (item)),
 pairs AS (
-    SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+    SELECT a.item AS ante, b.item AS cons,
            CAST(count(*) AS BIGINT) AS n_ab
-    FROM li a JOIN li b ON a.o = b.o AND a.l_partkey <> b.l_partkey
+    FROM lif a JOIN lif b ON a.o = b.o AND a.item <> b.item
     GROUP BY 1, 2
     HAVING count(*) >= {RULES_MINSUP}
 )
@@ -3494,12 +3550,16 @@ SELECT ante, cons, n_ab,
        ({RULES_SCALE} * n_ab * t.n_baskets) // (ia.n_item * ib.n_item)
            AS lift_scaled
 FROM pairs
-JOIN item ia ON ia.l_partkey = ante
-JOIN item ib ON ib.l_partkey = cons
+JOIN freq ia ON ia.item = ante
+JOIN freq ib ON ib.item = cons
 CROSS JOIN nb t
 ORDER BY lift_scaled DESC, conf_scaled DESC, ante, cons
 LIMIT {RULES_TOP_K}
 """
+
+
+Q_ASSOC_RULES_SQL = _assoc_sql("l_partkey")
+Q_ASSOC_RULES_LONGTAIL_SQL = _assoc_sql(RULES_SKU_EXPR.format(L=""))
 
 
 def q_multimodal_phash(spark, sf_dir):
@@ -6597,6 +6657,10 @@ EXT_REGISTRY = {
     "q_lexical_knn_graph": (q_lexical_knn_graph, Q_LEXICAL_KNN_GRAPH_SQL),
     "q_audio_features": (q_audio_features, Q_AUDIO_FEATURES_SQL),
     "q_assoc_rules": (q_assoc_rules, Q_ASSOC_RULES_SQL),
+    "q_assoc_rules_longtail": (
+        q_assoc_rules_longtail,
+        Q_ASSOC_RULES_LONGTAIL_SQL,
+    ),
     "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
     "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),

@@ -2626,3 +2626,32 @@ def test_sample_apportion_exact_budget_and_quota_property(spark):
     order = sorted(rem, key=lambda t: (-rem[t], t))
     want = {t: base[t] + (1 if i < left else 0) for i, t in enumerate(order)}
     assert {r.event_type: r.alloc for r in rows} == want
+
+
+def test_assoc_rules_apriori_prune_lossless(spark):
+    """X197/X198: the Apriori frequent-item pre-filter must be
+    value-lossless (support is anti-monotone: n_ab <= min(n_a, n_b), so
+    no pair at MINSUP can lose a member item) — pruned and unpruned
+    minings must return identical rule sets on BOTH the uniform and the
+    long-tail item vocabularies, and the long-tail vocabulary must
+    actually exercise the prune (some item below MINSUP)."""
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.harness_ext import (
+        RULES_MINSUP,
+        RULES_SKU_EXPR,
+        assoc_rules_mine,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for item_expr in ["l_partkey", RULES_SKU_EXPR.format(L="L")]:
+        baskets = li.select(
+            F.col("l_orderkey").alias("o"), F.expr(item_expr).alias("item")
+        ).distinct()
+        pruned = [tuple(r) for r in assoc_rules_mine(baskets, prune=True).collect()]
+        full = [tuple(r) for r in assoc_rules_mine(baskets, prune=False).collect()]
+        assert pruned == full and pruned
+
+    sku = li.select(F.expr(RULES_SKU_EXPR.format(L="L")).alias("item"), "l_orderkey")
+    counts = sku.distinct().groupBy("item").count()
+    assert counts.where(F.col("count") < RULES_MINSUP).count() > 0

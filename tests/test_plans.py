@@ -874,6 +874,7 @@ def test_registry_global_plan_invariants(utc):
         "q_lexical_vector_topk",  # declared brute-force leg (5-query side)
         "q_sample_apportion",  # 1-row grand-total scalar cross join
         "q_assoc_rules",  # 1-row basket-count scalar cross join
+        "q_assoc_rules_longtail",  # same 1-row basket-count scalar cross join
     }
     skip = {
         "q_sink_partitioned",
