@@ -164,6 +164,7 @@ HEADLINE = [
     "q_assoc_rules",
     # round 8
     "q_assoc_rules_longtail",
+    "q_ann_knn_graph_canonical",
 ]
 
 

@@ -774,6 +774,44 @@ def _q_ann_knn_graph_sql():
 Q_ANN_KNN_GRAPH_SQL = _q_ann_knn_graph_sql()
 
 
+def q_ann_knn_graph_canonical(spark, sf_dir):
+    """X199 — exact-first kNN-graph build (the registered form of the
+    README's dup-heavy routing for X180, same composition family as
+    X157/X158/X160): byte-identical vectors collapse to min-id
+    canonicals FIRST, then NN-Descent builds the graph over canonicals
+    only. Identical vectors are their own nearest neighbors — a c-copy
+    cluster wastes its whole neighbor list on copies and pays Θ(c·k²)
+    candidate work for zero information; over canonicals the graph
+    stores only cross-content structure and exact groups reconstruct
+    the copies' neighborhoods by label lookup. Own disk-memo key (the
+    raw X180 artifact stays the oracle baseline)."""
+    from mimic2ts_spark.operators.kmeans import canonical_vectors
+    from mimic2ts_spark.operators.knn import knn_graph
+
+    g = _knn_graph(
+        spark,
+        sf_dir,
+        key=sf_dir + ":canon",
+        build=lambda: knn_graph(canonical_vectors(_embs(spark, sf_dir))),
+    )
+    return g.select(F.col("id").alias("vec_id"), "nbr", "d2", "rank")
+
+
+def _q_ann_knn_graph_canonical_sql():
+    from mimic2ts_spark.operators.kmeans import sql_canonical_vectors
+    from mimic2ts_spark.operators.knn import sql_knn_graph
+
+    inner = sql_knn_graph("canon")
+    return inner.replace(
+        "WITH ",
+        f"WITH canon AS MATERIALIZED (SELECT * FROM {sql_canonical_vectors()} c),\n",
+        1,
+    )
+
+
+Q_ANN_KNN_GRAPH_CANONICAL_SQL = _q_ann_knn_graph_canonical_sql()
+
+
 def q_ann_knn_beam(spark, sf_dir):
     """X181 — graph-ANN serving: fixed-hop beam search over the X180
     k-NN graph (4 md5-min entry seeds, beam 32, 4 hops — measured
@@ -2594,7 +2632,13 @@ def q_dedup_clusters(spark, sf_dir):
     unpaired). This is the step that turns any pairwise dedup into a
     keep-one-per-cluster filter; the labeling is the shared memoized
     artifact (_dedup_cluster_labels). Oracle: DuckDB recursive CTE
-    computing the same transitive closure."""
+    computing the same transitive closure.
+
+    NOTE — this raw-pair form is the ORACLE BASELINE, output-bound on
+    duplicate-heavy corpora (24.75 M true pairs → 437 s at the 100×
+    sweep). The production path is the exact-first composition
+    q_dedup_pipeline / q_graph_communities_canonical: md5-canonicalize
+    first, CC only the canonical pair graph (~flat at 100×)."""
     return _dedup_cluster_labels(spark, sf_dir)
 
 
@@ -2628,7 +2672,12 @@ def q_dedup_representatives(spark, sf_dir):
     heaps, no full sort) plus the cluster size. The quality float rides
     the shared fixed expression tree, so it hashes bit-equal. The
     pairs+CC labeling comes from the shared memoized artifact
-    (_dedup_cluster_labels) — one computation per corpus per process."""
+    (_dedup_cluster_labels) — one computation per corpus per process.
+
+    NOTE — inherits the raw-pair CC baseline above (318 s at the 100×
+    dup-heavy sweep). Production path: run the exact-first composition
+    (q_dedup_pipeline) first; representative selection then scores
+    ~250 pairs instead of 24.75 M."""
     from pyspark.sql import Window as W
 
     docs = _docs(spark, sf_dir)
@@ -6648,6 +6697,10 @@ EXT_REGISTRY = {
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_ann_lsh_multiprobe": (q_ann_lsh_multiprobe, Q_ANN_LSH_MULTIPROBE_SQL),
     "q_ann_knn_graph": (q_ann_knn_graph, Q_ANN_KNN_GRAPH_SQL),
+    "q_ann_knn_graph_canonical": (
+        q_ann_knn_graph_canonical,
+        Q_ANN_KNN_GRAPH_CANONICAL_SQL,
+    ),
     "q_ann_knn_beam": (q_ann_knn_beam, Q_ANN_KNN_BEAM_SQL),
     "q_graph_seed_distance": (q_graph_seed_distance, Q_GRAPH_SEED_DISTANCE_SQL),
     "q_knn_diagnostics": (q_knn_diagnostics, Q_KNN_DIAGNOSTICS_SQL),
