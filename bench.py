@@ -165,6 +165,8 @@ HEADLINE = [
     # round 8
     "q_assoc_rules_longtail",
     "q_ann_knn_graph_canonical",
+    "q_search_bm25_indexed",
+    "q_search_bm25_maxscore",
 ]
 
 

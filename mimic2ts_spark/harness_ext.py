@@ -3284,10 +3284,72 @@ def q_search_bm25_pruned(spark, sf_dir):
     under ascending-id tie-break). The ORACLE IS FULL SCORING — the
     gate's hash compare re-proves the prune lossless on the real corpus
     every round; a pytest pins that the prune branch actually FIRES
-    here and on a constructed skewed corpus."""
+    here and on a constructed skewed corpus.
+
+    NOTE — this corpus-scan form DEMONSTRATES the theorem but cannot
+    win on wall clock: the per-term bounds are derived by scoring every
+    posting first, so only the final aggregate is skipped. The winning
+    form is the index-served q_search_bm25_maxscore below (impact
+    bounds stored at build, Turtle-Flood long-tail panel)."""
     from mimic2ts_spark.operators.search import bm25_topk_maxscore
 
     return bm25_topk_maxscore(_docs(spark, sf_dir), BM25_QUERY_TERMS)
+
+
+# The Turtle-Flood regime panel: ONE rare discriminative term ('dup',
+# df ≈ 5% of docs on this corpus at every sf) plus a long tail of
+# low-impact near-stopwords (df ≈ 76%). The anchor is the rare term, so
+# the pruned serving path aggregates ~5% of the postings volume.
+BM25_LONGTAIL_TERMS = (
+    "dup", "the", "line", "part", "sort", "query", "batch", "agg",
+)
+
+
+def q_search_bm25_indexed(spark, sf_dir):
+    """X177 — BM25 top-k SERVED from the persisted postings index on
+    the long-tail panel (the full-scoring twin q_search_bm25_maxscore
+    is measured against): pushed term-IN scan over term-sorted
+    postings, df recomputed from the scanned postings, corpus scalars
+    from the maintained stats row. Bit-equals the corpus-scan form —
+    the oracle tokenizes from scratch."""
+    from mimic2ts_spark.operators.search import bm25_from_postings
+
+    idx = _search_index_dir(spark, sf_dir)
+    return bm25_from_postings(
+        spark, f"{idx}/postings", _search_index_stats(spark, idx),
+        BM25_LONGTAIL_TERMS,
+    )
+
+
+def q_search_bm25_maxscore(spark, sf_dir):
+    """X200 — MaxScore BM25 serving from the IMPACT-ORDERED index
+    (Turtle & Flood 1995 in its designed regime — the registered
+    answer to VERDICT r07 'give X179 a regime where it wins'): per-term
+    (df, u_max) scalars are computed once at index build; serving
+    collects |q| stat rows, exact-scores only the rare anchor term's
+    documents (~5% of the corpus on this panel), and the corpus-sized
+    doc-keyed aggregate + top-k sort never run when B < θ prunes.
+    Falls back to full serving otherwise — output provably identical
+    either way, and the ORACLE IS FULL SCORING so every gate run
+    re-proves the prune lossless. A pytest pins that the prune FIRES
+    on this panel and that pruned == full on a panel where it cannot
+    fire."""
+    from mimic2ts_spark.operators.search import bm25_topk_maxscore_from_postings
+
+    idx = _search_index_dir(spark, sf_dir)
+    return bm25_topk_maxscore_from_postings(
+        spark, f"{idx}/postings", f"{idx}/impacts",
+        _search_index_stats(spark, idx), BM25_LONGTAIL_TERMS,
+    )
+
+
+def _bm25_longtail_sql():
+    from mimic2ts_spark.operators.search import sql_bm25_topk
+
+    return sql_bm25_topk(BM25_LONGTAIL_TERMS)
+
+
+Q_SEARCH_BM25_LONGTAIL_SQL = _bm25_longtail_sql()
 
 
 def q_retrieval_mrr(spark, sf_dir):
@@ -4012,8 +4074,38 @@ def _search_index_dir(spark, sf_dir):
         .write.mode("overwrite")
         .parquet(f"{out}/trigrams")
     )
+    # BM25 postings + the impact-ordered stats MaxScore serving needs
+    # (r08): per-term (df, u_max) scalars and the 1-row corpus totals,
+    # all computed once at build time like a production inverted index
+    from mimic2ts_spark.operators.search import (
+        build_postings,
+        build_term_impacts,
+        corpus_stats,
+    )
+
+    postings = build_postings(docs).repartition(par, "term").sortWithinPartitions(
+        "term", "doc_id"
+    )
+    postings.write.mode("overwrite").parquet(f"{out}/postings")
+    stats = corpus_stats(docs)
+    build_term_impacts(
+        spark.read.parquet(f"{out}/postings"), stats
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/impacts")
+    spark.createDataFrame(
+        [(stats["n_docs"], stats["sum_dl"])], "n_docs long, sum_dl long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/stats")
     _SEARCH_INDEX_CACHE[sf_dir] = out
     return out
+
+
+_SEARCH_STATS_CACHE: dict = {}  # idx dir -> {n_docs, sum_dl} (1-row memo)
+
+
+def _search_index_stats(spark, idx: str) -> dict:
+    if idx not in _SEARCH_STATS_CACHE:
+        r = spark.read.parquet(f"{idx}/stats").collect()[0]  # bounded: 1 row
+        _SEARCH_STATS_CACHE[idx] = {"n_docs": r.n_docs, "sum_dl": r.sum_dl}
+    return _SEARCH_STATS_CACHE[idx]
 
 
 def q_search_phrase_indexed(spark, sf_dir):
@@ -6767,6 +6859,11 @@ EXT_REGISTRY = {
     "q_search_phrase": (q_search_phrase, Q_SEARCH_PHRASE_SQL),
     "q_search_substring": (q_search_substring, Q_SEARCH_SUBSTRING_SQL),
     "q_search_bm25_pruned": (q_search_bm25_pruned, Q_SEARCH_BM25_SQL),
+    "q_search_bm25_indexed": (q_search_bm25_indexed, Q_SEARCH_BM25_LONGTAIL_SQL),
+    "q_search_bm25_maxscore": (
+        q_search_bm25_maxscore,
+        Q_SEARCH_BM25_LONGTAIL_SQL,
+    ),
     "q_retrieval_mrr": (q_retrieval_mrr, Q_RETRIEVAL_MRR_SQL),
     # X177: index-served twins under the SCAN-form oracles — the hash
     # compare is the served-equals-scan contract.

@@ -1059,3 +1059,156 @@ FROM pdocs p
 LEFT JOIN (SELECT qid, rank FROM ranked WHERE doc = qid) s ON s.qid = p.qid
 LEFT JOIN (SELECT qid, doc FROM ranked WHERE rank = 1) t1 ON t1.qid = p.qid
 """
+
+
+# --- impact-ordered index + MaxScore serving --------------------------------
+#
+# bm25_topk_maxscore (above) proves the prune theorem but cannot WIN on
+# wall clock: computing the per-term bounds U(t) requires scoring every
+# posting first, so the prune only skips the final aggregate. The classic
+# fix (Turtle & Flood 1995 §5; every production engine since) is to store
+# the impact bounds IN the index: u_max(t) is a per-term scalar computed
+# once at build time, so serving reads |q| stat rows, exact-scores only
+# the anchor term's (rare) document set, and the corpus-sized doc-keyed
+# aggregate + top-k sort never run when the bound prunes.
+
+
+def _contrib_exprs(n_docs: int, sum_dl: int) -> "F.Column":
+    """idf_scaled * tf_scaled with build-time global scalars inlined —
+    the exact integer contribution shared by every BM25 path here.
+    Expects columns term/df/tf/dl in scope."""
+    return F.expr(
+        f"(({SCALE}L * (2L * ({n_docs}L - df) + 1L)) div (2L * df + 1L))"
+        f" * (({SCALE}L * 22L * {sum_dl}L * tf) div "
+        f"(10L * {sum_dl}L * tf + 3L * {sum_dl}L + 9L * dl * {n_docs}L))"
+    )
+
+
+def build_term_impacts(postings: DataFrame, stats: dict) -> DataFrame:
+    """(term, df, u_max): the impact half of a MaxScore-servable index —
+    exact per-term df and the exact MAXIMUM single-document contribution,
+    computed once over the postings at build time (one agg pass; the
+    join back for df rides the same term-hashed shuffle). u_max and df
+    embed the build-time corpus scalars, so a postings APPEND must
+    rebuild this table (single-writer, same contract as the versioned
+    layouts) — serving against stale impacts could under-bound and
+    break the prune theorem."""
+    n_docs, sum_dl = stats["n_docs"], stats["sum_dl"]
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        postings.join(dfreq, "term")
+        .withColumn("contrib", _contrib_exprs(n_docs, sum_dl))
+        .groupBy("term", "df")
+        .agg(F.max("contrib").cast("long").alias("u_max"))
+    )
+
+
+# Per-(index, panel) driver memo of the |q| collected impact rows — the
+# in-memory term dictionary every serving system keeps hot. Bounded at
+# |q| rows per distinct panel; keyed on the index DIR so a rebuilt index
+# (new tempdir) never serves stale stats. Like the PQ codebook / coarse
+# centroid row caches (CLAUDE.md r05), this is driver-side ROW state:
+# immune to release_storage and deliberately NOT a plan cache.
+_TERM_IMPACTS_CACHE: dict = {}
+
+
+def _term_impacts_cached(spark, impacts_dir: str, query_terms: tuple):
+    key = (impacts_dir, tuple(query_terms))
+    if key not in _TERM_IMPACTS_CACHE:
+        _TERM_IMPACTS_CACHE[key] = (
+            spark.read.parquet(impacts_dir)
+            .where(F.col("term").isin(*query_terms))
+            .collect()
+        )
+    return _TERM_IMPACTS_CACHE[key]
+
+
+def bm25_topk_maxscore_from_postings(
+    spark,
+    postings_dir: str,
+    impacts_dir: str,
+    stats: dict,
+    query_terms: tuple[str, ...],
+    k: int = TOP_K,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """MaxScore BM25 top-k SERVED from the impact-ordered index —
+    provably identical output to bm25_from_postings on the same
+    postings (the driver oracle runs full scoring, re-proving the prune
+    lossless on real data every gate run):
+
+    1. |q| impact rows (term, df, u_max) collected — bounded driver
+       work, the only non-scan cost when the prune fires;
+    2. anchor = argmax-u_max term (ties term asc); candidates = docs
+       matching the anchor — a pushed `term = anchor` postings scan;
+    3. exact-score the candidates only: the term-IN-q postings scan
+       semi-joins the anchor doc set BEFORE the doc-keyed aggregate, so
+       the shuffle carries |anchor docs|·|q| rows instead of n·|q|;
+    4. θ = k-th candidate score; a non-candidate doc scores ≤
+       B = Σ_{t≠anchor} u_max(t) (it matches no anchor), so B < θ
+       STRICTLY ⇒ the candidate top-k is the global top-k even on ties
+       (a tie needs score = θ > B). Otherwise fall back to full serving
+       — equal output either way.
+
+    The win condition is a query mixing one rare high-idf term with a
+    low-impact tail (the Turtle & Flood regime): anchor postings are
+    the rare term's, and the corpus-sized aggregate never runs."""
+    postings = spark.read.parquet(postings_dir)
+    imp = _term_impacts_cached(spark, impacts_dir, query_terms)
+    full = lambda: bm25_from_postings(  # noqa: E731
+        spark, postings_dir, stats, query_terms, k
+    )
+    if not imp:
+        return full()
+    umax = {r.term: r.u_max for r in imp}
+    dfreq = {r.term: r.df for r in imp}
+    anchor = min(umax, key=lambda t: (-umax[t], t))
+    bound_rest = sum(u for t, u in umax.items() if t != anchor)
+    n_docs, sum_dl = stats["n_docs"], stats["sum_dl"]
+    # Route decision is DRIVER-SIDE from the already-collected impacts:
+    # df(anchor) is known before any plan is built. A common anchor
+    # (df > n/8) means the candidate aggregate would approach the full
+    # one — skip the two-phase plan outright. The anchor-id broadcast is
+    # budget-safe by the same known scalar (8 bytes/id, hard cap), never
+    # a guess; past the cap a plain semi join still prunes the shuffle.
+    if _stats is not None:
+        _stats.update(anchor=anchor, anchor_df=dfreq.get(anchor))
+    if dfreq[anchor] * 8 > n_docs:
+        if _stats is not None:
+            _stats.update(pruned=False, routed_full=True)
+        return full()
+    anchor_ids = postings.where(F.col("term") == anchor).select("doc_id")
+    if dfreq[anchor] <= 2_000_000:  # ≤ ~16 MB of long ids
+        anchor_ids = F.broadcast(anchor_ids)
+    df_col = F.create_map(
+        *[x for t in dfreq for x in (F.lit(t), F.lit(dfreq[t]))]
+    )[F.col("term")]
+    cand = (
+        postings.where(F.col("term").isin(*query_terms))
+        .join(anchor_ids, "doc_id", "left_semi")
+        .withColumn("df", df_col.cast("long"))
+        .withColumn("contrib", _contrib_exprs(n_docs, sum_dl))
+    )
+    anchor_top = (
+        cand.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), "doc_id")
+        .limit(k)
+    )
+    top_rows = anchor_top.collect()  # bounded: k rows
+    pruned = len(top_rows) == k and bound_rest < top_rows[-1].score_scaled
+    if _stats is not None:
+        _stats.update(
+            pruned=pruned,
+            bound_rest=bound_rest,
+            theta=top_rows[-1].score_scaled if len(top_rows) == k else None,
+        )
+    if pruned:
+        # rebuild as a DataFrame plan (the caller writes/sinks it):
+        # createDataFrame of the k collected rows is a LocalTableScan
+        # that PRESERVES the exact (score desc, id asc) order the limit
+        # produced — re-sorting 10 local rows with orderBy would add an
+        # exchange + AQE job that costs more than the candidate job
+    # (measured 0.65 s of the serving path at the 100x sweep)
+        return spark.createDataFrame(top_rows, anchor_top.schema)
+    return full()

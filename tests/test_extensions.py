@@ -2655,3 +2655,38 @@ def test_assoc_rules_apriori_prune_lossless(spark):
     sku = li.select(F.expr(RULES_SKU_EXPR.format(L="L")).alias("item"), "l_orderkey")
     counts = sku.distinct().groupBy("item").count()
     assert counts.where(F.col("count") < RULES_MINSUP).count() > 0
+
+
+def test_bm25_maxscore_served_prunes_and_matches_full(spark, tmp_path):
+    """X200: on the long-tail panel (one rare anchor + low-impact tail)
+    the impact-index serving path must (a) take the PRUNE branch, (b)
+    have a genuinely rare anchor (df < n/10 — the regime claim), and
+    (c) bit-equal full serving. On the all-common panel the prune
+    cannot fire and the fallback must still bit-equal full serving."""
+    from mimic2ts_spark.harness_ext import (
+        BM25_LONGTAIL_TERMS,
+        BM25_QUERY_TERMS,
+        _search_index_dir,
+        _search_index_stats,
+    )
+    from mimic2ts_spark.operators.search import (
+        bm25_from_postings,
+        bm25_topk_maxscore_from_postings,
+    )
+
+    idx = _search_index_dir(spark, SF)
+    stats = _search_index_stats(spark, idx)
+    for terms, want_prune in [(BM25_LONGTAIL_TERMS, True), (BM25_QUERY_TERMS, None)]:
+        st: dict = {}
+        got = bm25_topk_maxscore_from_postings(
+            spark, f"{idx}/postings", f"{idx}/impacts", stats, terms, _stats=st
+        ).collect()
+        full = bm25_from_postings(
+            spark, f"{idx}/postings", stats, terms
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in full] and got
+        if want_prune:
+            assert st["pruned"] is True
+            assert st["anchor"] == "dup"
+            assert st["anchor_df"] * 10 < stats["n_docs"]
+            assert st["bound_rest"] < st["theta"]
