@@ -212,6 +212,30 @@ def compact_metric_line(out: dict, timings: dict, vs_totals: dict) -> str:
 
 
 
+def _code_cache_telemetry(spark) -> dict:
+    """{pool name: {used_mb, max_mb}} for the JVM's code-heap pools via
+    the management MXBeans (py4j; local mode = the one JVM that matters).
+    Best-effort: telemetry must never fail the bench."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getMemoryPoolMXBeans()
+        )
+        pools = {}
+        for i in range(beans.size()):
+            b = beans.get(i)
+            name = b.getName()
+            if "CodeHeap" in name or "Code Cache" in name:
+                u = b.getUsage()
+                pools[name] = {
+                    "used_mb": round(u.getUsed() / 2**20, 1),
+                    "max_mb": round(u.getMax() / 2**20, 1),
+                }
+        return pools
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -280,6 +304,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # Detail-only telemetry (never in the compact driver line): JVM
+        # code-cache occupancy at end of run — the r04/r07 saturation
+        # suspect. Usage ~= max means late queries ran interpreted.
+        "code_cache": _code_cache_telemetry(spark),
     }
     vs_totals: dict[str, float] = {}
 

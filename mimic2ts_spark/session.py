@@ -54,8 +54,18 @@ def get_spark(
         # queries degrade ~15-40% (flagship in-session: 1.15 s default vs
         # 0.99 s with 512 MB — measured r04). Same flag matters on real
         # executors serving many queries.
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
-        .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        # SPARK_CODE_CACHE overrides for A/B diagnosis (r08: the 207-plan
+        # session was suspected of saturating 512m — see CLAUDE.md).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("SPARK_CODE_CACHE", "512m"),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("SPARK_CODE_CACHE", "512m"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
