@@ -3251,6 +3251,133 @@ FROM base b LEFT JOIN top USING (doc_id)
 """
 
 
+DECON_SEM_MOD = 53
+
+# Oracle: the X24 chain verbatim, wrapped with the cross-set projection.
+# Defined as a lambda over the X24 SQL because that constant is built
+# later in this module; resolved at registry-build time below.
+def _decon_semantic_sql() -> str:
+    return f"""
+SELECT CASE WHEN vec_b % {DECON_SEM_MOD} = 0 THEN vec_a ELSE vec_b END
+           AS train_id,
+       CASE WHEN vec_b % {DECON_SEM_MOD} = 0 THEN vec_b ELSE vec_a END
+           AS eval_id,
+       cosine
+FROM ({{inner}}) p
+WHERE (vec_a % {DECON_SEM_MOD} = 0) <> (vec_b % {DECON_SEM_MOD} = 0)
+"""
+
+
+def q_decontaminate_semantic(spark, sf_dir):
+    """X202 — SEMANTIC benchmark decontamination (the embedding twin of
+    X77's n-gram form — paraphrased eval leakage that shares no 5-gram):
+    the eval slice is vec_id % 53 == 0 (X77's deterministic stand-in),
+    and a training vector is contaminated when it is a near-dup of any
+    eval vector at the dedup family's 0.45 cosine band. Composition:
+    the X24 LSH-bucketed candidate join + exact cosine verify runs once
+    over the whole corpus (scale path — no crossJoin against an
+    unbounded eval side), then pairs with EXACTLY one eval-side member
+    project to (train_id, eval_id, cosine). Recall inherits X24's
+    banding (scored by X167); the oracle composes the identical chain
+    with the same cross-set CASE."""
+    pairs = S.embedding_near_dup_pairs_lsh(_embs(spark, sf_dir), threshold=0.45)
+    a_eval = (F.col("vec_a") % DECON_SEM_MOD) == 0
+    b_eval = (F.col("vec_b") % DECON_SEM_MOD) == 0
+    return pairs.where(a_eval != b_eval).select(
+        F.when(b_eval, F.col("vec_a")).otherwise(F.col("vec_b")).alias("train_id"),
+        F.when(b_eval, F.col("vec_b")).otherwise(F.col("vec_a")).alias("eval_id"),
+        "cosine",
+    )
+
+
+LM_SCALE = 100_000
+
+
+def q_lm_fluency(spark, sf_dir):
+    """X201 — bigram-LM fluency scoring (the CCNet/KenLM curation stage,
+    Wenzek et al. 2020, restated exactly): train bigram counts on the
+    corpus itself, score every document by its mean conditional bigram
+    probability — fluency_scaled = (Σ ⌊SCALE·c(w1,w2)/c1(w1)⌋) div
+    n_bigrams, where c1(w1) counts bigram LEFT positions so each
+    conditional distribution sums to 1 exactly. Pure int64 floor
+    rationals (log-likelihood needs engine-private log — CLAUDE.md
+    r04 — so the mean probability is the portable exact form; ranking
+    is what the filter consumes). One token pass emits (doc, w1, gram)
+    occurrence rows via zip_with over two shifted slices (never
+    element_at in a HOF — CLAUDE.md r01); counts re-join the
+    occurrences on their own aggregates (no broadcast hints — the
+    bigram vocabulary is unbounded at 100 TB, AQE decides); docs with
+    <2 tokens surface as n_bigrams=0 / fluency 0 via the left join."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(
+                    a.alias("w1"), F.concat_ws("\x01", a, b).alias("g")
+                ),
+            )
+        ).alias("p")
+    ).select("doc_id", "p.w1", "p.g")
+    big = occ.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    lft = occ.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    ps = (
+        occ.join(big, "g")
+        .join(lft, "w1")
+        .select(
+            "doc_id", F.expr(f"({LM_SCALE}L * cg) div c1").alias("p_scaled")
+        )
+    )
+    agg = ps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("p_scaled").alias("sp"),
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(
+                F.expr("sp div n_bigrams"), F.lit(0)
+            ).cast("long").alias("fluency_scaled"),
+        )
+    )
+
+
+Q_LM_FLUENCY_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {X.SQL_TOKENS.format(text='text')} AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+),
+occ AS (
+    SELECT doc_id, t[i] AS w1, t[i] || chr(1) || t[i + 1] AS g FROM idx
+),
+big AS (SELECT g, CAST(count(*) AS BIGINT) AS cg FROM occ GROUP BY 1),
+lft AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM occ GROUP BY 1),
+ps AS (
+    SELECT doc_id, ({LM_SCALE} * cg) // c1 AS p_scaled
+    FROM occ JOIN big USING (g) JOIN lft USING (w1)
+),
+agg AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(p_scaled) AS BIGINT) AS sp
+    FROM ps GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sp // n_bigrams, 0) AS BIGINT) AS fluency_scaled
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 # --- round-4 additions: retrieval, decontamination, product analytics,
 # --- snapshot diff, feature scaling --------------------------------------
 
@@ -6776,6 +6903,11 @@ EXT_REGISTRY = {
     "q_dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "q_dedup_embedding": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
     "q_dedup_embedding_lsh": (q_dedup_embedding_lsh, Q_DEDUP_EMBEDDING_LSH_SQL),
+    "q_decontaminate_semantic": (
+        q_decontaminate_semantic,
+        _decon_semantic_sql().format(inner=Q_DEDUP_EMBEDDING_LSH_SQL),
+    ),
+    "q_lm_fluency": (q_lm_fluency, Q_LM_FLUENCY_SQL),
     "q_dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     "q_source_jsonl": (q_source_jsonl, Q_SOURCE_JSONL_SQL),
     "q_source_orc": (q_source_orc, Q_SOURCE_JSONL_SQL),
