@@ -167,6 +167,8 @@ HEADLINE = [
     "q_ann_knn_graph_canonical",
     "q_search_bm25_indexed",
     "q_search_bm25_maxscore",
+    "q_lm_fluency",
+    "q_decontaminate_semantic",
 ]
 
 
