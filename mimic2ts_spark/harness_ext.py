@@ -3279,7 +3279,10 @@ def q_decontaminate_semantic(spark, sf_dir):
     unbounded eval side), then pairs with EXACTLY one eval-side member
     project to (train_id, eval_id, cosine). Recall inherits X24's
     banding (scored by X167); the oracle composes the identical chain
-    with the same cross-set CASE."""
+    with the same cross-set CASE. Dup-heavy corpora: output is
+    quadratic per identical-vector cluster like every raw pair query —
+    route over X160 canonical vectors first and expand flags through
+    the exact groups (the registered canonical compositions' pattern)."""
     pairs = S.embedding_near_dup_pairs_lsh(_embs(spark, sf_dir), threshold=0.45)
     a_eval = (F.col("vec_a") % DECON_SEM_MOD) == 0
     b_eval = (F.col("vec_b") % DECON_SEM_MOD) == 0
