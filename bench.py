@@ -169,6 +169,7 @@ HEADLINE = [
     "q_search_bm25_maxscore",
     "q_lm_fluency",
     "q_decontaminate_semantic",
+    "q_dedup_embedding_lsh_canonical",
 ]
 
 

@@ -486,6 +486,22 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return S.embedding_near_dup_pairs_lsh(_embs(spark, sf_dir), threshold=0.45)
 
 
+def q_dedup_embedding_lsh_canonical(spark, sf_dir):
+    """X203 — exact-first LSH embedding near-dup (completing the
+    exact-first family for the LAST raw pair query without a registered
+    twin: X24, and the registered remedy for X202's dup-heavy output
+    wall): byte-identical vectors collapse to min-id canonicals, THEN
+    the LSH-bucketed candidate join + exact cosine verify runs over
+    canonicals only — identical vectors co-bucket under every
+    deterministic hash (r07 lesson), so a c-copy cluster pays Θ(c²)
+    pairs in any banded stage unless removed first; output becomes true
+    cross-content pairs, exact groups reconstruct the rest."""
+    from mimic2ts_spark.operators.kmeans import canonical_vectors
+
+    canon = canonical_vectors(_embs(spark, sf_dir))
+    return S.embedding_near_dup_pairs_lsh(canon, threshold=0.45)
+
+
 _LSH_BANDED_DUP = "\nUNION ALL\n".join(
     f"SELECT vec_id, embedding, {t} AS tbl, {S.sql_lsh_bucket('embedding', t)} AS bucket FROM e"
     for t in range(S.LSH_TABLES)
@@ -507,6 +523,23 @@ JOIN e ea ON ea.vec_id = c.vec_a
 JOIN e eb ON eb.vec_id = c.vec_b
 WHERE {S.sql_cosine('ea.embedding', 'eb.embedding')} >= 0.45
 """
+
+
+def _lsh_canon_sql():
+    from mimic2ts_spark.operators.kmeans import sql_canonical_vectors
+
+    # the X24 chain verbatim with its base CTE swapped to the canonical
+    # subquery (the X160/X199 hoist pattern; MATERIALIZED — the banded
+    # UNION references it once per LSH table)
+    return Q_DEDUP_EMBEDDING_LSH_SQL.replace(
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings),",
+        "WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM "
+        f"{sql_canonical_vectors()} c),",
+        1,
+    )
+
+
+Q_DEDUP_EMBEDDING_LSH_CANON_SQL = _lsh_canon_sql()
 
 
 # --- similarity search -----------------------------------------------------
@@ -6909,6 +6942,10 @@ EXT_REGISTRY = {
     "q_decontaminate_semantic": (
         q_decontaminate_semantic,
         _decon_semantic_sql().format(inner=Q_DEDUP_EMBEDDING_LSH_SQL),
+    ),
+    "q_dedup_embedding_lsh_canonical": (
+        q_dedup_embedding_lsh_canonical,
+        Q_DEDUP_EMBEDDING_LSH_CANON_SQL,
     ),
     "q_lm_fluency": (q_lm_fluency, Q_LM_FLUENCY_SQL),
     "q_dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
