@@ -5711,6 +5711,25 @@ def _q_dedup_semantic_canonical_sql():
 Q_DEDUP_SEMANTIC_CANONICAL_SQL = _q_dedup_semantic_canonical_sql()
 
 
+def q_stream_postings_ingest(spark, sf_dir):
+    """X204 — streaming search-index ingest (streaming.py
+    run_postings_ingest_available_now): the index builds on the
+    accepted 90%, the delta 10% drains through foreachBatch appends
+    (postings rows + additive stats — `maintain postings-append`
+    live), and the returned BM25 top-k SERVED from the drained index
+    bit-equals full corpus-scan scoring over ALL docs, whose SQL is
+    the oracle — the strongest contract in the streaming family (X194
+    can only quality-pin; BM25 state is batching-invariant)."""
+    import tempfile
+
+    from mimic2ts_spark.streaming import run_postings_ingest_available_now
+
+    out = tempfile.mkdtemp(prefix="postings_ingest_")
+    return run_postings_ingest_available_now(
+        spark, sf_dir, out, BM25_QUERY_TERMS
+    )
+
+
 def q_stream_rollup(spark, sf_dir):
     """X109 — streaming incremental rollup (streaming.py rollup_stream):
     the live form of X91 — per-(user, event_type) state IS the
@@ -6909,6 +6928,7 @@ EXT_REGISTRY = {
     ),
     "q_stream_kmv": (q_stream_kmv, Q_STREAM_KMV_SQL),
     "q_stream_rollup": (q_stream_rollup, Q_INCREMENTAL_AGG_SQL),
+    "q_stream_postings_ingest": (q_stream_postings_ingest, Q_SEARCH_BM25_SQL),
     "q_incremental_agg": (q_incremental_agg, Q_INCREMENTAL_AGG_SQL),
     "q_event_ema": (q_event_ema, Q_EVENT_EMA_SQL),
     "q_zorder_layout": (q_zorder_layout, Q_ZORDER_LAYOUT_SQL),

@@ -1080,3 +1080,75 @@ def run_knn_ingest_available_now(
     )
     q.awaitTermination()
     return spark.read.parquet(f"{out_dir}/graph")
+
+
+def run_postings_ingest_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    query_terms: tuple,
+    delta_stream: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming search-index ingest (X204) — the streaming form of
+    `maintain postings-append`, completing the search family's
+    streaming story the way X194 did the graph's: the BM25 inverted
+    index builds ONCE on the accepted corpus (doc_id % 10 != 0), then
+    the delta doc stream (doc_id % 10 == 0) drains through
+    foreachBatch — each microbatch appends its (term, doc_id, tf, dl)
+    rows and ADDS its {n_docs, sum_dl} to the maintained stats (df is
+    recomputed from the postings at read time, so appends need no df
+    reconciliation — the maintain contract verbatim).
+
+    Unlike X194 (graph insertion consults the graph AS OF its batch →
+    quality pin only), BM25 scoring is a PURE function of the final
+    (postings, stats) state and postings/stats are batching-invariant
+    additive sets, so the drained index serves bit-equal to full
+    corpus-scan scoring over ALL docs — the DuckDB oracle is full
+    scoring and the gate HASH re-proves the ingest lossless per run."""
+    from mimic2ts_spark.operators.search import (
+        bm25_from_postings,
+        build_postings,
+        corpus_stats,
+    )
+
+    data_dir = f"{out_dir}/postings"
+    par = spark.sparkContext.defaultParallelism
+    base = docs_stream_base(spark, sf_dir).where(F.col("doc_id") % 10 != 0)
+    (
+        build_postings(base)
+        .repartition(par, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(data_dir)
+    )
+    stats = corpus_stats(base)
+
+    delta = (
+        delta_stream
+        if delta_stream is not None
+        else docs_stream(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    )
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        d = corpus_stats(batch_df)
+        build_postings(batch_df).repartition(par, "term").sortWithinPartitions(
+            "term", "doc_id"
+        ).write.mode("append").parquet(data_dir)
+        stats["n_docs"] += d["n_docs"]
+        stats["sum_dl"] += d["sum_dl"]
+
+    q = (
+        delta.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return bm25_from_postings(spark, data_dir, stats, query_terms)
+
+
+def docs_stream_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch view of the documents table (the accepted-corpus side of
+    the ingest splits)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")

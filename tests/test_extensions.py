@@ -2690,3 +2690,35 @@ def test_bm25_maxscore_served_prunes_and_matches_full(spark, tmp_path):
             assert st["anchor"] == "dup"
             assert st["anchor_df"] * 10 < stats["n_docs"]
             assert st["bound_rest"] < st["theta"]
+
+
+def test_stream_postings_ingest_multibatch_equals_full_scan(spark, tmp_path):
+    """X204: the ingest contract is BATCHING-INVARIANT — the index
+    drained as THREE microbatches (maxFilesPerTrigger=1 over three
+    staged delta files) must serve BM25 bit-equal to one full
+    corpus-scan scoring over all docs, exactly what the oracle re-proves
+    for the single-batch registered form."""
+    import pandas as pd
+
+    from mimic2ts_spark.harness_ext import BM25_QUERY_TERMS
+    from mimic2ts_spark.operators.search import bm25_topk
+    from mimic2ts_spark.streaming import run_postings_ingest_available_now
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    delta_pdf = docs.where(F.col("doc_id") % 10 == 0).toPandas()
+    stage = tmp_path / "delta"
+    stage.mkdir()
+    for i in range(3):
+        part = delta_pdf[delta_pdf.index % 3 == i]
+        part.to_parquet(stage / f"d{i}.parquet", index=False)
+    delta = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+        .where(F.col("doc_id") % 10 == 0)
+    )
+    served = run_postings_ingest_available_now(
+        spark, SF, str(tmp_path / "idx"), BM25_QUERY_TERMS, delta_stream=delta
+    ).collect()
+    full = bm25_topk(docs, BM25_QUERY_TERMS).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in full] and served
