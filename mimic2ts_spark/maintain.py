@@ -127,6 +127,11 @@ def main(argv: list[str] | None = None) -> None:
         help="also persist the char-trigram index (gram, doc_id) that "
              "serves substring (grep) queries without a corpus scan",
     )
+    p_po.add_argument(
+        "--impacts", action="store_true",
+        help="also persist the per-term (df, u_max) impact scalars that "
+             "serve MaxScore-pruned BM25 (X200) without scoring a posting",
+    )
 
     p_poa = sub.add_parser(
         "postings-append",
@@ -144,6 +149,13 @@ def main(argv: list[str] | None = None) -> None:
     p_poa.add_argument(
         "--trigrams", action="store_true",
         help="also append the delta's trigram postings (NEW doc_ids only)",
+    )
+    p_poa.add_argument(
+        "--impacts", action="store_true",
+        help="REBUILD the impact scalars after the append (u_max and df "
+             "embed corpus-global stats, so appends must rebuild them — "
+             "serving against stale impacts could under-bound and break "
+             "the MaxScore prune theorem)",
     )
 
     p_iva = sub.add_parser(
@@ -338,6 +350,7 @@ def main(argv: list[str] | None = None) -> None:
         from mimic2ts_spark.operators.search import (
             build_positional_postings,
             build_postings,
+            build_term_impacts,
             build_trigram_postings,
             corpus_stats,
         )
@@ -357,6 +370,18 @@ def main(argv: list[str] | None = None) -> None:
                 .sortWithinPartitions("term", "doc_id")
                 .write.mode(mode)
                 .parquet(pos_dir)
+            )
+
+        imp_dir = os.path.join(args.out_dir, "impacts")
+
+        def write_impacts(cur_stats):
+            # always a full overwrite from the CURRENT postings + stats:
+            # u_max/df embed corpus-global scalars (single-writer layout)
+            (
+                build_term_impacts(spark.read.parquet(data_dir), cur_stats)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(imp_dir)
             )
 
         def write_trigrams(src_df, mode):
@@ -390,6 +415,9 @@ def main(argv: list[str] | None = None) -> None:
             if args.trigrams:
                 write_trigrams(docs, "overwrite")
                 audit["n_trigram"] = spark.read.parquet(tri_dir).count()
+            if args.impacts:
+                write_impacts(stats)
+                audit["n_impact_terms"] = spark.read.parquet(imp_dir).count()
         else:
             delta = spark.read.parquet(args.delta)
             with open(stats_path) as f:
@@ -414,6 +442,9 @@ def main(argv: list[str] | None = None) -> None:
             if args.trigrams:
                 write_trigrams(delta, "append")
                 audit["n_trigram"] = spark.read.parquet(tri_dir).count()
+            if args.impacts:
+                write_impacts(stats)
+                audit["n_impact_terms"] = spark.read.parquet(imp_dir).count()
         audit["runtime_seconds"] = round(time.time() - t0, 3)
         print(json.dumps(audit))
         release_storage(spark)

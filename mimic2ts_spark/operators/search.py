@@ -1108,7 +1108,10 @@ def build_term_impacts(postings: DataFrame, stats: dict) -> DataFrame:
 # |q| rows per distinct panel; keyed on the index DIR so a rebuilt index
 # (new tempdir) never serves stale stats. Like the PQ codebook / coarse
 # centroid row caches (CLAUDE.md r05), this is driver-side ROW state:
-# immune to release_storage and deliberately NOT a plan cache.
+# immune to release_storage and deliberately NOT a plan cache. If an
+# impacts artifact is REBUILT IN PLACE (maintain postings-append
+# --impacts), a long-lived serving process must clear this memo — or
+# write the rebuild to a fresh dir (the versioned-table pattern).
 _TERM_IMPACTS_CACHE: dict = {}
 
 

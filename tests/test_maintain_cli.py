@@ -735,3 +735,55 @@ def test_streaming_knn_ingest_equals_direct_append(spark, tmp_path):
     assert len(per) == embs.count()
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= KNN_K
                for v in per.values())
+
+
+def test_maintain_impacts_build_append_maxscore_serve(spark, tmp_path, capsys):
+    """Impact-index artifact (X200): `postings --impacts` persists the
+    per-term (df, u_max) scalars; MaxScore served FROM the CLI artifacts
+    must bit-equal full corpus-scan BM25 on the long-tail panel, the
+    prune must FIRE, and `postings-append --impacts` must REBUILD the
+    impacts (stale u_max could under-bound and break the prune theorem)
+    so the served result stays equal over the FULL corpus."""
+    import json as _json
+
+    from mimic2ts_spark.harness_ext import BM25_LONGTAIL_TERMS
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.search import (
+        _TERM_IMPACTS_CACHE,
+        bm25_topk,
+        bm25_topk_maxscore_from_postings,
+    )
+
+    out = str(tmp_path / "idx")
+    base_dir = str(tmp_path / "base")
+    delta_dir = str(tmp_path / "delta")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.where(F.col("doc_id") % 10 != 0).write.parquet(base_dir)
+    docs.where(F.col("doc_id") % 10 == 0).write.parquet(delta_dir)
+
+    main(["postings", out, base_dir, "--impacts"])
+    a1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a1["n_impact_terms"] > 0
+    with open(f"{out}/stats.json") as f:
+        stats = _json.load(f)
+    st: dict = {}
+    served = bm25_topk_maxscore_from_postings(
+        spark, f"{out}/postings", f"{out}/impacts", stats,
+        BM25_LONGTAIL_TERMS, _stats=st,
+    ).collect()
+    base = spark.read.parquet(base_dir)
+    direct = bm25_topk(base, BM25_LONGTAIL_TERMS).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in direct]
+    assert st["pruned"] is True and st["anchor"] == "dup"
+
+    main(["postings-append", out, delta_dir, "--impacts"])
+    a2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a2["n_docs"] == docs.count()
+    _TERM_IMPACTS_CACHE.clear()  # the rebuilt artifact invalidates the memo
+    with open(f"{out}/stats.json") as f:
+        stats2 = _json.load(f)
+    served2 = bm25_topk_maxscore_from_postings(
+        spark, f"{out}/postings", f"{out}/impacts", stats2, BM25_LONGTAIL_TERMS
+    ).collect()
+    direct2 = bm25_topk(docs, BM25_LONGTAIL_TERMS).collect()
+    assert [tuple(r) for r in served2] == [tuple(r) for r in direct2]
