@@ -170,6 +170,7 @@ HEADLINE = [
     "q_lm_fluency",
     "q_decontaminate_semantic",
     "q_dedup_embedding_lsh_canonical",
+    "q_trend_robust",
 ]
 
 

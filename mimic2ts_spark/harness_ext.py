@@ -5910,6 +5910,95 @@ def q_trend_daily(spark, sf_dir):
     )
 
 
+TS_SCALE = 100_000
+
+
+def q_trend_robust(spark, sf_dir):
+    """X205 — Theil-Sen robust per-type trend (Theil 1950 / Sen 1968):
+    the breakdown-resistant companion of X169's OLS — the median of all
+    pairwise daily-count slopes ignores up to ~29% outlier days (one
+    traffic-spike day drags OLS arbitrarily; the pairwise median
+    doesn't). Pairwise slopes never leave the PER-DAY aggregate (d
+    rows/group ⇒ d(d−1)/2 pairs — independent of raw row count, the
+    X169 state-size argument squared; long horizons window or sample
+    the pair set, documented here as the dial). Median selection is the
+    LOWER median by row_number over (float ratio, num, den) — IEEE
+    division of int64s is identically rounded both engines and the
+    exact-integer tie-break removes any equal-key ambiguity; lower
+    (not averaged) median keeps the estimator a RATIONAL of two table
+    values. slope_scaled uses the r03 portable floor
+    (floor(DOUBLE(SCALE·num)/den)) because num may be NEGATIVE, where
+    Spark's `div` truncates toward zero but DuckDB's `//` floors."""
+    ev = _h._t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT)")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = daily.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("x1") < F.col("x2"))
+        .select(
+            "event_type",
+            (F.col("y2") - F.col("y1")).alias("num"),
+            (F.col("x2") - F.col("x1")).alias("den"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(
+        (F.col("num").cast("double") / F.col("den").cast("double")).asc(),
+        F.col("num").asc(),
+        F.col("den").asc(),
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+    cnt = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    med = ranked.join(cnt, "event_type").where(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    )
+    return med.select(
+        "event_type",
+        "n_pairs",
+        F.col("num").alias("med_num"),
+        F.col("den").alias("med_den"),
+        F.expr(
+            f"CAST(floor(CAST({TS_SCALE}L * num AS DOUBLE) / den) AS BIGINT)"
+        ).alias("slope_scaled"),
+    )
+
+
+Q_TREND_ROBUST_SQL = f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type, b.y - a.y AS num, b.x - a.x AS den
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.x < b.x
+),
+ranked AS (
+    SELECT event_type, num, den,
+           CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den
+           ) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+    FROM pairs
+)
+SELECT event_type, n_pairs, num AS med_num, den AS med_den,
+       CAST(floor(CAST({TS_SCALE} * num AS DOUBLE) / den) AS BIGINT)
+           AS slope_scaled
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+
 Q_TREND_DAILY_SQL = """
 WITH daily AS (
     SELECT event_type,
@@ -7067,6 +7156,7 @@ EXT_REGISTRY = {
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
     "q_stream_ddq": (q_stream_ddq, Q_STREAM_DDQ_SQL),
     "q_trend_daily": (q_trend_daily, Q_TREND_DAILY_SQL),
+    "q_trend_robust": (q_trend_robust, Q_TREND_ROBUST_SQL),
     "q_json_props": (q_json_props, Q_JSON_PROPS_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),

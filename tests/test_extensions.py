@@ -2722,3 +2722,38 @@ def test_stream_postings_ingest_multibatch_equals_full_scan(spark, tmp_path):
     ).collect()
     full = bm25_topk(docs, BM25_QUERY_TERMS).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in full] and served
+
+
+def test_theil_sen_resists_outlier_day(spark, tmp_path):
+    """X205: the reason Theil-Sen exists — one spike day on a clean
+    count ramp must leave the pairwise-median slope at the true value
+    while the X169 OLS slope is dragged away; and the lower-median
+    selection must reproduce a python replay exactly."""
+    import pandas as pd
+
+    from mimic2ts_spark.harness_ext import TS_SCALE, q_trend_robust
+
+    rows = []
+    eid = 0
+    for d in range(20):  # y = 5 + 2d events on day d, one spike day
+        n = 5 + 2 * d if d != 10 else 500
+        for _ in range(n):
+            rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, minutes=eid % 60), 1, "t", 1.0, ""))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    d = tmp_path / "fx"; d.mkdir()
+    pdf.to_parquet(d / "events.parquet", index=False)
+
+    out = {r.event_type: r for r in q_trend_robust(spark, str(d)).collect()}["t"]
+    # python replay: same pairs, same (float ratio, num, den) lower median
+    daily = pdf.assign(x=(pdf.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days).groupby("x").size()
+    pairs = sorted(
+        ((daily[x2] - daily[x1], x2 - x1) for x1 in daily.index for x2 in daily.index if x1 < x2),
+        key=lambda p: (p[0] / p[1], p[0], p[1]),
+    )
+    num, den = pairs[(len(pairs) + 1) // 2 - 1]
+    assert (out.med_num, out.med_den, out.n_pairs) == (num, den, len(pairs))
+    import math
+    assert out.slope_scaled == math.floor(TS_SCALE * num / den)
+    # robustness: true slope 2 (the spike day shifts the median barely)
+    assert abs(out.slope_scaled / TS_SCALE - 2.0) < 0.2
