@@ -48,3 +48,13 @@ def test_no_vs_totals_is_fine():
         {"metric": "m", "value": 1.0, "sf": 0.1}, {"q_a": 1.0}, {}
     )
     assert json.loads(line)["queries"] == {"q_a": 1.0}
+
+
+def test_headline_names_all_registered():
+    """Every HEADLINE entry must exist in the harness REGISTRY — a
+    renamed or dropped query would otherwise fail only at bench time
+    (the driver's per-round record, not a test run)."""
+    from mimic2ts_spark import harness
+
+    missing = [n for n in HEADLINE if n not in harness.REGISTRY]
+    assert not missing, missing
