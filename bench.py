@@ -216,6 +216,39 @@ def compact_metric_line(out: dict, timings: dict, vs_totals: dict) -> str:
 
 
 
+def _probe_pair(spark) -> dict:
+    """Fixed deterministic drift probes (VERDICT r08 #3): one
+    single-thread pure-CPU loop and one tiny fixed Spark job, each
+    best-of-3. Identical work every round, so the ratio of two rounds'
+    probe seconds measures HOST drift (hypervisor/clock) independent of
+    any code change — the r06→r08 saga burned two rounds because
+    cross-round totals had no same-day control. Never in the compact
+    driver line; BENCH_DETAIL only, plus *_norm ratios."""
+    import hashlib
+
+    def cpu_once() -> float:
+        t0 = time.time()
+        h = b"probe"
+        for _ in range(200_000):
+            h = hashlib.md5(h).digest()
+        return time.time() - t0
+
+    def spark_once() -> float:
+        t0 = time.time()
+        spark.range(0, 20_000_000, 1, 32).selectExpr(
+            "sum(id * id) AS s"
+        ).collect()
+        return time.time() - t0
+
+    try:
+        return {
+            "cpu_sec": round(min(cpu_once() for _ in range(3)), 4),
+            "spark_sec": round(min(spark_once() for _ in range(3)), 4),
+        }
+    except Exception:
+        return {}  # telemetry must never fail the bench
+
+
 def _code_cache_telemetry(spark) -> dict:
     """{pool name: {used_mb, max_mb}} for the JVM's code-heap pools via
     the management MXBeans (py4j; local mode = the one JVM that matters).
@@ -312,23 +345,41 @@ def main() -> None:
         # code-cache occupancy at end of run — the r04/r07 saturation
         # suspect. Usage ~= max means late queries ran interpreted.
         "code_cache": _code_cache_telemetry(spark),
+        # Host-drift probes, measured in the same session right after the
+        # timed rounds (see _probe_pair). vs_r{N}_total_norm divides the
+        # raw ratio by the probe drift factor when the prior round
+        # recorded probes.
+        "probe": _probe_pair(spark),
     }
     vs_totals: dict[str, float] = {}
 
     # Self-baselining: per-query ratio vs each prior round's recorded
     # bench (>1.5x on any query = a regression to explain). Only attached
     # when benching the same sf the baseline was recorded at. The round
-    # list is DISCOVERED from the committed BENCH_r*/BENCH_DETAIL_r*
-    # artifacts (numeric sort) — a hard-coded ladder stopping at r05 hid
-    # the entire r06→r07 1.16x regression from the record (VERDICT r07).
+    # list is DISCOVERED from the COMMITTED BENCH_r*/BENCH_DETAIL_r*
+    # artifacts via `git ls-files` (numeric sort) — a hard-coded ladder
+    # stopping at r05 hid the entire r06→r07 1.16x regression from the
+    # record (VERDICT r07), and a working-tree glob picked up the
+    # in-flight round's own untracked BENCH_r{N}.json, producing a
+    # self-comparison and evicting an older round from the 2-slot compact
+    # window (ADVICE r08). Fallback to the glob only if git fails.
     here = os.path.dirname(os.path.abspath(__file__))
     import glob
     import re
+    import subprocess
 
+    try:
+        tracked = subprocess.run(
+            ["git", "-C", here, "ls-files", "BENCH_*r*.json"],
+            capture_output=True, text=True, timeout=15, check=True,
+        ).stdout.splitlines()
+        candidates = [os.path.join(here, p) for p in tracked]
+    except Exception:
+        candidates = glob.glob(os.path.join(here, "BENCH_*r*.json"))
     rounds = sorted(
         {
             int(m.group(1))
-            for p in glob.glob(os.path.join(here, "BENCH_*r*.json"))
+            for p in candidates
             for m in [re.search(r"BENCH(?:_DETAIL)?_r0*(\d+)\.json$", p)]
             if m
         }
@@ -352,7 +403,18 @@ def main() -> None:
         }
         if prev and parsed.get("value"):
             shared = round(sum(t for q, t in timings.items() if prev.get(q)), 3)
-            vs_totals[f"vs_{rnd}_total"] = round(shared / parsed["value"], 3)
+            raw = round(shared / parsed["value"], 3)
+            vs_totals[f"vs_{rnd}_total"] = raw
+            # Drift-normalized ratio: divide out the host-speed change
+            # measured by the fixed probe (spark probe preferred — it
+            # exercises the same JVM/scheduler path as the workload).
+            prev_probe = parsed.get("probe") or base.get("probe") or {}
+            cur_probe = out.get("probe") or {}
+            for kind in ("spark_sec", "cpu_sec"):
+                if prev_probe.get(kind) and cur_probe.get(kind):
+                    drift = cur_probe[kind] / prev_probe[kind]
+                    vs_totals[f"vs_{rnd}_total_norm"] = round(raw / drift, 3)
+                    break
     out.update(vs_totals)
 
     # Full detail (per-query vs maps, 3-decimal timings) goes to a file and
@@ -369,16 +431,24 @@ def main() -> None:
     # with the final bench detail modified-but-uncommitted (VERDICT r07
     # "What's wrong #5") because the driver runs bench AFTER the last
     # manual commit — making the artifact self-committing is the fix.
-    import subprocess
-
+    # The commit only runs here, after ALL headline queries completed
+    # (an exception above aborts before this point), so a partial run
+    # never lands in history; failures are LOGGED to stderr (ADVICE r08
+    # — a swallowed failure previously hid polluted-run recovery).
     try:
-        subprocess.run(
+        res = subprocess.run(
             ["git", "-C", here, "commit", "-m",
              "bench: record BENCH_DETAIL.json", "--", "BENCH_DETAIL.json"],
-            capture_output=True, timeout=30,
+            capture_output=True, text=True, timeout=30,
         )
-    except Exception:
-        pass  # a failed commit must never fail the bench
+        if res.returncode != 0:
+            print(
+                f"bench: BENCH_DETAIL.json commit rc={res.returncode}: "
+                f"{(res.stderr or res.stdout).strip()[:200]}",
+                file=sys.stderr,
+            )
+    except Exception as e:  # a failed commit must never fail the bench
+        print(f"bench: BENCH_DETAIL.json commit failed: {e}", file=sys.stderr)
 
     print(json.dumps(out))
 

@@ -2248,12 +2248,11 @@ _CORE_REGISTRY = dict(REGISTRY)
 # row at worst every ceil(159/50) = 4 rounds instead of the §2 core
 # sitting r02-stale forever behind a static tail.
 _GATE_CHANGED_THIS_ROUND = [
-    # r08: entries appended per in-round edit (new queries need no slot —
+    # r09: entries appended per in-round edit (new queries need no slot —
     # never-verified sorts first automatically). Kept near-empty early in
-    # the round so the stalest-first order soaks the r02/r03 tail
-    # (VERDICT r07 next-round item 4).
-    # r08: Apriori item pre-prune + broadcast-hint removal
-    "q_assoc_rules", "q_item_cf",
+    # the round so the stalest-first order soaks the 33-query r03/r04
+    # tail (VERDICT r08 next-round item 1; window = 50, tail = 33, so up
+    # to ~17 changed entries still drain the whole tail this round).
 ]
 
 

@@ -1105,18 +1105,39 @@ def build_term_impacts(postings: DataFrame, stats: dict) -> DataFrame:
 
 # Per-(index, panel) driver memo of the |q| collected impact rows — the
 # in-memory term dictionary every serving system keeps hot. Bounded at
-# |q| rows per distinct panel; keyed on the index DIR so a rebuilt index
-# (new tempdir) never serves stale stats. Like the PQ codebook / coarse
-# centroid row caches (CLAUDE.md r05), this is driver-side ROW state:
-# immune to release_storage and deliberately NOT a plan cache. If an
-# impacts artifact is REBUILT IN PLACE (maintain postings-append
-# --impacts), a long-lived serving process must clear this memo — or
-# write the rebuild to a fresh dir (the versioned-table pattern).
+# |q| rows per distinct panel; keyed on the index DIR plus an artifact
+# FINGERPRINT (per-file name/size/mtime_ns of the impacts dir), so both
+# a rebuilt index (new tempdir) and an IN-PLACE rebuild (maintain
+# postings-append --impacts) miss the memo and re-collect fresh stats —
+# stale u_max could under-bound B and silently break the prune theorem
+# (ADVICE r08). Like the PQ codebook / coarse centroid row caches
+# (CLAUDE.md r05), this is driver-side ROW state: immune to
+# release_storage and deliberately NOT a plan cache.
 _TERM_IMPACTS_CACHE: dict = {}
 
 
+def _impacts_fingerprint(impacts_dir: str) -> tuple:
+    """(name, size, mtime_ns) of every data file in the artifact dir —
+    cheap (an impacts table is a handful of files) and changes whenever
+    maintain rewrites the parquet, even at the same path."""
+    import os
+
+    try:
+        names = sorted(os.listdir(impacts_dir))
+    except OSError:
+        return ("missing",)
+    out = []
+    for n in names:
+        try:
+            st = os.stat(os.path.join(impacts_dir, n))
+            out.append((n, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((n, -1, -1))
+    return tuple(out)
+
+
 def _term_impacts_cached(spark, impacts_dir: str, query_terms: tuple):
-    key = (impacts_dir, tuple(query_terms))
+    key = (impacts_dir, _impacts_fingerprint(impacts_dir), tuple(query_terms))
     if key not in _TERM_IMPACTS_CACHE:
         _TERM_IMPACTS_CACHE[key] = (
             spark.read.parquet(impacts_dir)

@@ -779,7 +779,10 @@ def test_maintain_impacts_build_append_maxscore_serve(spark, tmp_path, capsys):
     main(["postings-append", out, delta_dir, "--impacts"])
     a2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert a2["n_docs"] == docs.count()
-    _TERM_IMPACTS_CACHE.clear()  # the rebuilt artifact invalidates the memo
+    # NO manual memo clear: the fingerprint-keyed memo must see the
+    # in-place rebuild itself (ADVICE r08) — a stale hit here would
+    # serve the pre-append u_max and fail the full-corpus equality below.
+    assert any(k[0] == f"{out}/impacts" for k in _TERM_IMPACTS_CACHE)
     with open(f"{out}/stats.json") as f:
         stats2 = _json.load(f)
     served2 = bm25_topk_maxscore_from_postings(
