@@ -2253,6 +2253,9 @@ _GATE_CHANGED_THIS_ROUND = [
     # the round so the stalest-first order soaks the 33-query r03/r04
     # tail (VERDICT r08 next-round item 1; window = 50, tail = 33, so up
     # to ~17 changed entries still drain the whole tail this round).
+    "q_assoc_rules_longtail",  # r09: scale-stable SKU key (output changed)
+    "q_stream_postings_ingest",  # r09: disk-path memo (ADVICE r08)
+    "q_search_bm25_maxscore",  # r09: impacts-cache fingerprint key
 ]
 
 

@@ -3785,11 +3785,18 @@ def assoc_rules_mine(li, prune: bool = True):
 
 # Deterministic SKU-variant item key for the long-tail variant: head
 # parts (partkey % 4 == 0) keep one item per part (frequent); tail parts
-# split their baskets across 63 orderkey-derived variants, dropping
-# nearly all of them below MINSUP. Same integer arithmetic both engines.
+# shatter into variants LOCAL in orderkey space (one variant per part per
+# 4-wide orderkey window, disjoint from head ids via the 2^32 shift).
+# Locality is what makes the rarity SCALE-STABLE (VERDICT r08 #2): the
+# sweep generator offsets orderkeys per copy, so growing the corpus adds
+# NEW windows (new variants) instead of new counts per variant — a
+# fixed-modulus variant key (the r08 form, l_orderkey % 63) re-crossed
+# MINSUP at the 100x sweep and inverted the regime the query exists to
+# demonstrate. Same integer arithmetic both engines (no division: the
+# window id is l_orderkey - l_orderkey % 4).
 RULES_SKU_EXPR = (
-    "CASE WHEN l_partkey % 4 = 0 THEN l_partkey * 64{L} "
-    "ELSE l_partkey * 64{L} + 1{L} + (l_orderkey % 63{L}) END"
+    "CASE WHEN l_partkey % 4 = 0 THEN l_partkey * 1{L} "
+    "ELSE l_partkey * 4294967296{L} + 1{L} + l_orderkey - (l_orderkey % 4{L}) END"
 )
 
 
@@ -3797,13 +3804,16 @@ def q_assoc_rules_longtail(spark, sf_dir):
     """X198 — association rules on a LONG-TAIL item vocabulary (the
     regime Apriori's item prune was designed for, Agrawal & Srikant
     1994 §2.1.1): items are SKU-variants — head parts stay one item,
-    tail parts shatter into orderkey-derived variants that land below
-    MINSUP — so the frequent-item pre-filter removes ~2/3 of the
-    self-join input BEFORE the Σ basket² shuffle (sf0.01: 59,945 →
-    18,764 basket rows; the uniform-corpus q_assoc_rules prunes 0).
-    Same exact scaled-integer scoring as X197; losslessness of the
-    prune is pinned by a pytest comparing against the unpruned
-    baseline."""
+    tail parts shatter into variants LOCAL in orderkey space (see
+    RULES_SKU_EXPR) that land below MINSUP at EVERY sweep scale — so
+    the frequent-item pre-filter removes ~75% of the self-join input
+    BEFORE the Σ basket² shuffle (sf0.01: 59,945 → 14,960 basket
+    rows, same ratio at sf0.1; the uniform-corpus q_assoc_rules
+    prunes 0) and the prune WINS at the 100× sweep (14.3 s pruned vs
+    31.9 s unpruned, interleaved best-of-2 — the r08 fixed-modulus
+    key inverted here). Same exact scaled-integer scoring as X197;
+    losslessness of the prune is pinned by a pytest comparing against
+    the unpruned baseline."""
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .select(
