@@ -145,7 +145,11 @@ HEADLINE = [
     "q_search_phrase_indexed",
     "q_search_substring_indexed",
     "q_json_props",
-    "q_search_bm25_pruned",
+    # q_search_bm25_pruned (X179) demoted from HEADLINE r09: the
+    # corpus-scan MaxScore form proves the prune theorem but loses to
+    # its own full twin on every gate corpus (2.2 vs 1.1 s at sf0.1;
+    # the winning regime is the index-served X200 q_search_bm25_maxscore,
+    # which IS headline). The gate oracle still verifies X179 per window.
     "q_ann_knn_graph",
     "q_ann_knn_beam",
     "q_retrieval_mrr",

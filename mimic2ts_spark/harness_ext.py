@@ -3466,7 +3466,10 @@ def q_search_bm25_pruned(spark, sf_dir):
     win on wall clock: the per-term bounds are derived by scoring every
     posting first, so only the final aggregate is skipped. The winning
     form is the index-served q_search_bm25_maxscore below (impact
-    bounds stored at build, Turtle-Flood long-tail panel)."""
+    bounds stored at build, Turtle-Flood long-tail panel). Demoted
+    from HEADLINE in r09 (VERDICT r08 #4) — the gate oracle still
+    re-proves the prune lossless per window; it just no longer burns
+    headline-bench budget on a demonstration."""
     from mimic2ts_spark.operators.search import bm25_topk_maxscore
 
     return bm25_topk_maxscore(_docs(spark, sf_dir), BM25_QUERY_TERMS)

@@ -869,11 +869,20 @@ def embedding_near_dup_pairs_lsh(
     ).where(F.col("cosine") >= threshold)
 
 
+# Broadcast budget for the exact all-pairs path: 500k 64-dim float64
+# vectors ≈ 256 MB matrix + ids/norms — the most a driver collect +
+# executor broadcast should carry. Past it, the LSH-bucketed join
+# (embedding_near_dup_pairs_lsh / X24, canonical form X203) is the
+# designed scale path.
+EXACT_PAIRS_MAX_ROWS = 500_000
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = EXACT_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, via broadcast matmul.
 
@@ -892,7 +901,18 @@ def embedding_near_dup_pairs(
     is the scale path.
     """
     base = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    rows = base.collect()  # small side, same budget as a broadcast dim
+    # ENFORCED broadcast budget (VERDICT r08 #5): a comment is not a
+    # guard. The count runs on the slim id column (column-pruned scan)
+    # before any vector bytes move to the driver.
+    n_vecs = vectors.select(id_col).count()
+    if n_vecs > max_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs is the exact BROADCAST path: "
+            f"{n_vecs} vectors exceed the {max_rows}-row broadcast budget. "
+            f"Use embedding_near_dup_pairs_lsh (X24) — or its exact-first "
+            f"canonical form (X203) — for beyond-broadcast corpora."
+        )
+    rows = base.collect()  # small side, budget enforced above
     ids = np.array([r.vec_a for r in rows], dtype=np.int64)
     mat = np.array([r.va for r in rows], dtype=np.float64)
     norm2 = np.zeros(len(ids), dtype=np.float64)

@@ -148,6 +148,22 @@ def test_cosine_matches_numpy(spark, embs):
     assert abs(got - expected) < 1e-12
 
 
+def test_embedding_near_dup_broadcast_budget_enforced(spark, embs):
+    """X5's exact all-pairs path is a BROADCAST algorithm: past the
+    row budget it must raise (pointing at the X24/X203 LSH scale path)
+    BEFORE collecting any vector bytes — a comment is not a guard
+    (VERDICT r08 #5)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="embedding_near_dup_pairs_lsh"):
+        S.embedding_near_dup_pairs(embs, threshold=0.9, max_rows=10)
+    # within budget the path is unchanged
+    ok = S.embedding_near_dup_pairs(
+        embs.where(F.col("vec_id") < 12), threshold=-1.0, max_rows=12
+    )
+    assert ok.count() == 12 * 11 // 2
+
+
 def test_multimodal_features(spark, docs):
     """extract_features decodes the REAL container: payload stats equal
     the raw text bytes (codec roundtrip), and width/height are the
