@@ -175,6 +175,8 @@ HEADLINE = [
     "q_decontaminate_semantic",
     "q_dedup_embedding_lsh_canonical",
     "q_trend_robust",
+    # round 9: windowed Theil-Sen (X206)
+    "q_trend_robust_windowed",
 ]
 
 

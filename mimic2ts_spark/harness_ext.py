@@ -5993,6 +5993,14 @@ def q_trend_robust(spark, sf_dir):
             (F.col("x2") - F.col("x1")).alias("den"),
         )
     )
+    return _theil_sen_median(pairs)
+
+
+def _theil_sen_median(pairs):
+    """Lower-median slope per event_type over (num, den) pair rows —
+    the selection shared by the full and windowed Theil-Sen forms
+    (row_number over the IEEE float ratio with exact-integer
+    tie-break; see q_trend_robust for the portability argument)."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("event_type").orderBy(
@@ -6018,6 +6026,44 @@ def q_trend_robust(spark, sf_dir):
     )
 
 
+TREND_WINDOW_DAYS = 7
+
+
+def q_trend_robust_windowed(spark, sf_dir):
+    """X206 — WINDOWED Theil-Sen (X205's documented long-horizon bound,
+    made real per VERDICT r08 #7): slopes only over day pairs with lag
+    1..W, so the per-group pair set is d·W (linear in horizon) instead
+    of d(d−1)/2 — the standard moving-window variant for multi-year
+    series where the full pair set is quadratic. Pair GENERATION is
+    linear too: the left leg explodes offsets 1..W and equi-joins
+    (event_type, x+off) — never a post-join range filter over the d²
+    intermediate (the join key is exact, so missing days simply find
+    no partner). Same lower-median selection and portable floor as
+    X205 (shared _theil_sen_median); the oracle is the NAIVE banded
+    self-join, sharing no generation scheme with the Spark side."""
+    ev = _h._t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT)")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = daily.select(
+        "event_type",
+        "x",
+        F.col("y").alias("y1"),
+        F.explode(F.expr(f"sequence(1L, {TREND_WINDOW_DAYS}L)")).alias("off"),
+    ).withColumn("x2", F.col("x") + F.col("off"))
+    b = daily.select(
+        "event_type", F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    pairs = a.join(b, ["event_type", "x2"]).select(
+        "event_type",
+        (F.col("y2") - F.col("y1")).alias("num"),
+        F.col("off").alias("den"),
+    )
+    return _theil_sen_median(pairs)
+
+
 Q_TREND_ROBUST_SQL = f"""
 WITH daily AS (
     SELECT event_type,
@@ -6029,6 +6075,35 @@ pairs AS (
     SELECT a.event_type, b.y - a.y AS num, b.x - a.x AS den
     FROM daily a JOIN daily b
       ON a.event_type = b.event_type AND a.x < b.x
+),
+ranked AS (
+    SELECT event_type, num, den,
+           CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den
+           ) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+    FROM pairs
+)
+SELECT event_type, n_pairs, num AS med_num, den AS med_den,
+       CAST(floor(CAST({TS_SCALE} * num AS DOUBLE) / den) AS BIGINT)
+           AS slope_scaled
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+
+Q_TREND_ROBUST_WINDOWED_SQL = f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type, b.y - a.y AS num, b.x - a.x AS den
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type
+     AND a.x < b.x AND b.x - a.x <= {TREND_WINDOW_DAYS}
 ),
 ranked AS (
     SELECT event_type, num, den,
@@ -7204,6 +7279,10 @@ EXT_REGISTRY = {
     "q_stream_ddq": (q_stream_ddq, Q_STREAM_DDQ_SQL),
     "q_trend_daily": (q_trend_daily, Q_TREND_DAILY_SQL),
     "q_trend_robust": (q_trend_robust, Q_TREND_ROBUST_SQL),
+    "q_trend_robust_windowed": (
+        q_trend_robust_windowed,
+        Q_TREND_ROBUST_WINDOWED_SQL,
+    ),
     "q_json_props": (q_json_props, Q_JSON_PROPS_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),
