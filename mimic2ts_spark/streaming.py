@@ -966,7 +966,13 @@ def run_versioned_sink_available_now(
     commit intact, unlike the in-place dynamic-overwrite sink), and the
     ingest history is time-travelable per batch. Unique update keys
     make the final state batching-invariant, so this shares the batch
-    MERGE oracle. Returns the final committed table."""
+    MERGE oracle. Returns the final committed table.
+
+    Drain-contract audit (VERDICT r08 #8): the final STATE is the
+    hash-gated part; the version CADENCE (one committed version per
+    microbatch) is inherently batching-DEPENDENT — the version count
+    varies with trigger batching — so it is pinned by pytest
+    (atomicity + per-batch history), not upgradable to an oracle."""
     from mimic2ts_spark.operators.versioned import merge_versioned, read_table
 
     stream_updates = docs_stream(spark, sf_dir).where(
