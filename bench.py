@@ -241,8 +241,9 @@ def _probe_pair(spark) -> dict:
 
     def spark_once() -> float:
         t0 = time.time()
+        # bounded terms: sum(id*id) overflows int64 under ANSI at 2e7 rows
         spark.range(0, 20_000_000, 1, 32).selectExpr(
-            "sum(id * id) AS s"
+            "sum(pmod(xxhash64(id), 97L)) AS s"
         ).collect()
         return time.time() - t0
 
@@ -251,8 +252,11 @@ def _probe_pair(spark) -> dict:
             "cpu_sec": round(min(cpu_once() for _ in range(3)), 4),
             "spark_sec": round(min(spark_once() for _ in range(3)), 4),
         }
-    except Exception:
-        return {}  # telemetry must never fail the bench
+    except Exception as e:  # telemetry must never fail the bench — but
+        # a silent {} hides a broken probe (the first cut swallowed an
+        # ANSI overflow); log it so the detail reader sees why.
+        print(f"bench: drift probe failed: {e}", file=sys.stderr)
+        return {}
 
 
 def _code_cache_telemetry(spark) -> dict:

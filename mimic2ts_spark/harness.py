@@ -2256,6 +2256,7 @@ _GATE_CHANGED_THIS_ROUND = [
     "q_assoc_rules_longtail",  # r09: scale-stable SKU key (output changed)
     "q_stream_postings_ingest",  # r09: disk-path memo (ADVICE r08)
     "q_search_bm25_maxscore",  # r09: impacts-cache fingerprint key
+    "q_trend_robust",  # r09: median selection refactored into shared helper
 ]
 
 
