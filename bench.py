@@ -175,8 +175,9 @@ HEADLINE = [
     "q_decontaminate_semantic",
     "q_dedup_embedding_lsh_canonical",
     "q_trend_robust",
-    # round 9: windowed Theil-Sen (X206)
+    # round 9: windowed Theil-Sen (X206) + near-dup MAP eval (X207)
     "q_trend_robust_windowed",
+    "q_retrieval_map",
 ]
 
 

@@ -3555,6 +3555,33 @@ def _q_retrieval_mrr_sql():
 Q_RETRIEVAL_MRR_SQL = _q_retrieval_mrr_sql()
 
 
+def q_retrieval_map(spark, sf_dir):
+    """X207 — MAP@k retrieval eval against near-dup ground truth
+    (operators/search.py neardup_map_at_k): the multi-relevant
+    companion of X182's known-item MRR, completing the eval family
+    with the metric used when queries have SEVERAL right answers.
+    Relevant sets come from the exact-first X2 relation
+    (canonical_near_dup_pairs — the same pairs q_dedup_pipeline
+    registers), the query doc is excluded from its own candidate pool,
+    and AP is an exact integer rational (2520-scaled, floor by
+    min(n_rel, k)); MAP = avg(ap_scaled)/2520 at the consumer."""
+    from mimic2ts_spark.operators.search import neardup_map_at_k
+
+    docs = _docs(spark, sf_dir)
+    return neardup_map_at_k(
+        docs, D.canonical_near_dup_pairs(docs, threshold=0.8)
+    )
+
+
+def _q_retrieval_map_sql():
+    from mimic2ts_spark.operators.search import sql_neardup_map
+
+    return sql_neardup_map(Q_DEDUP_PIPELINE_SQL)
+
+
+Q_RETRIEVAL_MAP_SQL = _q_retrieval_map_sql()
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """X142 — hybrid retrieval: reciprocal-rank fusion of the lexical
     BM25 leg (fixed bag-of-words query) and the dense cosine leg (the
@@ -7285,6 +7312,7 @@ EXT_REGISTRY = {
     ),
     "q_json_props": (q_json_props, Q_JSON_PROPS_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
+    "q_retrieval_map": (q_retrieval_map, Q_RETRIEVAL_MAP_SQL),
     "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),
 }
 

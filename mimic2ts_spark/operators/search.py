@@ -854,60 +854,24 @@ MRR_K = 10          # ranking depth
 MRR_RR_SCALE = 2520  # lcm(1..10): rr = MRR_RR_SCALE // rank is exact int
 
 
-def known_item_mrr(
-    docs: DataFrame,
-    panel: int = MRR_PANEL,
-    n_terms: int = MRR_QTERMS,
-    k: int = MRR_K,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _panel_bm25_ranked(
+    base: DataFrame,
+    pdocs: DataFrame,
+    n_terms: int,
+    k: int,
+    exclude_self: bool = False,
 ) -> DataFrame:
-    """Known-item retrieval eval — the retrieval family's measured
-    quality number (completing the eval triad: X156 scores ANN, X167
-    scores dedup banding, this scores BM25): draw `panel` queries from
-    the corpus itself (each query = the `n_terms` most-frequent tokens
-    of one md5-chosen document, ties md5-code then token — the
-    standard known-item query simulation), rank the corpus by
-    integer-exact BM25 per query, and report where each query's SOURCE
-    document landed. Term choice matters: this corpus has a 31-word
-    shared vocabulary with no rare terms, so md5-random term picks
-    measured MRR 0.03 (nothing is discriminative) while the doc's own
-    tf signal measures 0.88 — the eval scores BM25's tf/dl arithmetic,
-    which is the part the engine owns.
-
-    Output: one row per query — (qid, rank_found [0 = missed top-k],
-    rr_scaled [= MRR_RR_SCALE // rank, 0 on miss], top1_doc).
-    MRR = avg(rr_scaled) / MRR_RR_SCALE; reciprocal ranks are exact
-    integers (lcm(1..k) clears every denominator), so the report is
-    bit-exact cross-engine — no float MRR ever materializes.
-
-    Exact-first: panel, scoring corpus and stats all use md5 CANONICAL
-    docs — byte-identical copies of a known item would tie its score
-    and turn the eval into a tie-break lottery (the X167 lesson).
-
-    Shape at scale: ONE corpus token pass (explode → broadcast
-    vocabulary join — at most panel·n_terms distinct terms), broadcast
-    per-term df + 1-row totals (declared scalar cross join), per-query
-    top-k as a WindowGroupLimit, and the panel/report joins are all
-    panel-sized broadcasts."""
-    from mimic2ts_spark.operators.dedup import canonical_docs
-    from mimic2ts_spark.operators.sketch import kmv_code
+    """Shared panel-BM25 ranking core (known_item_mrr / neardup_map_at_k):
+    given the persisted canonical base (doc, dl, _toks) and the panel
+    (qid), build each query's n_terms most-frequent tokens and return
+    the per-query top-k ranking (qid, doc, score_scaled, rank). ONE
+    corpus token pass (explode → broadcast vocabulary join), broadcast
+    per-term df + 1-row totals, per-query top-k as a WindowGroupLimit.
+    exclude_self drops the query doc from the candidate pool BEFORE
+    ranking (ranks shift up) — trivial self-retrieval would otherwise
+    occupy rank 1 of every near-dup eval."""
     from mimic2ts_spark.operators.text import token_code
 
-    canon = canonical_docs(docs, text_col, id_col)
-    toks = tokens(F.col(text_col))
-    base = canon.select(
-        F.col(id_col).alias("doc"),
-        F.size(toks).cast("long").alias("dl"),
-        toks.alias("_toks"),
-    ).persist()
-    pdocs = (
-        base.where(F.size(F.array_distinct(F.col("_toks"))) >= n_terms)
-        .select("doc", kmv_code(F.col("doc")).alias("_c"))
-        .orderBy("_c", "doc")
-        .limit(panel)
-        .select(F.col("doc").alias("qid"))
-    )
     wq = Window.partitionBy("qid").orderBy(F.desc("cnt"), "_tc", "term")
     qterms = (
         base.join(F.broadcast(pdocs), base["doc"] == pdocs["qid"])
@@ -951,11 +915,69 @@ def known_item_mrr(
         .groupBy("qid", "doc")
         .agg(F.sum("term_score").alias("score_scaled"))
     )
+    if exclude_self:
+        per_query = per_query.where(F.col("doc") != F.col("qid"))
     wr = Window.partitionBy("qid").orderBy(F.desc("score_scaled"), "doc")
-    ranked = (
+    return (
         per_query.withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= k)
     )
+
+
+def known_item_mrr(
+    docs: DataFrame,
+    panel: int = MRR_PANEL,
+    n_terms: int = MRR_QTERMS,
+    k: int = MRR_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Known-item retrieval eval — the retrieval family's measured
+    quality number (completing the eval triad: X156 scores ANN, X167
+    scores dedup banding, this scores BM25): draw `panel` queries from
+    the corpus itself (each query = the `n_terms` most-frequent tokens
+    of one md5-chosen document, ties md5-code then token — the
+    standard known-item query simulation), rank the corpus by
+    integer-exact BM25 per query, and report where each query's SOURCE
+    document landed. Term choice matters: this corpus has a 31-word
+    shared vocabulary with no rare terms, so md5-random term picks
+    measured MRR 0.03 (nothing is discriminative) while the doc's own
+    tf signal measures 0.88 — the eval scores BM25's tf/dl arithmetic,
+    which is the part the engine owns.
+
+    Output: one row per query — (qid, rank_found [0 = missed top-k],
+    rr_scaled [= MRR_RR_SCALE // rank, 0 on miss], top1_doc).
+    MRR = avg(rr_scaled) / MRR_RR_SCALE; reciprocal ranks are exact
+    integers (lcm(1..k) clears every denominator), so the report is
+    bit-exact cross-engine — no float MRR ever materializes.
+
+    Exact-first: panel, scoring corpus and stats all use md5 CANONICAL
+    docs — byte-identical copies of a known item would tie its score
+    and turn the eval into a tie-break lottery (the X167 lesson).
+
+    Shape at scale: ONE corpus token pass (explode → broadcast
+    vocabulary join — at most panel·n_terms distinct terms), broadcast
+    per-term df + 1-row totals (declared scalar cross join), per-query
+    top-k as a WindowGroupLimit, and the panel/report joins are all
+    panel-sized broadcasts."""
+    from mimic2ts_spark.operators.dedup import canonical_docs
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    canon = canonical_docs(docs, text_col, id_col)
+    toks = tokens(F.col(text_col))
+    base = canon.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).cast("long").alias("dl"),
+        toks.alias("_toks"),
+    ).persist()
+    pdocs = (
+        base.where(F.size(F.array_distinct(F.col("_toks"))) >= n_terms)
+        .select("doc", kmv_code(F.col("doc")).alias("_c"))
+        .orderBy("_c", "doc")
+        .limit(panel)
+        .select(F.col("doc").alias("qid"))
+    )
+    ranked = _panel_bm25_ranked(base, pdocs, n_terms, k)
     self_hit = ranked.where(F.col("doc") == F.col("qid")).select(
         "qid", F.col("rank").alias("_self_rank")
     )
@@ -1058,6 +1080,197 @@ SELECT p.qid,
 FROM pdocs p
 LEFT JOIN (SELECT qid, rank FROM ranked WHERE doc = qid) s ON s.qid = p.qid
 LEFT JOIN (SELECT qid, doc FROM ranked WHERE rank = 1) t1 ON t1.qid = p.qid
+"""
+
+
+def neardup_map_at_k(
+    docs: DataFrame,
+    pairs: DataFrame,
+    panel: int = MRR_PANEL,
+    n_terms: int = MRR_QTERMS,
+    k: int = MRR_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MAP@k retrieval eval against NEAR-DUP ground truth (X207) — the
+    multi-relevant companion of known_item_mrr: each panel query's
+    relevant set is its near-dup partners (canonical minhash pairs, the
+    X2-over-canonicals relation), the query DOC ITSELF is excluded
+    from the candidate pool (trivial self-retrieval would occupy rank 1
+    of every query), and average precision is reported per query as an
+    exact integer rational:
+
+        ap_num    = Σ_i hit_idx_i · (2520 div rank_i)   (2520 = lcm(1..10),
+                    so 2520/rank is EXACT for every rank ≤ k=10)
+        ap_scaled = ap_num div min(n_rel, k)             (floor; both engines)
+        MAP       = avg(ap_scaled) / 2520                (consumer-side)
+
+    Unlike the known-item panel (single relevant, tf signal ⇒ MRR 0.88),
+    partners are NEAR — not byte — duplicates, so BM25 ranks them
+    variably and AP is informative; the panel is restricted to docs
+    that HAVE partners (47 at sf0.01 / 466 at sf0.1 — fires at every
+    gate scale, the r07 eval-construction lesson).
+
+    Shape at scale: the ground-truth pair relation is the exact-first
+    banded X2 (never all-pairs); everything else is the shared
+    _panel_bm25_ranked core — one corpus token pass, broadcast
+    panel/df/totals joins, WindowGroupLimit top-k."""
+    from mimic2ts_spark.operators.dedup import canonical_docs
+    from mimic2ts_spark.operators.sketch import kmv_code
+
+    canon = canonical_docs(docs, text_col, id_col)
+    toks = tokens(F.col(text_col))
+    base = canon.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).cast("long").alias("dl"),
+        toks.alias("_toks"),
+    ).persist()
+    rel = (
+        pairs.select(F.col("doc_a").alias("qid"), F.col("doc_b").alias("rel"))
+        .union(pairs.select(F.col("doc_b").alias("qid"), F.col("doc_a").alias("rel")))
+        .distinct()
+    )
+    nrel = rel.groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    pdocs = (
+        base.where(F.size(F.array_distinct(F.col("_toks"))) >= n_terms)
+        .select(F.col("doc").alias("qid"))
+        .join(nrel.select("qid"), "qid")
+        .select("qid", kmv_code(F.col("qid")).alias("_c"))
+        .orderBy("_c", "qid")
+        .limit(panel)
+        .select("qid")
+    )
+    ranked = _panel_bm25_ranked(base, pdocs, n_terms, k, exclude_self=True)
+    hits = ranked.join(
+        rel.select("qid", F.col("rel").alias("doc")), ["qid", "doc"]
+    )
+    wh = Window.partitionBy("qid").orderBy("rank")
+    ap = (
+        hits.withColumn("hit_idx", F.row_number().over(wh).cast("long"))
+        .select(
+            "qid",
+            F.expr(f"hit_idx * ({MRR_RR_SCALE}L div rank)").alias("_term"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum("_term").cast("long").alias("ap_num"),
+        )
+    )
+    return (
+        pdocs.join(F.broadcast(nrel), "qid")
+        .join(F.broadcast(ap), "qid", "left")
+        .select(
+            "qid",
+            "n_rel",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("ap_num"), F.lit(0)).cast("long").alias("ap_num"),
+            F.expr(f"coalesce(ap_num, 0L) div least(n_rel, {k}L)")
+            .cast("long")
+            .alias("ap_scaled"),
+        )
+    )
+
+
+def sql_neardup_map(
+    pairs_sql: str,
+    table: str = "documents",
+    panel: int = MRR_PANEL,
+    n_terms: int = MRR_QTERMS,
+    k: int = MRR_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of neardup_map_at_k — same canonicals, md5 panel
+    order, integer rationals and floor divisions (all-positive), same
+    (score DESC, doc ASC) tie-break and self-exclusion; `pairs_sql` is
+    the same canonical-minhash SQL the ground-truth Spark side uses
+    (full WITH-queries compose as CTE bodies, r05)."""
+    from mimic2ts_spark.operators.text import SQL_CODE, SQL_TOKENS
+
+    dcode = SQL_CODE.format(tok="CAST(qid AS VARCHAR)")
+    tcode = SQL_CODE.format(tok="term")
+    toks = SQL_TOKENS.format(text=text_col)
+    return f"""
+WITH canon_ids AS (
+    SELECT min({id_col}) AS {id_col} FROM {table} GROUP BY md5({text_col})
+),
+base AS MATERIALIZED (
+    SELECT d.{id_col} AS doc, CAST(len({toks}) AS BIGINT) AS dl,
+           {toks} AS toks
+    FROM {table} d JOIN canon_ids c ON c.{id_col} = d.{id_col}
+),
+ndpairs AS MATERIALIZED ({pairs_sql}),
+rel AS MATERIALIZED (
+    SELECT doc_a AS qid, doc_b AS rel FROM ndpairs
+    UNION
+    SELECT doc_b AS qid, doc_a AS rel FROM ndpairs
+),
+nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+pdocs AS (
+    SELECT qid FROM (
+        SELECT b.doc AS qid FROM base b JOIN nrel r ON r.qid = b.doc
+        WHERE len(list_distinct(b.toks)) >= {n_terms}
+    )
+    ORDER BY {dcode}, qid
+    LIMIT {panel}
+),
+qterms AS MATERIALIZED (
+    SELECT qid, term FROM (
+        SELECT qid, term,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cnt DESC, {tcode}, term) AS rn
+        FROM (SELECT p.qid, t.term, count(*) AS cnt
+              FROM base b JOIN pdocs p ON p.qid = b.doc,
+                   unnest(b.toks) AS t(term) GROUP BY 1, 2)
+    ) WHERE rn <= {n_terms}
+),
+tf AS (
+    SELECT b.doc, b.dl, t.term, count(*) AS tf
+    FROM base b, unnest(b.toks) AS t(term)
+    WHERE t.term IN (SELECT DISTINCT term FROM qterms)
+    GROUP BY 1, 2, 3
+),
+totals AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+per_query AS (
+    SELECT q.qid, tf.doc, CAST(sum(
+        (({SCALE} * (2 * (t.n_docs - d.df) + 1)) // (2 * d.df + 1))
+        * (({SCALE} * 22 * t.sum_dl * tf.tf) //
+           (10 * t.sum_dl * tf.tf + 3 * t.sum_dl + 9 * tf.dl * t.n_docs))
+    ) AS BIGINT) AS score_scaled
+    FROM tf JOIN dfreq d ON tf.term = d.term
+    JOIN qterms q ON q.term = tf.term
+    CROSS JOIN totals t
+    WHERE tf.doc <> q.qid
+    GROUP BY 1, 2
+),
+ranked AS MATERIALIZED (
+    SELECT qid, doc, rank FROM (
+        SELECT qid, doc,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_scaled DESC, doc) AS rank
+        FROM per_query
+    ) WHERE rank <= {k}
+),
+hits AS (
+    SELECT r.qid, r.rank,
+           row_number() OVER (PARTITION BY r.qid ORDER BY r.rank) AS hit_idx
+    FROM ranked r JOIN rel ON rel.qid = r.qid AND rel.rel = r.doc
+),
+ap AS (
+    SELECT qid, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(sum(hit_idx * ({MRR_RR_SCALE} // rank)) AS BIGINT) AS ap_num
+    FROM hits GROUP BY 1
+)
+SELECT p.qid, n.n_rel,
+       CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(a.ap_num, 0) AS BIGINT) AS ap_num,
+       CAST(coalesce(a.ap_num, 0) // least(n.n_rel, {k}) AS BIGINT)
+           AS ap_scaled
+FROM pdocs p
+JOIN nrel n ON n.qid = p.qid
+LEFT JOIN ap a ON a.qid = p.qid
 """
 
 

@@ -2540,6 +2540,27 @@ def test_known_item_mrr_floor_and_exact_reciprocals(spark, docs):
     assert mrr >= 0.80
 
 
+def test_retrieval_map_floor_and_exact_rationals(spark, docs):
+    """X207: the near-dup MAP eval must (a) clear the measured floor
+    (0.785 at sf0.001, deterministic — guards the ranking arithmetic
+    and ground-truth construction), (b) keep every AP an exact
+    2520-scaled integer within [0, 2520], and (c) never report more
+    hits than min(n_rel, k)."""
+    from mimic2ts_spark.operators import dedup as D
+    from mimic2ts_spark.operators.search import MRR_K, MRR_RR_SCALE, neardup_map_at_k
+
+    rows = neardup_map_at_k(
+        docs, D.canonical_near_dup_pairs(docs, threshold=0.8)
+    ).collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert 0 <= r.ap_scaled <= MRR_RR_SCALE
+        assert r.n_hits <= min(r.n_rel, MRR_K)
+        assert (r.ap_num == 0) == (r.n_hits == 0)
+    map_ = sum(r.ap_scaled for r in rows) / (len(rows) * MRR_RR_SCALE)
+    assert map_ >= 0.70
+
+
 def test_seed_hop_distance_matches_python_bfs(spark, embs):
     """X183: the distributed min-propagation must equal a python BFS
     over the replayed X180 graph (same seeds, same symmetrized edges,
