@@ -178,6 +178,7 @@ HEADLINE = [
     # round 9: windowed Theil-Sen (X206) + near-dup MAP eval (X207)
     "q_trend_robust_windowed",
     "q_retrieval_map",
+    "q_quality_classifier",
 ]
 
 

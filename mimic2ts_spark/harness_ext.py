@@ -1316,6 +1316,29 @@ def q_doc_hash_vectors(spark, sf_dir):
     return hashed_vector_rows(_docs(spark, sf_dir))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """X208 — hashed-linear quality classifier APPLY (operators/text.py
+    classifier_scores): the model-apply stage of a fasttext-style
+    filter — score = Σ w[h(token) mod 4096], keep iff ≥ 0 — completing
+    the quality family (X10's heuristic ratios + X121's gate measure
+    content; this measures the LEARNED-filter plumbing: hashing trick,
+    shared collision weights, margin, gate). Weights are deterministic
+    md5-derived stand-ins (documented stub, like the multimodal
+    codecs); trained scalars are a one-column swap."""
+    from mimic2ts_spark.operators.text import classifier_scores
+
+    return classifier_scores(_docs(spark, sf_dir))
+
+
+def _q_quality_classifier_sql():
+    from mimic2ts_spark.operators.text import sql_classifier_scores
+
+    return sql_classifier_scores("documents")
+
+
+Q_QUALITY_CLASSIFIER_SQL = _q_quality_classifier_sql()
+
+
 def _q_doc_hash_vectors_sql():
     from mimic2ts_spark.operators.text import sql_hashed_vector_rows
 
@@ -7238,6 +7261,7 @@ EXT_REGISTRY = {
     ),
     "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
     "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
+    "q_quality_classifier": (q_quality_classifier, Q_QUALITY_CLASSIFIER_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
     "q_item_cf": (q_item_cf, Q_ITEM_CF_SQL),
     "q_semantic_representatives": (

@@ -312,3 +312,100 @@ def sql_hashed_vectors_dense(
         FROM {rows_rel} GROUP BY {id_col}
     )
 )"""
+
+
+# --- hashed linear quality classifier (X208) --------------------------------
+#
+# The model-APPLY stage of a fasttext-style quality filter (Joulin et al.
+# 2017 / the CCNet+fasttext pipeline every released corpus runs): score =
+# Σ_tokens w[h(token) mod D], keep iff score ≥ 0. The hashing trick means
+# the model is ONE dense weight array of D scalars — colliding tokens
+# share a weight — so applying it at corpus scale is an explode + a
+# vocabulary-sized weight join + a per-doc sum: no model object ever
+# ships to executors. The WEIGHTS here are a deterministic md5-derived
+# stand-in (w(b) = code('w:'||b) % 201 − 100 ∈ [−100, 100]) — the real
+# pipeline loads trained scalars, and the plumbing (bucketing, shared
+# collision weights, margin, gate) is identical and is what this
+# operator tests; swapping in trained weights is a one-column change.
+
+CLS_DIM = 4096
+
+
+def classifier_scores(
+    df,
+    dim: int = CLS_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(doc_id, n_tokens, score, label): hashed-linear score and the
+    keep/drop gate. One token pass; weights derive from the DISTINCT
+    bucket set (vocabulary-sized, AQE decides the join — unbounded
+    vocab at 100 TB, never force-broadcast) and join back onto the
+    per-(doc, bucket) tf aggregate, so the weight expression is
+    evaluated once per distinct bucket, not once per occurrence."""
+    from pyspark.sql import functions as F
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+        .select(id_col, F.pmod(token_code(F.col("_tok")), F.lit(dim)).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = tf.select("bucket").distinct().withColumn(
+        "w",
+        F.pmod(
+            token_code(F.concat(F.lit("w:"), F.col("bucket").cast("string"))),
+            F.lit(201),
+        )
+        - F.lit(100),
+    )
+    return (
+        tf.join(w, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("w")).cast("long").alias("score"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "score",
+            F.when(F.col("score") >= 0, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+    )
+
+
+def sql_classifier_scores(
+    table: str = "documents",
+    dim: int = CLS_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror — token_code is a positive 60-bit int, so plain %
+    equals Spark's pmod; all arithmetic is exact int64."""
+    toks = SQL_TOKENS.format(text=text_col)
+    code = SQL_CODE.format(tok="t.tok")
+    wcode = SQL_CODE.format(tok="'w:' || CAST(bucket AS VARCHAR)")
+    return f"""
+WITH tf AS (
+    SELECT {id_col}, {code} % {dim} AS bucket, CAST(count(*) AS BIGINT) AS tf
+    FROM {table}, unnest({toks}) AS t(tok)
+    GROUP BY 1, 2
+),
+w AS (
+    SELECT bucket, {wcode} % 201 - 100 AS w
+    FROM (SELECT DISTINCT bucket FROM tf)
+),
+scored AS (
+    SELECT tf.{id_col},
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf.tf * w.w) AS BIGINT) AS score
+    FROM tf JOIN w USING (bucket)
+    GROUP BY 1
+)
+SELECT {id_col}, n_tokens, score,
+       CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored
+"""

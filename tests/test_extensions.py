@@ -2540,6 +2540,33 @@ def test_known_item_mrr_floor_and_exact_reciprocals(spark, docs):
     assert mrr >= 0.80
 
 
+def test_quality_classifier_replay_and_gate(spark, docs):
+    """X208: the hashed-linear scores must reproduce a hashlib/python
+    replay exactly (bucketing, shared collision weights, margin), and
+    the keep/drop gate must fire BOTH classes on the shipped corpus
+    (a one-sided gate measures nothing)."""
+    import hashlib
+    import re
+
+    from mimic2ts_spark.operators.text import CLS_DIM, classifier_scores
+
+    rows = {r.doc_id: r for r in classifier_scores(docs).collect()}
+    labels = {r.label for r in rows.values()}
+    assert labels == {"keep", "drop"}
+
+    def code(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for d in docs.orderBy("doc_id").limit(20).collect():
+        toks = re.split(r"\s+", d.text)
+        score = sum(
+            (code(f"w:{code(t) % CLS_DIM}") % 201) - 100 for t in toks
+        )
+        r = rows[d.doc_id]
+        assert (r.score, r.n_tokens) == (score, len(toks))
+        assert r.label == ("keep" if score >= 0 else "drop")
+
+
 def test_retrieval_map_floor_and_exact_rationals(spark, docs):
     """X207: the near-dup MAP eval must (a) clear the measured floor
     (0.785 at sf0.001, deterministic — guards the ranking arithmetic
