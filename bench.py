@@ -179,6 +179,7 @@ HEADLINE = [
     "q_trend_robust_windowed",
     "q_retrieval_map",
     "q_quality_classifier",
+    "q_jl_projection",
 ]
 
 

@@ -1316,6 +1316,165 @@ def q_doc_hash_vectors(spark, sf_dir):
     return hashed_vector_rows(_docs(spark, sf_dir))
 
 
+JL_PAIR_PANEL = 64
+JL_RATIO_SCALE = 100_000
+
+
+def q_jl_projection(spark, sf_dir):
+    """X209 — JL random projection + distance-preservation eval
+    (operators/text.py jl_project_rows): project the X187 hashed
+    integer vectors 64→16 dims with a ±1 md5-derived sign matrix
+    (Achlioptas 2003 — the database-friendly JL transform; the cheap
+    pre-reduction before ANN/clustering when embeddings are wide), and
+    score the result the way JL is actually certified: a 64-pair
+    md5-chosen panel reports d_proj/(16·d_orig) per pair as a scaled
+    integer — E[ratio] = 1 by the JL moment identity, so the
+    distribution concentrating near JL_RATIO_SCALE is the preservation
+    evidence (floor pytest-pinned). All integer math: int addition is
+    associative (r04), so no float order discipline anywhere and the
+    oracle is exact by construction. Panel docs are CANONICAL
+    (byte-identical texts share a hashed vector ⇒ d_orig = 0 pairs
+    would hit the ANSI zero-division trap); zero-distance pairs from
+    distinct-text collisions are filtered with the same predicate both
+    engines. Scale shape: the sign matrix is a 1024-row global join
+    side (AQE broadcasts), the panel is a TakeOrderedAndProject —
+    never a corpus-wide single-partition window."""
+    from pyspark.sql import Window as W
+
+    from mimic2ts_spark.operators.dedup import canonical_docs
+    from mimic2ts_spark.operators.sketch import kmv_code
+    from mimic2ts_spark.operators.text import (
+        JL_DIM,
+        hashed_vector_rows,
+        jl_project_rows,
+    )
+
+    docs = canonical_docs(_docs(spark, sf_dir))
+    hv = hashed_vector_rows(docs).persist()
+    pj = jl_project_rows(hv)
+
+    ranked = (
+        docs.select("doc_id", kmv_code(F.col("doc_id")).alias("_c"))
+        .orderBy("_c", "doc_id")
+        .limit(2 * JL_PAIR_PANEL)
+        .withColumn("rn", F.row_number().over(W.orderBy("_c", "doc_id")))
+    )
+    pairs = (
+        ranked.where(F.col("rn") <= JL_PAIR_PANEL)
+        .select(F.col("rn").alias("pair_id"), F.col("doc_id").alias("doc_a"))
+        .join(
+            ranked.where(F.col("rn") > JL_PAIR_PANEL).select(
+                (F.col("rn") - JL_PAIR_PANEL).alias("pair_id"),
+                F.col("doc_id").alias("doc_b"),
+            ),
+            "pair_id",
+        )
+    )
+
+    def pair_dist(rows_df, key, val, out):
+        a = pairs.join(
+            rows_df, rows_df["doc_id"] == pairs["doc_a"]
+        ).select("pair_id", key, F.col(val).alias("_a"))
+        b = pairs.join(
+            rows_df, rows_df["doc_id"] == pairs["doc_b"]
+        ).select("pair_id", key, F.col(val).alias("_b"))
+        d = (
+            F.coalesce(F.col("_a"), F.lit(0)) - F.coalesce(F.col("_b"), F.lit(0))
+        )
+        return (
+            a.join(b, ["pair_id", key], "full")
+            .groupBy("pair_id")
+            .agg(F.sum(d * d).cast("long").alias(out))
+        )
+
+    od = pair_dist(hv, "dim", "v", "d_orig")
+    pd_ = pair_dist(pj, "j", "p", "d_proj")
+    return (
+        pairs.join(od, "pair_id")
+        .join(pd_, "pair_id")
+        .where(F.col("d_orig") > 0)
+        .select(
+            F.col("pair_id").cast("long").alias("pair_id"),
+            "doc_a",
+            "doc_b",
+            "d_orig",
+            "d_proj",
+            F.expr(
+                f"({JL_RATIO_SCALE}L * d_proj) div ({JL_DIM}L * d_orig)"
+            ).alias("ratio_scaled"),
+        )
+    )
+
+
+def _q_jl_projection_sql():
+    from mimic2ts_spark.operators.text import (
+        JL_DIM,
+        SQL_CODE,
+        jl_project_rows,  # noqa: F401 — parity anchor
+        sql_hashed_vector_rows,
+        sql_jl_project_rows,
+    )
+
+    dcode = SQL_CODE.format(tok="CAST(doc_id AS VARCHAR)")
+    hv_sql = sql_hashed_vector_rows("canon").strip()
+    pj_sql = sql_jl_project_rows("hv").strip()
+    return f"""
+WITH canon AS MATERIALIZED (
+    SELECT d.* FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+      ON k.doc_id = d.doc_id
+),
+hv AS MATERIALIZED ({hv_sql}),
+pj AS MATERIALIZED (SELECT * FROM {pj_sql} t),
+ranked AS (
+    SELECT doc_id, row_number() OVER (ORDER BY _c, doc_id) AS rn
+    FROM (SELECT doc_id, {dcode} AS _c FROM canon
+          ORDER BY _c, doc_id LIMIT {2 * JL_PAIR_PANEL})
+),
+pairs AS MATERIALIZED (
+    SELECT a.rn AS pair_id, a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ranked a JOIN ranked b ON b.rn = a.rn + {JL_PAIR_PANEL}
+    WHERE a.rn <= {JL_PAIR_PANEL}
+),
+od AS (
+    SELECT pair_id, CAST(sum(
+        (coalesce(va, 0) - coalesce(vb, 0)) * (coalesce(va, 0) - coalesce(vb, 0))
+    ) AS BIGINT) AS d_orig
+    FROM (
+        SELECT coalesce(a.pair_id, b.pair_id) AS pair_id, a.va, b.vb
+        FROM (SELECT p.pair_id, r.dim, r.v AS va
+              FROM pairs p JOIN hv r ON r.doc_id = p.doc_a) a
+        FULL JOIN (SELECT p.pair_id, r.dim, r.v AS vb
+                   FROM pairs p JOIN hv r ON r.doc_id = p.doc_b) b
+          ON a.pair_id = b.pair_id AND a.dim = b.dim
+    ) GROUP BY 1
+),
+pd AS (
+    SELECT pair_id, CAST(sum(
+        (coalesce(pa, 0) - coalesce(pb, 0)) * (coalesce(pa, 0) - coalesce(pb, 0))
+    ) AS BIGINT) AS d_proj
+    FROM (
+        SELECT coalesce(a.pair_id, b.pair_id) AS pair_id, a.pa, b.pb
+        FROM (SELECT p.pair_id, r.j, r.p AS pa
+              FROM pairs p JOIN pj r ON r.doc_id = p.doc_a) a
+        FULL JOIN (SELECT p.pair_id, r.j, r.p AS pb
+                   FROM pairs p JOIN pj r ON r.doc_id = p.doc_b) b
+          ON a.pair_id = b.pair_id AND a.j = b.j
+    ) GROUP BY 1
+)
+SELECT CAST(p.pair_id AS BIGINT) AS pair_id, p.doc_a, p.doc_b,
+       o.d_orig, j.d_proj,
+       ({JL_RATIO_SCALE} * j.d_proj) // ({JL_DIM} * o.d_orig) AS ratio_scaled
+FROM pairs p
+JOIN od o ON o.pair_id = p.pair_id
+JOIN pd j ON j.pair_id = p.pair_id
+WHERE o.d_orig > 0
+"""
+
+
+Q_JL_PROJECTION_SQL = _q_jl_projection_sql()
+
+
 def q_quality_classifier(spark, sf_dir):
     """X208 — hashed-linear quality classifier APPLY (operators/text.py
     classifier_scores): the model-apply stage of a fasttext-style
@@ -7262,6 +7421,7 @@ EXT_REGISTRY = {
     "q_cluster_mutual_knn": (q_cluster_mutual_knn, Q_CLUSTER_MUTUAL_KNN_SQL),
     "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
     "q_quality_classifier": (q_quality_classifier, Q_QUALITY_CLASSIFIER_SQL),
+    "q_jl_projection": (q_jl_projection, Q_JL_PROJECTION_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
     "q_item_cf": (q_item_cf, Q_ITEM_CF_SQL),
     "q_semantic_representatives": (

@@ -314,6 +314,72 @@ def sql_hashed_vectors_dense(
 )"""
 
 
+# --- JL random projection (X209) --------------------------------------------
+#
+# Achlioptas/JL dimensionality reduction with a ±1 sign matrix: p_j =
+# Σ_d v_d·s(d,j), s md5-derived — for a random ±1 matrix E||p||² =
+# out_dim·||v||², so pairwise squared distances are preserved up to the
+# out_dim factor in expectation (Johnson–Lindenstrauss / Achlioptas
+# 2003, database-friendly projections). Run over the INTEGER hashed
+# vectors (X187 bridge): integer addition is associative (r04), so no
+# left-to-right float discipline is needed anywhere and the oracle is
+# exact by construction. The sign matrix is a GLOBAL (dim × out_dim)
+# table — 1024 scalars at 64→16 — derived once from the distinct dims
+# and joined on (AQE broadcasts the tiny side); the md5 sign expr runs
+# once per matrix ENTRY, never per occurrence.
+
+JL_DIM = 16
+
+
+def jl_project_rows(rows_df, out_dim: int = JL_DIM, id_col: str = "doc_id"):
+    """(doc_id, j, p): the projected out_dim-vector in long form.
+    rows_df is the X187 long form (doc_id, dim, v)."""
+    from pyspark.sql import functions as F
+
+    signs = (
+        rows_df.select("dim")
+        .distinct()
+        .select(
+            "dim",
+            F.explode(F.expr(f"sequence(0L, {out_dim - 1}L)")).alias("j"),
+        )
+        .withColumn(
+            "s",
+            F.when(
+                F.pmod(
+                    token_code(
+                        F.concat_ws(":", F.lit("jl"), F.col("dim"), F.col("j"))
+                    ),
+                    F.lit(2),
+                )
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+    )
+    return (
+        rows_df.join(signs, "dim")
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("v") * F.col("s")).cast("long").alias("p"))
+    )
+
+
+def sql_jl_project_rows(
+    rows_rel: str, out_dim: int = JL_DIM, id_col: str = "doc_id"
+) -> str:
+    code = SQL_CODE.format(tok="'jl:' || CAST(r.dim AS VARCHAR) || ':' || CAST(g.j AS VARCHAR)")
+    return f"""(
+    SELECT {id_col}, j,
+           CAST(sum(v * s) AS BIGINT) AS p
+    FROM (
+        SELECT r.{id_col}, r.dim, r.v, g.j,
+               CASE WHEN {code} % 2 = 1 THEN 1 ELSE -1 END AS s
+        FROM {rows_rel} r, generate_series(0, {out_dim - 1}) AS g(j)
+    )
+    GROUP BY 1, 2
+)"""
+
+
 # --- hashed linear quality classifier (X208) --------------------------------
 #
 # The model-APPLY stage of a fasttext-style quality filter (Joulin et al.

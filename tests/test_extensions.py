@@ -2540,6 +2540,22 @@ def test_known_item_mrr_floor_and_exact_reciprocals(spark, docs):
     assert mrr >= 0.80
 
 
+def test_jl_projection_preserves_distances(spark):
+    """X209: the JL moment identity E[d_proj] = out_dim·d_orig must
+    show up on the panel — mean ratio within [0.8, 1.25] of 1 at
+    16 output dims (deterministic md5 signs ⇒ exact pin would also
+    hold, but the INTERVAL is the property the operator sells), every
+    ratio positive, full 64-pair panel emitted."""
+    from mimic2ts_spark.harness_ext import JL_RATIO_SCALE, q_jl_projection
+
+    rows = q_jl_projection(spark, SF).collect()
+    assert len(rows) == 64
+    ratios = [r.ratio_scaled / JL_RATIO_SCALE for r in rows]
+    assert all(r > 0 for r in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 <= mean <= 1.25, mean
+
+
 def test_quality_classifier_replay_and_gate(spark, docs):
     """X208: the hashed-linear scores must reproduce a hashlib/python
     replay exactly (bucketing, shared collision weights, margin), and
