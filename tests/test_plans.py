@@ -871,6 +871,7 @@ def test_registry_global_plan_invariants(utc):
         "q_search_substring",  # k-row needle-panel broadcast cross join (declared)
         "q_ann_knn_beam",  # 4-row entry-seed scalar cross join (declared)
         "q_retrieval_mrr",  # 1-row corpus-totals scalar cross join (BM25)
+        "q_retrieval_map",  # same 1-row corpus-totals scalar cross join
         "q_lexical_vector_topk",  # declared brute-force leg (5-query side)
         "q_sample_apportion",  # 1-row grand-total scalar cross join
         "q_assoc_rules",  # 1-row basket-count scalar cross join
