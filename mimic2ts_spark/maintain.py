@@ -252,6 +252,14 @@ def main(argv: list[str] | None = None) -> None:
     p_cla.add_argument("--id-col", default="doc_id")
     p_cla.add_argument("--text-col", default="text")
 
+    p_cw = sub.add_parser(
+        "classifier-weights",
+        help="persist the hashed-linear classifier weight table "
+             "(bucket, w) as a DENSE model artifact (X208)",
+    )
+    p_cw.add_argument("out_dir")
+    p_cw.add_argument("--dim", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "vacuum":  # pure driver-side FS walk, no Spark session
@@ -274,6 +282,38 @@ def main(argv: list[str] | None = None) -> None:
 
     t0 = time.time()
     spark = get_spark("mimic2ts_spark_maintain")
+
+    if args.cmd == "classifier-weights":
+        # DENSE weight table — every bucket gets a row (the model IS
+        # the array; an absent bucket would silently drop its tokens
+        # from every score via the inner apply join). The stand-in
+        # derivation is shared with the apply path (classifier_weight)
+        # so artifact-served and derived scores are identical by
+        # construction; a trained model replaces this table, same shape.
+        from pyspark.sql import functions as F
+
+        from mimic2ts_spark.operators.text import CLS_DIM, classifier_weight
+
+        dim = args.dim or CLS_DIM
+        (
+            spark.range(dim)
+            .select(
+                F.col("id").alias("bucket"),
+                classifier_weight(F.col("id")).alias("w"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(args.out_dir)
+        )
+        audit = {
+            "cmd": "classifier-weights",
+            "out_dir": args.out_dir,
+            "dim": dim,
+            "runtime_seconds": round(time.time() - t0, 3),
+        }
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
 
     if args.cmd == "cluster":
         # Exact-first build (r07): CC runs over CANONICAL near-dup pairs

@@ -397,18 +397,37 @@ def sql_jl_project_rows(
 CLS_DIM = 4096
 
 
+def classifier_weight(bucket):
+    """The deterministic md5-derived stand-in weight for one bucket —
+    shared by the apply path and the `maintain classifier-weights`
+    artifact builder so the two can never drift."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.pmod(
+            token_code(F.concat(F.lit("w:"), bucket.cast("string"))),
+            F.lit(201),
+        )
+        - F.lit(100)
+    ).cast("long")
+
+
 def classifier_scores(
     df,
     dim: int = CLS_DIM,
     text_col: str = "text",
     id_col: str = "doc_id",
+    weights=None,
 ):
     """(doc_id, n_tokens, score, label): hashed-linear score and the
     keep/drop gate. One token pass; weights derive from the DISTINCT
     bucket set (vocabulary-sized, AQE decides the join — unbounded
     vocab at 100 TB, never force-broadcast) and join back onto the
     per-(doc, bucket) tf aggregate, so the weight expression is
-    evaluated once per distinct bucket, not once per occurrence."""
+    evaluated once per distinct bucket, not once per occurrence.
+    `weights` (bucket, w) swaps in a persisted/TRAINED model table
+    (`maintain classifier-weights` writes the stand-in as an
+    artifact); the join shape is identical."""
     from pyspark.sql import functions as F
 
     tf = (
@@ -417,13 +436,12 @@ def classifier_scores(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    w = tf.select("bucket").distinct().withColumn(
-        "w",
-        F.pmod(
-            token_code(F.concat(F.lit("w:"), F.col("bucket").cast("string"))),
-            F.lit(201),
+    w = (
+        weights
+        if weights is not None
+        else tf.select("bucket").distinct().withColumn(
+            "w", classifier_weight(F.col("bucket"))
         )
-        - F.lit(100),
     )
     return (
         tf.join(w, "bucket")

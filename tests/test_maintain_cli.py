@@ -153,6 +153,32 @@ def test_maintain_cluster_artifact(spark, tmp_path, capsys):
     assert audit["n_duplicates"] == audit["n_docs"] - audit["n_clusters"]
 
 
+def test_maintain_classifier_weights_artifact(spark, tmp_path, capsys):
+    """`classifier-weights` persists the DENSE (bucket, w) model table
+    (X208): every bucket has a row (an absent bucket would silently
+    drop its tokens from every score through the apply join), weights
+    are within the stand-in range, and scores served FROM the artifact
+    bit-equal the derived apply path."""
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.text import CLS_DIM, classifier_scores
+
+    out = str(tmp_path / "cls_w")
+    main(["classifier-weights", out])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "classifier-weights" and audit["dim"] == CLS_DIM
+
+    w = spark.read.parquet(out)
+    rows = w.collect()
+    assert len(rows) == CLS_DIM
+    assert {r.bucket for r in rows} == set(range(CLS_DIM))
+    assert all(-100 <= r.w <= 100 for r in rows)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    served = {r.doc_id: tuple(r) for r in classifier_scores(docs, weights=w).collect()}
+    derived = {r.doc_id: tuple(r) for r in classifier_scores(docs).collect()}
+    assert served == derived
+
+
 def test_maintain_codebook_artifact(spark, tmp_path, capsys):
     """`codebook` trains + persists PQ codebooks; encoding against the
     artifact bit-equals retraining (in-process: get_spark reuses the
