@@ -5957,6 +5957,32 @@ def _q_dedup_semantic_canonical_sql():
 Q_DEDUP_SEMANTIC_CANONICAL_SQL = _q_dedup_semantic_canonical_sql()
 
 
+_CLS_STREAM_CACHE: dict = {}  # sf_dir -> scored-output dir (disk-path memo)
+
+
+def q_stream_classifier(spark, sf_dir):
+    """X210 — streaming model-apply gate (streaming.py
+    run_classifier_available_now): every arriving doc scored against
+    the persisted X208 weight artifact, scored rows appended. Scoring
+    is a pure per-row function of the final doc set (fixed dense
+    weights) ⇒ batching-invariant ⇒ the drained output bit-equals the
+    batch apply, whose SQL is the oracle (the X204 doctrine). Disk-path
+    memo per sf_dir (deterministic build; the maxFilesPerTrigger pytest
+    keeps the multi-batch path covered)."""
+    if sf_dir not in _CLS_STREAM_CACHE:
+        import tempfile
+
+        from mimic2ts_spark.operators.text import build_classifier_weights
+        from mimic2ts_spark.streaming import run_classifier_available_now
+
+        wdir = tempfile.mkdtemp(prefix="cls_weights_")
+        build_classifier_weights(spark, wdir)
+        out = tempfile.mkdtemp(prefix="cls_stream_") + "/scored"
+        run_classifier_available_now(spark, sf_dir, wdir, out)
+        _CLS_STREAM_CACHE[sf_dir] = out
+    return spark.read.parquet(_CLS_STREAM_CACHE[sf_dir])
+
+
 _POSTINGS_INGEST_CACHE: dict = {}  # sf_dir -> (postings_dir, stats)
 
 
@@ -7431,6 +7457,7 @@ EXT_REGISTRY = {
     "q_doc_hash_vectors": (q_doc_hash_vectors, Q_DOC_HASH_VECTORS_SQL),
     "q_quality_classifier": (q_quality_classifier, Q_QUALITY_CLASSIFIER_SQL),
     "q_jl_projection": (q_jl_projection, Q_JL_PROJECTION_SQL),
+    "q_stream_classifier": (q_stream_classifier, Q_QUALITY_CLASSIFIER_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
     "q_item_cf": (q_item_cf, Q_ITEM_CF_SQL),
     "q_semantic_representatives": (

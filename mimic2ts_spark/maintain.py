@@ -284,27 +284,13 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("mimic2ts_spark_maintain")
 
     if args.cmd == "classifier-weights":
-        # DENSE weight table — every bucket gets a row (the model IS
-        # the array; an absent bucket would silently drop its tokens
-        # from every score via the inner apply join). The stand-in
-        # derivation is shared with the apply path (classifier_weight)
-        # so artifact-served and derived scores are identical by
-        # construction; a trained model replaces this table, same shape.
-        from pyspark.sql import functions as F
+        # The stand-in derivation is shared with the apply path
+        # (classifier_weight) so artifact-served and derived scores are
+        # identical by construction; a trained model replaces this
+        # table, same shape.
+        from mimic2ts_spark.operators.text import CLS_DIM, build_classifier_weights
 
-        from mimic2ts_spark.operators.text import CLS_DIM, classifier_weight
-
-        dim = args.dim or CLS_DIM
-        (
-            spark.range(dim)
-            .select(
-                F.col("id").alias("bucket"),
-                classifier_weight(F.col("id")).alias("w"),
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(args.out_dir)
-        )
+        dim = build_classifier_weights(spark, args.out_dir, args.dim or CLS_DIM)
         audit = {
             "cmd": "classifier-weights",
             "out_dir": args.out_dir,

@@ -412,6 +412,26 @@ def classifier_weight(bucket):
     ).cast("long")
 
 
+def build_classifier_weights(spark, out_dir: str, dim: int = CLS_DIM) -> int:
+    """Persist the DENSE (bucket, w) model table — every bucket gets a
+    row (an absent bucket would silently drop its tokens from every
+    score through the apply join). Shared by `maintain
+    classifier-weights` and the streaming gate's memoized build."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(dim)
+        .select(
+            F.col("id").alias("bucket"),
+            classifier_weight(F.col("id")).alias("w"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return dim
+
+
 def classifier_scores(
     df,
     dim: int = CLS_DIM,

@@ -1154,6 +1154,47 @@ def run_postings_ingest_available_now(
     return bm25_from_postings(spark, data_dir, stats, query_terms)
 
 
+def run_classifier_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    weights_dir: str,
+    out_dir: str,
+    delta_stream: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming model-apply gate (X210): score every arriving doc with
+    the persisted hashed-linear classifier (`maintain
+    classifier-weights` — the X208 artifact) and append the scored rows
+    — the score-on-ingest shape every production curation pipeline runs
+    (the model is FIXED during serving; retraining writes a new
+    artifact). Each doc is scored independently against the same dense
+    weight table, so the drained output is a pure per-row function of
+    the final doc set — batching-invariant by construction — and
+    bit-equals the batch apply over the full corpus, whose SQL is the
+    oracle (the X204 drain-contract doctrine: prefer state designs that
+    are pure functions of the final set)."""
+    from mimic2ts_spark.operators.text import classifier_scores
+
+    w = spark.read.parquet(weights_dir)
+    delta = (
+        delta_stream if delta_stream is not None else docs_stream(spark, sf_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        classifier_scores(batch_df, weights=w).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        delta.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def docs_stream_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch view of the documents table (the accepted-corpus side of
     the ingest splits)."""

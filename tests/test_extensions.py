@@ -2804,6 +2804,38 @@ def test_stream_postings_ingest_multibatch_equals_full_scan(spark, tmp_path):
     assert [tuple(r) for r in served] == [tuple(r) for r in full] and served
 
 
+def test_stream_classifier_multibatch_equals_batch_apply(spark, tmp_path):
+    """X210: the score-on-ingest gate is BATCHING-INVARIANT — docs
+    drained as THREE microbatches (maxFilesPerTrigger=1) scored against
+    the persisted weight artifact must equal the batch classifier apply
+    over the same docs, exactly what the oracle re-proves for the
+    single-drain registered form."""
+    from mimic2ts_spark.operators.text import (
+        build_classifier_weights,
+        classifier_scores,
+    )
+    from mimic2ts_spark.streaming import run_classifier_available_now
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pdf = docs.toPandas()
+    stage = tmp_path / "docs"
+    stage.mkdir()
+    for i in range(3):
+        pdf[pdf.index % 3 == i].to_parquet(stage / f"d{i}.parquet", index=False)
+    delta = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    wdir = str(tmp_path / "w")
+    build_classifier_weights(spark, wdir)
+    served = run_classifier_available_now(
+        spark, SF, wdir, str(tmp_path / "scored"), delta_stream=delta
+    ).collect()
+    full = classifier_scores(docs).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, full)) and served
+
+
 def test_theil_sen_resists_outlier_day(spark, tmp_path):
     """X205: the reason Theil-Sen exists — one spike day on a clean
     count ramp must leave the pairwise-median slope at the true value
