@@ -2257,6 +2257,9 @@ _GATE_CHANGED_THIS_ROUND = [
     "q_stream_postings_ingest",  # r09: disk-path memo (ADVICE r08)
     "q_search_bm25_maxscore",  # r09: impacts-cache fingerprint key
     "q_trend_robust",  # r09: median selection refactored into shared helper
+    # r09: exact-first labeling swap (labels provably identical; the raw
+    # recursive-CTE oracle re-proves it)
+    "q_dedup_clusters", "q_dedup_representatives",
 ]
 
 

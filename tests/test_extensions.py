@@ -2540,6 +2540,29 @@ def test_known_item_mrr_floor_and_exact_reciprocals(spark, docs):
     assert mrr >= 0.80
 
 
+def test_dedup_cluster_labels_equal_raw(spark, docs):
+    """r09: q_dedup_clusters' labeling is the exact-first canonical
+    composition; this pins the equality theorem against the RAW
+    minhash-pair CC (identical text ⇒ identical signature ⇒ components
+    project exactly; component min over canonicals = min over all
+    members). The gate re-proves it via the raw recursive-CTE oracle,
+    but only this test computes the raw SPARK form."""
+    from mimic2ts_spark.harness_ext import _dedup_cluster_labels
+    from mimic2ts_spark.operators import dedup as D
+    from mimic2ts_spark.operators.cluster import canonical_ids
+
+    canonical = {
+        r.doc_id: r.cluster_id
+        for r in _dedup_cluster_labels(spark, SF).collect()
+    }
+    raw_pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    raw = {
+        r.doc_id: r.cluster_id
+        for r in canonical_ids(docs.select("doc_id"), raw_pairs).collect()
+    }
+    assert canonical == raw and canonical
+
+
 def test_jl_projection_preserves_distances(spark):
     """X209: the JL moment identity E[d_proj] = out_dim·d_orig must
     show up on the panel — mean ratio within [0.8, 1.25] of 1 at
