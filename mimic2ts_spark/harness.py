@@ -2260,6 +2260,10 @@ _GATE_CHANGED_THIS_ROUND = [
     # r09: exact-first labeling swap (labels provably identical; the raw
     # recursive-CTE oracle re-proves it)
     "q_dedup_clusters", "q_dedup_representatives",
+    "q_retrieval_mrr",  # r09: panel-BM25 core factored out (shared w/ MAP)
+    "q_dedup_embedding",  # r09: enforced broadcast budget (adds count job)
+    # (total changed = 8; + 5 never-verified new queries + 33 stale = 46,
+    # still inside the 50-row window — the whole tail drains this round.)
 ]
 
 
