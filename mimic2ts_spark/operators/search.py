@@ -1085,12 +1085,13 @@ LEFT JOIN (SELECT qid, doc FROM ranked WHERE rank = 1) t1 ON t1.qid = p.qid
 
 def neardup_map_at_k(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     panel: int = MRR_PANEL,
     n_terms: int = MRR_QTERMS,
     k: int = MRR_K,
     text_col: str = "text",
     id_col: str = "doc_id",
+    threshold: float = 0.8,
 ) -> DataFrame:
     """MAP@k retrieval eval against NEAR-DUP ground truth (X207) — the
     multi-relevant companion of known_item_mrr: each panel query's
@@ -1115,10 +1116,23 @@ def neardup_map_at_k(
     banded X2 (never all-pairs); everything else is the shared
     _panel_bm25_ranked core — one corpus token pass, broadcast
     panel/df/totals joins, WindowGroupLimit top-k."""
-    from mimic2ts_spark.operators.dedup import canonical_docs
+    from mimic2ts_spark.operators.dedup import canonical_docs, minhash_lsh_pairs
     from mimic2ts_spark.operators.sketch import kmv_code
 
-    canon = canonical_docs(docs, text_col, id_col)
+    # the canonical slim table is consumed by BOTH legs (the default
+    # ground-truth pair derivation and the BM25 base) — persist it once
+    # or the md5 canonicalization re-runs per consumer
+    canon = (
+        canonical_docs(docs, text_col, id_col)
+        .select(id_col, text_col)
+        .persist()
+    )
+    if pairs is None:
+        # X2 over the SHARED canonical table — value-identical to
+        # canonical_near_dup_pairs(docs) (which canonicalizes internally)
+        pairs = minhash_lsh_pairs(
+            canon, text_col=text_col, id_col=id_col, threshold=threshold
+        )
     toks = tokens(F.col(text_col))
     base = canon.select(
         F.col(id_col).alias("doc"),
