@@ -3789,7 +3789,7 @@ def q_retrieval_map(spark, sf_dir):
 
     # pairs derive INSIDE neardup_map_at_k from the shared persisted
     # canonical table (value-identical to canonical_near_dup_pairs;
-    # saves one full canonicalization pass — 4.1 s → ~3.4 s at sf0.1)
+    # saves one full canonicalization pass — 4.1 s → 3.1 s at sf0.1)
     return neardup_map_at_k(_docs(spark, sf_dir))
 
 
