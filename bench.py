@@ -180,6 +180,7 @@ HEADLINE = [
     "q_retrieval_map",
     "q_quality_classifier",
     "q_jl_projection",
+    "q_sq8_quantize",
 ]
 
 

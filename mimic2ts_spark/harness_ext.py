@@ -1316,6 +1316,27 @@ def q_doc_hash_vectors(spark, sf_dir):
     return hashed_vector_rows(_docs(spark, sf_dir))
 
 
+def q_sq8_quantize(spark, sf_dir):
+    """X211 — scalar quantization (operators/pq.py sq8_quantize_rows):
+    per-dim affine int8 codes, the standard cheap compression tier
+    below PQ (Faiss ScalarQuantizer / Lucene int8 vectors). One
+    posexplode pass + a 64-row broadcast stats join; reconstruction
+    error bounded by one step per dim (pytest); codes bit-equal
+    cross-engine (identical IEEE op order, floor, least)."""
+    from mimic2ts_spark.operators.pq import sq8_quantize_rows
+
+    return sq8_quantize_rows(_embs(spark, sf_dir))
+
+
+def _q_sq8_sql():
+    from mimic2ts_spark.operators.pq import sql_sq8_quantize_rows
+
+    return sql_sq8_quantize_rows("embeddings")
+
+
+Q_SQ8_QUANTIZE_SQL = _q_sq8_sql()
+
+
 JL_PAIR_PANEL = 64
 JL_RATIO_SCALE = 100_000
 
@@ -7487,6 +7508,7 @@ EXT_REGISTRY = {
     "q_quality_classifier": (q_quality_classifier, Q_QUALITY_CLASSIFIER_SQL),
     "q_jl_projection": (q_jl_projection, Q_JL_PROJECTION_SQL),
     "q_stream_classifier": (q_stream_classifier, Q_QUALITY_CLASSIFIER_SQL),
+    "q_sq8_quantize": (q_sq8_quantize, Q_SQ8_QUANTIZE_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
     "q_item_cf": (q_item_cf, Q_ITEM_CF_SQL),
     "q_semantic_representatives": (

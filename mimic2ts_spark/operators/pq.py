@@ -983,3 +983,78 @@ def sql_pq_adc_topk(
         + f"\nWHERE e0.vec_id != (SELECT min({id_col}) FROM {table})"
         + f"\nORDER BY adc_dist2, e0.vec_id\nLIMIT {top_k}"
     )
+
+
+# --- scalar quantization (SQ8, X211) -----------------------------------------
+#
+# The OTHER standard vector-store compression next to PQ: per-dimension
+# affine int8 codes (Faiss ScalarQuantizer / Lucene int8 HNSW et al.) —
+# code = floor((v - lo_d) * 255 / (hi_d - lo_d)) with per-dim corpus
+# min/max. 4x smaller than float32 (8x vs float64), trivially SIMD-able,
+# and reconstruction error is bounded per dim by one step
+# (hi-lo)/255 — the cheap compression tier below PQ's. Cross-engine
+# exactness: lo/hi are exact aggregate values; the quantize expression
+# is the IDENTICAL IEEE op order both engines ((v - lo) * 255.0 /
+# (hi - lo), then floor, then least(,255) to absorb the v = hi edge
+# where x*255/x may land an ulp above 255), so codes hash bit-equal.
+# Scale shape: one posexplode pass + a 64-row broadcast stats join; at
+# 100 TB the stats agg is the only corpus-wide reduction.
+
+SQ8_LEVELS = 255
+
+
+def sq8_stats(vectors, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(dim, lo, hi): per-dimension corpus min/max — the whole trained
+    state of the scalar quantizer (two doubles per dim)."""
+    rows = vectors.select(F.posexplode(vec_col).alias("dim", "_v"))
+    return rows.groupBy("dim").agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi")
+    )
+
+
+def sq8_quantize_rows(
+    vectors, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """(vec_id, dim, code): int8-range codes in long form (the
+    gate-checkable exchange format, like the X187 hashed rows)."""
+    rows = vectors.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "_v")
+    )
+    stats = sq8_stats(vectors, id_col, vec_col)
+    return rows.join(F.broadcast(stats), "dim").select(
+        id_col,
+        F.col("dim").cast("long").alias("dim"),
+        F.expr(
+            f"CAST(CASE WHEN hi = lo THEN 0 ELSE "
+            f"least(floor((_v - lo) * {SQ8_LEVELS}.0D / (hi - lo)), "
+            f"{SQ8_LEVELS}.0D) END AS BIGINT)"
+        ).alias("code"),
+    )
+
+
+def sql_sq8_quantize_rows(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror — scalar generate_series inside list_transform is
+    the ordinality idiom this DuckDB supports (no WITH ORDINALITY, no
+    lateral column args to the table function); 1-based indexing maps
+    to posexplode's 0-based dim; same IEEE op order, floor, least."""
+    return f"""
+WITH r AS (
+    SELECT {id_col}, s.d AS dim, s.v AS v FROM (
+        SELECT {id_col},
+               unnest(list_transform(generate_series(1, len({vec_col})),
+                   i -> struct_pack(
+                       d := CAST(i - 1 AS BIGINT),
+                       v := {vec_col}[CAST(i AS INTEGER)]))) AS s
+        FROM {table})
+),
+stats AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM r GROUP BY 1)
+SELECT r.{id_col}, r.dim,
+       CAST(CASE WHEN s.hi = s.lo THEN 0 ELSE
+            least(floor((r.v - s.lo) * {SQ8_LEVELS}.0::DOUBLE / (s.hi - s.lo)),
+                  {SQ8_LEVELS}.0::DOUBLE) END AS BIGINT) AS code
+FROM r JOIN stats s ON s.dim = r.dim
+"""

@@ -2540,6 +2540,37 @@ def test_known_item_mrr_floor_and_exact_reciprocals(spark, docs):
     assert mrr >= 0.80
 
 
+def test_sq8_reconstruction_error_bounded(spark, embs):
+    """X211: scalar quantization's contract — reconstructing
+    v̂ = lo + code·(hi−lo)/255 from the int8 code must land within one
+    quantization step of the original on EVERY (vec, dim), codes stay
+    in [0, 255], and hi-coordinate values hit the top code."""
+    from mimic2ts_spark.operators.pq import (
+        SQ8_LEVELS,
+        sq8_quantize_rows,
+        sq8_stats,
+    )
+
+    stats = {r.dim: (r.lo, r.hi) for r in sq8_stats(embs).collect()}
+    orig = {
+        (r.vec_id, r.dim): r.v
+        for r in embs.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "v")
+        ).collect()
+    }
+    codes = sq8_quantize_rows(embs).collect()
+    assert len(codes) == len(orig)
+    top_hit = 0
+    for r in codes:
+        lo, hi = stats[r.dim]
+        assert 0 <= r.code <= SQ8_LEVELS
+        step = (hi - lo) / SQ8_LEVELS if hi > lo else 0.0
+        recon = lo + r.code * step
+        assert abs(orig[(r.vec_id, r.dim)] - recon) <= step + 1e-12
+        top_hit += r.code == SQ8_LEVELS
+    assert top_hit >= len(stats)  # every dim's max lands on the top code
+
+
 def test_dedup_cluster_labels_equal_raw(spark, docs):
     """r09: q_dedup_clusters' labeling is the exact-first canonical
     composition; this pins the equality theorem against the RAW
