@@ -2262,7 +2262,7 @@ _GATE_CHANGED_THIS_ROUND = [
     "q_dedup_clusters", "q_dedup_representatives",
     "q_retrieval_mrr",  # r09: panel-BM25 core factored out (shared w/ MAP)
     "q_dedup_embedding",  # r09: enforced broadcast budget (adds count job)
-    # (total changed = 8; + 5 never-verified new queries + 33 stale = 46,
+    # (total changed = 8; + 6 never-verified new queries + 33 stale = 47,
     # still inside the 50-row window — the whole tail drains this round.)
 ]
 
