@@ -25,6 +25,35 @@ def embs(spark):
     return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
 
 
+def test_sql_sub_guards_drifted_targets():
+    """r09 (ADVICE r08): oracle SQL composed by textual substitution
+    must fail loudly when the target substring drifts — a silent no-op
+    would gate the derived query against the RAW oracle."""
+    import pytest
+
+    from mimic2ts_spark.harness_ext import _sql_sub
+
+    assert _sql_sub("SELECT a FROM t", "FROM t", "FROM u") == "SELECT a FROM u"
+    with pytest.raises(AssertionError, match="substitution target drifted"):
+        _sql_sub("SELECT a FROM t", "FROM missing", "FROM u")
+
+
+def test_impacts_fingerprint_tracks_rewrites(tmp_path):
+    """r09 (ADVICE r08): the impacts memo key must change when the
+    artifact dir's contents change (in-place rebuild detection), and
+    degrade gracefully on a missing dir."""
+    from mimic2ts_spark.operators.search import _impacts_fingerprint
+
+    d = tmp_path / "imp"
+    assert _impacts_fingerprint(str(d)) == ("missing",)
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"aaa")
+    f1 = _impacts_fingerprint(str(d))
+    (d / "part-0.parquet").write_bytes(b"bbbb")  # same name, new bytes
+    f2 = _impacts_fingerprint(str(d))
+    assert f1 != f2
+
+
 def test_token_count_matches_python(spark, docs):
     rows = docs.select("doc_id", "text", X.token_count(F.col("text")).alias("n")).take(20)
     for r in rows:
