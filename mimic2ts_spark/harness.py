@@ -28,6 +28,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mimic2ts_spark.session import session_tmpdir
+
 from mimic2ts_spark.operators.dense import dense_reindex, forward_fill, zero_fill
 from mimic2ts_spark.operators.intervals import interval_instants, spread_evenly
 from mimic2ts_spark.operators.time_ops import (
@@ -471,9 +473,8 @@ def q_sink_partitioned(spark, sf_dir):
     the oracle — the round-trip through the partitioned layout must be
     lossless. Partition-column values are directory strings on disk;
     cast back to long so the read-back schema equals the pre-write one."""
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="sink_partitioned_")
+    out = session_tmpdir(prefix="sink_partitioned_")
     agg = q_agg_sum_bucket(spark, sf_dir)
     agg.write.mode("overwrite").partitionBy("user_id").parquet(out)
     return spark.read.parquet(out).withColumn(
@@ -1334,11 +1335,10 @@ def q_join_bucketed(spark, sf_dir):
     re-shuffling the fact table on every star join and never shuffling
     it again. The bucket write is an eager side effect into a temp dir;
     the oracle is the plain (bucketing-invisible) join."""
-    import tempfile
 
     from mimic2ts_spark.operators.spread import write_bucketed
 
-    base = tempfile.mkdtemp(prefix="mimic2ts_bucketed_")
+    base = session_tmpdir(prefix="mimic2ts_bucketed_")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     write_bucketed(li, "l_orderkey", "hb_lineitem", 16, f"{base}/li")

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mimic2ts_spark.session import session_tmpdir
+
 from mimic2ts_spark.operators import dedup as D
 from mimic2ts_spark.operators import multimodal as _mm
 from mimic2ts_spark.operators import similarity as S
@@ -494,7 +496,10 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     """Beyond-broadcast embedding near-dup: LSH-bucketed candidate join +
     exact cosine verify (no collect, corpus size unbounded) — the scale
     path q_dedup_embedding's broadcast form caps out of."""
-    return S.embedding_near_dup_pairs_lsh(_embs(spark, sf_dir), threshold=0.45)
+    # registered X24 oracle BASELINE — the dup guard warns, not raises
+    return S.embedding_near_dup_pairs_lsh(
+        _embs(spark, sf_dir), threshold=0.45, on_duplicates="warn"
+    )
 
 
 def q_dedup_embedding_lsh_canonical(spark, sf_dir):
@@ -510,7 +515,10 @@ def q_dedup_embedding_lsh_canonical(spark, sf_dir):
     from mimic2ts_spark.operators.kmeans import canonical_vectors
 
     canon = canonical_vectors(_embs(spark, sf_dir))
-    return S.embedding_near_dup_pairs_lsh(canon, threshold=0.45)
+    # canonicals are distinct on the probe key by construction — skip
+    return S.embedding_near_dup_pairs_lsh(
+        canon, threshold=0.45, on_duplicates="ignore"
+    )
 
 
 _LSH_BANDED_DUP = "\nUNION ALL\n".join(
@@ -782,15 +790,20 @@ _KNN_GRAPH_CACHE: dict = {}  # sf_dir -> artifact parquet path (disk memo)
 
 def _knn_graph(spark, sf_dir, key=None, build=None):
     import os
-    import tempfile
 
     key = key or sf_dir
     path = _KNN_GRAPH_CACHE.get(key)
     if path is None or not os.path.isdir(path):
         from mimic2ts_spark.operators.knn import knn_graph
 
-        g = build() if build is not None else knn_graph(_embs(spark, sf_dir))
-        path = tempfile.mkdtemp(prefix="knn_graph_")
+        # the default build is the registered X180 oracle BASELINE —
+        # the dup guard warns instead of raising (dupguard.py)
+        g = (
+            build()
+            if build is not None
+            else knn_graph(_embs(spark, sf_dir), on_duplicates="warn")
+        )
+        path = session_tmpdir(prefix="knn_graph_")
         g.write.mode("overwrite").parquet(path)
         _KNN_GRAPH_CACHE[key] = path
     return spark.read.parquet(path)
@@ -837,7 +850,11 @@ def q_ann_knn_graph_canonical(spark, sf_dir):
         spark,
         sf_dir,
         key=sf_dir + ":canon",
-        build=lambda: knn_graph(canonical_vectors(_embs(spark, sf_dir))),
+        # canonicals are distinct on the probe key BY CONSTRUCTION —
+        # skip the probe job
+        build=lambda: knn_graph(
+            canonical_vectors(_embs(spark, sf_dir)), on_duplicates="ignore"
+        ),
     )
     return g.select(F.col("id").alias("vec_id"), "nbr", "d2", "rank")
 
@@ -1799,7 +1816,13 @@ def q_ann_recall(spark, sf_dir):
       SAME exact quantized-int-L2 panel (the beam ranks by exactly that
       metric) — the three index families (cell-probed, quantized,
       graph-walked) scored against metric-matched references in ONE
-      report.
+      report;
+    - leg 'sq8' (r10, X211 serving tier): asymmetric SQ8 — full-
+      precision panel queries against integer-midpoint-DECODED int8
+      codes (pq.sq8_l2_panel, the Faiss/Lucene int8 tier) vs the same
+      exact quantized-int-L2 panel. SQ8 encodes the SAME quant grid the
+      exact leg ranks on, so the recall number isolates pure 8-bit
+      compression distortion.
     Every exact leg is query-side bounded (one 32×n kernel pass); the
     approximate legs reuse the memoized coarse/codebook/graph
     artifacts."""
@@ -1819,16 +1842,24 @@ def q_ann_recall(spark, sf_dir):
     beam = knn_beam_topk(
         embs, qs, _knn_graph(spark, sf_dir), k=ANN_RECALL_K
     ).select(F.col("qid").alias("query_id"), F.col("nbr").alias("neighbor_id"))
+    sq8 = PQ.sq8_l2_panel(embs, qs, k=ANN_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
     return (
         _recall_leg(exact_cos, ivf, "ivf")
         .unionByName(_recall_leg(exact_l2, ivfpq, "ivfpq"))
         .unionByName(_recall_leg(exact_l2, beam, "graph"))
+        .unionByName(_recall_leg(exact_l2, sq8, "sq8"))
     )
 
 
 def _q_ann_recall_sql():
     from mimic2ts_spark.operators.kmeans import _SQL_DIST, sql_kmeans_parts
-    from mimic2ts_spark.operators.pq import sql_ivfpq_panel_topk, sql_l2_panel
+    from mimic2ts_spark.operators.pq import (
+        sql_ivfpq_panel_topk,
+        sql_l2_panel,
+        sql_sq8_l2_panel,
+    )
 
     parts, final_a, final_c = sql_kmeans_parts(
         "embeddings", k=S.sql_derived_cells("embeddings"), prefix="ivf_"
@@ -1841,6 +1872,7 @@ def _q_ann_recall_sql():
     graph_beam = sql_knn_beam_topk(
         "embeddings", query_pred=f"id < {nq}", k=k
     )
+    sq8_panel = sql_sq8_l2_panel(nq, k)
     return f"""
 WITH {','.join(parts)},
 v AS (SELECT vec_id, embedding FROM embeddings),
@@ -1884,6 +1916,9 @@ pq_approx AS MATERIALIZED (
 ),
 graph_approx AS MATERIALIZED (
     SELECT qid AS query_id, nbr AS neighbor_id FROM ({graph_beam})
+),
+sq8_approx AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({sq8_panel})
 )
 SELECT e.query_id, 'ivf' AS leg,
        CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
@@ -1904,6 +1939,13 @@ SELECT e.query_id, 'graph' AS leg,
        CAST(count(a.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
 FROM pq_exact e
 LEFT JOIN graph_approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+UNION ALL
+SELECT e.query_id, 'sq8' AS leg,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+FROM pq_exact e
+LEFT JOIN sq8_approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
 GROUP BY e.query_id
 """
 
@@ -2478,11 +2520,10 @@ def q_source_jsonl(spark, sf_dir):
     byte-identical text, or the oracle (reading the parquet originals)
     hash-mismatches. All columns are long/string so the trip is
     lossless by construction."""
-    import tempfile
 
     from mimic2ts_spark.operators.sketch import kmv_code
 
-    out = tempfile.mkdtemp(prefix="source_jsonl_")
+    out = session_tmpdir(prefix="source_jsonl_")
     spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode("overwrite").json(out)
     back = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
@@ -2516,11 +2557,10 @@ def q_source_csv_gz(spark, sf_dir):
     100 TB that means one task per file, so the writer must bound file
     size; the read here inherits the write's partitioning). Fidelity
     oracle = the same checksum over the parquet originals."""
-    import tempfile
 
     from mimic2ts_spark.operators.sketch import kmv_code
 
-    out = tempfile.mkdtemp(prefix="source_csvgz_")
+    out = session_tmpdir(prefix="source_csvgz_")
     (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .write.mode("overwrite")
@@ -2731,10 +2771,9 @@ def q_layout_sorted(spark, sf_dir):
     (plan-pinned as pushed filters on the sorted files). Oracle: the
     same aggregate over the original unsorted table — layout can never
     change results, only I/O."""
-    import tempfile
 
     ev = _h._t(spark, sf_dir, "events").select("user_id", "ts", "value")
-    out = tempfile.mkdtemp(prefix="layout_sorted_")
+    out = session_tmpdir(prefix="layout_sorted_")
     (
         ev.repartitionByRange(8, "user_id")
         .sortWithinPartitions("user_id", "ts")
@@ -2765,11 +2804,10 @@ def q_source_orc(spark, sf_dir):
     ORC → explicit-schema read-back, fidelity pinned by the same
     md5-code checksum oracle as the JSONL trip (DuckDB reads the
     parquet originals; any ORC write/read corruption hash-mismatches)."""
-    import tempfile
 
     from mimic2ts_spark.operators.sketch import kmv_code
 
-    out = tempfile.mkdtemp(prefix="source_orc_")
+    out = session_tmpdir(prefix="source_orc_")
     spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode("overwrite").orc(out)
     back = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
@@ -2880,34 +2918,66 @@ def _dedup_cluster_labels(spark, sf_dir, threshold: float = 0.8):
     minimum) — pinned by test_dedup_cluster_labels_equal_raw AND by the
     gate every round (the ORACLE is still the raw recursive CTE). The
     duplicate-heavy Θ(cluster²) pair blow-up never happens: 437 s →
-    ~30 s at the 100× dup-heavy sweep."""
-    from mimic2ts_spark.operators.cluster import connected_components
+    ~30 s at the 100× dup-heavy sweep.
 
+    SHORT-DOC BOUNDARY (ADVICE r09): minhash_lsh_pairs only considers
+    docs with ≥ SHINGLE_N tokens, so in the raw form a sub-shingle doc
+    NEVER pairs and labels itself — even when byte-identical copies
+    exist. The exact-group projection therefore applies only to docs
+    with ≥ SHINGLE_N tokens (identical text ⇒ identical token count, so
+    every exact group is homogeneous in eligibility and the eligible
+    groups' canonical ids are unchanged); shorter docs keep self-labels,
+    restoring exact equality with the raw CC on EVERY corpus, including
+    duplicated empty/one-word docs (pinned by
+    test_dedup_cluster_labels_short_dup_docs)."""
     key = (sf_dir, threshold)
     got = _CC_LABELS_CACHE.get(key)
     if got is None:
-        docs = _docs(spark, sf_dir)
-        canon = (
-            docs.groupBy(F.md5(F.col("text")).alias("_h"))
-            .agg(F.min("doc_id").alias("_canon"))
-            .join(docs.select("doc_id", F.md5(F.col("text")).alias("_h")), "_h")
-            .select("doc_id", "_canon")
-        )
-        pairs_c = D.canonical_near_dup_pairs(docs, threshold=threshold)
-        comp = connected_components(pairs_c)
-        got = (
-            canon.join(
-                comp.select(F.col("node").alias("_canon"), "comp"),
-                "_canon",
-                "left",
-            )
-            .select(
-                "doc_id",
-                F.coalesce(F.col("comp"), F.col("_canon")).alias("cluster_id"),
-            )
-        )
+        got = dedup_cluster_labels_for(_docs(spark, sf_dir), threshold)
         _CC_LABELS_CACHE[key] = got
     return got.persist()
+
+
+def dedup_cluster_labels_for(docs, threshold: float = 0.8):
+    """The exact-first labeling composition over an arbitrary docs
+    DataFrame — module-level so constructed fixtures drive the REAL
+    helper (the r03 blocking-completeness lesson); see
+    _dedup_cluster_labels for the theorem and the short-doc boundary."""
+    from mimic2ts_spark.operators.cluster import connected_components
+    from mimic2ts_spark.operators.dedup import SHINGLE_N
+    from mimic2ts_spark.operators.text import tokens
+
+    eligible = docs.where(F.size(tokens(F.col("text"))) >= SHINGLE_N)
+    canon = (
+        eligible.groupBy(F.md5(F.col("text")).alias("_h"))
+        .agg(F.min("doc_id").alias("_canon"))
+        .join(
+            eligible.select("doc_id", F.md5(F.col("text")).alias("_h")),
+            "_h",
+        )
+        .select("doc_id", "_canon")
+    )
+    pairs_c = D.canonical_near_dup_pairs(docs, threshold=threshold)
+    comp = connected_components(pairs_c)
+    labeled = (
+        canon.join(
+            comp.select(F.col("node").alias("_canon"), "comp"),
+            "_canon",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("_canon")).alias("_lab"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_lab"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -3570,7 +3640,9 @@ def q_decontaminate_semantic(spark, sf_dir):
     quadratic per identical-vector cluster like every raw pair query —
     route over X160 canonical vectors first and expand flags through
     the exact groups (the registered canonical compositions' pattern)."""
-    pairs = S.embedding_near_dup_pairs_lsh(_embs(spark, sf_dir), threshold=0.45)
+    pairs = S.embedding_near_dup_pairs_lsh(
+        _embs(spark, sf_dir), threshold=0.45, on_duplicates="warn"
+    )
     a_eval = (F.col("vec_a") % DECON_SEM_MOD) == 0
     b_eval = (F.col("vec_b") % DECON_SEM_MOD) == 0
     return pairs.where(a_eval != b_eval).select(
@@ -3892,7 +3964,10 @@ def q_dedup_containment(spark, sf_dir):
     the persisted base for the verify arrays (dedup.containment_pairs).
     The oracle mirrors the identical exact pruning (candidate superset
     + exact verify = naive all-pairs output, at gate-budget cost)."""
-    return D.containment_pairs(_docs(spark, sf_dir), threshold=CONTAIN_TAU)
+    # registered X144 oracle BASELINE — the dup guard warns, not raises
+    return D.containment_pairs(
+        _docs(spark, sf_dir), threshold=CONTAIN_TAU, on_duplicates="warn"
+    )
 
 
 Q_DEDUP_CONTAINMENT_SQL = f"""
@@ -4508,14 +4583,13 @@ _SEARCH_INDEX_CACHE: dict = {}
 def _search_index_dir(spark, sf_dir):
     if sf_dir in _SEARCH_INDEX_CACHE:
         return _SEARCH_INDEX_CACHE[sf_dir]
-    import tempfile
 
     from mimic2ts_spark.operators.search import (
         build_positional_postings,
         build_trigram_postings,
     )
 
-    out = tempfile.mkdtemp(prefix="search_idx_")
+    out = session_tmpdir(prefix="search_idx_")
     docs = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
     (
@@ -5079,7 +5153,8 @@ def q_graph_communities(spark, sf_dir):
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    return label_propagation(edges)
+    # registered X148 oracle BASELINE — the dup guard warns, not raises
+    return label_propagation(edges, on_duplicates="warn")
 
 
 def _q_graph_communities_sql():
@@ -5111,7 +5186,8 @@ def q_graph_communities_canonical(spark, sf_dir):
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    return label_propagation(edges)
+    # canonical pairs: duplicate cliques removed by construction — skip
+    return label_propagation(edges, on_duplicates="ignore")
 
 
 def _q_graph_communities_canonical_sql():
@@ -6020,14 +6096,13 @@ def q_stream_classifier(spark, sf_dir):
     memo per sf_dir (deterministic build; the maxFilesPerTrigger pytest
     keeps the multi-batch path covered)."""
     if sf_dir not in _CLS_STREAM_CACHE:
-        import tempfile
 
         from mimic2ts_spark.operators.text import build_classifier_weights
         from mimic2ts_spark.streaming import run_classifier_available_now
 
-        wdir = tempfile.mkdtemp(prefix="cls_weights_")
+        wdir = session_tmpdir(prefix="cls_weights_")
         build_classifier_weights(spark, wdir)
-        out = tempfile.mkdtemp(prefix="cls_stream_") + "/scored"
+        out = session_tmpdir(prefix="cls_stream_") + "/scored"
         run_classifier_available_now(spark, sf_dir, wdir, out)
         _CLS_STREAM_CACHE[sf_dir] = out
     return spark.read.parquet(_CLS_STREAM_CACHE[sf_dir])
@@ -6055,9 +6130,8 @@ def q_stream_postings_ingest(spark, sf_dir):
     # call for identical bytes. The streaming path itself stays covered
     # by the maxFilesPerTrigger batching-invariance pytest.
     if sf_dir not in _POSTINGS_INGEST_CACHE:
-        import tempfile
 
-        out = tempfile.mkdtemp(prefix="postings_ingest_")
+        out = session_tmpdir(prefix="postings_ingest_")
         run_postings_ingest_available_now(
             spark, sf_dir, out, BM25_QUERY_TERMS
         )
@@ -6729,7 +6803,6 @@ def q_merge_upsert(spark, sf_dir):
     overwrite); the result is the merged table aggregated per bucket —
     full-outer-join-expressible, so the oracle checks the exact final
     state."""
-    import tempfile
 
     from mimic2ts_spark.operators.merge import merge_upsert, write_base
     from mimic2ts_spark.operators.sketch import kmv_code
@@ -6740,7 +6813,7 @@ def q_merge_upsert(spark, sf_dir):
         "text", F.concat(F.col("text"), F.lit(" v2"))
     ).withColumn("n_chars", F.col("n_chars") + 3)
 
-    path = tempfile.mkdtemp(prefix="merge_upsert_")
+    path = session_tmpdir(prefix="merge_upsert_")
     write_base(base, path, "doc_id")
     merge_upsert(spark, path, updates, "doc_id")
 
@@ -6791,7 +6864,6 @@ def q_merge_changelog(spark, sf_dir):
     insert/update, old_n_chars, new_n_chars). The CDC stream downstream
     consumers react to instead of re-scanning the table; reads only the
     affected bucket partitions (same pruning as the merge itself)."""
-    import tempfile
 
     from mimic2ts_spark.operators.merge import merge_changelog, write_base
 
@@ -6801,7 +6873,7 @@ def q_merge_changelog(spark, sf_dir):
         "text", F.concat(F.col("text"), F.lit(" v2"))
     ).withColumn("n_chars", F.col("n_chars") + 3)
 
-    path = tempfile.mkdtemp(prefix="merge_cdf_")
+    path = session_tmpdir(prefix="merge_cdf_")
     write_base(base, path, "doc_id")
     return merge_changelog(
         spark, path, updates, "doc_id", carry_cols=("n_chars",)
@@ -6832,7 +6904,6 @@ _VERSIONED_SCENARIO: dict[str, str] = {}
 def _versioned_scenario(spark, sf_dir):
     """Shared X130–X134 setup: init v0 from the q_merge_upsert base,
     commit one merge as v1; returns the (memoized) table path."""
-    import tempfile
 
     from mimic2ts_spark.operators.versioned import init_table, merge_versioned
 
@@ -6844,7 +6915,7 @@ def _versioned_scenario(spark, sf_dir):
         "text", F.concat(F.col("text"), F.lit(" v2"))
     ).withColumn("n_chars", F.col("n_chars") + 3)
 
-    path = tempfile.mkdtemp(prefix="versioned_")
+    path = session_tmpdir(prefix="versioned_")
     init_table(base, path, "doc_id")
     merge_versioned(spark, path, updates, "doc_id")
     _VERSIONED_SCENARIO[sf_dir] = path
@@ -6885,13 +6956,12 @@ def q_stream_versioned(spark, sf_dir):
     q_stream_merge scenario committing each microbatch as a manifest
     version (streaming.run_versioned_sink_available_now). Unique keys
     ⇒ batching-invariant final state ⇒ shares the batch MERGE oracle."""
-    import tempfile
 
     from mimic2ts_spark import streaming as ST
     from mimic2ts_spark.operators.versioned import init_table
 
     base = _docs(spark, sf_dir).where(F.col("doc_id") % 10 != 3)
-    path = tempfile.mkdtemp(prefix="stream_versioned_")
+    path = session_tmpdir(prefix="stream_versioned_")
     init_table(base, path, "doc_id")
     return _bucket_rollup(ST.run_versioned_sink_available_now(spark, sf_dir, path))
 
@@ -6917,7 +6987,6 @@ def q_schema_evolution(spark, sf_dir):
     NULL through the reader's parquet schema-merge (old version dirs
     lack the column). Rollup per bucket counts scored rows — the oracle
     pins that exactly the update keys are scored and nothing else."""
-    import tempfile
 
     from mimic2ts_spark.operators.versioned import (
         init_table,
@@ -6930,7 +6999,7 @@ def q_schema_evolution(spark, sf_dir):
     updates = d.where(F.col("doc_id") % 7 == 0).withColumn(
         "score", (F.col("doc_id") % 100).cast("long")
     )
-    path = tempfile.mkdtemp(prefix="schema_evo_")
+    path = session_tmpdir(prefix="schema_evo_")
     init_table(base, path, "doc_id")
     merge_versioned(spark, path, updates, "doc_id", allow_new_columns=True)
     return (
@@ -7144,7 +7213,6 @@ def q_compact_files(spark, sf_dir):
     per-bucket content aggregate — byte-identical to pre-compaction, so
     this entry shares the MERGE oracle verbatim; the file-count drop
     itself is pinned in tests/test_merge.py."""
-    import tempfile
 
     from mimic2ts_spark.operators.merge import (
         compact_buckets,
@@ -7159,7 +7227,7 @@ def q_compact_files(spark, sf_dir):
         "text", F.concat(F.col("text"), F.lit(" v2"))
     ).withColumn("n_chars", F.col("n_chars") + 3)
 
-    path = tempfile.mkdtemp(prefix="compact_files_")
+    path = session_tmpdir(prefix="compact_files_")
     write_base(base, path, "doc_id")
     merge_upsert(spark, path, updates, "doc_id")
     compact_buckets(spark, path)
@@ -7185,11 +7253,10 @@ def q_stream_ann_ingest(spark, sf_dir):
     (streaming.run_ann_ingest_available_now). Per-row assignment
     against fixed centroids ⇒ batching-invariant ⇒ shares
     q_ann_incremental's oracle verbatim."""
-    import tempfile
 
     from mimic2ts_spark import streaming as ST
 
-    path = tempfile.mkdtemp(prefix="stream_ann_") + "/postings"
+    path = session_tmpdir(prefix="stream_ann_") + "/postings"
     return ST.run_ann_ingest_available_now(spark, sf_dir, path)
 
 
@@ -7200,14 +7267,13 @@ def q_stream_merge(spark, sf_dir):
     microbatch MERGEd into the bucketed base. Unique update keys make
     the final state batching-invariant, so this entry shares
     q_merge_upsert's oracle verbatim (streaming.run_merge_sink_available_now)."""
-    import tempfile
 
     from mimic2ts_spark import streaming as ST
     from mimic2ts_spark.operators.merge import write_base
     from mimic2ts_spark.operators.sketch import kmv_code
 
     base = _docs(spark, sf_dir).where(F.col("doc_id") % 10 != 3)
-    path = tempfile.mkdtemp(prefix="stream_merge_")
+    path = session_tmpdir(prefix="stream_merge_")
     write_base(base, path, "doc_id")
 
     final = ST.run_merge_sink_available_now(spark, sf_dir, path)

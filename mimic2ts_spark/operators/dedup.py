@@ -578,7 +578,14 @@ def canonical_containment_pairs(
     canonical_near_dup_pairs; measured ~flat at 100× vs no-100×-row for
     the raw form — README 'Measured scaling')."""
     canon = canonical_docs(df, text_col=text_col, id_col=id_col)
-    return containment_pairs(canon, text_col=text_col, id_col=id_col, threshold=threshold)
+    # canonicals are distinct on the probe key by construction — skip
+    return containment_pairs(
+        canon,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        on_duplicates="ignore",
+    )
 
 
 def simhash_pairs(
@@ -764,6 +771,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.9,
+    on_duplicates: str = "raise",
 ) -> DataFrame:
     """Asymmetric set-containment near-dup: DIRECTED pairs
     (doc_a, doc_b) with |S_a ∩ S_b| / |S_a| ≥ threshold over distinct
@@ -790,7 +798,26 @@ def containment_pairs(
     shuffle; the r02 carry-vs-rejoin rule flips here because the base
     IS cached). Hot-code skew on the index side is AQE's skew-join
     case; the probe side stays rare-code-heavy by construction
-    (prefixes hold the globally-rarest ordered codes)."""
+    (prefixes hold the globally-rarest ordered codes).
+
+    DUP-HEAVY ROUTING (r10, mechanical since VERDICT r09 #4): directed
+    pairs are output-quadratic per exact-duplicate cluster (c copies of
+    a quoted doc ⇒ Θ(c²) rows). Past the sampled duplicate-share bound
+    this raises, pointing at canonical_containment_pairs (X157);
+    registered oracle-baseline callers pass on_duplicates='warn'."""
+    from mimic2ts_spark.operators.dupguard import (
+        check_duplicate_share,
+        doc_key,
+    )
+
+    check_duplicate_share(
+        df,
+        doc_key(text_col),
+        id_col,
+        api="containment_pairs",
+        canonical="canonical_containment_pairs (X157)",
+        on_duplicates=on_duplicates,
+    )
     base = (
         with_shingle_codes(
             ensure_parallelism(

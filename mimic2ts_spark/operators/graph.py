@@ -167,7 +167,9 @@ pr{i + 1} AS (
 LPA_ITERS = 4
 
 
-def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iters: int = LPA_ITERS, on_duplicates: str = "raise"
+) -> DataFrame:
     """(node, community) after `iters` SYNCHRONOUS label-propagation
     rounds over the UNDIRECTED closure of `edges` (src/dst symmetrized,
     self-loops already absent by the edge contract): communities where
@@ -187,7 +189,25 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
 
     Shape at scale: the undirected edge list + each round's two hash
     aggregates shuffle on node id — per round one join (labels × edges)
-    + two combines, same budget as a pagerank round."""
+    + two combines, same budget as a pagerank round.
+
+    DUP-HEAVY ROUTING (r10, mechanical since VERDICT r09 #4): a c-copy
+    duplicate cluster arrives as a CLIQUE (Θ(c²) edges, every node
+    degree ≥ c − 1) — each LPA round then joins and aggregates the
+    whole clique for a labeling the exact-first form gets from one
+    canonical node. The probe checks the sampled max degree (the clique
+    signature — edges carry no text key) and raises past
+    DUP_GUARD_DEGREE, pointing at the X158 composition (LPA over
+    canonical near-dup pairs); registered oracle-baseline callers pass
+    on_duplicates='warn'."""
+    from mimic2ts_spark.operators.dupguard import check_edge_degree
+
+    check_edge_degree(
+        edges,
+        api="label_propagation",
+        canonical="label_propagation over dedup.canonical_near_dup_pairs (X158)",
+        on_duplicates=on_duplicates,
+    )
     # sym is persisted FIRST: nodes, the initial labels AND every
     # round's edge scan all derive from it — unpersisted, the upstream
     # edge lineage (e.g. a full minhash-LSH pair pipeline) re-runs once

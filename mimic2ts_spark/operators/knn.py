@@ -229,11 +229,34 @@ def knn_graph(
     rounds: int = KNN_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_duplicates: str = "raise",
 ) -> DataFrame:
     """(id, nbr, d2, rank): the NN-Descent k-NN graph of the corpus.
     The single .count() is a documented bounded driver scalar (ring
     modulus + bucket derivation; the oracle mirrors it as scalar
-    subqueries)."""
+    subqueries).
+
+    DUP-HEAVY ROUTING (r10, mechanical since VERDICT r09 #4): identical
+    vectors are their own nearest neighbors — a c-copy cluster wastes
+    its whole neighbor list on copies and pays Θ(c·k²) candidate work
+    for zero information (120 s raw vs 6.4 s canonical at the 100×
+    dup-heavy sweep). Past the sampled duplicate-share bound this
+    raises, pointing at the X199 composition (canonical_vectors →
+    knn_graph → exact-group expansion); registered oracle-baseline
+    callers pass on_duplicates='warn'."""
+    from mimic2ts_spark.operators.dupguard import (
+        check_duplicate_share,
+        vector_key,
+    )
+
+    check_duplicate_share(
+        embs,
+        vector_key(vec_col),
+        id_col,
+        api="knn_graph",
+        canonical="kmeans.canonical_vectors + knn_graph (X199)",
+        on_duplicates=on_duplicates,
+    )
     base = embs.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("x")
     ).persist()

@@ -1042,7 +1042,7 @@ def sql_sq8_quantize_rows(
     lateral column args to the table function); 1-based indexing maps
     to posexplode's 0-based dim; same IEEE op order, floor, least."""
     return f"""
-WITH r AS (
+WITH r AS MATERIALIZED (
     SELECT {id_col}, s.d AS dim, s.v AS v FROM (
         SELECT {id_col},
                unnest(list_transform(generate_series(1, len({vec_col})),
@@ -1057,4 +1057,158 @@ SELECT r.{id_col}, r.dim,
             least(floor((r.v - s.lo) * {SQ8_LEVELS}.0::DOUBLE / (s.hi - s.lo)),
                   {SQ8_LEVELS}.0::DOUBLE) END AS BIGINT) AS code
 FROM r JOIN stats s ON s.dim = r.dim
+"""
+
+
+# --- SQ8 serving (the int8 compression TIER, not just the codes) -------------
+#
+# Faiss ScalarQuantizer / Lucene int8-HNSW serve search from the codes:
+# the query stays full precision, every database vector is DECODED from
+# its int8 code and scored — asymmetric distance computation, SQ8
+# flavor. To keep the tier oracle-exact (the r04/r09 integer doctrine:
+# int sums are associative, float sums are not), this serving form runs
+# over the QUANTIZED int vectors (kmeans.quantize, the same 2^20-unit
+# grid every PQ/IVF leg uses) and decodes with an INTEGER midpoint:
+#
+#   code_d = (v_d - lo_d) * 255 div (hi_d - lo_d)      (0..255, ints)
+#   dec_d  = lo_d + ((2*code_d + 1) * (hi_d - lo_d)) div 510
+#
+# dec_d is the floor of the textbook midpoint reconstruction
+# lo + (code+0.5)*step (step = (hi-lo)/255) on the quant grid — the
+# flooring error is < 1 quant unit (2^-20 of a coordinate) against an
+# SQ8 step of ~thousands of units, i.e. noise ~1e-4 of the code error,
+# and it buys bit-exact cross-engine distances: every numerator above
+# is non-negative (lo/hi are per-dim min/max), so Spark `div`, DuckDB
+# `//` and numpy `//` all agree, and d2 = Σ (q_d - dec_d)² stays well
+# inside int64 (|q - dec| ≤ hi - lo ≤ ~2^21 ⇒ d2 ≤ 64·2^42 < 2^48).
+#
+# Scale shape: the 128-value (lo, hi) table is the WHOLE trained state
+# (one corpus agg, collected driver-side — bounded); serving is one
+# kernel pass over the codes with the panel in the closure — same
+# budget class as brute_force_l2_panel, and the leg that measures what
+# the 4× (vs float32) compression costs in recall.
+
+
+def sq8_int_stats(base: DataFrame) -> list[tuple[int, int, int]]:
+    """(dim, lo, hi) over the QUANTIZED int vectors — the trained state
+    of the serving-tier quantizer (two int64 per dim; the float-side
+    sq8_stats/sq8_quantize_rows remain the X211 code-artifact form).
+    Driver-side collect is bounded: one row per dimension."""
+    rows = (
+        base.select(F.posexplode("x").alias("dim", "_v"))
+        .groupBy("dim")
+        .agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"))
+        .collect()
+    )
+    return sorted((int(r["dim"]), int(r["lo"]), int(r["hi"])) for r in rows)
+
+
+def sq8_l2_panel(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8-served L2 top-k per panel query: every corpus vector is
+    encoded to per-dim int8 codes and DECODED (integer midpoint, header
+    comment) inside one kernel pass; the panel queries score at full
+    quant precision against the decoded values — the asymmetric
+    int8 serving tier beside IVF / IVF-PQ / graph. Integer-exact end to
+    end, per-query top-k as a WindowGroupLimit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    base = _quant_base(vectors, id_col, vec_col)
+    stats = sq8_int_stats(base)
+    lo = np.array([s[1] for s in stats], dtype=np.int64)
+    hi = np.array([s[2] for s in stats], dtype=np.int64)
+    rng = hi - lo
+    safe = np.maximum(rng, 1)  # hi == lo dims: code 0, dec == lo
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qx")
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    Q = np.array([[int(v) for v in r["qx"]] for r in q_rows], dtype=np.int64)
+    q_norm = (Q * Q).sum(axis=1)
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["x"]), dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.minimum((X - lo[None, :]) * 255 // safe[None, :], 255)
+            D_ = lo[None, :] + (2 * C + 1) * rng[None, :] // 510
+            d_norm = (D_ * D_).sum(axis=1)
+            D = d_norm[:, None] + q_norm[None, :] - 2 * (D_ @ Q.T)
+            qi, ni = np.meshgrid(np.arange(len(q_ids)), np.arange(len(ids)))
+            keep = q_ids[qi.ravel()] != ids[ni.ravel()]
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi.ravel()][keep],
+                    "neighbor_id": ids[ni.ravel()][keep],
+                    "d2": D[ni.ravel(), qi.ravel()][keep],
+                }
+            )
+
+    scored = base.mapInPandas(
+        score, schema="query_id long, neighbor_id long, d2 long"
+    )
+    w = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def sql_sq8_l2_panel(
+    nq: int,
+    k: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Mirror of sq8_l2_panel: same quant grid, same integer code and
+    midpoint decode (all floor divisions on non-negative numerators, so
+    `//` == Spark div == numpy), per-dim join form so the int64 sum
+    order is free (associative)."""
+    base = f"(SELECT {id_col} AS vec_id, {_sql_quant(vec_col)} AS x FROM {table})"
+    return f"""
+WITH qb AS MATERIALIZED (
+    SELECT vec_id, s.d AS dim, s.v AS v FROM (
+        SELECT vec_id,
+               unnest(list_transform(generate_series(1, len(x)),
+                   i -> struct_pack(d := CAST(i - 1 AS BIGINT),
+                                    v := x[CAST(i AS INTEGER)]))) AS s
+        FROM {base} b)
+),
+st AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM qb GROUP BY 1),
+dec AS MATERIALIZED (
+    SELECT qb.vec_id, qb.dim,
+           st.lo + (2 * (CASE WHEN st.hi = st.lo THEN 0
+                         ELSE (qb.v - st.lo) * 255 // (st.hi - st.lo) END)
+                    + 1) * (st.hi - st.lo) // 510 AS xh
+    FROM qb JOIN st USING (dim)
+),
+qr AS (SELECT vec_id, dim, v FROM qb WHERE vec_id < {nq}),
+sq8_scored AS (
+    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           CAST(sum((q.v - d.xh) * (q.v - d.xh)) AS BIGINT) AS d2
+    FROM qr q JOIN dec d ON d.dim = q.dim AND d.vec_id <> q.vec_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, d2 FROM (
+    SELECT query_id, neighbor_id, d2,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, neighbor_id) AS rn
+    FROM sq8_scored
+) WHERE rn <= {k}
 """

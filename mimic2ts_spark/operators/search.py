@@ -1171,8 +1171,14 @@ def neardup_map_at_k(
             F.sum("_term").cast("long").alias("ap_num"),
         )
     )
+    # broadcast the PANEL side (≤`panel` rows by construction) into the
+    # n_rel join — `nrel` is corpus-derived (one row per doc with ≥1
+    # near-dup partner: unbounded, potentially huge on exactly the
+    # dup-heavy corpora this eval targets; at 100 TB a broadcast hint on
+    # it forces an OOM-scale exchange — VERDICT r09 #1). `ap` is
+    # panel-derived (≤panel rows), so its hint stays.
     return (
-        pdocs.join(F.broadcast(nrel), "qid")
+        F.broadcast(pdocs).join(nrel, "qid")
         .join(F.broadcast(ap), "qid", "left")
         .select(
             "qid",

@@ -833,6 +833,7 @@ def embedding_near_dup_pairs_lsh(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_duplicates: str = "raise",
 ) -> DataFrame:
     """Beyond-broadcast scale path for embedding near-dup (the cap
     embedding_near_dup_pairs documents): candidate pairs share an LSH
@@ -846,7 +847,28 @@ def embedding_near_dup_pairs_lsh(
     same left-to-right cosine fold, so the emitted set hash-matches
     exactly. For high thresholds (near-dup territory) random-hyperplane
     collision probability (1 - theta/pi)^planes per table is high, which
-    is what makes LSH the right bucketing for dedup specifically."""
+    is what makes LSH the right bucketing for dedup specifically.
+
+    DUP-HEAVY ROUTING (r10, mechanical since VERDICT r09 #4): identical
+    vectors co-bucket in EVERY table, so a c-copy cluster pays Θ(c²)
+    candidate pairs no sub-bucketing can split (the r07 lesson). Past
+    the sampled duplicate-share bound this raises, pointing at the X203
+    composition (canonical_vectors first); registered oracle-baseline
+    callers pass on_duplicates='warn'."""
+    from mimic2ts_spark.operators.dupguard import (
+        check_duplicate_share,
+        vector_key,
+    )
+
+    check_duplicate_share(
+        vectors,
+        vector_key(vec_col),
+        id_col,
+        api="embedding_near_dup_pairs_lsh",
+        canonical="kmeans.canonical_vectors + embedding_near_dup_pairs_lsh (X203)",
+        on_duplicates=on_duplicates,
+    )
+
     def bucketed(ident: str) -> DataFrame:
         base = vectors.select(
             F.col(id_col).alias(ident), F.col(vec_col).alias(f"{ident}_vec")

@@ -110,3 +110,31 @@ def release_storage(spark: SparkSession) -> None:
     it = rdds.iterator()
     while it.hasNext():
         it.next()._2().unpersist(False)
+
+
+# --- per-process temp root (VERDICT r09 #7) ----------------------------------
+#
+# The artifact memos (kNN graph, search indexes, postings ingest,
+# classifier weights) and the sink/table fixtures each mkdtemp'd
+# directly under /tmp and leaked one directory per corpus per process.
+# Every repo-internal scratch dir now nests under ONE per-process root
+# that an atexit hook removes — memo reuse within the process is
+# unchanged (the memos key on content fingerprints / corpus paths, not
+# on the dir), and a fresh process leaves nothing behind
+# (tests/test_tmp_hygiene.py).
+
+_TMP_ROOT: str | None = None
+
+
+def session_tmpdir(prefix: str) -> str:
+    """mkdtemp under the per-process scratch root (created lazily,
+    removed at interpreter exit)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="mimic2ts_spark_tmp_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT)

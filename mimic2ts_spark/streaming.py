@@ -21,6 +21,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from mimic2ts_spark.session import session_tmpdir
 from pyspark.sql import types as T
 
 EVENTS_STREAM_SCHEMA = T.StructType(
@@ -83,11 +85,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_assert_uniform_ts_type` footer-checks every parquet file up front
     and raises instead."""
     import os
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
-    stage = tempfile.mkdtemp(prefix="events_stream_")
+    stage = session_tmpdir(prefix="events_stream_")
     os.symlink(path, f"{stage}/events.parquet")
     _assert_uniform_ts_type(stage)
     schema = spark.read.parquet(stage).schema
@@ -507,9 +508,8 @@ def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (staged directory,
     like events_stream)."""
     import os
-    import tempfile
 
-    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    stage = session_tmpdir(prefix="docs_stream_")
     os.symlink(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
     schema = spark.read.parquet(stage).schema
     return spark.readStream.schema(schema).parquet(stage)
@@ -999,9 +999,8 @@ def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the embeddings parquet (staged directory,
     like docs_stream)."""
     import os
-    import tempfile
 
-    stage = tempfile.mkdtemp(prefix="embs_stream_")
+    stage = session_tmpdir(prefix="embs_stream_")
     os.symlink(f"{sf_dir}/embeddings.parquet", f"{stage}/embeddings.parquet")
     schema = spark.read.parquet(stage).schema
     return spark.readStream.schema(schema).parquet(stage)
@@ -1175,6 +1174,15 @@ def run_classifier_available_now(
     from mimic2ts_spark.operators.text import classifier_scores
 
     w = spark.read.parquet(weights_dir)
+    # the bucketing dimension is a property of the ARTIFACT, not a code
+    # constant: `maintain classifier-weights --dim N` can persist any N,
+    # and hashing tokens mod a different dim than the weight table covers
+    # silently drops (or mis-weights) tokens through the inner join —
+    # wrong scores, no error (ADVICE r09). The table is DENSE by the
+    # build contract (one row per bucket 0..dim-1), so count() IS dim;
+    # one bounded driver-side action before the stream starts.
+    dim = w.count()
+
     delta = (
         delta_stream if delta_stream is not None else docs_stream(spark, sf_dir)
     )
@@ -1182,9 +1190,9 @@ def run_classifier_available_now(
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        classifier_scores(batch_df, weights=w).write.mode("append").parquet(
-            out_dir
-        )
+        classifier_scores(batch_df, dim=dim, weights=w).write.mode(
+            "append"
+        ).parquet(out_dir)
 
     q = (
         delta.writeStream.foreachBatch(apply_batch)

@@ -1,0 +1,139 @@
+"""Mechanical dup-heavy routing (VERDICT r09 #4): the raw pair/graph
+APIs must REFUSE duplicate-heavy input (pointing at their exact-first
+canonical compositions) instead of silently going quadratic — the X5
+broadcast-budget-enforcement pattern applied to duplicate share. Each
+raise is pinned on a constructed dup-heavy fixture; clean and tiny
+inputs must never fire; the registered oracle-baseline paths warn."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimic2ts_spark.operators.dupguard import (
+    DUP_GUARD_DEGREE,
+    DUP_GUARD_MIN_ROWS,
+    DUP_GUARD_MOD,
+    DuplicateHeavyInput,
+)
+
+N_DOCS = 8192  # 1/DUP_GUARD_MOD sample ≈ 512 ≥ DUP_GUARD_MIN_ROWS
+
+
+def _dup_docs(spark, share_pct: int = 90):
+    """N_DOCS rows, share_pct% byte-identical text (long enough to pass
+    every shingle-length filter)."""
+    return spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 100 < share_pct,
+            F.lit("the same duplicated document text body here"),
+        )
+        .otherwise(F.concat(F.lit("unique document body number "), F.col("id")))
+        .alias("text"),
+    )
+
+
+def _dup_vectors(spark, share_pct: int = 90):
+    return spark.range(N_DOCS).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") % 100 < share_pct,
+            F.array(F.lit(0.25), F.lit(-0.125), F.lit(0.5), F.lit(0.0625)),
+        )
+        .otherwise(
+            F.array(
+                (F.col("id") % 97).cast("double") / 97.0,
+                (F.col("id") % 89).cast("double") / 89.0,
+                (F.col("id") % 83).cast("double") / 83.0,
+                (F.col("id") % 79).cast("double") / 79.0,
+            )
+        )
+        .alias("embedding"),
+    )
+
+
+def _clique_edges(spark, n: int = 1500):
+    a = spark.range(n).select(F.col("id").alias("src"))
+    b = spark.range(n).select(F.col("id").alias("dst"))
+    return a.crossJoin(b).where(F.col("src") != F.col("dst"))
+
+
+def test_containment_pairs_raises_on_dup_heavy(spark):
+    from mimic2ts_spark.operators.dedup import containment_pairs
+
+    with pytest.raises(DuplicateHeavyInput, match="canonical_containment"):
+        containment_pairs(_dup_docs(spark))
+
+
+def test_containment_pairs_warn_path_returns(spark):
+    from mimic2ts_spark.operators.dedup import containment_pairs
+
+    with pytest.warns(RuntimeWarning, match="exact-duplicate-heavy"):
+        df = containment_pairs(_dup_docs(spark), on_duplicates="warn")
+    assert "containment" in df.columns  # plan built, not raised
+
+
+def test_containment_pairs_clean_corpus_passes(spark):
+    from mimic2ts_spark.operators.dedup import containment_pairs
+
+    df = containment_pairs(_dup_docs(spark, share_pct=0))
+    assert "containment" in df.columns
+
+
+def test_guard_never_fires_below_min_rows(spark):
+    """Tiny corpora and unit fixtures must never fire, whatever their
+    duplicate share (sampled rows < DUP_GUARD_MIN_ROWS)."""
+    from mimic2ts_spark.operators.dedup import containment_pairs
+
+    tiny = spark.range(DUP_GUARD_MIN_ROWS * DUP_GUARD_MOD // 4).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same duplicated document text body here").alias("text"),
+    )
+    df = containment_pairs(tiny)
+    assert "containment" in df.columns
+
+
+def test_knn_graph_raises_on_dup_heavy(spark):
+    from mimic2ts_spark.operators.knn import knn_graph
+
+    with pytest.raises(DuplicateHeavyInput, match="X199"):
+        knn_graph(_dup_vectors(spark))
+
+
+def test_embedding_lsh_raises_on_dup_heavy(spark):
+    from mimic2ts_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    with pytest.raises(DuplicateHeavyInput, match="X203"):
+        embedding_near_dup_pairs_lsh(_dup_vectors(spark), threshold=0.9)
+
+
+def test_label_propagation_raises_on_clique(spark):
+    from mimic2ts_spark.operators.graph import label_propagation
+
+    assert 1500 - 1 > DUP_GUARD_DEGREE
+    with pytest.raises(DuplicateHeavyInput, match="X158"):
+        label_propagation(_clique_edges(spark))
+
+
+def test_label_propagation_sparse_graph_passes(spark):
+    """A ring (degree 2) at the same node count never fires."""
+    from mimic2ts_spark.operators.graph import label_propagation
+
+    n = 60000
+    ring = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    df = label_propagation(ring, iters=1)
+    assert set(df.columns) == {"node", "community"}
+
+
+def test_canonical_compositions_skip_probe_and_run(spark):
+    """The canonical forms run dup-guard-free on the SAME dup-heavy
+    input the raw forms refuse (the routing the guard points at)."""
+    from mimic2ts_spark.operators.dedup import canonical_containment_pairs
+
+    df = canonical_containment_pairs(_dup_docs(spark))
+    assert "containment" in df.columns

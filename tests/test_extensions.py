@@ -2623,6 +2623,47 @@ def test_dedup_cluster_labels_equal_raw(spark, docs):
     assert canonical == raw and canonical
 
 
+def test_dedup_cluster_labels_short_dup_docs(spark):
+    """ADVICE r09: duplicated docs SHORTER than SHINGLE_N tokens never
+    pair in the raw minhash graph (minhash_lsh_pairs filters
+    size(tokens) >= SHINGLE_N), so the raw CC labels each copy with its
+    own doc_id. The exact-first composition must match — its
+    exact-group projection is restricted to >= SHINGLE_N-token docs
+    (exact groups are homogeneous in token count, so eligibility is a
+    group property). Constructed fixture: duplicated empty / one-word /
+    two-word docs keep SELF labels; duplicated long docs collapse."""
+    from mimic2ts_spark.harness_ext import dedup_cluster_labels_for
+    from mimic2ts_spark.operators import dedup as D
+    from mimic2ts_spark.operators.cluster import canonical_ids
+
+    rows = [
+        (1, ""),
+        (2, ""),
+        (3, "hello"),
+        (4, "hello"),
+        (5, "a b"),
+        (6, "a b"),
+        (7, "the quick brown fox jumps"),
+        (8, "the quick brown fox jumps"),
+        (9, "one two three four five"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_cluster_labels_for(docs).collect()
+    }
+    raw_pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    raw = {
+        r.doc_id: r.cluster_id
+        for r in canonical_ids(docs.select("doc_id"), raw_pairs).collect()
+    }
+    assert got == raw
+    for did in (1, 2, 3, 4, 5, 6):  # sub-shingle dups: self labels
+        assert got[did] == did
+    assert got[7] == 7 and got[8] == 7  # long dups collapse
+    assert got[9] == 9
+
+
 def test_jl_projection_preserves_distances(spark):
     """X209: the JL moment identity E[d_proj] = out_dim·d_orig must
     show up on the panel — mean ratio within [0.8, 1.25] of 1 at

@@ -1003,3 +1003,60 @@ def test_aqe_skew_join_splits_hot_key(utc):
                 utc.conf.unset(k)
             else:
                 utc.conf.set(k, v)
+
+
+def _hint_subtrees(df) -> list[list[str]]:
+    """Subtree lines of every ResolvedHint in the LOGICAL plan (the
+    hints are gone by the optimized plan, so the contract is pinned
+    where it is still visible)."""
+    s = str(df._jdf.queryExecution().logical())
+    lines = s.split("\n")
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-":
+            i += 1
+        return i
+
+    subs = []
+    for h, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        d = depth(line)
+        sub = []
+        for j in range(h + 1, len(lines)):
+            if depth(lines[j]) <= d:
+                break
+            sub.append(lines[j])
+        subs.append(sub)
+    return subs
+
+
+def _assert_bounded_broadcasts(df):
+    """Every broadcast-hinted subtree must be panel-bounded: it either
+    contains a GlobalLimit (the `.limit(panel)` bound) or is rooted at
+    an UNGROUPED aggregate (exactly one row). A grouped aggregate with
+    no limit is corpus-derived — the neardup_map_at_k defect VERDICT
+    r09 #1 flagged (broadcast(nrel): one row per doc with a near-dup
+    partner, unbounded on dup-heavy corpora)."""
+    subs = _hint_subtrees(df)
+    assert subs, "expected broadcast hints in the panel eval"
+    for sub in subs:
+        root = sub[0].strip(" :+-")
+        one_row_agg = root.startswith("Aggregate [") and "], [" not in root
+        has_limit = any("GlobalLimit" in l for l in sub)
+        assert has_limit or one_row_agg, (
+            "corpus-derived build side broadcast:\n" + "\n".join(sub[:5])
+        )
+
+
+def test_retrieval_map_broadcasts_only_panel_bounded_sides(utc):
+    from mimic2ts_spark import harness_ext as HE
+
+    _assert_bounded_broadcasts(HE.q_retrieval_map(utc, SF))
+
+
+def test_retrieval_mrr_broadcasts_only_panel_bounded_sides(utc):
+    from mimic2ts_spark import harness_ext as HE
+
+    _assert_bounded_broadcasts(HE.q_retrieval_mrr(utc, SF))
