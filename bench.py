@@ -181,6 +181,8 @@ HEADLINE = [
     "q_quality_classifier",
     "q_jl_projection",
     "q_sq8_quantize",
+    # round 10: SQ8 serving tier (X212)
+    "q_sq8_topk",
 ]
 
 

@@ -2248,22 +2248,21 @@ _CORE_REGISTRY = dict(REGISTRY)
 # row at worst every ceil(159/50) = 4 rounds instead of the §2 core
 # sitting r02-stale forever behind a static tail.
 _GATE_CHANGED_THIS_ROUND = [
-    # r09: entries appended per in-round edit (new queries need no slot —
-    # never-verified sorts first automatically). Kept near-empty early in
-    # the round so the stalest-first order soaks the 33-query r03/r04
-    # tail (VERDICT r08 next-round item 1; window = 50, tail = 33, so up
-    # to ~17 changed entries still drain the whole tail this round).
-    "q_assoc_rules_longtail",  # r09: scale-stable SKU key (output changed)
-    "q_stream_postings_ingest",  # r09: disk-path memo (ADVICE r08)
-    "q_search_bm25_maxscore",  # r09: impacts-cache fingerprint key
-    "q_trend_robust",  # r09: median selection refactored into shared helper
-    # r09: exact-first labeling swap (labels provably identical; the raw
-    # recursive-CTE oracle re-proves it)
+    # r10: entries appended per in-round edit (new queries need no slot —
+    # never-verified sorts first automatically). Window = 50, r05-stale
+    # tail = 37 (VERDICT r09 #2), so ≤ 13 changed entries still drain the
+    # whole tail this round.
+    "q_retrieval_map",  # r10: panel-side broadcast swap (VERDICT r09 #1)
+    "q_ann_recall",  # r10: + sq8 serving leg (VERDICT r09 #3)
+    "q_sq8_quantize",  # r10: oracle CTE materialized (ADVICE r09)
+    # r10: exact-first labeling short-doc boundary (ADVICE r09) — labels
+    # unchanged on shingle-length corpora, but the plan changed
     "q_dedup_clusters", "q_dedup_representatives",
-    "q_retrieval_mrr",  # r09: panel-BM25 core factored out (shared w/ MAP)
-    "q_dedup_embedding",  # r09: enforced broadcast budget (adds count job)
-    # (total changed = 8; + 6 never-verified new queries + 33 stale = 47,
-    # still inside the 50-row window — the whole tail drains this round.)
+    # r10: dup-guard probe added to the raw baseline paths (warn mode)
+    "q_dedup_containment", "q_graph_communities", "q_dedup_embedding_lsh",
+    "q_ann_knn_graph", "q_decontaminate_semantic",
+    "q_stream_classifier",  # r10: dim derived from the weights artifact
+    # (total changed = 11; + 37 stale = 48 ≤ 50 — the tail fully drains.)
 ]
 
 

@@ -1354,6 +1354,36 @@ def _q_sq8_sql():
 Q_SQ8_QUANTIZE_SQL = _q_sq8_sql()
 
 
+SQ8_TOPK_QUERIES = 32
+SQ8_TOPK_K = 10
+
+
+def q_sq8_topk(spark, sf_dir):
+    """X212 — SQ8-served top-k (operators/pq.py sq8_l2_panel): the
+    asymmetric int8 serving tier (Faiss ScalarQuantizer / Lucene int8
+    HNSW flavor) — full-precision panel queries against integer-
+    midpoint-DECODED per-dim int8 codes in one kernel pass over the
+    quantized corpus. dec = lo + ((2·code+1)(hi−lo)) div 510 keeps
+    every division on non-negative int64, so distances are associative
+    integer sums and the oracle is exact by construction; recall vs the
+    exact quantized-L2 panel is measured as the q_ann_recall 'sq8' leg
+    (0.987 at sf0.001, floor-pinned)."""
+    from mimic2ts_spark.operators.pq import sq8_l2_panel
+
+    embs = _embs(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") < SQ8_TOPK_QUERIES)
+    return sq8_l2_panel(embs, qs, k=SQ8_TOPK_K)
+
+
+def _q_sq8_topk_sql():
+    from mimic2ts_spark.operators.pq import sql_sq8_l2_panel
+
+    return sql_sq8_l2_panel(SQ8_TOPK_QUERIES, SQ8_TOPK_K)
+
+
+Q_SQ8_TOPK_SQL = _q_sq8_topk_sql()
+
+
 JL_PAIR_PANEL = 64
 JL_RATIO_SCALE = 100_000
 
@@ -7575,6 +7605,7 @@ EXT_REGISTRY = {
     "q_jl_projection": (q_jl_projection, Q_JL_PROJECTION_SQL),
     "q_stream_classifier": (q_stream_classifier, Q_QUALITY_CLASSIFIER_SQL),
     "q_sq8_quantize": (q_sq8_quantize, Q_SQ8_QUANTIZE_SQL),
+    "q_sq8_topk": (q_sq8_topk, Q_SQ8_TOPK_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
     "q_item_cf": (q_item_cf, Q_ITEM_CF_SQL),
     "q_semantic_representatives": (

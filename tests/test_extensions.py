@@ -1669,7 +1669,9 @@ def test_ann_recall_eval_floors(spark):
     0.5/0.15/0.8 catch a broken probe path, distance table, beam walk
     or panel join, not codebook-quality drift). Guards every future
     dial change (cells/nprobe/M/beam/hops) the eval exists to
-    inform."""
+    inform. r10 adds the 'sq8' serving leg (measured 0.987 at
+    sf0.001 — 8-bit codes over the full corpus range lose almost
+    nothing; floor 0.9 catches a broken encode/decode or stats join)."""
     from mimic2ts_spark import harness_ext as H
 
     rows = H.q_ann_recall(spark, SF).collect()
@@ -1678,8 +1680,13 @@ def test_ann_recall_eval_floors(spark):
         assert 0.0 <= r["recall"] <= 1.0
         assert r["n_hits"] == round(r["recall"] * H.ANN_RECALL_K)
         by_leg.setdefault(r["leg"], []).append(r["recall"])
-    assert set(by_leg) == {"ivf", "ivfpq", "graph"}
-    for leg, floor in (("ivf", 0.5), ("ivfpq", 0.15), ("graph", 0.8)):
+    assert set(by_leg) == {"ivf", "ivfpq", "graph", "sq8"}
+    for leg, floor in (
+        ("ivf", 0.5),
+        ("ivfpq", 0.15),
+        ("graph", 0.8),
+        ("sq8", 0.9),
+    ):
         assert len(by_leg[leg]) == H.ANN_RECALL_QUERIES
         mean = sum(by_leg[leg]) / len(by_leg[leg])
         assert mean >= floor, (leg, mean)
