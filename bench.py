@@ -181,8 +181,9 @@ HEADLINE = [
     "q_quality_classifier",
     "q_jl_projection",
     "q_sq8_quantize",
-    # round 10: SQ8 serving tier (X212)
+    # round 10: SQ8 serving tier (X212) + streaming calibration (X214)
     "q_sq8_topk",
+    "q_stream_sq8_stats",
 ]
 
 

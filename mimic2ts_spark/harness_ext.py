@@ -6237,6 +6237,37 @@ GROUP BY j, bucket
 Q_STREAM_CMS_SQL = _q_stream_cms_sql()
 
 
+def q_stream_sq8_stats(spark, sf_dir):
+    """X214 — streaming SQ8 quantizer calibration (streaming.py
+    sq8_stats_stream): the live form of `maintain sq8-stats`. Per-dim
+    lo/hi over the quantized int grid; min/max are mergeable monotone
+    combines, so a complete-mode groupBy(dim) agg is the whole stateful
+    operator (64 rows of state at any volume) and the drained table is
+    a pure function of the final vector set — bit-equal to batch
+    sq8_int_stats under any batching (X204 drain-contract doctrine;
+    maxFilesPerTrigger pytest re-proves invariance). The oracle
+    recomputes the stats from the static embeddings table."""
+    from mimic2ts_spark.streaming import run_sq8_stats_available_now
+
+    return run_sq8_stats_available_now(spark, sf_dir)
+
+
+def _q_stream_sq8_stats_sql():
+    from mimic2ts_spark.operators.kmeans import _sql_quant
+
+    return f"""
+SELECT s.d AS dim, min(s.v) AS lo, max(s.v) AS hi FROM (
+    SELECT unnest(list_transform(generate_series(1, len(x)),
+        i -> struct_pack(d := CAST(i - 1 AS INTEGER),
+                         v := x[CAST(i AS INTEGER)]))) AS s
+    FROM (SELECT {_sql_quant('embedding')} AS x FROM embeddings) b
+) GROUP BY 1
+"""
+
+
+Q_STREAM_SQ8_STATS_SQL = _q_stream_sq8_stats_sql()
+
+
 def q_stream_ddq(spark, sf_dir):
     """X168 — streaming log-bucket quantile sketch (streaming.py
     ddq_stream): live percentile monitoring as the quantile-side
@@ -7671,6 +7702,7 @@ EXT_REGISTRY = {
         Q_SEARCH_SUBSTRING_SQL,
     ),
     "q_stream_cms": (q_stream_cms, Q_STREAM_CMS_SQL),
+    "q_stream_sq8_stats": (q_stream_sq8_stats, Q_STREAM_SQ8_STATS_SQL),
     "q_stream_ddq": (q_stream_ddq, Q_STREAM_DDQ_SQL),
     "q_trend_daily": (q_trend_daily, Q_TREND_DAILY_SQL),
     "q_trend_robust": (q_trend_robust, Q_TREND_ROBUST_SQL),

@@ -15,6 +15,8 @@ Usage:
     python -m mimic2ts_spark.maintain ivf-append OUT_DIR DELTA_PARQUET
     python -m mimic2ts_spark.maintain postings OUT_DIR SRC_PARQUET
     python -m mimic2ts_spark.maintain postings-append OUT_DIR DELTA_PARQUET
+    python -m mimic2ts_spark.maintain sq8-stats OUT_JSON SRC_PARQUET \
+        [--id-col vec_id] [--vec-col embedding]
 
 init/merge/compact default to the VERSIONED backend (manifest +
 atomic pointer-flip commit, time travel, no partial-rewrite crash
@@ -259,6 +261,16 @@ def main(argv: list[str] | None = None) -> None:
     )
     p_cw.add_argument("out_dir")
     p_cw.add_argument("--dim", type=int, default=None)
+
+    p_sq8 = sub.add_parser(
+        "sq8-stats",
+        help="persist the SQ8 serving quantizer state (per-dim int "
+             "lo/hi over the quant grid) as a JSON artifact (X212)",
+    )
+    p_sq8.add_argument("out_json")
+    p_sq8.add_argument("src")
+    p_sq8.add_argument("--id-col", default="vec_id")
+    p_sq8.add_argument("--vec-col", default="embedding")
 
     args = ap.parse_args(argv)
 
@@ -768,6 +780,25 @@ def main(argv: list[str] | None = None) -> None:
         audit = {
             "cmd": "bpe", "out": args.out_json, "rounds": rounds,
             "n_merges": len(rules), "merges": [list(r) for r in rules],
+            "runtime_seconds": round(time.time() - t0, 3),
+        }
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "sq8-stats":
+        from mimic2ts_spark.operators.pq import (
+            _quant_base,
+            save_sq8_stats,
+            sq8_int_stats,
+        )
+
+        vecs = spark.read.parquet(args.src)
+        stats = sq8_int_stats(_quant_base(vecs, args.id_col, args.vec_col))
+        save_sq8_stats(stats, args.out_json)
+        audit = {
+            "cmd": "sq8-stats", "out": args.out_json,
+            "n_vectors": vecs.count(), "n_dims": len(stats),
             "runtime_seconds": round(time.time() - t0, 3),
         }
         print(json.dumps(audit))

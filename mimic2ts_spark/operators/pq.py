@@ -1103,25 +1103,59 @@ def sq8_int_stats(base: DataFrame) -> list[tuple[int, int, int]]:
     return sorted((int(r["dim"]), int(r["lo"]), int(r["hi"])) for r in rows)
 
 
+def save_sq8_stats(stats: list[tuple[int, int, int]], path: str) -> None:
+    """Persist the serving-tier quantizer state (dim, lo, hi int64
+    triples + the quant grid) as a JSON artifact — the `maintain
+    sq8-stats` twin of save_codebooks: at real scale the stats agg runs
+    once per corpus version, and serving loads the artifact instead of
+    re-reducing 100 TB for 128 numbers."""
+    import json
+
+    from mimic2ts_spark.operators.kmeans import QUANT
+
+    with open(path, "w") as f:
+        json.dump({"quant": QUANT, "dims": [list(s) for s in stats]}, f)
+
+
+def load_sq8_stats(path: str) -> list[tuple[int, int, int]]:
+    import json
+
+    from mimic2ts_spark.operators.kmeans import QUANT
+
+    with open(path) as f:
+        obj = json.load(f)
+    if obj["quant"] != QUANT:
+        raise ValueError(
+            f"sq8 stats artifact trained on quant grid {obj['quant']}, "
+            f"engine uses {QUANT} — retrain the artifact"
+        )
+    return [tuple(s) for s in obj["dims"]]
+
+
 def sq8_l2_panel(
     vectors: DataFrame,
     queries: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats: list[tuple[int, int, int]] | None = None,
 ) -> DataFrame:
     """SQ8-served L2 top-k per panel query: every corpus vector is
     encoded to per-dim int8 codes and DECODED (integer midpoint, header
     comment) inside one kernel pass; the panel queries score at full
     quant precision against the decoded values — the asymmetric
     int8 serving tier beside IVF / IVF-PQ / graph. Integer-exact end to
-    end, per-query top-k as a WindowGroupLimit."""
+    end, per-query top-k as a WindowGroupLimit. `stats` swaps in a
+    persisted artifact (`maintain sq8-stats` / load_sq8_stats) for the
+    corpus-wide agg — artifact-served results are identical by
+    construction (deterministic stats; pytest-pinned)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window as W
 
     base = _quant_base(vectors, id_col, vec_col)
-    stats = sq8_int_stats(base)
+    if stats is None:
+        stats = sq8_int_stats(base)
     lo = np.array([s[1] for s in stats], dtype=np.int64)
     hi = np.array([s[2] for s in stats], dtype=np.int64)
     rng = hi - lo

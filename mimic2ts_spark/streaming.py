@@ -1006,6 +1006,46 @@ def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(stage)
 
 
+def sq8_stats_stream(stream: DataFrame) -> DataFrame:
+    """Streaming SQ8 quantizer calibration (X214 — the live form of
+    `maintain sq8-stats`): per-dim lo/hi over the quantized int grid as
+    vectors arrive. min/max are MERGEABLE (monotone combine), so a
+    plain complete-mode groupBy(dim) agg is the whole stateful operator
+    — 64 rows of state regardless of stream volume — and the drained
+    table is a pure function of the final vector set: bit-equal to the
+    batch sq8_int_stats under ANY batching (the X204 drain-contract
+    doctrine; maxFilesPerTrigger pytest re-proves invariance). This is
+    how the int8 serving tier tracks a growing corpus: recalibrate from
+    live state, re-encode on the artifact cadence."""
+    from mimic2ts_spark.operators.kmeans import quantize
+
+    rows = stream.select(
+        F.posexplode(quantize(F.col("embedding"))).alias("dim", "v")
+    )
+    return rows.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+
+
+def run_sq8_stats_available_now(
+    spark: SparkSession, sf_dir: str, stream: DataFrame | None = None
+) -> DataFrame:
+    """Drain the streaming quantizer calibration to its final table."""
+    name = f"sq8st_{uuid.uuid4().hex[:8]}"
+    q = (
+        sq8_stats_stream(
+            stream if stream is not None else embeddings_stream(spark, sf_dir)
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_ann_ingest_available_now(
     spark: SparkSession, sf_dir: str, postings_dir: str
 ) -> DataFrame:

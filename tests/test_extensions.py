@@ -2967,6 +2967,33 @@ def test_stream_classifier_multibatch_equals_batch_apply(spark, tmp_path):
     assert sorted(map(tuple, served)) == sorted(map(tuple, full)) and served
 
 
+def test_stream_sq8_stats_multibatch_equals_batch(spark, tmp_path):
+    """X214: the streaming quantizer calibration is BATCHING-INVARIANT
+    — vectors drained as THREE microbatches (maxFilesPerTrigger=1) must
+    yield exactly the batch sq8_int_stats table (min/max are monotone
+    merges; a pure function of the final vector set)."""
+    from mimic2ts_spark.operators.pq import _quant_base, sq8_int_stats
+    from mimic2ts_spark.streaming import run_sq8_stats_available_now
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = embs.toPandas()
+    stage = tmp_path / "embs"
+    stage.mkdir()
+    for i in range(3):
+        pdf[pdf.index % 3 == i].to_parquet(stage / f"e{i}.parquet", index=False)
+    delta = (
+        spark.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    served = sorted(
+        (int(r["dim"]), int(r["lo"]), int(r["hi"]))
+        for r in run_sq8_stats_available_now(spark, SF, stream=delta).collect()
+    )
+    batch = sq8_int_stats(_quant_base(embs, "vec_id", "embedding"))
+    assert served == batch and len(served) == 64
+
+
 def test_theil_sen_resists_outlier_day(spark, tmp_path):
     """X205: the reason Theil-Sen exists — one spike day on a clean
     count ramp must leave the pairwise-median slope at the true value

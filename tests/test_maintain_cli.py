@@ -198,6 +198,41 @@ def test_maintain_codebook_artifact(spark, tmp_path, capsys):
     assert via == fresh
 
 
+def test_maintain_sq8_stats_artifact(spark, tmp_path, capsys):
+    """`sq8-stats` persists the serving quantizer state (per-dim int
+    lo/hi); SQ8 serving against the artifact bit-equals the derived
+    run (deterministic stats ⇒ identical codes, decodes, distances),
+    and a quant-grid mismatch is rejected on load."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.pq import load_sq8_stats, sq8_l2_panel
+
+    out = str(tmp_path / "sq8.json")
+    main(["sq8-stats", out, f"{SF}/embeddings.parquet"])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "sq8-stats" and audit["n_dims"] == 64
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = vecs.where(F.col("vec_id") < 4)
+    served = {
+        (r["query_id"], r["neighbor_id"]): r["d2"]
+        for r in sq8_l2_panel(vecs, qs, k=5, stats=load_sq8_stats(out)).collect()
+    }
+    fresh = {
+        (r["query_id"], r["neighbor_id"]): r["d2"]
+        for r in sq8_l2_panel(vecs, qs, k=5).collect()
+    }
+    assert served == fresh and served
+
+    bad = json.load(open(out))
+    bad["quant"] = 1 << 10
+    json.dump(bad, open(out, "w"))
+    with pytest.raises(ValueError, match="quant grid"):
+        load_sq8_stats(out)
+
+
 def test_maintain_ivf_build_and_append(spark, tmp_path, capsys):
     """IVF index as maintained table state: build persists cells JSON +
     postings parquet; append assigns a delta against the LOADED cells
