@@ -804,20 +804,15 @@ def containment_pairs(
     pairs are output-quadratic per exact-duplicate cluster (c copies of
     a quoted doc ⇒ Θ(c²) rows). Past the sampled duplicate-share bound
     this raises, pointing at canonical_containment_pairs (X157);
-    registered oracle-baseline callers pass on_duplicates='warn'."""
-    from mimic2ts_spark.operators.dupguard import (
-        check_duplicate_share,
-        doc_key,
-    )
+    registered oracle-baseline callers pass on_duplicates='warn'. The
+    probe runs on the PERSISTED shingle base, keyed on the md5 of the
+    sorted distinct codes (identical text ⇒ identical codes — and a
+    cross-text code-set collision is exactly the quadratic-stage
+    duplicate the guard exists for), so its action doubles as the
+    base materialization the main pass reuses (r10 bench lesson: a
+    separate raw-doc probe scan cost a second text pass)."""
+    from mimic2ts_spark.operators.dupguard import check_duplicate_share
 
-    check_duplicate_share(
-        df,
-        doc_key(text_col),
-        id_col,
-        api="containment_pairs",
-        canonical="canonical_containment_pairs (X157)",
-        on_duplicates=on_duplicates,
-    )
     base = (
         with_shingle_codes(
             ensure_parallelism(
@@ -829,6 +824,16 @@ def containment_pairs(
         )
         .select("doc_id", F.array_sort(F.array_distinct(F.col("_sc"))).alias("codes"))
         .persist()
+    )
+    check_duplicate_share(
+        base,
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("codes"), lambda v: v.cast("string")))
+        ),
+        "doc_id",
+        api="containment_pairs",
+        canonical="canonical_containment_pairs (X157)",
+        on_duplicates=on_duplicates,
     )
     prefix_len = F.size("codes") - F.ceil(F.lit(threshold) * F.size("codes")) + 1
     probe = base.select(

@@ -202,12 +202,6 @@ def label_propagation(
     on_duplicates='warn'."""
     from mimic2ts_spark.operators.dupguard import check_edge_degree
 
-    check_edge_degree(
-        edges,
-        api="label_propagation",
-        canonical="label_propagation over dedup.canonical_near_dup_pairs (X158)",
-        on_duplicates=on_duplicates,
-    )
     # sym is persisted FIRST: nodes, the initial labels AND every
     # round's edge scan all derive from it — unpersisted, the upstream
     # edge lineage (e.g. a full minhash-LSH pair pipeline) re-runs once
@@ -218,6 +212,19 @@ def label_propagation(
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
+    )
+    # the dup probe runs on the PERSISTED sym, not the raw edges: the
+    # probe's action is then the materialization the rounds reuse, so
+    # the guard costs one small agg over cached rows instead of a second
+    # full derivation of the edge lineage (r10 bench: probing raw edges
+    # re-ran the whole minhash pair pipeline, +0.9 s on
+    # q_graph_communities). sym holds both directions, so per-src degree
+    # IS the undirected degree — same clique signature.
+    check_edge_degree(
+        sym,
+        api="label_propagation",
+        canonical="label_propagation over dedup.canonical_near_dup_pairs (X158)",
+        on_duplicates=on_duplicates,
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     und = (

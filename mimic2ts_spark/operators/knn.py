@@ -243,24 +243,25 @@ def knn_graph(
     dup-heavy sweep). Past the sampled duplicate-share bound this
     raises, pointing at the X199 composition (canonical_vectors →
     knn_graph → exact-group expansion); registered oracle-baseline
-    callers pass on_duplicates='warn'."""
-    from mimic2ts_spark.operators.dupguard import (
-        check_duplicate_share,
-        vector_key,
-    )
+    callers pass on_duplicates='warn'. The probe runs on the PERSISTED
+    quantized base (after the count() that materializes it), keyed on
+    the md5 of the quantized coords — identical embedding ⇒ identical
+    x — so it costs one small agg over cached rows, never a second
+    corpus scan (r10 bench lesson)."""
+    from mimic2ts_spark.operators.dupguard import check_duplicate_share
 
-    check_duplicate_share(
-        embs,
-        vector_key(vec_col),
-        id_col,
-        api="knn_graph",
-        canonical="kmeans.canonical_vectors + knn_graph (X199)",
-        on_duplicates=on_duplicates,
-    )
     base = embs.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("x")
     ).persist()
     n = base.count()  # bounded driver scalar (materializes the persist)
+    check_duplicate_share(
+        base,
+        F.md5(F.concat_ws(",", F.transform(F.col("x"), lambda v: v.cast("string")))),
+        "id",
+        api="knn_graph",
+        canonical="kmeans.canonical_vectors + knn_graph (X199)",
+        on_duplicates=on_duplicates,
+    )
     nbrs = _init_random(base, n, k)
     for _ in range(rounds):
         nbrs = _refine(nbrs, base, k)
