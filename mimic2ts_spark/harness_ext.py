@@ -1354,6 +1354,22 @@ def _q_sq8_sql():
 Q_SQ8_QUANTIZE_SQL = _q_sq8_sql()
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """X215 — content-defined chunking (operators/dedup.py cdc_chunks):
+    the storage-dedup primitive (LBFS/Rabin lineage) — chunk boundaries
+    cut where a local rolling fingerprint (the shared shingle code)
+    satisfies % CDC_MOD == 0, so identical paragraphs across revisions
+    share chunk hashes WITHOUT pairwise comparison and an insertion
+    only perturbs chunks inside the edit region (pytest-pinned against
+    fixed-size chunking, which loses every downstream chunk). One scan,
+    all array ops; the corpus shows real sub-document sharing (2205
+    chunks → 2011 distinct hashes at sf0.001)."""
+    return D.cdc_chunks(_docs(spark, sf_dir))
+
+
+Q_CDC_CHUNKS_SQL = D.sql_cdc_chunks()
+
+
 SQ8_TOPK_QUERIES = 32
 SQ8_TOPK_K = 10
 
@@ -7637,6 +7653,7 @@ EXT_REGISTRY = {
     "q_stream_classifier": (q_stream_classifier, Q_QUALITY_CLASSIFIER_SQL),
     "q_sq8_quantize": (q_sq8_quantize, Q_SQ8_QUANTIZE_SQL),
     "q_sq8_topk": (q_sq8_topk, Q_SQ8_TOPK_SQL),
+    "q_cdc_chunks": (q_cdc_chunks, Q_CDC_CHUNKS_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
     "q_item_cf": (q_item_cf, Q_ITEM_CF_SQL),
     "q_semantic_representatives": (

@@ -1037,3 +1037,152 @@ def canonical_delta_edges(
     ).select("doc_a", "doc_b")
     edges = exact_edges.unionByName(intra_edges).unionByName(cross).unionByName(within)
     return edges, new_canon_docs, new_exact_rows
+
+
+# --- content-defined chunking (CDC, X215) ------------------------------------
+#
+# Storage-level dedup's standard primitive (LBFS/Rabin, gear-CDC, borg/
+# restic/ZFS-dedup lineage): cut chunk boundaries where a LOCAL rolling
+# fingerprint satisfies hash % CDC_MOD == 0, so boundaries are a function
+# of CONTENT, not position — inserting a sentence shifts every fixed-size
+# chunk but leaves all content-defined chunks outside the edit region
+# byte-identical (the property fixed windows lack; pytest-pinned). At
+# 100 TB this is the sub-document dedup tier: identical paragraphs across
+# revisions/quotes share chunk hashes without any pairwise comparison.
+#
+# The fingerprint is the existing SHINGLE code (stepped polynomial over
+# md5 token codes — one md5 pass, shared machinery), so boundaries are
+# deterministic and the oracle replays them exactly. Expected chunk
+# length ≈ CDC_MOD grams. Plan shape: ONE scan, all array ops (no
+# explode-join-window) — posexplode only on the final bounded chunk
+# structs. HOF-substitution trap avoided by naming each intermediate
+# (CollapseProject keeps non-cheap aliases single-use).
+
+CDC_MOD = 16
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = CDC_MOD,
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_hash):
+    content-defined chunks per document. A boundary cuts AFTER the
+    n-gram ending at token pos+SHINGLE_N whenever that gram's shingle
+    code % mod == 0; chunk 1 starts at token 0; the last chunk runs to
+    the end. Docs shorter than SHINGLE_N tokens are one whole-doc
+    chunk."""
+    # PERSISTED base: the generator expression, its implicit
+    # size(chunks)>0 pushed filter, and the start/end projections each
+    # substitute their inputs (no codegen/CSE for HOFs), multiplying
+    # the md5 token pass ~30× per row without a collapse barrier
+    # (measured 16 s → 0.9 s at sf0.1). The cache snaps substitution at
+    # an InMemoryRelation; everything downstream is integer array ops
+    # over cached attributes. Same pattern as containment_pairs' base.
+    step1 = (
+        with_shingle_codes(
+            ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), text_col)),
+            out="_sc",
+        )
+        .select("doc_id", tokens(F.col(text_col)).alias("_toks"), "_sc")
+        .persist()
+    )
+    # boundary positions via zip_with over (_sc, positions) — NEVER
+    # element_at(_sc, i) inside a HOF lambda: the alias substitution
+    # re-evaluates the whole shingle pipeline per element (the r01
+    # quadratic trap; measured 34 s vs 0.9 s on 5k docs at sf0.01)
+    pos = F.when(
+        F.size("_sc") > 0, F.sequence(F.lit(0), F.size("_sc") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.array_remove(
+        F.zip_with(
+            F.col("_sc"),
+            pos,
+            lambda c, i: F.when(c % mod == 0, i + SHINGLE_N).otherwise(F.lit(-1)),
+        ),
+        -1,
+    )
+    step2 = step1.select(
+        "doc_id",
+        "_toks",
+        F.concat(F.array(F.lit(0)), cuts).alias("_starts"),
+        F.size("_toks").alias("_n"),
+    )
+    ends = F.concat(
+        F.slice(F.col("_starts"), 2, F.size("_starts") - 1),
+        F.array(F.col("_n")),
+    )
+    step3 = step2.select(
+        "doc_id",
+        "_toks",
+        F.zip_with(
+            F.col("_starts"), ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ).alias("_chunks"),
+    )
+    rows = step3.select(
+        "doc_id", "_toks", F.posexplode("_chunks").alias("_i", "_c")
+    )
+    return rows.where(F.col("_c.e") > F.col("_c.s")).select(
+        "doc_id",
+        (F.col("_i") + 1).cast("long").alias("chunk_idx"),
+        F.col("_c.s").cast("long").alias("start_tok"),
+        (F.col("_c.e") - F.col("_c.s")).cast("long").alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_toks"), F.col("_c.s") + 1, F.col("_c.e") - F.col("_c.s")),
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+def sql_cdc_chunks(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = CDC_MOD,
+) -> str:
+    """DuckDB mirror — identical boundary rule (1-based series i ⇒ cut
+    (i−1)+SHINGLE_N equals Spark's 0-based pos+SHINGLE_N), identical
+    slice semantics (toks[s+1:e] 1-based-inclusive == slice(toks, s+1,
+    e−s)), md5 of the space-joined tokens."""
+    toks = SQL_TOKENS.format(text=text_col)
+    return f"""
+WITH cdc_tok AS MATERIALIZED (
+    SELECT {id_col} AS doc_id, {toks} AS toks,
+           {sql_token_codes(text_col)} AS tcodes
+    FROM {table}
+),
+cdc_sc AS (
+    SELECT doc_id, toks,
+           {sql_shingle_codes_from_tc('tcodes')} AS scodes
+    FROM cdc_tok
+),
+cdc_st AS (
+    SELECT doc_id, toks,
+           list_prepend(CAST(0 AS BIGINT), list_transform(list_filter(
+               generate_series(1, len(scodes)),
+               i -> scodes[CAST(i AS INTEGER)] % {mod} = 0),
+               i -> CAST(i - 1 + {SHINGLE_N} AS BIGINT))) AS starts,
+           CAST(len(toks) AS BIGINT) AS n
+    FROM cdc_sc
+),
+cdc_ch AS (
+    SELECT doc_id, toks, n, starts, s.k AS k,
+           starts[CAST(s.k AS INTEGER)] AS st,
+           CASE WHEN s.k < len(starts)
+                THEN starts[CAST(s.k + 1 AS INTEGER)] ELSE n END AS en
+    FROM (
+        SELECT doc_id, toks, n, starts,
+               unnest(list_transform(generate_series(1, len(starts)),
+                   k -> struct_pack(k := k))) AS s
+        FROM cdc_st)
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       CAST(st AS BIGINT) AS start_tok,
+       CAST(en - st AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[CAST(st + 1 AS INTEGER):CAST(en AS INTEGER)], ' '))
+         AS chunk_hash
+FROM cdc_ch WHERE en > st
+"""

@@ -2967,6 +2967,55 @@ def test_stream_classifier_multibatch_equals_batch_apply(spark, tmp_path):
     assert sorted(map(tuple, served)) == sorted(map(tuple, full)) and served
 
 
+def test_cdc_chunks_survive_insertion_unlike_fixed_windows(spark):
+    """X215's selling point: prepending a sentence shifts every token
+    position, yet content-defined boundaries (a function of gram VALUES)
+    keep all chunks outside the edit region byte-identical, while
+    fixed-size windows at the same granularity lose essentially all of
+    them. Also pins: chunks tile the doc exactly (start/len coverage),
+    idx contiguity, and the sub-shingle one-chunk edge."""
+    import hashlib
+
+    from mimic2ts_spark.operators.dedup import cdc_chunks
+
+    base_words = [f"w{hashlib.md5(str(i).encode()).hexdigest()[:6]}" for i in range(400)]
+    orig = " ".join(base_words)
+    shifted = "inserted preamble sentence " + orig
+    docs = spark.createDataFrame(
+        [(1, orig), (2, shifted), (3, "tiny doc"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(1, len(rs) + 1))
+        pos = 0
+        for r in rs:  # exact tiling
+            assert r.start_tok == pos
+            pos += r.n_chunk_tokens
+    assert len(by_doc[3]) == 1 and len(by_doc[4]) == 1  # sub-shingle docs
+
+    h1 = {r.chunk_hash for r in by_doc[1]}
+    h2 = {r.chunk_hash for r in by_doc[2]}
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.8, shared  # only the edit-region chunk may differ
+
+    # fixed-size windows at the same expected granularity: positions
+    # shift by 3 tokens, so NO window hash survives
+    def fixed_hashes(words, w=16):
+        return {
+            hashlib.md5(" ".join(words[i : i + w]).encode()).hexdigest()
+            for i in range(0, len(words), w)
+        }
+
+    f1 = fixed_hashes(orig.split(" "))
+    f2 = fixed_hashes(shifted.split(" "))
+    assert len(f1 & f2) == 0
+
+
 def test_stream_sq8_stats_multibatch_equals_batch(spark, tmp_path):
     """X214: the streaming quantizer calibration is BATCHING-INVARIANT
     — vectors drained as THREE microbatches (maxFilesPerTrigger=1) must
