@@ -429,7 +429,13 @@ def main() -> None:
             # exercises the same JVM/scheduler path as the workload).
             prev_probe = parsed.get("probe") or base.get("probe") or {}
             cur_probe = out.get("probe") or {}
-            for kind in ("spark_sec", "cpu_sec"):
+            # cpu probe PREFERRED for the headline norm (r10): the spark
+            # probe's 0.05-0.08 s job is dominated by scheduler jitter
+            # (measured 0.0526-0.0763 across same-day runs, implying
+            # ±45% "drift") while the 200k-iteration md5 loop moved ≤9%
+            # — the steadier instrument wins the tail line; both norms
+            # land in BENCH_DETAIL regardless.
+            for kind in ("cpu_sec", "spark_sec"):
                 if prev_probe.get(kind) and cur_probe.get(kind):
                     drift = cur_probe[kind] / prev_probe[kind]
                     vs_totals[f"vs_{rnd}_total_norm"] = round(raw / drift, 3)
