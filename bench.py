@@ -184,8 +184,9 @@ HEADLINE = [
     # round 10: SQ8 serving tier (X212) + streaming calibration (X214)
     "q_sq8_topk",
     "q_stream_sq8_stats",
-    # round 10: content-defined chunking (X215)
+    # round 10: content-defined chunking (X215) + winnowing (X216)
     "q_cdc_chunks",
+    "q_winnow_fingerprints",
 ]
 
 

@@ -2261,9 +2261,13 @@ _GATE_CHANGED_THIS_ROUND = [
     # r10: exact-first labeling short-doc boundary (ADVICE r09) — labels
     # unchanged on shingle-length corpora, but the plan changed
     "q_dedup_clusters", "q_dedup_representatives",
-    # r10: dup-guard probe added to the raw baseline paths (warn mode)
+    # r10: dup-guard probe added to the raw baseline paths (warn mode).
+    # q_decontaminate_semantic got the same warn probe but takes no
+    # slot (results unchanged by construction, re-proven by the r10
+    # local sweep) — 9 changed + 4 never-verified new + 37 r05-stale
+    # fill the 50-row window exactly.
     "q_dedup_containment", "q_graph_communities", "q_dedup_embedding_lsh",
-    "q_ann_knn_graph", "q_decontaminate_semantic",
+    "q_ann_knn_graph",
     "q_stream_classifier",  # r10: dim derived from the weights artifact
 ]
 

@@ -1354,6 +1354,23 @@ def _q_sq8_sql():
 Q_SQ8_QUANTIZE_SQL = _q_sq8_sql()
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """X216 — winnowing fingerprints (operators/dedup.py
+    winnow_fingerprints; Schleimer et al. SIGMOD 2003, the MOSS
+    algorithm): per-window (min gram code, leftmost pos) selections —
+    the fingerprint sketch with the LOCALITY GUARANTEE random "hash %
+    p" sampling lacks: any shared run of ≥ W+SHINGLE_N−1 tokens
+    contributes a common fingerprint code to both docs (pytest-pinned,
+    with the ~2/(W+1) density bound). Zero shuffles: the argmin folds W
+    shifted slices of the (code,pos) struct array with least() (struct
+    ordering probed identical cross-engine); oracle replays it as a
+    windowed struct MIN."""
+    return D.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+Q_WINNOW_SQL = D.sql_winnow_fingerprints()
+
+
 def q_cdc_chunks(spark, sf_dir):
     """X215 — content-defined chunking (operators/dedup.py cdc_chunks):
     the storage-dedup primitive (LBFS/Rabin lineage) — chunk boundaries
@@ -7654,6 +7671,7 @@ EXT_REGISTRY = {
     "q_sq8_quantize": (q_sq8_quantize, Q_SQ8_QUANTIZE_SQL),
     "q_sq8_topk": (q_sq8_topk, Q_SQ8_TOPK_SQL),
     "q_cdc_chunks": (q_cdc_chunks, Q_CDC_CHUNKS_SQL),
+    "q_winnow_fingerprints": (q_winnow_fingerprints, Q_WINNOW_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
     "q_item_cf": (q_item_cf, Q_ITEM_CF_SQL),
     "q_semantic_representatives": (

@@ -1186,3 +1186,124 @@ SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
          AS chunk_hash
 FROM cdc_ch WHERE en > st
 """
+
+
+# --- winnowing fingerprints (MOSS, X216) -------------------------------------
+#
+# Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms for
+# Document Fingerprinting" (SIGMOD 2003; the MOSS plagiarism detector):
+# from every window of WINNOW_W consecutive gram hashes, keep the
+# minimum (ties to the smallest position) — the selected (pos, code)
+# set is the document's fingerprint sketch. The GUARANTEE (the reason
+# winnowing beats "hash % p == 0" sampling for matching): any shared
+# substring of at least WINNOW_W + SHINGLE_N − 1 tokens contributes at
+# least one common fingerprint CODE to both documents, while at most
+# ~2/(W+1) of grams are kept. CDC (X215) cuts storage chunks; winnowing
+# sketches for LOCAL overlap detection — complementary tiers.
+#
+# Shape: zero shuffles — the per-window argmin folds W shifted slices
+# of the (code, pos) struct array with least() (structs compare
+# lexicographically in BOTH engines — probed; code first, so ties break
+# to the smaller position). Same persisted-base barrier as cdc_chunks.
+# Overlap queries over the fingerprint table obey the exact-first
+# doctrine: byte-identical docs share ALL fingerprints, so pair
+# generation belongs on canonicals.
+
+WINNOW_W = 8
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(doc_id, pos, code): the winnowing fingerprint sketch — distinct
+    per-window (min code, leftmost pos) selections. Docs with fewer
+    than `w` grams contribute their single global minimum; docs with no
+    grams (< SHINGLE_N tokens) contribute nothing."""
+    base = (
+        with_shingle_codes(
+            ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), text_col))
+        )
+        .select("doc_id", F.col("codes").alias("_sc"))
+        .persist()
+    )
+    m = F.size("_sc")
+    pos = F.when(m > 0, F.sequence(F.lit(0), m - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    structs = F.zip_with(
+        F.col("_sc"),
+        pos,
+        lambda c, i: F.struct(c.alias("code"), i.cast("long").alias("pos")),
+    )
+    step2 = base.select("doc_id", structs.alias("_st"), m.alias("_m"))
+    nw = F.col("_m") - w + 1
+    wmin = F.slice(F.col("_st"), 1, nw)
+    for r in range(1, w):
+        wmin = F.zip_with(
+            wmin, F.slice(F.col("_st"), 1 + r, nw), lambda a, b: F.least(a, b)
+        )
+    whole = F.aggregate(
+        F.slice(F.col("_st"), 2, F.col("_m")),
+        F.element_at(F.col("_st"), 1),
+        lambda a, x: F.least(a, x),
+    )
+    empty = F.array().cast("array<struct<code:bigint,pos:bigint>>")
+    fps = (
+        F.when(F.col("_m") >= w, F.array_distinct(wmin))
+        .when(F.col("_m") > 0, F.array(whole))
+        .otherwise(empty)
+    )
+    rows = step2.select("doc_id", F.explode(fps.alias("_fps")).alias("_f"))
+    return rows.select(
+        "doc_id",
+        F.col("_f.pos").cast("long").alias("pos"),
+        F.col("_f.code").cast("long").alias("code"),
+    )
+
+
+def sql_winnow_fingerprints(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = WINNOW_W,
+) -> str:
+    """DuckDB mirror in ROW form (windowed MIN over the (code, pos)
+    struct — probed orderable): frame CURRENT..w−1 FOLLOWING at start
+    pos p spans exactly grams p..p+w−1; valid starts are p ≤ m−w, plus
+    the whole-doc window at p = 0 for short docs — value-identical to
+    the Spark fold by the same lexicographic tie rule."""
+    return f"""
+WITH wn_tok AS MATERIALIZED (
+    SELECT {id_col} AS doc_id, {sql_token_codes(text_col)} AS tcodes
+    FROM {table}
+),
+wn_sc AS MATERIALIZED (
+    SELECT doc_id, {sql_shingle_codes_from_tc('tcodes')} AS sc FROM wn_tok
+),
+wn_rows AS (
+    SELECT doc_id, s.p AS pos, s.c AS code FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(sc)),
+                   i -> struct_pack(p := CAST(i - 1 AS BIGINT),
+                                    c := sc[CAST(i AS INTEGER)]))) AS s
+        FROM wn_sc)
+),
+wn_m AS (SELECT doc_id, CAST(len(sc) AS BIGINT) AS m FROM wn_sc),
+wn_win AS (
+    SELECT doc_id, pos,
+           min(struct_pack(code := code, pos := pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS s
+    FROM wn_rows
+),
+wn_sel AS (
+    SELECT DISTINCT ww.doc_id, ww.s.pos AS pos, ww.s.code AS code
+    FROM wn_win ww JOIN wn_m USING (doc_id)
+    WHERE ww.pos <= wn_m.m - {w} OR (wn_m.m < {w} AND ww.pos = 0)
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(code AS BIGINT) AS code
+FROM wn_sel
+"""

@@ -3016,6 +3016,55 @@ def test_cdc_chunks_survive_insertion_unlike_fixed_windows(spark):
     assert len(f1 & f2) == 0
 
 
+def test_winnow_guarantee_and_density(spark):
+    """X216's theorem (Schleimer et al. 2003): two docs sharing a token
+    run of ≥ WINNOW_W + SHINGLE_N − 1 tokens MUST share a fingerprint
+    code (the shared run holds a full gram window, whose minimum is
+    selected in both docs), and selection density stays near 2/(W+1).
+    Also pins: every W-gram window contains ≥1 selected position
+    (coverage — the property that makes the sketch LOCAL), and short
+    docs emit exactly one fingerprint."""
+    import hashlib
+
+    from mimic2ts_spark.operators.dedup import (
+        SHINGLE_N,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    def words(tag, k):
+        return [
+            f"{tag}{hashlib.md5(f'{tag}{i}'.encode()).hexdigest()[:6]}"
+            for i in range(k)
+        ]
+
+    shared = words("s", WINNOW_W + SHINGLE_N - 1)  # exactly the bound
+    doc_a = " ".join(words("a", 37) + shared + words("b", 23))
+    doc_b = " ".join(words("c", 11) + shared + words("d", 41))
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, "short doc here four")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    codes_a = {r.code for r in by_doc[1]}
+    codes_b = {r.code for r in by_doc[2]}
+    assert codes_a & codes_b  # the guarantee at the exact threshold
+
+    # coverage: every window of WINNOW_W gram positions holds a selection
+    for did, n_toks in ((1, 37 + len(shared) + 23), (2, 11 + len(shared) + 41)):
+        sel = sorted(r.pos for r in by_doc[did])
+        m = n_toks - SHINGLE_N + 1
+        for start in range(0, m - WINNOW_W + 1):
+            assert any(start <= p < start + WINNOW_W for p in sel), (did, start)
+        # density ≈ 2/(W+1), allow slack
+        assert len(sel) <= m * 4 / (WINNOW_W + 1)
+
+    assert len(by_doc[3]) == 1  # sub-W doc: single global min
+
+
 def test_stream_sq8_stats_multibatch_equals_batch(spark, tmp_path):
     """X214: the streaming quantizer calibration is BATCHING-INVARIANT
     — vectors drained as THREE microbatches (maxFilesPerTrigger=1) must
