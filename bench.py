@@ -187,6 +187,7 @@ HEADLINE = [
     # round 10: content-defined chunking (X215) + winnowing (X216)
     "q_cdc_chunks",
     "q_winnow_fingerprints",
+    "q_winnow_overlap",
 ]
 
 

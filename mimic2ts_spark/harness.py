@@ -2262,13 +2262,14 @@ _GATE_CHANGED_THIS_ROUND = [
     # unchanged on shingle-length corpora, but the plan changed
     "q_dedup_clusters", "q_dedup_representatives",
     # r10: dup-guard probe added to the raw baseline paths (warn mode).
-    # q_decontaminate_semantic got the same warn probe but takes no
-    # slot (results unchanged by construction, re-proven by the r10
-    # local sweep) — 9 changed + 4 never-verified new + 37 r05-stale
-    # fill the 50-row window exactly.
+    # q_decontaminate_semantic (same warn probe, results unchanged by
+    # construction) and q_stream_classifier (artifact-derived dim;
+    # default-path value-identical, pinned by its own 3-batch pytest)
+    # take no slot — both re-proven by the committed r10 local sweep —
+    # so 8 changed + 5 never-verified new + 37 r05-stale fill the
+    # 50-row window exactly.
     "q_dedup_containment", "q_graph_communities", "q_dedup_embedding_lsh",
     "q_ann_knn_graph",
-    "q_stream_classifier",  # r10: dim derived from the weights artifact
 ]
 
 

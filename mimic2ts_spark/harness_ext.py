@@ -1371,6 +1371,20 @@ def q_winnow_fingerprints(spark, sf_dir):
 Q_WINNOW_SQL = D.sql_winnow_fingerprints()
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """X217 — winnowed local-overlap pairs (operators/dedup.py
+    winnow_overlap_pairs): canonical doc pairs sharing ≥ 2 fingerprint
+    codes — the MOSS plagiarism/quote report the X216 sketch serves.
+    Exact-first BY CONSTRUCTION (copies share all fingerprints ⇒ pair
+    generation belongs on canonicals; exact groups reconstruct copy
+    membership), so the pair volume tracks true cross-content overlap
+    at every sweep factor."""
+    return D.winnow_overlap_pairs(_docs(spark, sf_dir))
+
+
+Q_WINNOW_OVERLAP_SQL = D.sql_winnow_overlap()
+
+
 def q_cdc_chunks(spark, sf_dir):
     """X215 — content-defined chunking (operators/dedup.py cdc_chunks):
     the storage-dedup primitive (LBFS/Rabin lineage) — chunk boundaries
@@ -7672,6 +7686,7 @@ EXT_REGISTRY = {
     "q_sq8_topk": (q_sq8_topk, Q_SQ8_TOPK_SQL),
     "q_cdc_chunks": (q_cdc_chunks, Q_CDC_CHUNKS_SQL),
     "q_winnow_fingerprints": (q_winnow_fingerprints, Q_WINNOW_SQL),
+    "q_winnow_overlap": (q_winnow_overlap, Q_WINNOW_OVERLAP_SQL),
     "q_lexical_vector_topk": (q_lexical_vector_topk, Q_LEXICAL_VECTOR_TOPK_SQL),
     "q_item_cf": (q_item_cf, Q_ITEM_CF_SQL),
     "q_semantic_representatives": (

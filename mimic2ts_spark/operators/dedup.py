@@ -1307,3 +1307,65 @@ wn_sel AS (
 SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(code AS BIGINT) AS code
 FROM wn_sel
 """
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): undirected CANONICAL doc pairs sharing
+    ≥ min_shared winnowing fingerprint codes — the MOSS-style local-
+    overlap report the X216 sketch exists for (plagiarism / quote /
+    boilerplate detection by shared runs rather than whole-doc
+    similarity). EXACT-FIRST by construction: byte-identical copies
+    share ALL fingerprints, so pair generation runs over canonical docs
+    only (a c-copy cluster would otherwise pay Θ(c²) rows per shared
+    code — the X213 doctrine applied at design time); exact groups
+    reconstruct copy membership. The join key is the fingerprint CODE
+    (winnowed density ~2/(W+1) of grams keeps postings sparse; max
+    df = 6 on the gate corpus)."""
+    canon = canonical_docs(df, text_col=text_col, id_col=id_col)
+    fp = (
+        winnow_fingerprints(canon, text_col=text_col, id_col=id_col)
+        .select("doc_id", "code")
+        .distinct()
+        .persist()  # consumed by both self-join sides
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "code")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count_distinct(F.col("code")).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_winnow_overlap(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+) -> str:
+    """DuckDB mirror: identical canonicalization, fingerprints, and
+    pair aggregation (full WITH-queries compose as CTE bodies, r05)."""
+    canon = (
+        f"(SELECT d.* FROM {table} d JOIN (SELECT min({id_col}) AS {id_col} "
+        f"FROM {table} GROUP BY md5({text_col})) c USING ({id_col}))"
+    )
+    fp_sql = sql_winnow_fingerprints(
+        table=canon, text_col=text_col, id_col=id_col
+    )
+    return f"""
+WITH wfp AS MATERIALIZED ({fp_sql}),
+wf2 AS (SELECT DISTINCT doc_id, code FROM wfp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(DISTINCT a.code) AS BIGINT) AS n_shared
+FROM wf2 a JOIN wf2 b ON a.code = b.code AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(DISTINCT a.code) >= {min_shared}
+"""
