@@ -405,6 +405,29 @@ def main() -> None:
             if m
         }
     )
+    # Never self-compare: the IN-FLIGHT round's own committed
+    # BENCH_DETAIL_r{N}.json (copied mid-round as next round's full-map
+    # baseline) must not displace the previous-round ratio from the
+    # driver tail. Current round = 1 + the newest committed driver
+    # CORRECTNESS_r*.json (the driver commits that only at round end,
+    # so during round N the max is N−1).
+    try:
+        cor = subprocess.run(
+            ["git", "-C", here, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=15, check=True,
+        ).stdout.splitlines()
+        cur_round = 1 + max(
+            (
+                int(m.group(1))
+                for p in cor
+                for m in [re.search(r"CORRECTNESS_r0*(\d+)\.json$", p)]
+                if m
+            ),
+            default=10**9,
+        )
+        rounds = [n for n in rounds if n < cur_round]
+    except Exception:
+        pass
     for rnd in (f"r{n:02d}" for n in rounds):
         base_path = os.path.join(here, f"BENCH_{rnd}.json")
         alt_path = os.path.join(here, f"BENCH_DETAIL_{rnd}.json")
