@@ -1060,3 +1060,23 @@ def test_retrieval_mrr_broadcasts_only_panel_bounded_sides(utc):
     from mimic2ts_spark import harness_ext as HE
 
     _assert_bounded_broadcasts(HE.q_retrieval_mrr(utc, SF))
+
+
+def test_cdc_and_winnow_single_spread_exchange_no_joins(utc):
+    """X215/X216 scale contract: per-doc LOCAL array computation — the
+    ONLY exchange is the ensure_parallelism round-robin spread (input
+    splits follow bytes; these are compute-dense small files), the md5
+    base is cached (the substitution barrier — without it the token
+    pass multiplied ~30×), and there is no join, no Python eval, and
+    exactly one Generate (the bounded chunk/fingerprint explode)."""
+    from mimic2ts_spark import harness_ext as HE
+
+    utc.catalog.clearCache()
+    for q in ("q_cdc_chunks", "q_winnow_fingerprints"):
+        s = _plan(getattr(HE, q)(utc, SF))
+        assert _count(r"\(\d+\) Exchange", s) == 1, (q, s)
+        assert _count(r"\(\d+\) Generate", s) == 1, q
+        assert "InMemoryTableScan" in s, q  # the persisted md5 base
+        assert "SortMergeJoin" not in s and "BroadcastNestedLoop" not in s, q
+        assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, q
+        utc.catalog.clearCache()

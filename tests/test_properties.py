@@ -552,3 +552,119 @@ def test_phrase_occurrences_match_python(spark, toks, phrase):
     k = len(phrase)
     expect = sum(1 for i in range(len(toks) - k + 1) if toks[i : i + k] == phrase)
     assert got.get(0, 0) == expect
+
+
+def _py_tokens(text):
+    import re as _re
+
+    return _re.split(r"\s+", text)
+
+
+def _py_code(tok):
+    import hashlib
+
+    from mimic2ts_spark.operators.text import MOD
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % MOD
+
+
+def _py_shingle_codes(toks, n=3):
+    from mimic2ts_spark.operators.text import MOD
+
+    tc = [_py_code(t) for t in toks]
+    out = []
+    for i in range(max(0, len(tc) - n + 1)):
+        k = tc[i]
+        for r in range(1, n):
+            k = (k * 131 + tc[i + r]) % MOD
+        out.append(k)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=30).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_cdc_chunks_match_python_reference(spark, docs):
+    """X215 for arbitrary inputs: the content-defined chunks must tile
+    each doc exactly and reproduce a pure-python replay of the boundary
+    rule (gram code % 16 == 0 cuts after the gram) and chunk hashes —
+    tiny alphabet forces boundary collisions; empty and sub-shingle
+    docs included."""
+    import hashlib
+
+    from mimic2ts_spark.operators.dedup import CDC_MOD, SHINGLE_N, cdc_chunks
+
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(tuple(r) for r in cdc_chunks(pdf).collect())
+    want = []
+    for i, t in enumerate(docs):
+        toks = _py_tokens(t)
+        sc = _py_shingle_codes(toks, SHINGLE_N)
+        starts = [0] + [
+            p + SHINGLE_N for p, c in enumerate(sc) if c % CDC_MOD == 0
+        ]
+        ends = starts[1:] + [len(toks)]
+        idx = 0
+        for s, e in zip(starts, ends):
+            idx += 1
+            if e > s:
+                want.append(
+                    (
+                        i,
+                        idx,
+                        s,
+                        e - s,
+                        hashlib.md5(" ".join(toks[s:e]).encode()).hexdigest(),
+                    )
+                )
+    assert got == sorted(want), (docs,)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=30).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_winnow_fingerprints_match_python_reference(spark, docs):
+    """X216 for arbitrary inputs: the winnowed selection must equal a
+    pure-python replay of the per-window (code, pos) tuple-min with the
+    short-doc single-global-min branch — the tiny alphabet forces code
+    ties, exercising the leftmost-position tie rule."""
+    from mimic2ts_spark.operators.dedup import (
+        SHINGLE_N,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(tuple(r) for r in winnow_fingerprints(pdf).collect())
+    want = set()
+    for i, t in enumerate(docs):
+        sc = _py_shingle_codes(_py_tokens(t), SHINGLE_N)
+        structs = [(c, p) for p, c in enumerate(sc)]
+        if not structs:
+            continue
+        if len(structs) >= WINNOW_W:
+            for p in range(len(structs) - WINNOW_W + 1):
+                c, q = min(structs[p : p + WINNOW_W])
+                want.add((i, q, c))
+        else:
+            c, q = min(structs)
+            want.add((i, q, c))
+    assert got == sorted(want), (docs,)
