@@ -94,7 +94,10 @@ def build_corpus(
     )
     stages["exact_dedup_pass"] = exact.count()
 
-    pairs = minhash_lsh_pairs(exact, threshold=near_dup_threshold)
+    # exact-deduped rows are distinct on the probe key — skip the guard
+    pairs = minhash_lsh_pairs(
+        exact, threshold=near_dup_threshold, on_duplicates="ignore"
+    )
     clusters = canonical_ids(exact.select("doc_id"), pairs)
     keep = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     near = exact.join(keep, "doc_id").persist()

@@ -111,7 +111,10 @@ FROM documents GROUP BY md5(text)
 
 
 def q_dedup_minhash(spark, sf_dir):
-    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    # registered X2 oracle BASELINE — the dup guard warns, not raises
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.8, on_duplicates="warn"
+    )
 
 
 _MH_COLS = ",\n       ".join(
@@ -169,7 +172,10 @@ Q_DEDUP_PIPELINE_SQL = _sql_sub(
 
 
 def q_dedup_ngram(spark, sf_dir):
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    # registered X4 oracle BASELINE — the dup guard warns, not raises
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.8, on_duplicates="warn"
+    )
 
 
 # Oracle uses the same EXACT candidate pruning as the Spark AllPairs
@@ -232,14 +238,16 @@ def q_dedup_recall(spark, sf_dir):
     canonicals the eval stays ~flat at the 10×/100× sweeps AND scores
     only the pairs banding can actually miss."""
     docs = D.canonical_docs(_docs(spark, sf_dir))
-    exact = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    # canonical docs are distinct on the probe key by construction —
+    # skip the dup-guard probe job on all three legs
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.8, on_duplicates="ignore")
     lsh = (
-        D.minhash_lsh_pairs(docs, threshold=0.8)
+        D.minhash_lsh_pairs(docs, threshold=0.8, on_duplicates="ignore")
         .select("doc_a", "doc_b")
         .withColumn("hit_mh", F.lit(1))
     )
     sh = (
-        D.simhash_pairs(docs, max_hamming=3)
+        D.simhash_pairs(docs, max_hamming=3, on_duplicates="ignore")
         .select("doc_a", "doc_b")
         .withColumn("hit_sh", F.lit(1))
     )
@@ -415,7 +423,10 @@ def q_dedup_ngram_blocked(spark, sf_dir):
     dial for corpora whose boilerplate exceeds the sampled hot set.
     Pairs never span blocks (mirrored in the oracle)."""
     return D.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), block_col="source", threshold=0.8
+        _docs(spark, sf_dir),
+        block_col="source",
+        threshold=0.8,
+        on_duplicates="warn",  # registered oracle baseline
     )
 
 
@@ -440,7 +451,10 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    # registered X3 oracle BASELINE — the dup guard warns, not raises
+    return D.simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=3, on_duplicates="warn"
+    )
 
 
 Q_DEDUP_SIMHASH_SQL = f"""
@@ -5226,7 +5240,9 @@ def q_graph_communities(spark, sf_dir):
     rounds with a row_number tie-break over the identical pair SQL."""
     from mimic2ts_spark.operators.graph import label_propagation
 
-    pairs = D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.8, on_duplicates="warn"
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

@@ -538,9 +538,13 @@ def main(argv: list[str] | None = None) -> None:
             ).select(
                 F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b")
             )
+            # within-batch pairs on the RAW delta (legacy bands-only
+            # layout): warn, don't raise — deltas are bounded batches,
+            # and the exact-first layout above is the designed
+            # dup-heavy path (X176)
             within = minhash_lsh_pairs(
                 delta, text_col=args.text_col, id_col=args.id_col,
-                threshold=args.threshold,
+                threshold=args.threshold, on_duplicates="warn",
             ).select("doc_a", "doc_b")
             edges = cross.unionByName(within)
             band_delta = delta

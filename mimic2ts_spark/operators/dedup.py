@@ -309,6 +309,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    on_duplicates: str = "raise",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
@@ -321,7 +322,26 @@ def minhash_lsh_pairs(
     bounded by the LSH banding premise, so the per-bucket collect is safe
     (a hot bucket means the band width needs retuning, not a bigger
     executor).
-    """
+
+    DUP-HEAVY ROUTING (r11, VERDICT r10 #1): byte-identical docs
+    collide in EVERY band — a c-copy cluster emits Θ(c²) verified pairs
+    no banding can split (measured 69 s at a 150k dup-heavy corpus,
+    r02). Past the sampled duplicate-share bound this raises, pointing
+    at canonical_near_dup_pairs (X157); registered oracle-baseline
+    callers pass on_duplicates='warn'. The probe keys md5(text) on the
+    RAW input — one cheap text-md5 scan, far below the shingle+minhash
+    pass, and memoized per (corpus, api, process) so repeated calls
+    (gate, bench best-of rounds) pay it once."""
+    from mimic2ts_spark.operators.dupguard import check_duplicate_share, doc_key
+
+    check_duplicate_share(
+        df,
+        doc_key(text_col),
+        id_col,
+        api="minhash_lsh_pairs",
+        canonical="canonical_near_dup_pairs (X157)",
+        on_duplicates=on_duplicates,
+    )
     # Pre-filter on the CHEAP equivalent of size(codes) > 0: at least n
     # tokens. Filtering on size(codes) itself looks free but Catalyst's
     # predicate pushdown SUBSTITUTES the whole codes expression (md5 pass
@@ -361,6 +381,7 @@ def ngram_jaccard_pairs(
     hot_k: int = 1024,
     hot_sample_mod: int = 20,
     hot_df_bound: int = 200,
+    on_duplicates: str = "raise",
 ) -> DataFrame:
     """Exact pairwise Jaccard — inverted index with AllPairs prefix
     filtering.
@@ -459,6 +480,33 @@ def ngram_jaccard_pairs(
         .select(*keep, F.array_sort(F.array_distinct(F.col("_sc"))).alias("codes"))
         .persist()
     )
+    # DUP-HEAVY ROUTING (r11, VERDICT r10 #1): identical text ⇒ identical
+    # code set ⇒ the prefix buckets pair every copy with every copy —
+    # Θ(c²) per exact cluster, same argument as containment_pairs. The
+    # probe runs on the PERSISTED base (its action doubles as the
+    # materialization the hot-set side-job and posting pass reuse) keyed
+    # on the md5 of the sorted distinct codes, and is memoized per
+    # (corpus, api, process). Unpersist before re-raising so refused
+    # calls never leak cached blocks (ADVICE r10).
+    from mimic2ts_spark.operators.dupguard import check_duplicate_share
+
+    try:
+        check_duplicate_share(
+            base,
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform(F.col("codes"), lambda v: v.cast("string"))
+                )
+            ),
+            "doc_id",
+            api="ngram_jaccard_pairs",
+            canonical="canonical_docs → ngram_jaccard_pairs (the X157 "
+            "exact-first doctrine)",
+            on_duplicates=on_duplicates,
+        )
+    except Exception:
+        base.unpersist()
+        raise
     # bounded side-job over a DETERMINISTIC doc sample (1/hot_sample_mod
     # of ids): boilerplate shingles by construction appear in a large
     # fraction of docs, so a sample finds them, while counting the full
@@ -559,7 +607,14 @@ def canonical_near_dup_pairs(
     Returns canonical-id pairs; exact-group membership comes from
     exact_dedup."""
     canon = canonical_docs(df, text_col=text_col, id_col=id_col)
-    return minhash_lsh_pairs(canon, text_col=text_col, id_col=id_col, threshold=threshold)
+    # canonicals are distinct on the probe key by construction — skip
+    return minhash_lsh_pairs(
+        canon,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        on_duplicates="ignore",
+    )
 
 
 def canonical_containment_pairs(
@@ -593,6 +648,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    on_duplicates: str = "raise",
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole banding — same result set as
     the textbook all-pairs Hamming check (which the DuckDB oracle runs),
@@ -601,7 +657,24 @@ def simhash_pairs(
     bucket and verified with one xor/bit_count. If max_hamming ≥ the
     signature width the banding guarantee degenerates; fall back to a
     single bucket (still one scan, but quadratic — only sane for tiny
-    inputs / tests)."""
+    inputs / tests).
+
+    DUP-HEAVY ROUTING (r11, VERDICT r10 #1): byte-identical docs share
+    every band key (Hamming 0) — Θ(c²) pairs per exact cluster, the same
+    argument as minhash_lsh_pairs. Raw-doc probe on md5(text), memoized
+    per (corpus, api, process); canonical route is canonical_docs →
+    simhash_pairs (the X157 exact-first doctrine)."""
+    from mimic2ts_spark.operators.dupguard import check_duplicate_share, doc_key
+
+    check_duplicate_share(
+        df,
+        doc_key(text_col),
+        id_col,
+        api="simhash_pairs",
+        canonical="canonical_docs → simhash_pairs (the X157 exact-first "
+        "doctrine)",
+        on_duplicates=on_duplicates,
+    )
     tc = F.transform(tokens(F.col(text_col)), token_code)
     sig_df = ensure_parallelism(
         df.select(F.col(id_col).alias("doc_id"), tc.alias("_tc"))
@@ -825,16 +898,24 @@ def containment_pairs(
         .select("doc_id", F.array_sort(F.array_distinct(F.col("_sc"))).alias("codes"))
         .persist()
     )
-    check_duplicate_share(
-        base,
-        F.md5(
-            F.concat_ws(",", F.transform(F.col("codes"), lambda v: v.cast("string")))
-        ),
-        "doc_id",
-        api="containment_pairs",
-        canonical="canonical_containment_pairs (X157)",
-        on_duplicates=on_duplicates,
-    )
+    try:
+        check_duplicate_share(
+            base,
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform(F.col("codes"), lambda v: v.cast("string"))
+                )
+            ),
+            "doc_id",
+            api="containment_pairs",
+            canonical="canonical_containment_pairs (X157)",
+            on_duplicates=on_duplicates,
+        )
+    except Exception:
+        # a refused call must not leak its just-persisted base into the
+        # session's storage until the next release_storage (ADVICE r10)
+        base.unpersist()
+        raise
     prefix_len = F.size("codes") - F.ceil(F.lit(threshold) * F.size("codes")) + 1
     probe = base.select(
         F.col("doc_id").alias("doc_a"),

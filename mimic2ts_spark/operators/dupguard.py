@@ -33,6 +33,19 @@ pattern ("a comment is not a guard") applied to duplicate share:
 Probe cost: one aggregate job over a 1/16 projection — linear, tiny
 next to the quadratic blow-up it prevents, and paid once per build for
 the artifact-memoized callers (knn_graph).
+
+PROBE MEMO (r11, VERDICT r10 #3/#4 + ADVICE r10): the probe MEASUREMENT
+is memoized driver-side per (api, df.semanticHash()) — Spark's
+canonicalized-plan hash, which distinguishes paths, literals and even
+LocalRelation data, and survives persist() — so registered baselines
+pay the probe job once per (corpus, api, process) instead of once per
+gate/bench call, and warn-mode callers re-issue the warning from the
+memo for free. Driver-side ints: immune to release_storage (the r07
+disk-memo lesson), never registered as a plan cache. Caveat: the key is
+the READ PLAN, not a content fingerprint — a file rewritten in place
+mid-process serves a stale measurement. For a guard the consequence is
+only a missed/spurious warning (never wrong data, unlike the r09 stale
+u_max defect), and the registered corpora are immutable test parquet.
 """
 
 from __future__ import annotations
@@ -41,6 +54,20 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# (api, plan-hash) -> measurement tuple; PROBE_STATS pins the job count
+# in tests/test_dupguard.py (memo hits must not run Spark jobs).
+_PROBE_MEMO: dict = {}
+PROBE_STATS = {"jobs": 0, "hits": 0}
+
+
+def _plan_digest(df: DataFrame):
+    """Canonicalized-plan hash of `df`, or None when unavailable (memo
+    skipped, probe always runs)."""
+    try:
+        return df.semanticHash()
+    except Exception:
+        return None
 
 DUP_GUARD_SHARE = 0.5   # fire past 50% exact-duplicate rows in the sample
 DUP_GUARD_MIN_ROWS = 256  # sampled rows below this never fire
@@ -104,7 +131,15 @@ def check_duplicate_share(
     quantized-coordinate md5 for vectors)."""
     if on_duplicates == "ignore":
         return
-    n, d = duplicate_share(df, key, id_col)
+    mk = (api, _plan_digest(df))
+    if mk[1] is not None and mk in _PROBE_MEMO:
+        PROBE_STATS["hits"] += 1
+        n, d = _PROBE_MEMO[mk]
+    else:
+        n, d = duplicate_share(df, key, id_col)
+        PROBE_STATS["jobs"] += 1
+        if mk[1] is not None:
+            _PROBE_MEMO[mk] = (n, d)
     if n < DUP_GUARD_MIN_ROWS:
         return
     if (n - d) / n > DUP_GUARD_SHARE:
@@ -130,21 +165,29 @@ def check_edge_degree(
     past DUP_GUARD_DEGREE once DUP_GUARD_MIN_EDGES edges are sampled."""
     if on_duplicates == "ignore":
         return
-    row = (
-        _sample(edges.select(F.col(src_col)), src_col)
-        .groupBy(src_col)
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .agg(F.sum("deg").alias("n"), F.max("deg").alias("mx"))
-        .first()
-    )
-    n = int(row["n"] or 0)
+    mk = (api, _plan_digest(edges))
+    if mk[1] is not None and mk in _PROBE_MEMO:
+        PROBE_STATS["hits"] += 1
+        n, mx = _PROBE_MEMO[mk]
+    else:
+        row = (
+            _sample(edges.select(F.col(src_col)), src_col)
+            .groupBy(src_col)
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .agg(F.sum("deg").alias("n"), F.max("deg").alias("mx"))
+            .first()
+        )
+        n, mx = int(row["n"] or 0), int(row["mx"] or 0)
+        PROBE_STATS["jobs"] += 1
+        if mk[1] is not None:
+            _PROBE_MEMO[mk] = (n, mx)
     if n < DUP_GUARD_MIN_EDGES:
         return
-    if int(row["mx"]) > DUP_GUARD_DEGREE:
+    if mx > DUP_GUARD_DEGREE:
         _fire(
             api,
             canonical,
-            f"sampled {n} edges, max degree {int(row['mx'])} > "
+            f"sampled {n} edges, max degree {mx} > "
             f"{DUP_GUARD_DEGREE} (clique signature)",
             on_duplicates,
         )

