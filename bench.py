@@ -481,13 +481,36 @@ def main() -> None:
             # BOTH probe normalizations go to the DETAIL file (r10: the
             # two probes disagreed — cpu 1.17× vs spark 0.89× vs r09 —
             # so one norm alone can mislead; the tail line keeps only
-            # the preferred spark-probe norm above)
+            # the preferred CPU-probe norm above — it is the steadier
+            # instrument, per the r10 preference loop order)
             for kind in ("spark_sec", "cpu_sec"):
                 if prev_probe.get(kind) and cur_probe.get(kind):
                     drift = cur_probe[kind] / prev_probe[kind]
                     out[f"vs_{rnd}_total_norm_{kind.split('_')[0]}"] = round(
                         raw / drift, 3
                     )
+            # THIRD norm (r11, VERDICT r10 #5): the median per-query
+            # ratio over UNTOUCHED queries — those not listed in
+            # harness._GATE_CHANGED_THIS_ROUND — is the environment-
+            # drift estimate the probes approximate indirectly (the
+            # real workload is its own best instrument; a uniform
+            # cross-family ratio with no plan changes is the documented
+            # host-drift signature, r08). Triage per-query regressions
+            # against THIS norm first.
+            try:
+                from mimic2ts_spark.harness import (
+                    _GATE_CHANGED_THIS_ROUND as _chg,
+                )
+            except Exception:
+                _chg = []
+            unt = sorted(
+                r for q, r in out[f"vs_{rnd}"].items() if q not in set(_chg)
+            )
+            if unt:
+                med = unt[len(unt) // 2]
+                out[f"vs_{rnd}_untouched_med"] = round(med, 3)
+                if med > 0:
+                    out[f"vs_{rnd}_total_norm_unt"] = round(raw / med, 3)
     out.update(vs_totals)
 
     # Full detail (per-query vs maps, 3-decimal timings) goes to a file and

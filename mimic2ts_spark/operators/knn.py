@@ -82,14 +82,91 @@ KNN_K = 8        # neighbors kept per node
 KNN_ROUNDS = 3   # NN-Descent refinement rounds (fixed — linear lineage)
 RING_BUCKET = 4096  # target nodes per init-ring bucket (derived dial)
 
-# Serving dials, measured on the sf0.001 32-query panel (recall@5 vs
-# the exact panel): (beam 16, hops 3, 1 entry) 0.425 → (32, 4, 4)
+# Serving-dial FLOORS, measured on the sf0.001 32-query panel (recall@5
+# vs the exact panel): (beam 16, hops 3, 1 entry) 0.425 → (32, 4, 4)
 # 0.944 — multiple md5-min entry seeds and a 4th hop are what rescue
 # greedy search on locality-free data; candidates stay ≤ beam·(k+1)
 # per query per hop.
-BEAM_WIDTH = 32   # beam-search frontier size (serving)
-BEAM_HOPS = 4     # fixed expansion hops (serving)
-BEAM_ENTRIES = 4  # md5-min entry seeds shared by every query
+#
+# DERIVED DIALS (r11, VERDICT r10 #2 — the r06 "dials must grow with the
+# corpus" doctrine applied to serving). Floors are exact at
+# n ≤ RING_BUCKET, which covers every oracle-gated corpus (500–2000
+# vectors) — the static SQL mirror (sql_knn_beam_topk) unrolls the FLOOR
+# dials and stays hash-exact there; past the knee, graph QUALITY is
+# pinned by measured recall floors instead (the r07 rule: an unrolled
+# oracle shares the algorithm and cannot judge it).
+#
+# Measured recall@5 (32-query panel vs the exact int-L2 top-5) on
+# deterministic md5-uniform UNIT vectors (scripts/knn_recall_sweep.py).
+# That synthetic regime was VALIDATED against the shipped testdata:
+# the real sf0.1 embeddings are random unit vectors (avg per-vector max
+# cosine 0.41 ≈ the pure-random expectation √(2·ln n / d) ≈ 0.49, no
+# cos>0.9 pairs), and floor-dial recall at n=2000 measures 0.556 on BOTH
+# corpora — the locality-free WORST case for graph navigation.
+#
+#   n       floor (32,4,4)      derived (beam,hops,entries)   serve wall
+#   2,000   0.556               = floor (below knee)          2.9 s
+#   8,192   0.213               (64, 5, 8):    0.469          3.5 → 5.7 s
+#   20,000  0.125               (256, 6, 16):  0.581          3.3 → 5.1 s
+#   200,000 0.006               (1024, 7, 32): 0.425          4.3 → 10.7 s
+#
+# Axis sensitivity (measured at 20k): BEAM dominates on locality-free
+# data (32→128→256→512 lifts 0.18→0.39→0.58→0.73 at ~equal wall);
+# hops beyond ~6 and entries beyond ~32 add little. More NN-DESCENT
+# ROUNDS make serving WORSE (rounds 5 at 20k: 0.03 vs rounds 3: 0.21,
+# floor dials) — a fully converged k-NN graph loses the random init's
+# long-range edges (the navigable-small-world links HNSW adds by
+# design), so KNN_ROUNDS stays fixed at the measured knee. The caps
+# (beam 1024 / hops 8 / entries 64) are the serving budget — the
+# KM_TRAIN_CAP pattern: past ~10⁶ vectors recall decays again and the
+# designed high-recall tiers are SQ8/IVF/brute-force panels (at 200k×32
+# queries the exact kernel panel costs 4.9 s — the graph tier pays off
+# at high query volume and incremental-insert serving, not tiny panels;
+# clustered real-world embeddings navigate far better than this
+# worst-case regime). Floor pin on the derived schedule:
+# tests/test_extensions.py::test_beam_derived_dials_recall_floor.
+BEAM_WIDTH = 32   # beam-search frontier size (floor; serving)
+BEAM_HOPS = 4     # expansion hops (floor; serving)
+BEAM_ENTRIES = 4  # md5-min entry seeds shared by every query (floor)
+
+
+def serving_dials(n: int) -> tuple[int, int, int]:
+    """(beam, hops, entries) for an n-vector graph: floors at
+    n ≤ RING_BUCKET (every oracle-gated corpus), then grow =
+    ceil(log2(n / RING_BUCKET)) doublings — beam doubles per step (the
+    measured dominant axis), entries double every other step, hops add
+    one every other step; all capped at the serving budget. Validated
+    by the measured dial table above."""
+    if n <= RING_BUCKET:
+        return BEAM_WIDTH, BEAM_HOPS, BEAM_ENTRIES
+    import math
+
+    grow = math.ceil(math.log2(n / RING_BUCKET))
+    return (
+        min(BEAM_WIDTH << grow, 1024),
+        min(BEAM_HOPS + (grow + 1) // 2, 8),
+        min(BEAM_ENTRIES << ((grow + 1) // 2), 64),
+    )
+
+
+# driver-side corpus-size memo keyed on the canonicalized plan hash
+# (the dupguard probe-memo pattern): serving queries sharing a corpus
+# derive dials from ONE slim count job per process. Plain ints — immune
+# to release_storage, never registered as a plan cache.
+_COUNT_MEMO: dict = {}
+
+
+def _memoized_count(df: DataFrame) -> int:
+    try:
+        key = df.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _COUNT_MEMO:
+        return _COUNT_MEMO[key]
+    n = df.count()
+    if key is not None:
+        _COUNT_MEMO[key] = n
+    return n
 
 
 def _probe_hash(id_col: F.Column, j: F.Column) -> F.Column:
@@ -284,9 +361,9 @@ def knn_beam_topk(
     queries: DataFrame,
     graph: DataFrame,
     k: int = 5,
-    beam: int = BEAM_WIDTH,
-    hops: int = BEAM_HOPS,
-    entries: int = BEAM_ENTRIES,
+    beam: int | None = None,
+    hops: int | None = None,
+    entries: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -305,7 +382,11 @@ def knn_beam_topk(
     the graph and the coordinate fetch join — never scanned whole per
     hop. Rescoring already-visited nodes each hop is deliberate: the
     frontier volume is bounded by beam·k per query, far below the cost
-    of carrying/merging distance state across hops."""
+    of carrying/merging distance state across hops.
+
+    Dials default to serving_dials(n) — derived from one memoized slim
+    count of the corpus (floors at every oracle-gated scale; see the
+    dial table above). Pass explicit values to pin a regime."""
     base = embs.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("x")
     )
@@ -320,13 +401,23 @@ def _beam_quantized(
     qv: DataFrame,
     graph: DataFrame,
     k: int,
-    beam: int = BEAM_WIDTH,
-    hops: int = BEAM_HOPS,
-    entries: int = BEAM_ENTRIES,
+    beam: int | None = None,
+    hops: int | None = None,
+    entries: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """knn_beam_topk over ALREADY-QUANTIZED frames — base (id, x) and
     queries (qid, xq) — so artifact serving/maintenance (stored int
-    coordinates) skips re-quantization."""
+    coordinates) skips re-quantization. None dials derive from
+    serving_dials(n); `n` comes from artifact meta when the caller has
+    it, else one memoized slim count of the id column."""
+    if beam is None or hops is None or entries is None:
+        if n is None:
+            n = _memoized_count(base.select("id"))
+        db, dh, de = serving_dials(n)
+        beam = db if beam is None else beam
+        hops = dh if hops is None else hops
+        entries = de if entries is None else entries
     qv = qv.persist()
     g = graph.select("id", "nbr").persist()
     entry = (
@@ -551,7 +642,14 @@ def sql_knn_beam_topk(
 ) -> str:
     """Unrolled mirror of knn_beam_topk over the unrolled knn graph
     (one composed CTE chain — the oracle re-derives the same graph and
-    walks it with the same beam/tie rules)."""
+    walks it with the same beam/tie rules).
+
+    The static defaults are the serving-dial FLOORS, which
+    serving_dials(n) returns exactly for n ≤ RING_BUCKET — every
+    oracle-gated corpus (sf0.001–sf0.1: 500–2000 vectors). Past that
+    knee hops is data-dependent and a static unroll cannot follow it;
+    graph quality there is pinned by the measured recall floors (module
+    dial table + the scaled-fixture pytest), not by hashes."""
     parts = _sql_init_parts(table, id_col, vec_col, graph_k)
     for r in range(graph_rounds):
         parts += _sql_round_parts(r, graph_k)
@@ -676,6 +774,7 @@ def append_knn_artifact(
         dq.select(F.col("id").alias("qid"), F.col("x").alias("xq")),
         graph,
         k=k,
+        n=meta["n"],  # dials from artifact meta — no count job
     ).persist()
     found.count()  # settle before the graph table is overwritten below
 
@@ -744,4 +843,5 @@ def serve_knn_artifact(
     qv = queries.select(
         F.col(id_col).alias("qid"), quantize(F.col(vec_col)).alias("xq")
     )
-    return _beam_quantized(vectors, qv, graph, k=k)
+    # dials derive from the artifact's own recorded size — no count job
+    return _beam_quantized(vectors, qv, graph, k=k, n=_read_meta(out_dir)["n"])

@@ -2540,6 +2540,72 @@ def test_knn_beam_recall_floor(spark, embs):
     assert hit / tot >= 0.90
 
 
+def test_serving_dials_schedule():
+    """X181 derived serving dials (VERDICT r10 #2): floors at every
+    oracle-gated corpus size (the static SQL mirror's validity regime),
+    then the measured log2 schedule — beam doubles per corpus doubling
+    past RING_BUCKET, entries every other, hops +1 every other, capped
+    at the serving budget. Values pinned at the sweep's measured
+    points (knn.py dial table)."""
+    from mimic2ts_spark.operators.knn import serving_dials
+
+    assert serving_dials(500) == (32, 4, 4)    # sf0.001 / sf0.01
+    assert serving_dials(2000) == (32, 4, 4)   # sf0.1
+    assert serving_dials(4096) == (32, 4, 4)   # knee
+    assert serving_dials(8192) == (64, 5, 8)
+    assert serving_dials(20_000) == (256, 6, 16)
+    assert serving_dials(200_000) == (1024, 7, 32)
+    assert serving_dials(10_000_000) == (1024, 8, 64)  # capped budget
+
+
+def test_beam_derived_dials_recall_floor(spark):
+    """X181 derived-dial recall at a past-the-knee scale (VERDICT r10
+    #2): on an 8192-vector md5-uniform UNIT corpus (the validated
+    stand-in for the testdata distribution — see
+    scripts/knn_recall_sweep.py) the FLOOR dials measure recall@5
+    0.2125 and serving_dials(8192) = (64, 5, 8) measures 0.4688; the
+    whole pipeline is deterministic (md5 corpus, md5 init, integer
+    distances), so the floors pin with only a small safety margin.
+    Sweep rows of record at 20k/200k: knn.py dial table."""
+    from scripts.knn_recall_sweep import synth_corpus
+    from mimic2ts_spark.operators import pq as PQ
+    from mimic2ts_spark.operators.knn import (
+        knn_beam_topk,
+        knn_graph,
+        serving_dials,
+    )
+
+    n, k, nq = 8192, 5, 32
+    assert serving_dials(n) == (64, 5, 8)
+    embs = synth_corpus(spark, n).persist()
+    embs.count()
+    qs = embs.where(F.col("vec_id") < nq)
+    exact = (
+        PQ.brute_force_l2_panel(embs, qs, k=k)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    graph = knn_graph(embs).persist()
+
+    def recall(beam, hops, entries):
+        approx = knn_beam_topk(
+            embs, qs, graph, k=k, beam=beam, hops=hops, entries=entries
+        ).select(
+            F.col("qid").alias("query_id"), F.col("nbr").alias("neighbor_id")
+        )
+        return exact.join(
+            approx, ["query_id", "neighbor_id"], "left_semi"
+        ).count() / (nq * k)
+
+    derived = recall(*serving_dials(n))
+    floor = recall(32, 4, 4)
+    assert derived >= 0.42  # measured 0.4688
+    assert derived > floor  # the derived schedule must beat the floors
+    graph.unpersist()
+    exact.unpersist()
+    embs.unpersist()
+
+
 def test_knn_init_windows_stay_bucket_partitioned(spark, embs):
     """X180 scale pin: the init ranking windows must partition by the
     md5 bucket — a corpus-wide single-partition window would
