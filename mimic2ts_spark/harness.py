@@ -2244,32 +2244,33 @@ _CORE_REGISTRY = dict(REGISTRY)
 #      driver CORRECTNESS row (never-verified first), computed from the
 #      recorded CORRECTNESS_r*.json artifacts at import time, ties in
 #      stable registry order.
-# With 159 queries and a 50-row window, every query re-earns a driver
-# row at worst every ceil(159/50) = 4 rounds instead of the §2 core
-# sitting r02-stale forever behind a static tail.
+# With 227 queries and a 50-row window, every query re-earns a driver
+# row at worst every ceil(227/50) = 5 rounds instead of the §2 core
+# sitting r02-stale forever behind a static tail. That latency is the
+# REGISTRY GROWTH BUDGET (r11 policy, VERDICT r10 #6): prefer
+# consolidating new measurements into existing report queries (the
+# q_ann_recall multi-leg pattern) over net-new registry entries, and
+# pay for any net growth by keeping this changed-list small — every
+# never-verified query auto-claims a slot ahead of the stale tail.
 _GATE_CHANGED_THIS_ROUND = [
-    # r10: entries appended per in-round edit (new queries need no slot —
-    # never-verified sorts first automatically). Window = 50, r05-stale
-    # tail = 37 (VERDICT r09 #2), so ≤ 13 changed entries still drain the
-    # whole tail this round.
-    "q_retrieval_map",  # r10: panel-side broadcast swap (VERDICT r09 #1)
-    "q_ann_recall",  # r10: + sq8 serving leg (VERDICT r09 #3)
-    # (q_sq8_quantize's oracle gained AS MATERIALIZED (ADVICE r09) —
-    # value-identical by construction and re-proven by the committed
-    # 224/224 LOCAL_CORRECTNESS_r10 sweep, so it takes no window slot:
-    # 10 changed + 3 never-verified new + 37 r05-stale = 50 exactly.)
-    # r10: exact-first labeling short-doc boundary (ADVICE r09) — labels
-    # unchanged on shingle-length corpora, but the plan changed
-    "q_dedup_clusters", "q_dedup_representatives",
-    # r10: dup-guard probe added to the raw baseline paths (warn mode).
-    # q_decontaminate_semantic (same warn probe, results unchanged by
-    # construction) and q_stream_classifier (artifact-derived dim;
-    # default-path value-identical, pinned by its own 3-batch pytest)
-    # take no slot — both re-proven by the committed r10 local sweep —
-    # so 8 changed + 5 never-verified new + 37 r05-stale fill the
-    # 50-row window exactly.
-    "q_dedup_containment", "q_graph_communities", "q_dedup_embedding_lsh",
-    "q_ann_knn_graph",
+    # r11: entries appended per in-round edit (new queries need no slot —
+    # never-verified sorts first automatically). Window = 50, r06-stale
+    # tail = 42 (VERDICT r10 #1), so ≤ 8 changed entries still drain the
+    # whole tail this round; this list holds 7 + 0 new registrations.
+    # No-slot changes, all value-identical by construction and re-proven
+    # by the committed full local sweep (the r10 safe-drop rule):
+    # q_dedup_recall / q_dedup_pipeline / q_retrieval_map gained
+    # on_duplicates='ignore' on canonical inputs (no probe existed
+    # before — plans unchanged); q_dedup_containment gained only
+    # unpersist-on-raise around its existing probe (default path
+    # identical).
+    # r11: warn-mode dup-guard probes added to the remaining raw pair
+    # baselines (VERDICT r10 #2 item); outputs unchanged by construction
+    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_ngram_blocked",
+    "q_dedup_simhash", "q_graph_communities",
+    # r11: serving dials now derive from corpus size (floors at every
+    # gate scale, so values identical; one memoized count job added)
+    "q_ann_knn_beam", "q_ann_recall",
 ]
 
 
