@@ -1914,6 +1914,15 @@ def q_ann_recall(spark, sf_dir):
       exact quantized-int-L2 panel. SQ8 encodes the SAME quant grid the
       exact leg ranks on, so the recall number isolates pure 8-bit
       compression distortion.
+    - leg 'bq' (r11, X218): 1-bit sign-packed Hamming serving
+      (pq.bq_hamming_panel — the bottom rung of the quantization
+      ladder, 8 bytes/vector) vs the exact COSINE panel: sign-bit
+      agreement estimates the angle on unit vectors, so cosine is the
+      metric-matched reference (same gold standard as the ivf leg).
+    - leg 'bq_rescore' (r11, X218): the DEPLOYED BQ shape — Hamming
+      top-64 candidates, exact quantized-int-L2 rescore of only those
+      (pq.bq_rescore_panel) vs the exact quantized-int-L2 panel; the
+      number isolates what the 64-bit sketch's candidate cut loses.
     Every exact leg is query-side bounded (one 32×n kernel pass); the
     approximate legs reuse the memoized coarse/codebook/graph
     artifacts."""
@@ -1924,7 +1933,7 @@ def q_ann_recall(spark, sf_dir):
     qs = embs.where(F.col("vec_id") < ANN_RECALL_QUERIES)
     exact_cos = S.brute_force_topk(embs, qs, k=ANN_RECALL_K).select(
         "query_id", "neighbor_id"
-    )
+    ).persist()  # shared by the ivf AND bq legs (r09 panel-persist rule)
     ivf = S.ivf_topk(embs, qs, k=ANN_RECALL_K, cache_key=sf_dir)
     exact_l2 = PQ.brute_force_l2_panel(embs, qs, k=ANN_RECALL_K).select(
         "query_id", "neighbor_id"
@@ -1936,17 +1945,27 @@ def q_ann_recall(spark, sf_dir):
     sq8 = PQ.sq8_l2_panel(embs, qs, k=ANN_RECALL_K).select(
         "query_id", "neighbor_id"
     )
+    bq = PQ.bq_hamming_panel(embs, qs, k=ANN_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    bqr = PQ.bq_rescore_panel(embs, qs, k=ANN_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
     return (
         _recall_leg(exact_cos, ivf, "ivf")
         .unionByName(_recall_leg(exact_l2, ivfpq, "ivfpq"))
         .unionByName(_recall_leg(exact_l2, beam, "graph"))
         .unionByName(_recall_leg(exact_l2, sq8, "sq8"))
+        .unionByName(_recall_leg(exact_cos, bq, "bq"))
+        .unionByName(_recall_leg(exact_l2, bqr, "bq_rescore"))
     )
 
 
 def _q_ann_recall_sql():
     from mimic2ts_spark.operators.kmeans import _SQL_DIST, sql_kmeans_parts
     from mimic2ts_spark.operators.pq import (
+        sql_bq_hamming_panel,
+        sql_bq_rescore_panel,
         sql_ivfpq_panel_topk,
         sql_l2_panel,
         sql_sq8_l2_panel,
@@ -1964,6 +1983,8 @@ def _q_ann_recall_sql():
         "embeddings", query_pred=f"id < {nq}", k=k
     )
     sq8_panel = sql_sq8_l2_panel(nq, k)
+    bq_panel = sql_bq_hamming_panel(nq, k)
+    bqr_panel = sql_bq_rescore_panel(nq, k)
     return f"""
 WITH {','.join(parts)},
 v AS (SELECT vec_id, embedding FROM embeddings),
@@ -2010,6 +2031,12 @@ graph_approx AS MATERIALIZED (
 ),
 sq8_approx AS MATERIALIZED (
     SELECT query_id, neighbor_id FROM ({sq8_panel})
+),
+bq_approx AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({bq_panel})
+),
+bqr_approx AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({bqr_panel})
 )
 SELECT e.query_id, 'ivf' AS leg,
        CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
@@ -2037,6 +2064,20 @@ SELECT e.query_id, 'sq8' AS leg,
        CAST(count(a.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
 FROM pq_exact e
 LEFT JOIN sq8_approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+UNION ALL
+SELECT e.query_id, 'bq' AS leg,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+FROM exact e
+LEFT JOIN bq_approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+UNION ALL
+SELECT e.query_id, 'bq_rescore' AS leg,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+FROM pq_exact e
+LEFT JOIN bqr_approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
 GROUP BY e.query_id
 """
 

@@ -1246,3 +1246,247 @@ SELECT query_id, neighbor_id, d2 FROM (
     FROM sq8_scored
 ) WHERE rn <= {k}
 """
+
+
+# --- X218: 1-bit binary quantization (BQ) serving tier ----------------------
+#
+# The bottom rung of the quantization ladder (PQ X119 / SQ8 X212 / BQ
+# here — the Faiss binary / Lucene BQ tier): one SIGN bit per dimension,
+# 64 dims packed into two 32-bit integer lanes, candidate ranking by
+# Hamming distance. For UNIT vectors (the corpus contract — the shipped
+# embeddings have norm exactly 1.0) sign-bit agreement estimates the
+# ANGLE (Charikar hyperplane sketch with the identity rotation), so the
+# metric-matched exact reference is the cosine top-k panel.
+#
+# Engine posture: packing is a per-lane integer FOLD over a slice of the
+# source column (acc*2 + sign bit — no shiftleft-by-column, which Spark
+# lacks; the MSB-first fold is bit-identical to DuckDB's list_reduce
+# scalar fold, parity-tested), Hamming is bit_count(xor) per lane — all
+# whole-stage-codegen JVM expressions, no kernel, no broadcast hint. At
+# 100 TB this is the cheap linear-scan tier: 8 bytes/vector (64× smaller
+# than float64 coords), one scan, per-query WindowGroupLimit top-k; the
+# panel side rides each corpus row as ONE parsed literal array (the r06
+# py4y-roundtrip rule), so the plan stays scan → project → window.
+
+BQ_DIM = 64      # corpus dimensionality contract (embeddings tables)
+BQ_LANE = 32     # bits per packed lane (two lanes cover BQ_DIM)
+
+
+def _bq_lane(vec_col: str, lane: int):
+    """MSB-first sign fold of dims [lane*32, lane*32+32) into one long:
+    acc*2 + (x > 0). The fold over a SLICE of a plain source column is
+    a single interpreted pass per row — no element_at-in-HOF
+    re-evaluation (the r01 trap needs a derived array expression)."""
+    return F.aggregate(
+        F.slice(F.col(vec_col), lane * BQ_LANE + 1, BQ_LANE),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(2)
+        + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def bq_codes(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, b0, b1): the packed 64-bit sign sketch, two 32-bit
+    lanes. 8 bytes of index state per vector — the persisted-artifact
+    form is just this table."""
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _bq_lane(vec_col, 0).alias("b0"),
+        _bq_lane(vec_col, 1).alias("b1"),
+    )
+
+
+def bq_hamming_panel(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, hamming): BQ-served top-k per panel
+    query — Hamming over the packed sign sketches, ties ascending
+    neighbor id. The panel codes are collected driver-side (panel-sized,
+    the documented bounded pattern sq8_l2_panel set) and re-enter the
+    plan as ONE parsed literal struct array exploded per corpus row, so
+    the only wide operation is the per-query WindowGroupLimit."""
+    from pyspark.sql import Window as W
+
+    q_rows = (
+        bq_codes(queries, id_col=id_col, vec_col=vec_col)
+        .orderBy("vec_id")
+        .collect()
+    )
+    qlit = F.expr(
+        "array("
+        + ",".join(
+            f"struct({int(r['vec_id'])}L as query_id, "
+            f"{int(r['b0'])}L as q0, {int(r['b1'])}L as q1)"
+            for r in q_rows
+        )
+        + ")"
+    )
+    codes = bq_codes(vectors, id_col=id_col, vec_col=vec_col)
+    scored = (
+        codes.select("vec_id", "b0", "b1", F.explode(qlit).alias("q"))
+        .where(F.col("q.query_id") != F.col("vec_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("b0").bitwiseXOR(F.col("q.q0")))
+                + F.bit_count(F.col("b1").bitwiseXOR(F.col("q.q1")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def sql_bq_lane(vec_col: str, lane: int) -> str:
+    lo, hi = lane * BQ_LANE + 1, lane * BQ_LANE + BQ_LANE
+    return (
+        f"list_reduce(list_transform({vec_col}[{lo}:{hi}], "
+        "x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END), "
+        "(a, b) -> a * 2 + b)"
+    )
+
+
+def sql_bq_hamming_panel(
+    nq: int,
+    k: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Mirror of bq_hamming_panel: DuckDB's init-less list_reduce seeds
+    with the first element, which equals Spark's 0-seeded fold
+    (0*2 + b1 = b1) — parity-tested bit-exact."""
+    return f"""
+SELECT query_id, neighbor_id, hamming FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(c.b0, q.q0)) + bit_count(xor(c.b1, q.q1))
+                AS BIGINT) AS hamming,
+           row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY bit_count(xor(c.b0, q.q0))
+                        + bit_count(xor(c.b1, q.q1)), c.vec_id) AS rn
+    FROM (SELECT {id_col} AS vec_id, {sql_bq_lane(vec_col, 0)} AS b0,
+                 {sql_bq_lane(vec_col, 1)} AS b1 FROM {table}) c
+    CROSS JOIN (SELECT {id_col} AS query_id,
+                       {sql_bq_lane(vec_col, 0)} AS q0,
+                       {sql_bq_lane(vec_col, 1)} AS q1
+                FROM {table} WHERE {id_col} < {nq}) q
+    WHERE c.vec_id <> q.query_id
+) WHERE rn <= {k}
+"""
+
+
+BQ_RESCORE_CAND = 64  # Hamming candidates per query before exact rescore
+
+
+def bq_rescore_panel(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    cand: int = BQ_RESCORE_CAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, d2): the PRACTICAL BQ serving shape —
+    Hamming top-`cand` candidate generation over the 8-byte sign
+    sketches, then an exact quantized-int-L2 rescore of only those
+    candidates (how Lucene/Faiss deploy binary quantization: the sketch
+    prunes, full precision ranks). Scale shape: the corpus is touched
+    ONCE by the bit_count scan; the rescore runs on |panel|·cand rows —
+    the panel coordinates ride in as one parsed literal map (the r06
+    single-F.expr rule) and the candidate→coordinate join is small
+    enough for AQE's runtime broadcast, no explicit hint (the
+    panel-eval broadcast-boundedness pin stays trivially green).
+    Integer-exact end to end; candidate-boundary ties break
+    (hamming, neighbor_id) ascending on both engines."""
+    from pyspark.sql import Window as W
+
+    from mimic2ts_spark.operators.kmeans import quantize
+
+    cands = bq_hamming_panel(
+        vectors, queries, cand, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qx")
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    qmap = F.expr(
+        "map("
+        + ",".join(
+            f"{int(r['vec_id'])}L, array("
+            + ",".join(f"{int(v)}L" for v in r["qx"])
+            + ")"
+            for r in q_rows
+        )
+        + ")"
+    )
+    base = vectors.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("x")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("x"), F.element_at(qmap, F.col("query_id")),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = cands.join(base, "neighbor_id").select(
+        "query_id", "neighbor_id", d2.alias("d2")
+    )
+    w = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def sql_bq_rescore_panel(
+    nq: int,
+    k: int,
+    cand: int = BQ_RESCORE_CAND,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Mirror of bq_rescore_panel: identical candidate chain, identical
+    quant grid and integer L2 fold, identical tie-breaks."""
+    from mimic2ts_spark.operators.kmeans import _sql_quant
+
+    inner = sql_bq_hamming_panel(
+        nq, cand, table=table, id_col=id_col, vec_col=vec_col
+    )
+    return f"""
+SELECT query_id, neighbor_id, d2 FROM (
+    SELECT c.query_id, c.neighbor_id,
+           CAST(list_aggregate(list_transform(generate_series(1, len(nb.x)),
+                i -> (nb.x[i] - qq.x[i]) * (nb.x[i] - qq.x[i])), 'sum')
+                AS BIGINT) AS d2,
+           row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY list_aggregate(list_transform(
+                            generate_series(1, len(nb.x)),
+                            i -> (nb.x[i] - qq.x[i]) * (nb.x[i] - qq.x[i])),
+                        'sum'), c.neighbor_id) AS rn
+    FROM ({inner}) c
+    JOIN (SELECT {id_col} AS vec_id, {_sql_quant(vec_col)} AS x
+          FROM {table}) nb ON nb.vec_id = c.neighbor_id
+    JOIN (SELECT {id_col} AS vec_id, {_sql_quant(vec_col)} AS x
+          FROM {table} WHERE {id_col} < {nq}) qq ON qq.vec_id = c.query_id
+) WHERE rn <= {k}
+"""

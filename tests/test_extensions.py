@@ -2540,6 +2540,79 @@ def test_knn_beam_recall_floor(spark, embs):
     assert hit / tot >= 0.90
 
 
+def test_bq_pack_and_panel_replay(spark, embs):
+    """X218 BQ tier: the packed sign lanes equal a python MSB-first
+    fold bit-for-bit, and the Hamming panel equals a numpy replay
+    (sign pack → xor popcount → (hamming, id) top-k) — the oracle
+    hash gate then re-proves the DuckDB mirror every round."""
+    import numpy as np
+
+    from mimic2ts_spark.operators.pq import bq_codes, bq_hamming_panel
+
+    rows = embs.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows])
+    B = (X > 0).astype(np.int64)
+    lanes = np.zeros((len(ids), 2), dtype=np.int64)
+    for h in range(2):
+        for i in range(32):
+            lanes[:, h] = lanes[:, h] * 2 + B[:, h * 32 + i]
+    got = {r.vec_id: (r.b0, r.b1) for r in bq_codes(embs).collect()}
+    for j, vid in enumerate(ids):
+        assert got[int(vid)] == (int(lanes[j, 0]), int(lanes[j, 1]))
+
+    k = 5
+    panel = bq_hamming_panel(embs, embs.where(F.col("vec_id") < 8), k=k)
+    got_p = {}
+    for r in panel.collect():
+        got_p.setdefault(r.query_id, []).append((r.hamming, r.neighbor_id))
+    for qi in range(8):
+        q = lanes[ids == qi][0]
+        ham = np.array(
+            [
+                bin(int(lanes[j, 0]) ^ int(q[0])).count("1")
+                + bin(int(lanes[j, 1]) ^ int(q[1])).count("1")
+                for j in range(len(ids))
+            ]
+        )
+        order = [
+            (int(ham[j]), int(ids[j]))
+            for j in np.lexsort((ids, ham))
+            if ids[j] != qi
+        ][:k]
+        assert sorted(got_p[qi]) == order
+
+
+def test_bq_rescore_beats_raw_sketch(spark, embs):
+    """X218: the deployed two-stage shape (Hamming candidates → exact
+    int-L2 rescore) must recover recall the raw 64-bit sketch loses —
+    measured 0.272 → 0.728 at sf0.01, floors with margin. Both stages
+    are deterministic, so the floor is tight."""
+    import numpy as np
+
+    from mimic2ts_spark.operators import pq as PQ
+
+    k, nq = 10, 32
+    qs = embs.where(F.col("vec_id") < nq)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in PQ.brute_force_l2_panel(embs, qs, k=k)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+
+    def recall(df):
+        hits = sum(
+            (r.query_id, r.neighbor_id) in exact for r in df.collect()
+        )
+        return hits / (nq * k)
+
+    raw = recall(PQ.bq_hamming_panel(embs, qs, k=k))
+    rescored = recall(PQ.bq_rescore_panel(embs, qs, k=k))
+    assert rescored >= 0.60  # measured 0.728 at sf0.001-shaped corpora
+    assert rescored > raw
+
+
 def test_serving_dials_schedule():
     """X181 derived serving dials (VERDICT r10 #2): floors at every
     oracle-gated corpus size (the static SQL mirror's validity regime),
