@@ -17,6 +17,8 @@ Usage:
     python -m mimic2ts_spark.maintain postings-append OUT_DIR DELTA_PARQUET
     python -m mimic2ts_spark.maintain sq8-stats OUT_JSON SRC_PARQUET \
         [--id-col vec_id] [--vec-col embedding]
+    python -m mimic2ts_spark.maintain bq-codes OUT_DIR SRC_PARQUET \
+        [--id-col vec_id] [--vec-col embedding]
 
 init/merge/compact default to the VERSIONED backend (manifest +
 atomic pointer-flip commit, time travel, no partial-rewrite crash
@@ -271,6 +273,16 @@ def main(argv: list[str] | None = None) -> None:
     p_sq8.add_argument("src")
     p_sq8.add_argument("--id-col", default="vec_id")
     p_sq8.add_argument("--vec-col", default="embedding")
+
+    p_bq = sub.add_parser(
+        "bq-codes",
+        help="persist the packed 1-bit sign sketch (vec_id, b0, b1) "
+             "as the standing BQ index — 8 bytes/vector (X218)",
+    )
+    p_bq.add_argument("out_dir")
+    p_bq.add_argument("src")
+    p_bq.add_argument("--id-col", default="vec_id")
+    p_bq.add_argument("--vec-col", default="embedding")
 
     args = ap.parse_args(argv)
 
@@ -805,6 +817,20 @@ def main(argv: list[str] | None = None) -> None:
             "n_vectors": vecs.count(), "n_dims": len(stats),
             "runtime_seconds": round(time.time() - t0, 3),
         }
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "bq-codes":
+        from mimic2ts_spark.operators.pq import build_bq_artifact
+
+        vecs = spark.read.parquet(args.src)
+        meta = build_bq_artifact(
+            spark, args.out_dir, vecs, id_col=args.id_col, vec_col=args.vec_col
+        )
+        audit = {"cmd": "bq-codes", "out": args.out_dir}
+        audit.update(meta)
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
         print(json.dumps(audit))
         release_storage(spark)
         return

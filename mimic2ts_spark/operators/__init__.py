@@ -66,6 +66,9 @@ from mimic2ts_spark.operators.text import (
 from mimic2ts_spark.operators.linkage import best_match_report, fuzzy_link
 from mimic2ts_spark.operators.merge import merge_changelog, merge_upsert
 from mimic2ts_spark.operators.pq import (
+    bq_codes,
+    bq_hamming_panel,
+    bq_rescore_panel,
     ivfpq_topk,
     load_codebooks,
     pq_adc_topk,
@@ -144,6 +147,9 @@ __all__ = [
     "best_match_report",
     "merge_changelog",
     "merge_upsert",
+    "bq_codes",
+    "bq_hamming_panel",
+    "bq_rescore_panel",
     "ivfpq_topk",
     "load_codebooks",
     "pq_adc_topk",

@@ -1298,26 +1298,13 @@ def bq_codes(
     )
 
 
-def bq_hamming_panel(
-    vectors: DataFrame,
-    queries: DataFrame,
-    k: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(query_id, neighbor_id, hamming): BQ-served top-k per panel
-    query — Hamming over the packed sign sketches, ties ascending
-    neighbor id. The panel codes are collected driver-side (panel-sized,
-    the documented bounded pattern sq8_l2_panel set) and re-enter the
-    plan as ONE parsed literal struct array exploded per corpus row, so
-    the only wide operation is the per-query WindowGroupLimit."""
+def _bq_hamming_from_codes(codes: DataFrame, q_rows: list, k: int) -> DataFrame:
+    """Core Hamming top-k over an ALREADY-PACKED (vec_id, b0, b1) codes
+    relation — shared by the scan form (bq_hamming_panel) and artifact
+    serving (serve_bq_artifact), so the two are bit-identical by
+    construction."""
     from pyspark.sql import Window as W
 
-    q_rows = (
-        bq_codes(queries, id_col=id_col, vec_col=vec_col)
-        .orderBy("vec_id")
-        .collect()
-    )
     qlit = F.expr(
         "array("
         + ",".join(
@@ -1327,7 +1314,6 @@ def bq_hamming_panel(
         )
         + ")"
     )
-    codes = bq_codes(vectors, id_col=id_col, vec_col=vec_col)
     scored = (
         codes.select("vec_id", "b0", "b1", F.explode(qlit).alias("q"))
         .where(F.col("q.query_id") != F.col("vec_id"))
@@ -1347,6 +1333,35 @@ def bq_hamming_panel(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def _bq_q_rows(queries: DataFrame, id_col: str, vec_col: str) -> list:
+    """Panel-side packed codes, collected driver-side (panel-sized, the
+    documented bounded pattern sq8_l2_panel set); they re-enter the plan
+    as ONE parsed literal struct array (the r06 py4j-roundtrip rule)."""
+    return (
+        bq_codes(queries, id_col=id_col, vec_col=vec_col)
+        .orderBy("vec_id")
+        .collect()
+    )
+
+
+def bq_hamming_panel(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, hamming): BQ-served top-k per panel
+    query — Hamming over the packed sign sketches, ties ascending
+    neighbor id; the only wide operation is the per-query
+    WindowGroupLimit."""
+    return _bq_hamming_from_codes(
+        bq_codes(vectors, id_col=id_col, vec_col=vec_col),
+        _bq_q_rows(queries, id_col, vec_col),
+        k,
     )
 
 
@@ -1412,13 +1427,29 @@ def bq_rescore_panel(
     panel-eval broadcast-boundedness pin stays trivially green).
     Integer-exact end to end; candidate-boundary ties break
     (hamming, neighbor_id) ascending on both engines."""
+    cands = bq_hamming_panel(
+        vectors, queries, cand, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    return _bq_rescore_candidates(
+        cands, vectors, queries, k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _bq_rescore_candidates(
+    cands: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact quantized-int-L2 rescore of a (query_id, neighbor_id)
+    candidate relation — the shared second stage of bq_rescore_panel
+    and artifact serving."""
     from pyspark.sql import Window as W
 
     from mimic2ts_spark.operators.kmeans import quantize
 
-    cands = bq_hamming_panel(
-        vectors, queries, cand, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id")
     q_rows = (
         queries.select(
             F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qx")
@@ -1490,3 +1521,65 @@ SELECT query_id, neighbor_id, d2 FROM (
           FROM {table} WHERE {id_col} < {nq}) qq ON qq.vec_id = c.query_id
 ) WHERE rn <= {k}
 """
+
+
+# --- X218 artifact: persisted BQ codes (the 8-byte index state) -------------
+
+BQ_META = "_bq_meta.json"
+
+
+def build_bq_artifact(
+    spark,
+    out_dir: str,
+    src: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the packed sign sketch as the standing BQ index
+    (`maintain bq-codes`): 8 bytes of state per vector, rebuilt only
+    when the corpus changes (appends are row-local — new codes append,
+    nothing rescores, unlike the graph artifact). Deterministic pack ⇒
+    artifact-served results bit-equal the scan form (pytest-pinned)."""
+    import json
+    import os
+
+    codes = bq_codes(src, id_col=id_col, vec_col=vec_col)
+    os.makedirs(out_dir, exist_ok=True)
+    codes.repartition(1).sortWithinPartitions("vec_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "codes"))
+    n = spark.read.parquet(os.path.join(out_dir, "codes")).count()
+    meta = {"n": n, "dim": BQ_DIM, "lanes": 2, "lane_bits": BQ_LANE}
+    with open(os.path.join(out_dir, BQ_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def serve_bq_artifact(
+    spark,
+    out_dir: str,
+    queries: DataFrame,
+    k: int,
+    src: DataFrame | None = None,
+    cand: int = BQ_RESCORE_CAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k from the persisted BQ codes without re-packing the corpus
+    — the index read is 8 bytes/vector instead of the 512-byte float64
+    coordinates. Hamming-only when `src` is None; with `src` (the raw
+    vector table) the deployed two-stage shape runs: Hamming top-`cand`
+    candidates from the artifact, exact quantized-int-L2 rescore
+    against `src` coordinates fetched for candidates only."""
+    import os
+
+    codes = spark.read.parquet(os.path.join(out_dir, "codes"))
+    q_rows = _bq_q_rows(queries, id_col, vec_col)
+    if src is None:
+        return _bq_hamming_from_codes(codes, q_rows, k)
+    cands = _bq_hamming_from_codes(codes, q_rows, cand).select(
+        "query_id", "neighbor_id"
+    )
+    return _bq_rescore_candidates(
+        cands, src, queries, k, id_col=id_col, vec_col=vec_col
+    )

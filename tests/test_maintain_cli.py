@@ -233,6 +233,43 @@ def test_maintain_sq8_stats_artifact(spark, tmp_path, capsys):
         load_sq8_stats(out)
 
 
+def test_maintain_bq_codes_artifact(spark, tmp_path, capsys):
+    """`bq-codes` persists the packed sign sketch (8 bytes/vector);
+    artifact-served Hamming top-k AND the two-stage rescored form both
+    bit-equal the scan forms (shared cores + deterministic pack), and
+    the meta records the dimensionality contract."""
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.pq import (
+        bq_hamming_panel,
+        bq_rescore_panel,
+        serve_bq_artifact,
+    )
+
+    out = str(tmp_path / "bq")
+    main(["bq-codes", out, f"{SF}/embeddings.parquet"])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "bq-codes"
+    assert audit["dim"] == 64 and audit["lanes"] == 2 and audit["n"] > 0
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = vecs.where(F.col("vec_id") < 4)
+    served = {
+        tuple(r)
+        for r in serve_bq_artifact(spark, out, qs, k=5).collect()
+    }
+    fresh = {tuple(r) for r in bq_hamming_panel(vecs, qs, k=5).collect()}
+    assert served == fresh and served
+
+    served_r = {
+        tuple(r)
+        for r in serve_bq_artifact(spark, out, qs, k=5, src=vecs).collect()
+    }
+    fresh_r = {tuple(r) for r in bq_rescore_panel(vecs, qs, k=5).collect()}
+    assert served_r == fresh_r and served_r
+
+
 def test_maintain_ivf_build_and_append(spark, tmp_path, capsys):
     """IVF index as maintained table state: build persists cells JSON +
     postings parquet; append assigns a delta against the LOADED cells
