@@ -1671,7 +1671,10 @@ def test_ann_recall_eval_floors(spark):
     dial change (cells/nprobe/M/beam/hops) the eval exists to
     inform. r10 adds the 'sq8' serving leg (measured 0.987 at
     sf0.001 — 8-bit codes over the full corpus range lose almost
-    nothing; floor 0.9 catches a broken encode/decode or stats join)."""
+    nothing; floor 0.9 catches a broken encode/decode or stats join).
+    r11 adds the X218 BQ legs: 'bq' raw 64-bit Hamming (measured 0.231
+    — a candidate tier, floored only against total breakage) and
+    'bq_rescore' (measured 0.728 — the deployed two-stage shape)."""
     from mimic2ts_spark import harness_ext as H
 
     rows = H.q_ann_recall(spark, SF).collect()
@@ -1680,12 +1683,14 @@ def test_ann_recall_eval_floors(spark):
         assert 0.0 <= r["recall"] <= 1.0
         assert r["n_hits"] == round(r["recall"] * H.ANN_RECALL_K)
         by_leg.setdefault(r["leg"], []).append(r["recall"])
-    assert set(by_leg) == {"ivf", "ivfpq", "graph", "sq8"}
+    assert set(by_leg) == {"ivf", "ivfpq", "graph", "sq8", "bq", "bq_rescore"}
     for leg, floor in (
         ("ivf", 0.5),
         ("ivfpq", 0.15),
         ("graph", 0.8),
         ("sq8", 0.9),
+        ("bq", 0.1),
+        ("bq_rescore", 0.6),
     ):
         assert len(by_leg[leg]) == H.ANN_RECALL_QUERIES
         mean = sum(by_leg[leg]) / len(by_leg[leg])
