@@ -1945,12 +1945,24 @@ def q_ann_recall(spark, sf_dir):
     sq8 = PQ.sq8_l2_panel(embs, qs, k=ANN_RECALL_K).select(
         "query_id", "neighbor_id"
     )
-    bq = PQ.bq_hamming_panel(embs, qs, k=ANN_RECALL_K).select(
-        "query_id", "neighbor_id"
+    # ONE packed bit_count scan serves both BQ legs: the raw leg is the
+    # top-10 of the persisted top-64 candidate relation (identical by
+    # construction — same (hamming, neighbor_id) order), and the
+    # rescore leg consumes the same relation via `cands`.
+    from pyspark.sql import Window as _W
+
+    bqc = PQ.bq_hamming_panel(
+        embs, qs, k=PQ.BQ_RESCORE_CAND
+    ).persist()
+    _wbq = _W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    bq = (
+        bqc.withColumn("_rn", F.row_number().over(_wbq))
+        .where(F.col("_rn") <= ANN_RECALL_K)
+        .select("query_id", "neighbor_id")
     )
-    bqr = PQ.bq_rescore_panel(embs, qs, k=ANN_RECALL_K).select(
-        "query_id", "neighbor_id"
-    )
+    bqr = PQ.bq_rescore_panel(
+        embs, qs, k=ANN_RECALL_K, cands=bqc
+    ).select("query_id", "neighbor_id")
     return (
         _recall_leg(exact_cos, ivf, "ivf")
         .unionByName(_recall_leg(exact_l2, ivfpq, "ivfpq"))

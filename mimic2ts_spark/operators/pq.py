@@ -1414,6 +1414,7 @@ def bq_rescore_panel(
     cand: int = BQ_RESCORE_CAND,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, d2): the PRACTICAL BQ serving shape —
     Hamming top-`cand` candidate generation over the 8-byte sign
@@ -1426,10 +1427,17 @@ def bq_rescore_panel(
     enough for AQE's runtime broadcast, no explicit hint (the
     panel-eval broadcast-boundedness pin stays trivially green).
     Integer-exact end to end; candidate-boundary ties break
-    (hamming, neighbor_id) ascending on both engines."""
-    cands = bq_hamming_panel(
-        vectors, queries, cand, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id")
+    (hamming, neighbor_id) ascending on both engines. Pass `cands`
+    (a (query_id, neighbor_id) top-`cand` Hamming relation, e.g. a
+    persisted bq_hamming_panel the caller also serves the raw leg
+    from) to skip the candidate scan — q_ann_recall shares ONE packed
+    scan between its bq and bq_rescore legs this way."""
+    if cands is None:
+        cands = bq_hamming_panel(
+            vectors, queries, cand, id_col=id_col, vec_col=vec_col
+        ).select("query_id", "neighbor_id")
+    else:
+        cands = cands.select("query_id", "neighbor_id")
     return _bq_rescore_candidates(
         cands, vectors, queries, k, id_col=id_col, vec_col=vec_col
     )
