@@ -128,6 +128,7 @@ HEADLINE = [
     "q_sketch_join_card",
     # round 7: two-leg recall eval + exact-first compositions
     "q_ann_recall",
+    "q_ann_filtered",  # r11 X219 — selectivity-routed filtered ANN
     "q_dedup_containment_canonical",
     "q_graph_communities_canonical",
     "q_dedup_semantic_canonical",

@@ -2244,8 +2244,8 @@ _CORE_REGISTRY = dict(REGISTRY)
 #      driver CORRECTNESS row (never-verified first), computed from the
 #      recorded CORRECTNESS_r*.json artifacts at import time, ties in
 #      stable registry order.
-# With 227 queries and a 50-row window, every query re-earns a driver
-# row at worst every ceil(227/50) = 5 rounds instead of the §2 core
+# With 228 queries and a 50-row window, every query re-earns a driver
+# row at worst every ceil(228/50) = 5 rounds instead of the §2 core
 # sitting r02-stale forever behind a static tail. That latency is the
 # REGISTRY GROWTH BUDGET (r11 policy, VERDICT r10 #6): prefer
 # consolidating new measurements into existing report queries (the
@@ -2256,7 +2256,9 @@ _GATE_CHANGED_THIS_ROUND = [
     # r11: entries appended per in-round edit (new queries need no slot —
     # never-verified sorts first automatically). Window = 50, r06-stale
     # tail = 42 (VERDICT r10 #1), so ≤ 8 changed entries still drain the
-    # whole tail this round; this list holds 7 + 0 new registrations.
+    # whole tail this round; this list holds 7, and ONE new registration
+    # (q_ann_filtered, X219 — never-verified sorts first) claims the 8th
+    # slot: 7 changed + 1 new + 42 stale = 50 exactly.
     # No-slot changes, all value-identical by construction and re-proven
     # by the committed full local sweep (the r10 safe-drop rule):
     # q_dedup_recall / q_dedup_pipeline / q_retrieval_map gained

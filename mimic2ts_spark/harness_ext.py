@@ -2097,6 +2097,113 @@ GROUP BY e.query_id
 Q_ANN_RECALL_SQL = _q_ann_recall_sql()
 
 
+FILTERED_PANEL_NQ = 8
+FILTERED_K = 5
+
+
+def q_ann_filtered(spark, sf_dir):
+    """X219 — attribute-filtered ANN with selectivity ROUTING
+    (similarity.filtered_topk): top-k among only an allowed-id set, the
+    filtered-search feature every production vector store pairs with
+    ANN. One report exercises BOTH routes (the routing decision is a
+    bounded driver scalar, pinned into the hash via the route column):
+    - fset 'selective' (vec_id % 16 == 1, 1/16 of the corpus): routes
+      to the exact panel over the allowed subset — brute force IS the
+      optimal plan under high selectivity, recall 1.0 by construction;
+    - fset 'broad' (vec_id % 7 != 0, 6/7): probes the corpus-level IVF
+      index (trained state shared via cache_key — a filter never
+      retrains) and semi-joins candidates against the allowed set
+      BEFORE the per-query top-k cut. Post-filtering a fixed top-k —
+      the textbook wrong form that silently under-returns on selective
+      filters — is never executed.
+    The oracle mirrors the routing with the same scalar-count gate on
+    each branch (both branches composed, exactly one returns rows)."""
+    embs = _embs(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") < FILTERED_PANEL_NQ)
+    legs = []
+    for label, pred in (
+        ("selective", F.col("vec_id") % 16 == 1),
+        ("broad", F.col("vec_id") % 7 != 0),
+    ):
+        allowed = embs.where(pred).select("vec_id")
+        legs.append(
+            S.filtered_topk(
+                embs, qs, allowed, k=FILTERED_K, cache_key=sf_dir
+            ).select(F.lit(label).alias("fset"), "*")
+        )
+    return legs[0].unionByName(legs[1])
+
+
+def _q_ann_filtered_sql():
+    from mimic2ts_spark.operators.kmeans import _SQL_DIST, sql_kmeans_parts
+    from mimic2ts_spark.operators.similarity import (
+        FILTERED_SELECTIVE_DEN,
+        IVF_NPROBE,
+    )
+
+    nq, k = FILTERED_PANEL_NQ, FILTERED_K
+    parts, final_a, final_c = sql_kmeans_parts(
+        "embeddings", k=S.sql_derived_cells("embeddings"), prefix="flt_"
+    )
+    cos = S.sql_cosine("qq.embedding", "nn.embedding")
+    cos_exact = S.sql_cosine("q.embedding", "v.embedding")
+    branches = []
+    for label, pred in (
+        ("selective", "vec_id % 16 = 1"),
+        ("broad", "vec_id % 7 <> 0"),
+    ):
+        gate = (
+            f"(SELECT count(*) FROM {label}_allowed) * "
+            f"{FILTERED_SELECTIVE_DEN} <= (SELECT count(*) FROM embeddings)"
+        )
+        parts.append(
+            f"{label}_allowed AS MATERIALIZED "
+            f"(SELECT vec_id FROM embeddings WHERE {pred})"
+        )
+        parts.append(f"""{label}_exact AS (
+    SELECT '{label}' AS fset, 'exact' AS route, query_id, neighbor_id,
+           cosine, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               {cos_exact} AS cosine,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_exact} DESC, v.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {nq}) q
+        JOIN (SELECT e.* FROM embeddings e
+              JOIN {label}_allowed al USING (vec_id)) v
+          ON v.vec_id <> q.vec_id
+    ) WHERE rn <= {k} AND {gate})""")
+        parts.append(f"""{label}_ivf AS (
+    SELECT '{label}' AS fset, 'ivf' AS route, query_id, neighbor_id,
+           cosine, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT c.query_id, c.neighbor_id, {cos} AS cosine,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY {cos} DESC, c.neighbor_id) AS rn
+        FROM (SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM flt_probes p
+              JOIN {final_a} a ON a.cid = p.cell
+              JOIN {label}_allowed al ON al.vec_id = a.vec_id
+              WHERE a.vec_id <> p.query_id) c
+        JOIN embeddings qq ON qq.vec_id = c.query_id
+        JOIN embeddings nn ON nn.vec_id = c.neighbor_id
+    ) WHERE rn <= {k} AND NOT ({gate}))""")
+        branches += [f"SELECT * FROM {label}_exact",
+                     f"SELECT * FROM {label}_ivf"]
+    probes = f"""flt_probes AS (
+    SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_SQL_DIST}, c.cid) AS rn
+        FROM flt_base b CROSS JOIN {final_c} c WHERE b.vec_id < {nq}
+    ) WHERE rn <= {IVF_NPROBE}
+)"""
+    # probes must precede the per-label branches that reference it
+    parts.insert(len(parts) - 6, probes)
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(branches)
+
+
+Q_ANN_FILTERED_SQL = _q_ann_filtered_sql()
+
+
 def q_ann_incremental(spark, sf_dir):
     """X146 — incremental ANN index maintenance: coarse cells are an
     artifact trained on the ACCEPTED corpus (vec_id % 10 != 0, memoized
@@ -7831,6 +7938,7 @@ EXT_REGISTRY = {
     ),
     "q_json_props": (q_json_props, Q_JSON_PROPS_SQL),
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
+    "q_ann_filtered": (q_ann_filtered, Q_ANN_FILTERED_SQL),
     "q_retrieval_map": (q_retrieval_map, Q_RETRIEVAL_MAP_SQL),
     "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),
 }

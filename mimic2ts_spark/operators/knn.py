@@ -104,11 +104,13 @@ RING_BUCKET = 4096  # target nodes per init-ring bucket (derived dial)
 # cos>0.9 pairs), and floor-dial recall at n=2000 measures 0.556 on BOTH
 # corpora — the locality-free WORST case for graph navigation.
 #
-#   n       floor (32,4,4)      derived (beam,hops,entries)   serve wall
-#   2,000   0.556               = floor (below knee)          2.9 s
-#   8,192   0.213               (64, 5, 8):    0.469          3.5 → 5.7 s
-#   20,000  0.125               (256, 6, 16):  0.581          3.3 → 5.1 s
-#   200,000 0.006               (1024, 7, 32): 0.425          4.3 → 10.7 s
+#   n         floor (32,4,4)    derived (beam,hops,entries)   serve wall
+#   2,000     0.556             = floor (below knee)          2.9 s
+#   8,192     0.213             (64, 5, 8):    0.469          3.5 → 5.7 s
+#   20,000    0.125             (256, 6, 16):  0.581          3.3 → 5.1 s
+#   200,000   0.006             (1024, 7, 32): 0.425          4.3 → 10.7 s
+#   1,000,000 0.000             (1024, 8, 64): 0.106          9.7 → 28.6 s
+#                               (capped budget — the documented decay)
 #
 # Axis sensitivity (measured at 20k): BEAM dominates on locality-free
 # data (32→128→256→512 lifts 0.18→0.39→0.58→0.73 at ~equal wall);

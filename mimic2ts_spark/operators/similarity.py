@@ -1033,3 +1033,88 @@ def sql_lsh_bucket(vec: str, table: int) -> str:
         for plane in range(LSH_PLANES)
     ]
     return "(" + " + ".join(parts) + ")::BIGINT"
+
+
+# --- X219: attribute-filtered ANN with selectivity routing -------------------
+
+# Route to the exact filtered panel when the allowed set is at most
+# 1/FILTERED_SELECTIVE_DEN of the corpus; above it, probe the
+# corpus-level IVF index and filter candidates BEFORE the top-k cut.
+FILTERED_SELECTIVE_DEN = 8
+
+
+def filtered_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    allowed: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """(route, query_id, neighbor_id, cosine, rank): top-k among ONLY
+    the `allowed` ids (a one-column id relation — the materialized form
+    any metadata predicate reduces to) — filtered vector search, the
+    serving feature every production vector store pairs with ANN.
+
+    The ROUTING is the point (the r08 MaxScore driver-side-routing
+    pattern, here keyed on filter selectivity like production stores):
+    - POST-FILTERING a fixed top-k is the textbook wrong form — a
+      selective filter leaves < k survivors and silently misses allowed
+      neighbors ranked below the cut. Never done here.
+    - SELECTIVE filters (|allowed|·FILTERED_SELECTIVE_DEN ≤ n): the
+      exact panel over the allowed subset is CHEAPER than probing
+      (O(|allowed|·|panel|) work) and recall is 1.0 by construction —
+      brute force IS the optimal plan under high selectivity.
+    - BROAD filters: probe the corpus-level IVF index (trained state
+      shared via cache_key with every other IVF consumer — the filter
+      must NOT retrain anything) and semi-join candidates against
+      `allowed` BEFORE the per-query top-k, so the cut always ranks k
+      allowed survivors when the probes contain them.
+    Both branch decisions are bounded driver scalars (two slim counts);
+    the returned `route` column pins the decision into the oracle hash.
+    """
+    n = vectors.select(id_col).count()
+    ids = allowed.select(F.col(allowed.columns[0]).alias(id_col))
+    n_allowed = ids.count()
+    if n_allowed * FILTERED_SELECTIVE_DEN <= n:
+        sub = vectors.join(ids, id_col, "left_semi")
+        return brute_force_topk(
+            sub, queries, k=k, id_col=id_col, vec_col=vec_col
+        ).select(
+            F.lit("exact").alias("route"),
+            "query_id", "neighbor_id", "cosine", "rank",
+        )
+    from mimic2ts_spark.operators.kmeans import train_coarse
+
+    cents = train_coarse(
+        vectors, derived_cells(n), id_col=id_col, vec_col=vec_col,
+        cache_key=cache_key, n=n,
+    )
+    cent_ids = np.array([r["cid"] for r in cents], dtype=np.int64)
+    cent_mat = np.array([list(r["m"]) for r in cents], dtype=np.int64)
+    assign = _nearest_cells_udf(cent_ids, cent_mat, 1)
+    probe = _nearest_cells_udf(cent_ids, cent_mat, nprobe)
+    # postings restricted to allowed ids BEFORE ranking — at artifact
+    # scale this is the semi-join on the stored postings, never a
+    # post-cut filter
+    cells = (
+        vectors.join(ids, id_col, "left_semi")
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+        .withColumn("cell", F.element_at(assign(F.col("nvec")), 1))
+    )
+    probed = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("cell", F.explode(probe(F.col("qvec"))))
+    )
+    cand = probed.join(cells, "cell").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("nvec")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.lit("ivf").alias("route"), "query_id", "neighbor_id", "cosine", "rank")
+    )

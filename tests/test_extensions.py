@@ -2618,6 +2618,42 @@ def test_bq_rescore_beats_raw_sketch(spark, embs):
     assert rescored > raw
 
 
+def test_filtered_topk_routing_and_containment(spark, embs):
+    """X219 filtered ANN: the selectivity router must pick the exact
+    panel at/below the 1/8 share boundary and the IVF-probe branch
+    above it; every returned neighbor must be ALLOWED (the pre-rank
+    semi-join — post-filtering a fixed top-k is the wrong form this
+    operator exists to avoid), and the exact route returns a full k
+    per query whenever the allowed set is large enough."""
+    from mimic2ts_spark.operators.similarity import (
+        FILTERED_SELECTIVE_DEN,
+        filtered_topk,
+    )
+
+    n = embs.count()
+    qs = embs.where(F.col("vec_id") < 4)
+    k = 5
+
+    sel = embs.where(F.col("vec_id") % 16 == 1).select("vec_id")
+    n_sel = sel.count()
+    assert n_sel * FILTERED_SELECTIVE_DEN <= n  # below the boundary
+    rows = filtered_topk(embs, qs, sel, k=k, cache_key=f"{SF}").collect()
+    allowed_ids = {r.vec_id for r in sel.collect()}
+    assert {r.route for r in rows} == {"exact"}
+    assert all(r.neighbor_id in allowed_ids for r in rows)
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, k + 1)) for v in per_q.values())
+
+    broad = embs.where(F.col("vec_id") % 7 != 0).select("vec_id")
+    assert broad.count() * FILTERED_SELECTIVE_DEN > n  # above the boundary
+    rows_b = filtered_topk(embs, qs, broad, k=k, cache_key=f"{SF}").collect()
+    allowed_b = {r.vec_id for r in broad.collect()}
+    assert {r.route for r in rows_b} == {"ivf"}
+    assert all(r.neighbor_id in allowed_b for r in rows_b)
+
+
 def test_serving_dials_schedule():
     """X181 derived serving dials (VERDICT r10 #2): floors at every
     oracle-gated corpus size (the static SQL mirror's validity regime),
