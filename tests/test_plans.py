@@ -866,6 +866,7 @@ def test_registry_global_plan_invariants(utc):
         "q_hard_negatives",  # declared per-query brute-force leg (bounded query side)
         "q_embedding_truncation",  # declared brute-force evaluation baseline (bounded query side)
         "q_ann_recall",  # declared exact-panel brute-force leg (bounded 32-query side)
+        "q_ann_filtered",  # declared exact route over the allowed subset (bounded 8-query side)
         "q_mmr_rerank",  # declared brute-force candidate leg (bounded query side)
         "q_sketch_join_card",  # four 1-row scalar sketch/exact cross joins
         "q_search_substring",  # k-row needle-panel broadcast cross join (declared)
