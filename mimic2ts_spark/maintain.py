@@ -19,6 +19,7 @@ Usage:
         [--id-col vec_id] [--vec-col embedding]
     python -m mimic2ts_spark.maintain bq-codes OUT_DIR SRC_PARQUET \
         [--id-col vec_id] [--vec-col embedding]
+    python -m mimic2ts_spark.maintain bq-codes-append OUT_DIR DELTA_PARQUET
 
 init/merge/compact default to the VERSIONED backend (manifest +
 atomic pointer-flip commit, time travel, no partial-rewrite crash
@@ -283,6 +284,16 @@ def main(argv: list[str] | None = None) -> None:
     p_bq.add_argument("src")
     p_bq.add_argument("--id-col", default="vec_id")
     p_bq.add_argument("--vec-col", default="embedding")
+
+    p_bqa = sub.add_parser(
+        "bq-codes-append",
+        help="append a NEW-ids delta batch to a bq-codes index at "
+             "O(delta) cost (row-local pack: append == rebuild)",
+    )
+    p_bqa.add_argument("out_dir")
+    p_bqa.add_argument("delta")
+    p_bqa.add_argument("--id-col", default="vec_id")
+    p_bqa.add_argument("--vec-col", default="embedding")
 
     args = ap.parse_args(argv)
 
@@ -830,6 +841,22 @@ def main(argv: list[str] | None = None) -> None:
         )
         audit = {"cmd": "bq-codes", "out": args.out_dir}
         audit.update(meta)
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "bq-codes-append":
+        from mimic2ts_spark.operators.pq import append_bq_artifact
+
+        delta = spark.read.parquet(args.delta)
+        audit = {"cmd": "bq-codes-append", "out": args.out_dir}
+        audit.update(
+            append_bq_artifact(
+                spark, args.out_dir, delta,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+        )
         audit["runtime_seconds"] = round(time.time() - t0, 3)
         print(json.dumps(audit))
         release_storage(spark)

@@ -1591,3 +1591,38 @@ def serve_bq_artifact(
     return _bq_rescore_candidates(
         cands, src, queries, k, id_col=id_col, vec_col=vec_col
     )
+
+
+def append_bq_artifact(
+    spark,
+    out_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Insert a NEW-ids delta batch into the persisted BQ index at
+    O(delta) cost: the sign pack is ROW-LOCAL (each code is a pure
+    function of its own vector), so delta codes append and NOTHING
+    rescores or rewrites — append-then-serve bit-equals a from-scratch
+    rebuild by construction (pytest-pinned; contrast the knn-graph
+    append, whose reverse edges must rescore). Single-writer layout
+    like every versioned/maintained artifact."""
+    import json
+    import os
+
+    meta = _read_bq_meta(out_dir)
+    codes = bq_codes(delta, id_col=id_col, vec_col=vec_col)
+    codes.write.mode("append").parquet(os.path.join(out_dir, "codes"))
+    n = spark.read.parquet(os.path.join(out_dir, "codes")).count()
+    meta["n"] = n
+    with open(os.path.join(out_dir, BQ_META), "w") as f:
+        json.dump(meta, f)
+    return {"n": n, "delta": codes.count()}
+
+
+def _read_bq_meta(out_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(out_dir, BQ_META)) as f:
+        return json.load(f)

@@ -270,6 +270,39 @@ def test_maintain_bq_codes_artifact(spark, tmp_path, capsys):
     assert served_r == fresh_r and served_r
 
 
+def test_maintain_bq_codes_append_equals_rebuild(spark, tmp_path, capsys):
+    """`bq-codes-append` inserts a NEW-ids delta at O(delta) cost and —
+    because the sign pack is ROW-LOCAL — the appended index serves
+    BIT-EQUAL to a from-scratch rebuild over the grown corpus (the
+    strong form the knn-graph append can only approximate)."""
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.pq import serve_bq_artifact
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = vecs.where(F.col("vec_id") % 2 == 0)
+    delta = vecs.where(F.col("vec_id") % 2 == 1)
+    bdir, ddir = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    base.write.parquet(bdir)
+    delta.write.parquet(ddir)
+
+    grown = str(tmp_path / "bq_grown")
+    main(["bq-codes", grown, bdir])
+    main(["bq-codes-append", grown, ddir])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "bq-codes-append"
+    assert audit["n"] == vecs.count() and audit["delta"] == delta.count()
+
+    rebuilt = str(tmp_path / "bq_rebuilt")
+    main(["bq-codes", rebuilt, f"{SF}/embeddings.parquet"])
+
+    qs = vecs.where(F.col("vec_id") < 4)
+    a = {tuple(r) for r in serve_bq_artifact(spark, grown, qs, k=5).collect()}
+    b = {tuple(r) for r in serve_bq_artifact(spark, rebuilt, qs, k=5).collect()}
+    assert a == b and a
+
+
 def test_maintain_ivf_build_and_append(spark, tmp_path, capsys):
     """IVF index as maintained table state: build persists cells JSON +
     postings parquet; append assigns a delta against the LOADED cells
