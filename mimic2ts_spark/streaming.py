@@ -1247,3 +1247,36 @@ def docs_stream_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch view of the documents table (the accepted-corpus side of
     the ingest splits)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def run_bq_ingest_available_now(
+    spark: SparkSession,
+    out_dir: str,
+    stream: DataFrame,
+) -> dict:
+    """Streaming BQ index ingest (X220 — the live form of `maintain
+    bq-codes-append`): each microbatch packs its vectors to the 8-byte
+    sign codes and appends them to the artifact via append_bq_artifact.
+    The pack is a STATELESS row-local projection — the strongest case
+    of the X204 drain contract: the drained codes table is a pure
+    function of the final vector set under ANY batching, and artifact
+    serving after the drain bit-equals a from-scratch rebuild
+    (pytest-pinned with maxFilesPerTrigger=1). No watermark, no state
+    store — the whole operator is a projection plus the artifact's
+    append discipline (single-writer, like every maintained table)."""
+    from mimic2ts_spark.operators.pq import append_bq_artifact
+
+    totals = {"batches": 0, "rows": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        audit = append_bq_artifact(spark, out_dir, batch_df)
+        totals["batches"] += 1
+        totals["rows"] += audit["delta"]
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dict(totals)

@@ -3272,6 +3272,44 @@ def test_stream_sq8_stats_multibatch_equals_batch(spark, tmp_path):
     assert served == batch and len(served) == 64
 
 
+def test_stream_bq_ingest_multibatch_equals_rebuild(spark, tmp_path):
+    """X220: streaming BQ index ingest is BATCHING-INVARIANT in the
+    strongest form — the pack is a stateless row-local projection, so
+    an empty index grown by THREE microbatches (maxFilesPerTrigger=1)
+    serves bit-equal to a one-shot `bq-codes` rebuild over the same
+    vectors."""
+    from mimic2ts_spark.operators.pq import (
+        build_bq_artifact,
+        serve_bq_artifact,
+    )
+    from mimic2ts_spark.streaming import run_bq_ingest_available_now
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = embs.toPandas()
+    stage = tmp_path / "embs"
+    stage.mkdir()
+    for i in range(3):
+        pdf[pdf.index % 3 == i].to_parquet(stage / f"e{i}.parquet", index=False)
+
+    # seed an EMPTY artifact, then drain the stream into it
+    grown = str(tmp_path / "bq_grown")
+    build_bq_artifact(spark, grown, embs.where(F.lit(False)))
+    delta = (
+        spark.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    totals = run_bq_ingest_available_now(spark, grown, delta)
+    assert totals["batches"] == 3 and totals["rows"] == embs.count()
+
+    rebuilt = str(tmp_path / "bq_rebuilt")
+    build_bq_artifact(spark, rebuilt, embs)
+    qs = embs.where(F.col("vec_id") < 4)
+    a = {tuple(r) for r in serve_bq_artifact(spark, grown, qs, k=5).collect()}
+    b = {tuple(r) for r in serve_bq_artifact(spark, rebuilt, qs, k=5).collect()}
+    assert a == b and a
+
+
 def test_theil_sen_resists_outlier_day(spark, tmp_path):
     """X205: the reason Theil-Sen exists — one spike day on a clean
     count ramp must leave the pairwise-median slope at the true value
