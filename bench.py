@@ -497,7 +497,13 @@ def main() -> None:
             # real workload is its own best instrument; a uniform
             # cross-family ratio with no plan changes is the documented
             # host-drift signature, r08). Triage per-query regressions
-            # against THIS norm first.
+            # against THIS norm first. LATEST baseline only (ADVICE
+            # r11): _GATE_CHANGED_THIS_ROUND describes edits since the
+            # previous round — against older baselines, queries changed
+            # in the intervening rounds would wrongly count as
+            # "untouched" and bias the drift estimate.
+            if rnd != f"r{max(rounds):02d}":
+                continue
             try:
                 from mimic2ts_spark.harness import (
                     _GATE_CHANGED_THIS_ROUND as _chg,

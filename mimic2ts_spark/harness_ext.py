@@ -2147,6 +2147,19 @@ def _q_ann_filtered_sql():
     )
     cos = S.sql_cosine("qq.embedding", "nn.embedding")
     cos_exact = S.sql_cosine("q.embedding", "v.embedding")
+    # probes rides the kmeans chain only (flt_base / its final centroid
+    # CTE), so it belongs immediately after that chain — appended HERE,
+    # before the per-label branches that reference it, instead of the
+    # former back-computed parts.insert(len(parts)-6, ...) whose magic
+    # count broke silently when a per-label CTE was added (ADVICE r11).
+    parts.append(f"""flt_probes AS (
+    SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_SQL_DIST}, c.cid) AS rn
+        FROM flt_base b CROSS JOIN {final_c} c WHERE b.vec_id < {nq}
+    ) WHERE rn <= {IVF_NPROBE}
+)""")
     branches = []
     for label, pred in (
         ("selective", "vec_id % 16 = 1"),
@@ -2188,16 +2201,6 @@ def _q_ann_filtered_sql():
     ) WHERE rn <= {k} AND NOT ({gate}))""")
         branches += [f"SELECT * FROM {label}_exact",
                      f"SELECT * FROM {label}_ivf"]
-    probes = f"""flt_probes AS (
-    SELECT vec_id AS query_id, cid AS cell FROM (
-        SELECT b.vec_id, c.cid,
-               row_number() OVER (PARTITION BY b.vec_id
-                                  ORDER BY {_SQL_DIST}, c.cid) AS rn
-        FROM flt_base b CROSS JOIN {final_c} c WHERE b.vec_id < {nq}
-    ) WHERE rn <= {IVF_NPROBE}
-)"""
-    # probes must precede the per-label branches that reference it
-    parts.insert(len(parts) - 6, probes)
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(branches)
 
 

@@ -1114,7 +1114,10 @@ def canonical_delta_edges(
         threshold=threshold, text_col="text", id_col="doc_id",
     ).select(F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b"))
     within = minhash_lsh_pairs(
-        new_canon_docs, text_col="text", id_col="doc_id", threshold=threshold
+        new_canon_docs, text_col="text", id_col="doc_id", threshold=threshold,
+        # canonicals are distinct on the probe key by construction — skip
+        # the probe job (ADVICE r11: every delta batch paid it for nothing)
+        on_duplicates="ignore",
     ).select("doc_a", "doc_b")
     edges = exact_edges.unionByName(intra_edges).unionByName(cross).unionByName(within)
     return edges, new_canon_docs, new_exact_rows

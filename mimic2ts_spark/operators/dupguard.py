@@ -35,7 +35,8 @@ next to the quadratic blow-up it prevents, and paid once per build for
 the artifact-memoized callers (knn_graph).
 
 PROBE MEMO (r11, VERDICT r10 #3/#4 + ADVICE r10): the probe MEASUREMENT
-is memoized driver-side per (api, df.semanticHash()) — Spark's
+is memoized driver-side per (api, df.semanticHash(), key-expr, id_col)
+— the plan component is Spark's
 canonicalized-plan hash, which distinguishes paths, literals and even
 LocalRelation data, and survives persist() — so registered baselines
 pay the probe job once per (corpus, api, process) instead of once per
@@ -131,7 +132,10 @@ def check_duplicate_share(
     quantized-coordinate md5 for vectors)."""
     if on_duplicates == "ignore":
         return
-    mk = (api, _plan_digest(df))
+    # key includes the probe expression and id column (ADVICE r11): two
+    # calls to the same api over the same PLAN but different text/id
+    # columns measure different shares and must not share a memo row.
+    mk = (api, _plan_digest(df), str(key), id_col)
     if mk[1] is not None and mk in _PROBE_MEMO:
         PROBE_STATS["hits"] += 1
         n, d = _PROBE_MEMO[mk]
@@ -165,7 +169,7 @@ def check_edge_degree(
     past DUP_GUARD_DEGREE once DUP_GUARD_MIN_EDGES edges are sampled."""
     if on_duplicates == "ignore":
         return
-    mk = (api, _plan_digest(edges))
+    mk = (api, _plan_digest(edges), src_col)
     if mk[1] is not None and mk in _PROBE_MEMO:
         PROBE_STATS["hits"] += 1
         n, mx = _PROBE_MEMO[mk]

@@ -1606,18 +1606,37 @@ def append_bq_artifact(
     rescores or rewrites — append-then-serve bit-equals a from-scratch
     rebuild by construction (pytest-pinned; contrast the knn-graph
     append, whose reverse edges must rescore). Single-writer layout
-    like every versioned/maintained artifact."""
+    like every versioned/maintained artifact.
+
+    IDEMPOTENT on redelivery (ADVICE r11): the NEW-ids contract is
+    ENFORCED, not documented — delta ids already present in the stored
+    codes are anti-joined away before the append (one slim scan of the
+    8-byte/row codes table), so a failed-then-rerun streaming ingest
+    (X220's foreachBatch makes redelivery realistic) or an
+    overlapping-id delta appends nothing twice. A duplicated code row
+    would otherwise occupy two of the k Hamming slots in served top-k,
+    silently displacing a real neighbor."""
     import json
     import os
 
     meta = _read_bq_meta(out_dir)
-    codes = bq_codes(delta, id_col=id_col, vec_col=vec_col)
-    codes.write.mode("append").parquet(os.path.join(out_dir, "codes"))
-    n = spark.read.parquet(os.path.join(out_dir, "codes")).count()
+    codes_path = os.path.join(out_dir, "codes")
+    stored_ids = spark.read.parquet(codes_path).select("vec_id")
+    codes = (
+        bq_codes(delta, id_col=id_col, vec_col=vec_col)
+        .join(stored_ids, "vec_id", "left_anti")
+        # settle the pack AND the stored-ids scan before the append
+        # touches the directory being read
+        .localCheckpoint(eager=True)
+    )
+    n_new = codes.count()
+    if n_new:
+        codes.write.mode("append").parquet(codes_path)
+    n = spark.read.parquet(codes_path).count()
     meta["n"] = n
     with open(os.path.join(out_dir, BQ_META), "w") as f:
         json.dump(meta, f)
-    return {"n": n, "delta": codes.count()}
+    return {"n": n, "delta": n_new}
 
 
 def _read_bq_meta(out_dir: str) -> dict:

@@ -1253,6 +1253,7 @@ def run_bq_ingest_available_now(
     spark: SparkSession,
     out_dir: str,
     stream: DataFrame,
+    checkpoint_dir: str | None = None,
 ) -> dict:
     """Streaming BQ index ingest (X220 — the live form of `maintain
     bq-codes-append`): each microbatch packs its vectors to the 8-byte
@@ -1263,7 +1264,15 @@ def run_bq_ingest_available_now(
     serving after the drain bit-equals a from-scratch rebuild
     (pytest-pinned with maxFilesPerTrigger=1). No watermark, no state
     store — the whole operator is a projection plus the artifact's
-    append discipline (single-writer, like every maintained table)."""
+    append discipline (single-writer, like every maintained table).
+
+    REDELIVERY-SAFE (ADVICE r11): foreachBatch gives at-least-once
+    delivery on restart, so append_bq_artifact enforces the NEW-ids
+    contract itself — already-stored ids are anti-joined away before
+    the append (pytest: a replayed batch appends 0 rows and serving is
+    unchanged). Pass checkpoint_dir to ALSO skip committed batches at
+    the source on restart (cheaper than re-packing + anti-joining a
+    replayed batch; correctness never depends on it)."""
     from mimic2ts_spark.operators.pq import append_bq_artifact
 
     totals = {"batches": 0, "rows": 0}
@@ -1273,10 +1282,9 @@ def run_bq_ingest_available_now(
         totals["batches"] += 1
         totals["rows"] += audit["delta"]
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return dict(totals)

@@ -3310,6 +3310,44 @@ def test_stream_bq_ingest_multibatch_equals_rebuild(spark, tmp_path):
     assert a == b and a
 
 
+def test_bq_append_idempotent_on_redelivery(spark, tmp_path):
+    """ADVICE r11: append_bq_artifact ENFORCES the NEW-ids contract —
+    a replayed delta (the foreachBatch at-least-once redelivery case)
+    appends 0 rows, a mixed old/new delta appends only the new ids, and
+    serving after the redelivery bit-equals the no-redelivery state (a
+    duplicated code row would occupy two of the k Hamming slots)."""
+    from mimic2ts_spark.operators.pq import (
+        append_bq_artifact,
+        build_bq_artifact,
+        serve_bq_artifact,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = embs.where(F.col("vec_id") % 3 != 0)
+    out = str(tmp_path / "bq")
+    build_bq_artifact(spark, out, base)
+    qs = embs.where(F.col("vec_id") < 4)
+    before = {tuple(r) for r in serve_bq_artifact(spark, out, qs, k=5).collect()}
+
+    # full redelivery of already-stored ids: nothing appends
+    replay = append_bq_artifact(spark, out, base)
+    assert replay["delta"] == 0 and replay["n"] == base.count()
+
+    # mixed delta: only the genuinely new ids land
+    mixed = embs.where((F.col("vec_id") % 3 == 0) | (F.col("vec_id") % 3 == 1))
+    grown = append_bq_artifact(spark, out, mixed)
+    assert grown["delta"] == embs.where(F.col("vec_id") % 3 == 0).count()
+    assert grown["n"] == embs.count()
+
+    # served top-k over the base ids is a superset question — redo the
+    # no-redelivery build and compare served rows exactly
+    clean = str(tmp_path / "bq_clean")
+    build_bq_artifact(spark, clean, embs)
+    a = {tuple(r) for r in serve_bq_artifact(spark, out, qs, k=5).collect()}
+    b = {tuple(r) for r in serve_bq_artifact(spark, clean, qs, k=5).collect()}
+    assert a == b and before and a
+
+
 def test_theil_sen_resists_outlier_day(spark, tmp_path):
     """X205: the reason Theil-Sen exists — one spike day on a clean
     count ramp must leave the pairwise-median slope at the true value
