@@ -2545,6 +2545,47 @@ def test_knn_beam_recall_floor(spark, embs):
     assert hit / tot >= 0.90
 
 
+def test_graph_serving_cap_guard(spark, embs, tmp_path, monkeypatch):
+    """VERDICT r11 #2: the graph-tier serving budget is a GUARD, not a
+    README note — serving at/past GRAPH_SERVE_MAX_N raises naming the
+    SQ8/IVF/brute tiers ('warn' serves with a RuntimeWarning); below
+    the cap it is silent. The artifact path fires off a stub-size META
+    (no count job), the scan path off the memoized dial count."""
+    import json
+    import warnings
+
+    import pytest as _pytest
+
+    from mimic2ts_spark.harness_ext import _knn_graph
+    from mimic2ts_spark.operators import knn as K
+
+    qs = embs.where(F.col("vec_id") < 2)
+    g = _knn_graph(spark, f"{SF}")
+
+    # silent below the cap (real corpus is ~500-2000 vectors)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        K.knn_beam_topk(embs, qs, g, k=3).count()
+
+    # scan path: shrink the cap so the memoized count crosses it
+    monkeypatch.setattr(K, "GRAPH_SERVE_MAX_N", 10)
+    with _pytest.raises(K.GraphTierOverCapacity, match="sq8_l2_panel"):
+        K.knn_beam_topk(embs, qs, g, k=3)
+    with _pytest.warns(RuntimeWarning, match="ivf_topk"):
+        got = K.knn_beam_topk(embs, qs, g, k=3, on_scale="warn")
+    assert got.count() > 0  # warn mode still serves
+
+    # artifact path: guard reads the STUB meta n, never a count job
+    monkeypatch.setattr(K, "GRAPH_SERVE_MAX_N", 1_000_000)
+    art = str(tmp_path / "kg")
+    K.build_knn_artifact(spark, art, embs.where(F.col("vec_id") < 64))
+    meta = json.load(open(f"{art}/{K.KNN_META}"))
+    meta["n"] = 2_000_000
+    json.dump(meta, open(f"{art}/{K.KNN_META}", "w"))
+    with _pytest.raises(K.GraphTierOverCapacity, match="brute_force_topk"):
+        K.serve_knn_artifact(spark, art, qs, k=3)
+
+
 def test_bq_pack_and_panel_replay(spark, embs):
     """X218 BQ tier: the packed sign lanes equal a python MSB-first
     fold bit-for-bit, and the Hamming panel equals a numpy replay
