@@ -61,6 +61,29 @@ from pyspark.sql import functions as F
 _PROBE_MEMO: dict = {}
 PROBE_STATS = {"jobs": 0, "hits": 0}
 
+# plan-hash -> row count: the probe-memo pattern applied to ROUTING
+# scalars (VERDICT r11 #3) — serving calls that derive dials / routes /
+# budget decisions from a corpus count share ONE slim count job per
+# (plan, process) instead of paying a corpus scan per call. Plain ints:
+# immune to release_storage, never registered as a plan cache. Same
+# staleness caveat as the probe memo — an in-place file rewrite serves
+# a stale ROUTING decision (plan choice / guard outcome), never wrong
+# data; artifact-served paths read n from their meta instead.
+_COUNT_MEMO: dict = {}
+COUNT_STATS = {"jobs": 0, "hits": 0}
+
+
+def memoized_count(df: DataFrame) -> int:
+    key = _plan_digest(df)
+    if key is not None and key in _COUNT_MEMO:
+        COUNT_STATS["hits"] += 1
+        return _COUNT_MEMO[key]
+    n = df.count()
+    COUNT_STATS["jobs"] += 1
+    if key is not None:
+        _COUNT_MEMO[key] = n
+    return n
+
 
 def _plan_digest(df: DataFrame):
     """Canonicalized-plan hash of `df`, or None when unavailable (memo

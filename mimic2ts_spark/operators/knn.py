@@ -190,22 +190,10 @@ def serving_dials(n: int) -> tuple[int, int, int]:
 
 # driver-side corpus-size memo keyed on the canonicalized plan hash
 # (the dupguard probe-memo pattern): serving queries sharing a corpus
-# derive dials from ONE slim count job per process. Plain ints — immune
-# to release_storage, never registered as a plan cache.
-_COUNT_MEMO: dict = {}
-
-
-def _memoized_count(df: DataFrame) -> int:
-    try:
-        key = df.semanticHash()
-    except Exception:
-        key = None
-    if key is not None and key in _COUNT_MEMO:
-        return _COUNT_MEMO[key]
-    n = df.count()
-    if key is not None:
-        _COUNT_MEMO[key] = n
-    return n
+# derive dials from ONE slim count job per process. Shared with the
+# similarity.py routing scalars since r12 (VERDICT r11 #3) — one memo,
+# one job-count pin (dupguard.COUNT_STATS).
+from mimic2ts_spark.operators.dupguard import memoized_count as _memoized_count
 
 
 def _probe_hash(id_col: F.Column, j: F.Column) -> F.Column:

@@ -468,11 +468,14 @@ def ivf_topk(
     is the exact cosine expression, so the DuckDB oracle (unrolled
     k-means CTEs + the same (d, cid)-ranked probes + cosine row_number)
     matches bit-for-bit. n_centroids=None derives cells from the corpus
-    size (derived_cells — one count() scalar job), the nlist-grows-with-n
-    rule that keeps per-probe work bounded at any scale."""
+    size (derived_cells — one MEMOIZED slim count per corpus per
+    process, VERDICT r11 #3: a serving call must not pay a corpus scan
+    for a routing scalar), the nlist-grows-with-n rule that keeps
+    per-probe work bounded at any scale."""
+    from mimic2ts_spark.operators.dupguard import memoized_count
     from mimic2ts_spark.operators.kmeans import train_coarse
 
-    n = vectors.count()
+    n = memoized_count(vectors.select(id_col))
     if n_centroids is None:
         n_centroids = derived_cells(n)
     cents = train_coarse(
@@ -799,9 +802,10 @@ def ivf_delta_assign(
     Assignment uses the identical int-L2 kernel the training minimized
     (kmeans._assign_kernel), so delta rows are bit-compatible with the
     base assignment and the unrolled-CTE oracle."""
+    from mimic2ts_spark.operators.dupguard import memoized_count
     from mimic2ts_spark.operators.kmeans import train_coarse
 
-    n = vectors.count()
+    n = memoized_count(vectors.select(id_col))
     if n_centroids is None:
         n_centroids = derived_cells(n)
     cents = train_coarse(
@@ -929,8 +933,11 @@ def embedding_near_dup_pairs(
     base = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     # ENFORCED broadcast budget (VERDICT r08 #5): a comment is not a
     # guard. The count runs on the slim id column (column-pruned scan)
-    # before any vector bytes move to the driver.
-    n_vecs = vectors.select(id_col).count()
+    # before any vector bytes move to the driver — memoized per plan
+    # (guard-outcome staleness only, the dupguard caveat).
+    from mimic2ts_spark.operators.dupguard import memoized_count
+
+    n_vecs = memoized_count(vectors.select(id_col))
     if n_vecs > max_rows:
         raise ValueError(
             f"embedding_near_dup_pairs is the exact BROADCAST path: "
@@ -1079,12 +1086,16 @@ def filtered_topk(
       must NOT retrain anything) and semi-join candidates against
       `allowed` BEFORE the per-query top-k, so the cut always ranks k
       allowed survivors when the probes contain them.
-    Both branch decisions are bounded driver scalars (two slim counts);
-    the returned `route` column pins the decision into the oracle hash.
+    Both branch decisions are bounded driver scalars (two slim counts,
+    MEMOIZED per plan — repeated serving over the same corpus/filter
+    pays no count job, VERDICT r11 #3); the returned `route` column
+    pins the decision into the oracle hash.
     """
-    n = vectors.select(id_col).count()
+    from mimic2ts_spark.operators.dupguard import memoized_count
+
+    n = memoized_count(vectors.select(id_col))
     ids = allowed.select(F.col(allowed.columns[0]).alias(id_col))
-    n_allowed = ids.count()
+    n_allowed = memoized_count(ids)
     if n_allowed * FILTERED_SELECTIVE_DEN <= n:
         sub = vectors.join(ids, id_col, "left_semi")
         return brute_force_topk(

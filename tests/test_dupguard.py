@@ -180,6 +180,37 @@ def test_probe_memo_runs_one_job_per_corpus_api(spark):
     assert after["hits"] == mid["hits"] + 1
 
 
+def test_routing_count_memo_runs_one_job_per_plan(spark):
+    """VERDICT r11 #3: serving calls deriving routing scalars from a
+    corpus count (IVF cells, filtered-ANN selectivity, broadcast
+    budget) share ONE slim count job per (plan, process) via
+    dupguard.memoized_count — a second identical call runs ZERO count
+    jobs, and distinct plans (a different allowed filter) still get
+    their own measurement."""
+    from mimic2ts_spark.operators import dupguard
+    from mimic2ts_spark.operators.similarity import filtered_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = embs.where(F.col("vec_id") < 2)
+    allowed = embs.where(F.col("vec_id") % 16 == 1).select("vec_id")
+
+    before = dict(dupguard.COUNT_STATS)
+    filtered_topk(embs, qs, allowed, k=3, cache_key="sf0.001:memo_pin")
+    mid = dict(dupguard.COUNT_STATS)
+    # first call: ≤2 count jobs (corpus n + allowed n; 0/1 if an
+    # earlier test already counted one of the plans)
+    assert mid["jobs"] - before["jobs"] <= 2
+    filtered_topk(embs, qs, allowed, k=3, cache_key="sf0.001:memo_pin")
+    after = dict(dupguard.COUNT_STATS)
+    assert after["jobs"] == mid["jobs"]  # second call: memo hits only
+    assert after["hits"] >= mid["hits"] + 2
+
+    # a DIFFERENT allowed plan must not share the selectivity scalar
+    other = embs.where(F.col("vec_id") % 16 == 2).select("vec_id")
+    filtered_topk(embs, qs, other, k=3, cache_key="sf0.001:memo_pin")
+    assert dupguard.COUNT_STATS["jobs"] == after["jobs"] + 1
+
+
 def test_refused_call_leaves_no_cached_blocks(spark):
     """A raise must unpersist the probe's just-persisted base (ADVICE
     r10): repeated refused calls in a long session must not accumulate
