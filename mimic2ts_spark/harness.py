@@ -2253,26 +2253,25 @@ _CORE_REGISTRY = dict(REGISTRY)
 # pay for any net growth by keeping this changed-list small — every
 # never-verified query auto-claims a slot ahead of the stale tail.
 _GATE_CHANGED_THIS_ROUND = [
-    # r11: entries appended per in-round edit (new queries need no slot —
-    # never-verified sorts first automatically). Window = 50, r06-stale
-    # tail = 42 (VERDICT r10 #1), so ≤ 8 changed entries still drain the
-    # whole tail this round; this list holds 7, and ONE new registration
-    # (q_ann_filtered, X219 — never-verified sorts first) claims the 8th
-    # slot: 7 changed + 1 new + 42 stale = 50 exactly.
+    # r12: window = 50, r07-stale tail = 41 (VERDICT r11 #1), so ≤ 9
+    # changed/new entries still drain the whole tail this round.
+    # VALUE-CHANGING edit (claims a slot): q_ann_filtered gained the
+    # X221 quantized-tier legs (route 'bq'/'sq8' on both fsets — the
+    # zero-gate-slot consolidation pattern, but the report's OUTPUT
+    # changed so it re-verifies up front).
+    "q_ann_filtered",
     # No-slot changes, all value-identical by construction and re-proven
     # by the committed full local sweep (the r10 safe-drop rule):
-    # q_dedup_recall / q_dedup_pipeline / q_retrieval_map gained
-    # on_duplicates='ignore' on canonical inputs (no probe existed
-    # before — plans unchanged); q_dedup_containment gained only
-    # unpersist-on-raise around its existing probe (default path
-    # identical).
-    # r11: warn-mode dup-guard probes added to the remaining raw pair
-    # baselines (VERDICT r10 #2 item); outputs unchanged by construction
-    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_ngram_blocked",
-    "q_dedup_simhash", "q_graph_communities",
-    # r11: serving dials now derive from corpus size (floors at every
-    # gate scale, so values identical; one memoized count job added)
-    "q_ann_knn_beam", "q_ann_recall",
+    # - memoized routing counts (VERDICT r11 #3): q_ann_ivf /
+    #   q_ann_incremental / q_dedup_semantic pay fewer count JOBS,
+    #   outputs and plans otherwise unchanged;
+    # - graph-tier serving cap guard (VERDICT r11 #2): silent below 1M
+    #   vectors, so q_ann_knn_beam / q_ann_recall values identical;
+    # - incremental minhash append passes on_duplicates='ignore' on its
+    #   provably-distinct canonicals (ADVICE r11) — probe job removed,
+    #   values identical;
+    # - q_ann_filtered oracle CTE reordering (ADVICE r11) is
+    #   order-only; the report re-verifies anyway via its slot above.
 ]
 
 

@@ -2117,31 +2117,59 @@ def q_ann_filtered(spark, sf_dir):
       the textbook wrong form that silently under-returns on selective
       filters — is never executed.
     The oracle mirrors the routing with the same scalar-count gate on
-    each branch (both branches composed, exactly one returns rows)."""
+    each branch (both branches composed, exactly one returns rows).
+
+    r12 (X221, VERDICT r11 #4): the report also exercises the QUANTIZED
+    serving tiers' filtered forms on both fsets — route 'bq' (allowed
+    semi-joins the packed 8-byte codes BEFORE the Hamming top-cand cut,
+    exact-cosine rescore of the survivors) and route 'sq8' (decode-L2
+    candidates over the allowed subset, quantizer stats trained ONCE on
+    the full corpus and shared by both fsets — a filter never retrains),
+    consolidated here per the zero-gate-slot growth policy."""
+    from mimic2ts_spark.operators.pq import _quant_base, sq8_int_stats
+
     embs = _embs(spark, sf_dir)
     qs = embs.where(F.col("vec_id") < FILTERED_PANEL_NQ)
+    sq8_stats = sq8_int_stats(_quant_base(embs, "vec_id", "embedding"))
     legs = []
     for label, pred in (
         ("selective", F.col("vec_id") % 16 == 1),
         ("broad", F.col("vec_id") % 7 != 0),
     ):
         allowed = embs.where(pred).select("vec_id")
+        tag = F.lit(label).alias("fset")
         legs.append(
             S.filtered_topk(
                 embs, qs, allowed, k=FILTERED_K, cache_key=sf_dir
-            ).select(F.lit(label).alias("fset"), "*")
+            ).select(tag, "*")
         )
-    return legs[0].unionByName(legs[1])
+        legs.append(
+            S.filtered_topk_bq(embs, qs, allowed, k=FILTERED_K).select(tag, "*")
+        )
+        legs.append(
+            S.filtered_topk_sq8(
+                embs, qs, allowed, k=FILTERED_K, stats=sq8_stats
+            ).select(tag, "*")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def _q_ann_filtered_sql():
-    from mimic2ts_spark.operators.kmeans import _SQL_DIST, sql_kmeans_parts
+    from mimic2ts_spark.operators.kmeans import (
+        _SQL_DIST,
+        _sql_quant,
+        sql_kmeans_parts,
+    )
+    from mimic2ts_spark.operators.pq import BQ_RESCORE_CAND, sql_bq_lane
     from mimic2ts_spark.operators.similarity import (
         FILTERED_SELECTIVE_DEN,
         IVF_NPROBE,
     )
 
-    nq, k = FILTERED_PANEL_NQ, FILTERED_K
+    nq, k, cand = FILTERED_PANEL_NQ, FILTERED_K, BQ_RESCORE_CAND
     parts, final_a, final_c = sql_kmeans_parts(
         "embeddings", k=S.sql_derived_cells("embeddings"), prefix="flt_"
     )
@@ -2160,6 +2188,39 @@ def _q_ann_filtered_sql():
         FROM flt_base b CROSS JOIN {final_c} c WHERE b.vec_id < {nq}
     ) WHERE rn <= {IVF_NPROBE}
 )""")
+    # shared quantized-tier state (X221): ONE packed-code CTE and ONE
+    # full-corpus sq8 quantizer (stats trained on the whole table — the
+    # filter never retrains) feed both labels' bq/sq8 candidate stages.
+    parts.append(
+        f"fbq AS (SELECT vec_id, {sql_bq_lane('embedding', 0)} AS b0, "
+        f"{sql_bq_lane('embedding', 1)} AS b1 FROM embeddings)"
+    )
+    parts.append(
+        f"fbq_q AS (SELECT vec_id AS query_id, b0 AS q0, b1 AS q1 "
+        f"FROM fbq WHERE vec_id < {nq})"
+    )
+    parts.append(f"""fsq_qb AS MATERIALIZED (
+    SELECT vec_id, s.d AS dim, s.v AS v FROM (
+        SELECT vec_id,
+               unnest(list_transform(generate_series(1, len(x)),
+                   i -> struct_pack(d := CAST(i - 1 AS BIGINT),
+                                    v := x[CAST(i AS INTEGER)]))) AS s
+        FROM (SELECT vec_id, {_sql_quant('embedding')} AS x
+              FROM embeddings) b)
+)""")
+    parts.append(
+        "fsq_st AS (SELECT dim, min(v) AS lo, max(v) AS hi "
+        "FROM fsq_qb GROUP BY 1)"
+    )
+    parts.append("""fsq_dec AS MATERIALIZED (
+    SELECT qb.vec_id, qb.dim,
+           st.lo + (2 * (CASE WHEN st.hi = st.lo THEN 0
+                         ELSE (qb.v - st.lo) * 255 // (st.hi - st.lo) END)
+                    + 1) * (st.hi - st.lo) // 510 AS xh
+    FROM fsq_qb qb JOIN fsq_st st USING (dim)
+)""")
+    parts.append(f"fsq_qr AS (SELECT vec_id, dim, v FROM fsq_qb "
+                 f"WHERE vec_id < {nq})")
     branches = []
     for label, pred in (
         ("selective", "vec_id % 16 = 1"),
@@ -2199,8 +2260,55 @@ def _q_ann_filtered_sql():
         JOIN embeddings qq ON qq.vec_id = c.query_id
         JOIN embeddings nn ON nn.vec_id = c.neighbor_id
     ) WHERE rn <= {k} AND NOT ({gate}))""")
+        parts.append(f"""{label}_bq_cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY bit_count(xor(c.b0, q.q0))
+                            + bit_count(xor(c.b1, q.q1)), c.vec_id) AS rn
+        FROM fbq c
+        JOIN {label}_allowed al ON al.vec_id = c.vec_id
+        CROSS JOIN fbq_q q
+        WHERE c.vec_id <> q.query_id
+    ) WHERE rn <= {cand})""")
+        parts.append(f"""{label}_bq AS (
+    SELECT '{label}' AS fset, 'bq' AS route, query_id, neighbor_id,
+           cosine, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT c.query_id, c.neighbor_id, {cos} AS cosine,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY {cos} DESC, c.neighbor_id) AS rn
+        FROM {label}_bq_cand c
+        JOIN embeddings qq ON qq.vec_id = c.query_id
+        JOIN embeddings nn ON nn.vec_id = c.neighbor_id
+    ) WHERE rn <= {k})""")
+        parts.append(f"""{label}_sq8_cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, neighbor_id) AS rn
+        FROM (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   CAST(sum((q.v - d.xh) * (q.v - d.xh)) AS BIGINT) AS d2
+            FROM fsq_qr q
+            JOIN fsq_dec d ON d.dim = q.dim AND d.vec_id <> q.vec_id
+            JOIN {label}_allowed al ON al.vec_id = d.vec_id
+            GROUP BY 1, 2)
+    ) WHERE rn <= {cand})""")
+        parts.append(f"""{label}_sq8 AS (
+    SELECT '{label}' AS fset, 'sq8' AS route, query_id, neighbor_id,
+           cosine, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT c.query_id, c.neighbor_id, {cos} AS cosine,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY {cos} DESC, c.neighbor_id) AS rn
+        FROM {label}_sq8_cand c
+        JOIN embeddings qq ON qq.vec_id = c.query_id
+        JOIN embeddings nn ON nn.vec_id = c.neighbor_id
+    ) WHERE rn <= {k})""")
         branches += [f"SELECT * FROM {label}_exact",
-                     f"SELECT * FROM {label}_ivf"]
+                     f"SELECT * FROM {label}_ivf",
+                     f"SELECT * FROM {label}_bq",
+                     f"SELECT * FROM {label}_sq8"]
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(branches)
 
 

@@ -1136,3 +1136,118 @@ def filtered_topk(
         .where(F.col("rank") <= k)
         .select(F.lit("ivf").alias("route"), "query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _allowed_ids(allowed: DataFrame, id_col: str) -> DataFrame:
+    return allowed.select(F.col(allowed.columns[0]).alias(id_col))
+
+
+def _filtered_cosine_rescore(
+    cands: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    route: str,
+) -> DataFrame:
+    """Exact-cosine rescore of a filtered quantized candidate relation —
+    the shared second stage of the X221 quantized filtered tiers. The
+    candidate set is ≤ |panel|·cand rows, so the coordinate fetches are
+    AQE-broadcast-sized joins and the interpreted cosine HOF stays below
+    the kernel volume knee (the r07 crossover rule)."""
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    nv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = cands.join(nv, "neighbor_id").join(qv, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("nvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.lit(route).alias("route"),
+            "query_id", "neighbor_id", "cosine", "rank",
+        )
+    )
+
+
+def filtered_topk_bq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    allowed: DataFrame,
+    k: int = 5,
+    cand: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(route='bq', query_id, neighbor_id, cosine, rank): filtered ANN
+    served from the BQ tier (X221, VERDICT r11 #4 — the serving ladder's
+    filtered forms): the allowed set semi-joins the PACKED 8-byte codes
+    BEFORE the Hamming top-`cand` cut — the cut always ranks allowed
+    survivors (the under-returning post-filter form is never executed;
+    same pre-cut doctrine as filtered_topk's IVF branch) — then the
+    ≤ |panel|·cand survivors rescore by exact cosine (the X218 two-stage
+    deployed shape, filter-aware). When |allowed| ≤ cand the candidate
+    stage degenerates to ALL allowed ids and recall is 1.0 by
+    construction (the selective-route boundary, pytest-pinned).
+
+    Scale shape: the corpus is touched once through the 8-byte packed
+    scan (64× fewer bytes than float64 coords) already pruned by the
+    filter; no trained state, so nothing can leak filter-dependence
+    into an artifact."""
+    from mimic2ts_spark.operators.pq import BQ_RESCORE_CAND, bq_hamming_panel
+
+    cand = BQ_RESCORE_CAND if cand is None else cand
+    sub = vectors.join(_allowed_ids(allowed, id_col), id_col, "left_semi")
+    cands = bq_hamming_panel(
+        sub, queries, cand, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    return _filtered_cosine_rescore(
+        cands, vectors, queries, k, id_col, vec_col, route="bq"
+    )
+
+
+def filtered_topk_sq8(
+    vectors: DataFrame,
+    queries: DataFrame,
+    allowed: DataFrame,
+    k: int = 5,
+    cand: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: list | None = None,
+) -> DataFrame:
+    """(route='sq8', query_id, neighbor_id, cosine, rank): filtered ANN
+    served from the SQ8 tier (X221): asymmetric int8 decode-L2 over the
+    allowed subset only (the semi-join prunes the codes BEFORE the
+    top-`cand` cut), then exact-cosine rescore of the survivors.
+
+    The quantizer state (per-dim lo/hi) is ARTIFACT state trained on
+    the FULL corpus — `stats` defaults to one corpus agg here but the
+    serving path loads `maintain sq8-stats`; the FILTER must never
+    retrain the quantizer (the filtered_topk cache_key doctrine), or
+    codes would silently change meaning per filter."""
+    from mimic2ts_spark.operators.pq import (
+        BQ_RESCORE_CAND,
+        _quant_base,
+        sq8_int_stats,
+        sq8_l2_panel,
+    )
+
+    cand = BQ_RESCORE_CAND if cand is None else cand
+    if stats is None:
+        stats = sq8_int_stats(_quant_base(vectors, id_col, vec_col))
+    sub = vectors.join(_allowed_ids(allowed, id_col), id_col, "left_semi")
+    cands = sq8_l2_panel(
+        sub, queries, cand, id_col=id_col, vec_col=vec_col, stats=stats
+    ).select("query_id", "neighbor_id")
+    return _filtered_cosine_rescore(
+        cands, vectors, queries, k, id_col, vec_col, route="sq8"
+    )

@@ -2695,6 +2695,48 @@ def test_filtered_topk_routing_and_containment(spark, embs):
     assert all(r.neighbor_id in allowed_b for r in rows_b)
 
 
+def test_filtered_quantized_tiers_pre_cut_and_selective_recall(spark, embs):
+    """X221 (VERDICT r11 #4): the quantized serving tiers' filtered
+    forms obey the same pre-cut doctrine as the IVF branch — every
+    returned neighbor is ALLOWED on both routes at both selectivities
+    (the candidate cut ranks only allowed survivors, never a
+    post-filter), and at high selectivity (|allowed| ≤ cand) the
+    candidate stage degenerates to ALL allowed ids, so both quantized
+    routes return EXACTLY the exact-cosine top-k over the allowed
+    subset — recall 1.0 at the selective boundary by construction."""
+    from mimic2ts_spark.operators.similarity import (
+        brute_force_topk,
+        filtered_topk_bq,
+        filtered_topk_sq8,
+    )
+
+    qs = embs.where(F.col("vec_id") < 4)
+    k = 5
+
+    sel = embs.where(F.col("vec_id") % 16 == 1).select("vec_id")
+    assert sel.count() <= 64  # within the candidate budget → exact
+    sub = embs.join(sel, "vec_id", "left_semi")
+    truth = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(sub, qs, k=k).collect()
+    }
+    for fn, route in ((filtered_topk_bq, "bq"), (filtered_topk_sq8, "sq8")):
+        rows = fn(embs, qs, sel, k=k).collect()
+        assert {r.route for r in rows} == {route}
+        assert {(r.query_id, r.neighbor_id, r.rank) for r in rows} == truth
+
+    broad = embs.where(F.col("vec_id") % 7 != 0).select("vec_id")
+    allowed_b = {r.vec_id for r in broad.collect()}
+    for fn, route in ((filtered_topk_bq, "bq"), (filtered_topk_sq8, "sq8")):
+        rows = fn(embs, qs, broad, k=k).collect()
+        assert {r.route for r in rows} == {route}
+        assert all(r.neighbor_id in allowed_b for r in rows)
+        per_q: dict = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        assert all(sorted(v) == list(range(1, k + 1)) for v in per_q.values())
+
+
 def test_serving_dials_schedule():
     """X181 derived serving dials (VERDICT r10 #2): floors at every
     oracle-gated corpus size (the static SQL mirror's validity regime),
