@@ -385,6 +385,17 @@ def main() -> None:
             for k, v in _probe_pair(spark).items()
         },
         "probe_pre": probe_pre,
+        # A/B verdicts of record for per-query regression triage (the
+        # CLAUDE.md same-session rule): detail-only, one line per
+        # investigated outlier, pruned when superseded.
+        "ab_notes": {
+            "q_dedup_semantic_canonical": (
+                "r12 interleaved A/B vs r10 code (3 process pairs, "
+                "best-of-3 each, same box/day): HEAD 1.90/2.13/1.94 s vs "
+                "r10 2.32/2.36/1.84 s — indistinguishable; the r11 "
+                "0.88->1.39 s delta was environment, not code"
+            ),
+        },
     }
     vs_totals: dict[str, float] = {}
 
