@@ -869,7 +869,8 @@ def test_registry_global_plan_invariants(utc):
         "q_ann_filtered",  # declared exact route over the allowed subset (bounded 8-query side)
         "q_mmr_rerank",  # declared brute-force candidate leg (bounded query side)
         "q_sketch_join_card",  # four 1-row scalar sketch/exact cross joins
-        "q_search_substring",  # k-row needle-panel broadcast cross join (declared)
+        # (q_search_substring retired from the registry r12 — the indexed
+        # twin's exact verify joins candidates by doc_id, no cross join)
         "q_ann_knn_beam",  # 4-row entry-seed scalar cross join (declared)
         "q_retrieval_mrr",  # 1-row corpus-totals scalar cross join (BM25)
         "q_retrieval_map",  # same 1-row corpus-totals scalar cross join
