@@ -133,11 +133,11 @@ HEADLINE = [
     "q_graph_communities_canonical",
     "q_dedup_semantic_canonical",
     "q_record_linkage",
-    # round 7: HLL sketch + token-phrase search
+    # round 7: HLL sketch + token-phrase search (the scan-form
+    # q_search_phrase / q_search_substring rows retired r12 with their
+    # registry entries — the *_indexed twins below carry the timing)
     "q_sketch_hll",
-    "q_search_phrase",
     "q_sketch_ddq",
-    "q_search_substring",
     "q_dedup_recall",
     "q_trend_daily",
     "q_ann_lsh_multiprobe",

@@ -1572,16 +1572,25 @@ def serve_bq_artifact(
     cand: int = BQ_RESCORE_CAND,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k from the persisted BQ codes without re-packing the corpus
     — the index read is 8 bytes/vector instead of the 512-byte float64
     coordinates. Hamming-only when `src` is None; with `src` (the raw
     vector table) the deployed two-stage shape runs: Hamming top-`cand`
     candidates from the artifact, exact quantized-int-L2 rescore
-    against `src` coordinates fetched for candidates only."""
+    against `src` coordinates fetched for candidates only.
+
+    `allowed` (a one-column id relation, X221) semi-joins the STORED
+    codes BEFORE the Hamming cut — the artifact-served filtered form:
+    the cut always ranks allowed survivors (never a post-filter), and
+    the filter prunes the 8-byte scan itself."""
     import os
 
     codes = spark.read.parquet(os.path.join(out_dir, "codes"))
+    if allowed is not None:
+        ids = allowed.select(F.col(allowed.columns[0]).alias("vec_id"))
+        codes = codes.join(ids, "vec_id", "left_semi")
     q_rows = _bq_q_rows(queries, id_col, vec_col)
     if src is None:
         return _bq_hamming_from_codes(codes, q_rows, k)

@@ -3431,6 +3431,43 @@ def test_bq_append_idempotent_on_redelivery(spark, tmp_path):
     assert a == b and before and a
 
 
+def test_bq_artifact_filtered_serve_pre_cut(spark, tmp_path):
+    """X221 on the ARTIFACT path: serve_bq_artifact(allowed=...) semi-
+    joins the stored codes BEFORE the Hamming cut — served rows equal
+    the scan-form Hamming panel over the allowed subset exactly (never
+    a post-filtered full top-k), on both the Hamming-only and the
+    two-stage rescored shapes."""
+    from mimic2ts_spark.operators.pq import (
+        bq_hamming_panel,
+        bq_rescore_panel,
+        build_bq_artifact,
+        serve_bq_artifact,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = str(tmp_path / "bq")
+    build_bq_artifact(spark, out, embs)
+    qs = embs.where(F.col("vec_id") < 4)
+    allowed = embs.where(F.col("vec_id") % 5 == 1).select("vec_id")
+    sub = embs.join(allowed, "vec_id", "left_semi")
+
+    served = {
+        tuple(r)
+        for r in serve_bq_artifact(spark, out, qs, k=5, allowed=allowed).collect()
+    }
+    scan = {tuple(r) for r in bq_hamming_panel(sub, qs, k=5).collect()}
+    assert served == scan and served
+
+    served2 = {
+        tuple(r)
+        for r in serve_bq_artifact(
+            spark, out, qs, k=5, src=sub, allowed=allowed
+        ).collect()
+    }
+    scan2 = {tuple(r) for r in bq_rescore_panel(sub, qs, k=5).collect()}
+    assert served2 == scan2 and served2
+
+
 def test_theil_sen_resists_outlier_day(spark, tmp_path):
     """X205: the reason Theil-Sen exists — one spike day on a clean
     count ramp must leave the pairwise-median slope at the true value
