@@ -129,6 +129,7 @@ HEADLINE = [
     # round 7: two-leg recall eval + exact-first compositions
     "q_ann_recall",
     "q_ann_filtered",  # r11 X219 — selectivity-routed filtered ANN
+    "q_ann_ivf_indexed",  # r12 X222 — IVF served from the persisted index
     "q_dedup_containment_canonical",
     "q_graph_communities_canonical",
     "q_dedup_semantic_canonical",

@@ -2254,7 +2254,11 @@ _CORE_REGISTRY = dict(REGISTRY)
 # never-verified query auto-claims a slot ahead of the stale tail.
 _GATE_CHANGED_THIS_ROUND = [
     # r12: window = 50, r07-stale tail = 41 (VERDICT r11 #1), so ≤ 9
-    # changed/new entries still drain the whole tail this round.
+    # changed/new entries still drain the whole tail this round. Budget
+    # spent: 1 changed (below) + 1 new registration (q_ann_ivf_indexed,
+    # X222 — never-verified sorts first automatically) + 41 stale = 43;
+    # net registry change this round is −1 (q_search_phrase /
+    # q_search_substring retired, X222 added: 227 entries).
     # VALUE-CHANGING edit (claims a slot): q_ann_filtered gained the
     # X221 quantized-tier legs (route 'bq'/'sq8' on both fsets — the
     # zero-gate-slot consolidation pattern, but the report's OUTPUT

@@ -1827,6 +1827,65 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+# Per-corpus persisted IVF index (the `maintain ivf` layout: centroids
+# JSON + cid-PARTITIONED postings), built once per process behind a
+# disk-path memo — the X177 _search_index_dir pattern (parquet on disk,
+# immune to the gate's release_storage; deterministic training keeps
+# the served oracle hash fixed). train_coarse shares the q_ann_ivf
+# cache_key, so the artifact's cells ARE the scan form's cells.
+_IVF_INDEX_CACHE: dict = {}
+
+
+def _ivf_index_dir(spark, sf_dir):
+    if sf_dir in _IVF_INDEX_CACHE:
+        return _IVF_INDEX_CACHE[sf_dir]
+    import os
+
+    from mimic2ts_spark.operators.dupguard import memoized_count
+    from mimic2ts_spark.operators.kmeans import (
+        KM_ROUNDS,
+        save_centroids,
+        train_coarse,
+    )
+    from mimic2ts_spark.session import session_tmpdir
+
+    out = session_tmpdir(prefix="ivf_idx_")
+    embs = _embs(spark, sf_dir)
+    n = memoized_count(embs.select("vec_id"))
+    cents = train_coarse(
+        embs, S.derived_cells(n), n=n, cache_key=sf_dir
+    )
+    save_centroids(
+        cents, os.path.join(out, "centroids.json"),
+        meta={"n_base": n, "n_cells": len(cents), "rounds": KM_ROUNDS,
+              "id_col": "vec_id", "vec_col": "embedding"},
+    )
+    S.assign_vectors(embs, cents).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(os.path.join(out, "postings"))
+    _IVF_INDEX_CACHE[sf_dir] = out
+    return out
+
+
+def q_ann_ivf_indexed(spark, sf_dir):
+    """X222 — IVF top-k SERVED from the persisted index (`maintain ivf`
+    layout) under the full oracle gate: the X177 served-equals-scan
+    doctrine applied to the ANN ladder's IVF rung (every other rung —
+    PQ codebooks, SQ8 stats, BQ codes, the kNN graph — already serves
+    from its artifact). Trained cells load from the centroids JSON (no
+    retrain, no corpus scan); the probed cell ids (≤ |panel|·nprobe
+    driver ints, the r08 routing pattern) push a static In(cid, …)
+    PARTITION filter into the cid-partitioned postings, so a probe
+    reads only its cells' files; candidates fetch coordinates by key
+    join for the exact cosine re-rank. Oracle = the scan-form SQL
+    (Q_ANN_IVF_SQL) — each gate run re-proves served == scan."""
+    idx = _ivf_index_dir(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    return S.serve_ivf_artifact(
+        spark, idx, embs.where(F.col("vec_id") < 5), embs, k=5
+    )
+
+
 def _q_ann_ivf_sql():
     from mimic2ts_spark.operators.kmeans import _SQL_DIST, sql_kmeans_parts
 
@@ -7983,6 +8042,9 @@ EXT_REGISTRY = {
     "q_kcenter_coreset": (q_kcenter_coreset, Q_KCENTER_CORESET_SQL),
     "q_shard_balanced": (q_shard_balanced, Q_SHARD_BALANCED_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
+    # X222: index-served IVF under the SCAN-form oracle — the hash
+    # compare is the served-equals-scan contract (X177 doctrine).
+    "q_ann_ivf_indexed": (q_ann_ivf_indexed, Q_ANN_IVF_SQL),
     "q_multimodal_features": (q_multimodal_features, Q_MULTIMODAL_SQL),
     "q_multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),
     "q_multimodal_frames": (q_multimodal_frames, Q_MULTIMODAL_FRAMES_SQL),

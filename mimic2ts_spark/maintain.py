@@ -772,9 +772,12 @@ def main(argv: list[str] | None = None) -> None:
                 meta={"n_base": n, "n_cells": len(cents), "rounds": KM_ROUNDS,
                       "id_col": args.id_col, "vec_col": args.vec_col},
             )
+            # cid-partitioned layout: serving probes push a static
+            # In(cid, …) partition filter, so a query reads only its
+            # nprobe cells' files (serve_ivf_artifact, plan-pinned)
             assign_vectors(
                 vecs, cents, id_col=args.id_col, vec_col=args.vec_col
-            ).write.mode("overwrite").parquet(postings_dir)
+            ).write.mode("overwrite").partitionBy("cid").parquet(postings_dir)
             audit = {
                 "cmd": "ivf", "out": args.out_dir, "n_vectors": n,
                 "n_cells": len(cents),
@@ -784,9 +787,11 @@ def main(argv: list[str] | None = None) -> None:
             cents, meta = load_centroids(cents_path)
             delta = spark.read.parquet(args.delta)
             n_delta = delta.count()
+            # append under the same cid-partitioned layout: only the
+            # delta's cells gain files, untouched partitions keep theirs
             assign_vectors(
                 delta, cents, id_col=args.id_col, vec_col=args.vec_col
-            ).write.mode("append").parquet(postings_dir)
+            ).write.mode("append").partitionBy("cid").parquet(postings_dir)
             audit = {
                 "cmd": "ivf-append", "out": args.out_dir, "n_delta": n_delta,
                 "n_cells": len(cents),

@@ -1138,6 +1138,77 @@ def filtered_topk(
     )
 
 
+def serve_ivf_artifact(
+    spark,
+    out_dir: str,
+    queries: DataFrame,
+    src: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k served FROM the persisted IVF index (`maintain ivf` /
+    `ivf-append`) — the artifact-serving rung the rest of the ladder
+    already has (PQ codebooks, SQ8 stats, BQ codes, the kNN graph):
+
+    - trained cells load from the centroids JSON (bounded driver rows —
+      no retrain, no corpus scan; the X146 cross-run contract);
+    - each panel query probes its `nprobe` nearest cells, and the probed
+      cell ids — a bounded driver scalar set, ≤ |panel|·nprobe ints (the
+      r08 MaxScore driver-routing pattern; documented broadcast-budget
+      collect) — push a STATIC In(cid, …) PARTITION filter into the
+      cid-partitioned postings scan, so a probe lists and reads only its
+      cells' files (partition pruning, plan-pinned);
+    - only the surviving candidate ids fetch coordinates from `src` for
+      the exact cosine re-rank — at 100 TB the float corpus is touched
+      per-candidate through a key join, never scanned.
+
+    Deterministic training + the shared tie discipline (int-L2 argmin,
+    ties to the lower cid on BOTH the kernel assignment that built the
+    postings and the probe UDF) make served == scan-form ivf_topk
+    bit-exact; the registered twin's oracle IS the scan-form SQL, so
+    every gate run re-proves served-equals-scan (the X177 doctrine)."""
+    import os
+
+    from mimic2ts_spark.operators.kmeans import load_centroids
+
+    cents, _meta = load_centroids(os.path.join(out_dir, "centroids.json"))
+    cent_ids = np.array([r.cid for r in cents], dtype=np.int64)
+    cent_mat = np.array([list(r.m) for r in cents], dtype=np.int64)
+    probe = _nearest_cells_udf(cent_ids, cent_mat, nprobe)
+    probed = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn("cell", F.explode(probe(F.col("qvec"))))
+    )
+    cells = sorted(
+        int(r["cell"]) for r in probed.select("cell").distinct().collect()
+    )
+    postings = (
+        spark.read.parquet(os.path.join(out_dir, "postings"))
+        .where(F.col("cid").isin(cells))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("cell"))
+    )
+    cand = probed.join(postings, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    coords = src.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = cand.join(coords, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("nvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _allowed_ids(allowed: DataFrame, id_col: str) -> DataFrame:
     return allowed.select(F.col(allowed.columns[0]).alias(id_col))
 

@@ -327,6 +327,32 @@ def test_maintain_ivf_build_and_append(spark, tmp_path, capsys):
     a1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert a1["n_postings"] == a1["n_vectors"] == embs.count()
 
+    # ARTIFACT SERVING (r12), pre-append: top-k from the persisted index
+    # must bit-equal the scan-form ivf_topk on the same corpus
+    # (deterministic training + the shared int-L2/lower-cid tie
+    # discipline), and the postings scan must show the probed-cells
+    # PARTITION filter (cid-partitioned layout: a probe reads only its
+    # cells' files).
+    from mimic2ts_spark.operators.similarity import ivf_topk, serve_ivf_artifact
+
+    qs = embs.where(F.col("vec_id") < 5)
+    served = {
+        tuple(r) for r in serve_ivf_artifact(spark, out, qs, embs, k=5).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in ivf_topk(embs, qs, k=5, cache_key=f"{SF}:ivf_serve_pin").collect()
+    }
+    assert served == direct and served
+
+    plan = serve_ivf_artifact(
+        spark, out, qs, embs, k=5
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    part = plan.split("PartitionFilters", 1)
+    assert len(part) == 2 and "cid" in part[1][:120]
+
     main(["ivf-append", out, delta_dir])
     a2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert a2["n_delta"] == 40
@@ -344,6 +370,16 @@ def test_maintain_ivf_build_and_append(spark, tmp_path, capsys):
         .collect()
     }
     assert got == expect and len(got) == 40
+
+    # the GROWN index serves the delta without retraining: every base
+    # query's twin (+1e6, a byte-identical vector assigned to the same
+    # cell) must now appear at rank 1 — cosine(x, x) tops every other
+    # candidate on this corpus (max other-cosine ~0.4), and the twin is
+    # always probed (it lives in the query's own top-1 cell).
+    grown_src = embs.unionByName(delta)
+    after = serve_ivf_artifact(spark, out, qs, grown_src, k=5).collect()
+    rank1 = {r.query_id: r.neighbor_id for r in after if r.rank == 1}
+    assert rank1 == {q: q + 1_000_000 for q in range(5)}
 
 
 def test_maintain_bpe_artifact(spark, tmp_path, capsys):
