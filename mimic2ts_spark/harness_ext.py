@@ -1433,7 +1433,9 @@ def q_sq8_topk(spark, sf_dir):
 
     embs = _embs(spark, sf_dir)
     qs = embs.where(F.col("vec_id") < SQ8_TOPK_QUERIES)
-    return sq8_l2_panel(embs, qs, k=SQ8_TOPK_K)
+    # quantizer stats are trained state, memoized per corpus (r12 —
+    # the codebook/centroid precedent; deterministic, hash unchanged)
+    return sq8_l2_panel(embs, qs, k=SQ8_TOPK_K, cache_key=sf_dir)
 
 
 def _q_sq8_topk_sql():
@@ -2001,7 +2003,7 @@ def q_ann_recall(spark, sf_dir):
     beam = knn_beam_topk(
         embs, qs, _knn_graph(spark, sf_dir), k=ANN_RECALL_K
     ).select(F.col("qid").alias("query_id"), F.col("nbr").alias("neighbor_id"))
-    sq8 = PQ.sq8_l2_panel(embs, qs, k=ANN_RECALL_K).select(
+    sq8 = PQ.sq8_l2_panel(embs, qs, k=ANN_RECALL_K, cache_key=sf_dir).select(
         "query_id", "neighbor_id"
     )
     # ONE packed bit_count scan serves both BQ legs: the raw leg is the
@@ -2189,7 +2191,9 @@ def q_ann_filtered(spark, sf_dir):
 
     embs = _embs(spark, sf_dir)
     qs = embs.where(F.col("vec_id") < FILTERED_PANEL_NQ)
-    sq8_stats = sq8_int_stats(_quant_base(embs, "vec_id", "embedding"))
+    sq8_stats = sq8_int_stats(
+        _quant_base(embs, "vec_id", "embedding"), cache_key=sf_dir
+    )
     legs = []
     for label, pred in (
         ("selective", F.col("vec_id") % 16 == 1),

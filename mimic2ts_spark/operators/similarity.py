@@ -1294,6 +1294,7 @@ def filtered_topk_sq8(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stats: list | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """(route='sq8', query_id, neighbor_id, cosine, rank): filtered ANN
     served from the SQ8 tier (X221): asymmetric int8 decode-L2 over the
@@ -1314,7 +1315,9 @@ def filtered_topk_sq8(
 
     cand = BQ_RESCORE_CAND if cand is None else cand
     if stats is None:
-        stats = sq8_int_stats(_quant_base(vectors, id_col, vec_col))
+        stats = sq8_int_stats(
+            _quant_base(vectors, id_col, vec_col), cache_key=cache_key
+        )
     sub = vectors.join(_allowed_ids(allowed, id_col), id_col, "left_semi")
     cands = sq8_l2_panel(
         sub, queries, cand, id_col=id_col, vec_col=vec_col, stats=stats
