@@ -784,19 +784,20 @@ def main(argv: list[str] | None = None) -> None:
                 "n_postings": spark.read.parquet(postings_dir).count(),
             }
         else:
-            cents, meta = load_centroids(cents_path)
-            delta = spark.read.parquet(args.delta)
-            n_delta = delta.count()
-            # append under the same cid-partitioned layout: only the
-            # delta's cells gain files, untouched partitions keep theirs
-            assign_vectors(
-                delta, cents, id_col=args.id_col, vec_col=args.vec_col
-            ).write.mode("append").partitionBy("cid").parquet(postings_dir)
-            audit = {
-                "cmd": "ivf-append", "out": args.out_dir, "n_delta": n_delta,
-                "n_cells": len(cents),
-                "n_postings": spark.read.parquet(postings_dir).count(),
-            }
+            # shared append helper (X223): assignment against the loaded
+            # cells, idempotent NEW-ids append under the cid-partitioned
+            # layout — the streaming ingest routes through the same code
+            from mimic2ts_spark.operators.similarity import (
+                append_ivf_artifact,
+            )
+
+            audit = {"cmd": "ivf-append", "out": args.out_dir}
+            audit.update(
+                append_ivf_artifact(
+                    spark, args.out_dir, spark.read.parquet(args.delta),
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            )
         audit["runtime_seconds"] = round(time.time() - t0, 3)
         print(json.dumps(audit))
         release_storage(spark)

@@ -1209,6 +1209,49 @@ def serve_ivf_artifact(
     )
 
 
+def append_ivf_artifact(
+    spark,
+    out_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Grow the persisted IVF index by a delta batch at O(delta) cost
+    (`maintain ivf-append` / the X223 streaming ingest both route
+    here): one kernel assignment against the LOADED cells — no retrain,
+    the X146 contract cross-run — then an append-only write under the
+    cid-partitioned layout (only the delta's cells gain files).
+
+    IDEMPOTENT on redelivery (the append_bq_artifact contract, ADVICE
+    r11): already-stored vec_ids anti-join away before the append — a
+    replayed foreachBatch microbatch cannot double-count a vector into
+    a cell's postings (a duplicated posting would surface the same
+    neighbor twice in served candidates). Returns audit counts;
+    n_delta is the count actually appended."""
+    import os
+
+    from mimic2ts_spark.operators.kmeans import load_centroids
+
+    cents, _meta = load_centroids(os.path.join(out_dir, "centroids.json"))
+    postings_dir = os.path.join(out_dir, "postings")
+    stored = spark.read.parquet(postings_dir).select("vec_id")
+    rows = (
+        assign_vectors(delta, cents, id_col=id_col, vec_col=vec_col)
+        .join(stored, "vec_id", "left_anti")
+        # settle the assignment AND the stored-ids scan before the
+        # append touches the directory being read
+        .localCheckpoint(eager=True)
+    )
+    n_new = rows.count()
+    if n_new:
+        rows.write.mode("append").partitionBy("cid").parquet(postings_dir)
+    return {
+        "n_delta": n_new,
+        "n_cells": len(cents),
+        "n_postings": spark.read.parquet(postings_dir).count(),
+    }
+
+
 def _allowed_ids(allowed: DataFrame, id_col: str) -> DataFrame:
     return allowed.select(F.col(allowed.columns[0]).alias(id_col))
 

@@ -1288,3 +1288,40 @@ def run_bq_ingest_available_now(
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return dict(totals)
+
+
+def run_ivf_ingest_available_now(
+    spark: SparkSession,
+    out_dir: str,
+    stream: DataFrame,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Streaming IVF postings ingest (X223 — the live form of `maintain
+    ivf-append`): each microbatch assigns its vectors against the
+    artifact's LOADED cells (the trained state is FIXED during serving
+    — the X210 classifier-apply shape; retraining writes a new
+    artifact) and appends (vec_id, cid, d) rows under the
+    cid-partitioned postings layout via append_ivf_artifact. Cell
+    assignment is a pure per-row function of the fixed cells, so the
+    drained postings are a pure function of the final vector set under
+    ANY batching — the X204 drain contract in its strong form — and
+    serving after the drain bit-equals a from-scratch assignment
+    (pytest-pinned with maxFilesPerTrigger=1). Redelivery-safe like the
+    BQ ingest: stored ids anti-join away inside the shared append."""
+    from mimic2ts_spark.operators.similarity import append_ivf_artifact
+
+    totals = {"batches": 0, "rows": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        audit = append_ivf_artifact(spark, out_dir, batch_df)
+        totals["batches"] += 1
+        totals["rows"] += audit["n_delta"]
+
+    writer = stream.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return dict(totals)

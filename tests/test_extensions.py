@@ -3393,6 +3393,64 @@ def test_stream_bq_ingest_multibatch_equals_rebuild(spark, tmp_path):
     assert a == b and a
 
 
+def test_stream_ivf_ingest_multibatch_equals_rebuild(spark, tmp_path):
+    """X223: streaming IVF postings ingest is BATCHING-INVARIANT —
+    assignment is a pure per-row function of the FIXED loaded cells, so
+    a base index grown by THREE microbatches (maxFilesPerTrigger=1)
+    holds postings bit-equal to one in-process assignment of the same
+    delta, serving from the grown index works, and a REPLAYED batch
+    appends nothing (the shared idempotent append)."""
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.kmeans import load_centroids
+    from mimic2ts_spark.operators.similarity import (
+        append_ivf_artifact,
+        assign_vectors,
+        serve_ivf_artifact,
+    )
+    from mimic2ts_spark.streaming import run_ivf_ingest_available_now
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = embs.where(F.col("vec_id") % 4 != 0)
+    delta = embs.where(F.col("vec_id") % 4 == 0)
+    base_dir = str(tmp_path / "base")
+    base.write.parquet(base_dir)
+    out = str(tmp_path / "ivf")
+    main(["ivf", out, base_dir])
+
+    pdf = delta.toPandas()
+    stage = tmp_path / "delta"
+    stage.mkdir()
+    for i in range(3):
+        pdf[pdf.index % 3 == i].to_parquet(stage / f"d{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    totals = run_ivf_ingest_available_now(spark, out, stream)
+    assert totals["batches"] == 3 and totals["rows"] == delta.count()
+
+    cents, _ = load_centroids(f"{out}/centroids.json")
+    expect = {
+        r.vec_id: (r.cid, r.d) for r in assign_vectors(delta, cents).collect()
+    }
+    got = {
+        r.vec_id: (int(r.cid), r.d)
+        for r in spark.read.parquet(f"{out}/postings").collect()
+        if r.vec_id % 4 == 0
+    }
+    assert got == expect
+
+    # replayed delta: the shared append refuses stored ids
+    replay = append_ivf_artifact(spark, out, delta)
+    assert replay["n_delta"] == 0 and replay["n_postings"] == embs.count()
+
+    served = serve_ivf_artifact(
+        spark, out, embs.where(F.col("vec_id") < 4), embs, k=5
+    )
+    assert served.count() > 0
+
+
 def test_bq_append_idempotent_on_redelivery(spark, tmp_path):
     """ADVICE r11: append_bq_artifact ENFORCES the NEW-ids contract —
     a replayed delta (the foreachBatch at-least-once redelivery case)
