@@ -36,14 +36,19 @@ from mimic2ts_spark.operators.multimodal import (
 )
 from mimic2ts_spark.operators.kmeans import load_centroids, save_centroids
 from mimic2ts_spark.operators.similarity import (
+    append_ivf_artifact,
     assign_vectors,
     brute_force_topk,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
+    filtered_topk,
+    filtered_topk_bq,
+    filtered_topk_sq8,
     ivf_delta_assign,
     ivf_topk,
     lsh_multiprobe_topk,
     lsh_topk,
+    serve_ivf_artifact,
 )
 from mimic2ts_spark.operators.sketch import kmv_sketch
 from mimic2ts_spark.operators.knn import (
@@ -126,6 +131,11 @@ __all__ = [
     "load_centroids",
     "save_centroids",
     "ivf_topk",
+    "serve_ivf_artifact",
+    "append_ivf_artifact",
+    "filtered_topk",
+    "filtered_topk_bq",
+    "filtered_topk_sq8",
     "lsh_topk",
     "lsh_multiprobe_topk",
     "knn_graph",
