@@ -396,6 +396,12 @@ def main() -> None:
                 "r10 2.32/2.36/1.84 s — indistinguishable; the r11 "
                 "0.88->1.39 s delta was environment, not code"
             ),
+            "q_dedup_minhash": (
+                "r12 interleaved A/B vs r11 code (3 process pairs, "
+                "best-of-3): HEAD 1.75/1.97 s vs r11 1.98/1.47 s after "
+                "discarding one load-spiked pair — overlapping ranges, "
+                "no code effect; this query's box variance is +/-40%"
+            ),
         },
     }
     vs_totals: dict[str, float] = {}
