@@ -448,6 +448,7 @@ def bm25_from_postings(
     stats: dict,
     query_terms: tuple[str, ...],
     k: int = TOP_K,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k served FROM the persisted index: the postings scan is
     pruned to the query terms (term-sorted files ⇒ rowgroup min/max
@@ -455,9 +456,24 @@ def bm25_from_postings(
     df per term counts the term's postings, and n_docs/sum_dl come from
     the maintained stats. The identical integer-exact scoring expression
     as bm25_topk, so index-served results bit-equal the corpus-scan
-    form at any append state."""
+    form at any append state.
+
+    `allowed` (a one-column doc-id relation, X224 — the lexical twin of
+    the X219/X221 filtered-ANN doctrine): candidates semi-join the
+    allowed set BEFORE the top-k cut, so the cut always ranks k allowed
+    survivors — never the under-returning post-filter of a fixed
+    top-k. Scoring scalars (df, n_docs, sum_dl) stay CORPUS-level, the
+    production convention (the filter restricts candidates, it does
+    not redefine term rarity — and it must not retrain/rewrite any
+    artifact state, the X221 rule). Pytest-pinned equal to filtering
+    the full scored relation pre-cut."""
     tf = spark.read.parquet(postings_dir).where(F.col("term").isin(*query_terms))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if allowed is not None:
+        ids = allowed.select(F.col(allowed.columns[0]).alias("doc_id"))
+        # after df is derived from the UNfiltered postings (corpus-level
+        # rarity), candidates restrict to allowed docs pre-cut
+        tf = tf.join(ids, "doc_id", "left_semi")
     n_docs, sum_dl = stats["n_docs"], stats["sum_dl"]
     scored = (
         tf.join(F.broadcast(dfreq), "term")

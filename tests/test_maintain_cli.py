@@ -454,6 +454,26 @@ def test_maintain_postings_build_append_serve(spark, tmp_path, capsys):
     direct2 = bm25_topk(docs, terms).collect()
     assert [tuple(r) for r in served2] == [tuple(r) for r in direct2]
 
+    # FILTERED serving (X224 — the lexical twin of filtered ANN):
+    # candidates semi-join the allowed set BEFORE the top-k cut with
+    # CORPUS-level df/stats. Must equal filtering the full scored
+    # relation pre-cut (= the full ranking restricted to allowed docs),
+    # and a selective filter must still return a full k — the property
+    # the post-filtered form loses.
+    k = 10
+    allowed = docs.where(F.col("doc_id") % 3 == 1).select("doc_id")
+    flt = bm25_from_postings(
+        spark, f"{out}/postings", stats2, terms, k=k, allowed=allowed
+    ).collect()
+    full = bm25_from_postings(
+        spark, f"{out}/postings", stats2, terms, k=docs.count()
+    ).collect()
+    allowed_ids = {r.doc_id for r in allowed.collect()}
+    expect = [tuple(r) for r in full if r.doc_id in allowed_ids][:k]
+    assert [tuple(r) for r in flt] == expect and len(flt) == k
+    post_filtered = [tuple(r) for r in full[:k] if r[0] in allowed_ids]
+    assert len(post_filtered) < k  # the form this operator exists to avoid
+
 
 def test_maintain_positional_postings_phrase_serve(spark, tmp_path, capsys):
     """Positional-index artifact (X164): `postings --positions` persists
