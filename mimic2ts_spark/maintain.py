@@ -748,7 +748,6 @@ def main(argv: list[str] | None = None) -> None:
 
         from mimic2ts_spark.operators.kmeans import (
             KM_ROUNDS,
-            load_centroids,
             save_centroids,
             train_coarse,
         )
