@@ -2275,7 +2275,15 @@ _GATE_CHANGED_THIS_ROUND = [
     #   provably-distinct canonicals (ADVICE r11) — probe job removed,
     #   values identical;
     # - q_ann_filtered oracle CTE reordering (ADVICE r11) is
-    #   order-only; the report re-verifies anyway via its slot above.
+    #   order-only; the report re-verifies anyway via its slot above;
+    # - q_dedup_pipeline / q_graph_communities_canonical /
+    #   q_retrieval_map / q_dedup_clusters now read the canonical pair
+    #   relation from the shared per-corpus DISK artifact
+    #   (harness_ext._canon_pairs, the r07 multi-consumer doctrine) —
+    #   deterministic derivation + lossless parquet round-trip, values
+    #   identical, re-proven by the committed 227/227 local sweep;
+    # - q_sq8_topk / q_ann_recall pass a cache_key for the (already
+    #   deterministic) SQ8 stats memo — values identical.
 ]
 
 
