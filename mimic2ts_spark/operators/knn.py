@@ -444,11 +444,15 @@ def _beam_quantized(
     serving_dials(n); `n` comes from artifact meta when the caller has
     it, else one memoized slim count of the id column. The serving-cap
     guard runs on the same n (explicit-dial callers pay the memoized
-    count only for the guard — one slim job per corpus per process)."""
-    if n is None:
+    count only for the guard — one slim job per corpus per process;
+    on_scale='ignore' with explicit dials skips the count entirely,
+    restoring the zero-job path)."""
+    need_dials = beam is None or hops is None or entries is None
+    if n is None and (need_dials or on_scale != "ignore"):
         n = _memoized_count(base.select("id"))
-    check_graph_serving_scale(n, "knn_beam_topk", on_scale=on_scale)
-    if beam is None or hops is None or entries is None:
+    if n is not None:
+        check_graph_serving_scale(n, "knn_beam_topk", on_scale=on_scale)
+    if need_dials:
         db, dh, de = serving_dials(n)
         beam = db if beam is None else beam
         hops = dh if hops is None else hops

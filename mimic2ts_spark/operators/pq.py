@@ -1089,11 +1089,16 @@ FROM r JOIN stats s ON s.dim = r.dim
 # the 4× (vs float32) compression costs in recall.
 
 
-# cache_key -> stats rows: the r05 trained-state doctrine (codebooks /
-# coarse centroids precedent) — quantizer stats are an ARTIFACT, not
-# per-query work; queries sharing a corpus share one stats agg per
-# process, and `maintain sq8-stats` is the cross-run form. Driver-side
-# ints: immune to release_storage, deterministic ⇒ oracle hashes fixed.
+# (cache_key, base-plan hash) -> stats rows: the r05 trained-state
+# doctrine (codebooks / coarse centroids precedent) — quantizer stats
+# are an ARTIFACT, not per-query work; queries sharing a corpus share
+# one stats agg per process, and `maintain sq8-stats` is the cross-run
+# form. The PLAN hash rides in the key (the r11 semanticHash rule):
+# cache_key alone would be first-caller-wins — a caller training on a
+# filtered SUBSET under the corpus key would poison every full-corpus
+# consumer's codes with subset stats, an oracle mismatch far from the
+# cause. Driver-side ints: immune to release_storage, deterministic ⇒
+# oracle hashes fixed.
 _SQ8_STATS_CACHE: dict = {}
 
 
@@ -1104,6 +1109,10 @@ def sq8_int_stats(
     of the serving-tier quantizer (two int64 per dim; the float-side
     sq8_stats/sq8_quantize_rows remain the X211 code-artifact form).
     Driver-side collect is bounded: one row per dimension."""
+    from mimic2ts_spark.operators.dupguard import _plan_digest
+
+    if cache_key is not None:
+        cache_key = (cache_key, _plan_digest(base))
     if cache_key is not None and cache_key in _SQ8_STATS_CACHE:
         return _SQ8_STATS_CACHE[cache_key]
     rows = (
@@ -1649,6 +1658,13 @@ def append_bq_artifact(
     stored_ids = spark.read.parquet(codes_path).select("vec_id")
     codes = (
         bq_codes(delta, id_col=id_col, vec_col=vec_col)
+        # within-batch dedupe: a delta carrying the same new id twice
+        # must append ONE code row (deterministic struct-min pick;
+        # identical rows pack identically, so a no-op on well-formed
+        # deltas) — the anti-join below only covers STORED ids
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("b0", "b1")).alias("_s"))
+        .select("vec_id", F.col("_s.b0").alias("b0"), F.col("_s.b1").alias("b1"))
         .join(stored_ids, "vec_id", "left_anti")
         # settle the pack AND the stored-ids scan before the append
         # touches the directory being read

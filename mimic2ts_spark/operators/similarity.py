@@ -933,11 +933,13 @@ def embedding_near_dup_pairs(
     base = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     # ENFORCED broadcast budget (VERDICT r08 #5): a comment is not a
     # guard. The count runs on the slim id column (column-pruned scan)
-    # before any vector bytes move to the driver — memoized per plan
-    # (guard-outcome staleness only, the dupguard caveat).
-    from mimic2ts_spark.operators.dupguard import memoized_count
-
-    n_vecs = memoized_count(vectors.select(id_col))
+    # before any vector bytes move to the driver. Deliberately NOT
+    # memoized (unlike the routing scalars): a stale count on an
+    # in-place-grown table would skip the ValueError and let a
+    # beyond-budget collect OOM the driver — this guard protects
+    # memory, not a plan choice, so one slim count per call is the
+    # price of enforcement.
+    n_vecs = vectors.select(id_col).count()
     if n_vecs > max_rows:
         raise ValueError(
             f"embedding_near_dup_pairs is the exact BROADCAST path: "
@@ -1177,14 +1179,23 @@ def serve_ivf_artifact(
     cent_ids = np.array([r.cid for r in cents], dtype=np.int64)
     cent_mat = np.array([list(r.m) for r in cents], dtype=np.int64)
     probe = _nearest_cells_udf(cent_ids, cent_mat, nprobe)
-    probed = (
+    # ONE probe evaluation: collect the full (query_id, cell) relation
+    # driver-side (bounded: ≤ |panel|·nprobe rows — the documented
+    # routing collect) and re-enter it as a local relation. A lazy
+    # `probed` frame would re-run the query scan AND the pandas UDF a
+    # second time inside the candidate join (the r08
+    # collected-rows-already-carry-the-answer rule).
+    probe_rows = (
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("query_id"),
+            F.explode(probe(F.col(vec_col))).alias("cell"),
         )
-        .withColumn("cell", F.explode(probe(F.col("qvec"))))
+        .collect()
     )
-    cells = sorted(
-        int(r["cell"]) for r in probed.select("cell").distinct().collect()
+    cells = sorted({int(r["cell"]) for r in probe_rows})
+    probed = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["cell"])) for r in probe_rows],
+        "query_id long, cell long",
     )
     postings = (
         spark.read.parquet(os.path.join(out_dir, "postings"))
@@ -1197,7 +1208,10 @@ def serve_ivf_artifact(
     coords = src.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
-    scored = cand.join(coords, "neighbor_id").select(
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = cand.join(coords, "neighbor_id").join(qv, "query_id").select(
         "query_id",
         "neighbor_id",
         cosine(F.col("qvec"), F.col("nvec")).alias("cosine"),
@@ -1226,17 +1240,33 @@ def append_ivf_artifact(
     r11): already-stored vec_ids anti-join away before the append — a
     replayed foreachBatch microbatch cannot double-count a vector into
     a cell's postings (a duplicated posting would surface the same
-    neighbor twice in served candidates). Returns audit counts;
-    n_delta is the count actually appended."""
+    neighbor twice in served candidates) — and WITHIN-batch duplicate
+    ids collapse deterministically (struct-min) before the anti-join,
+    so a delta carrying the same new id twice appends one row.
+
+    Pre-r12 artifacts hold FLAT postings (cid as a data column); mixing
+    the partitioned layout into such a directory would leave it
+    permanently unreadable (conflicting directory structures), so the
+    append detects the flat layout and MIGRATES it once (read flat,
+    rewrite partitioned — single-writer contract makes this safe)
+    before appending. Returns audit counts; n_delta is the count
+    actually appended."""
     import os
 
     from mimic2ts_spark.operators.kmeans import load_centroids
 
     cents, _meta = load_centroids(os.path.join(out_dir, "centroids.json"))
     postings_dir = os.path.join(out_dir, "postings")
+    _migrate_flat_postings(spark, postings_dir)
     stored = spark.read.parquet(postings_dir).select("vec_id")
     rows = (
         assign_vectors(delta, cents, id_col=id_col, vec_col=vec_col)
+        # within-batch dedupe: deterministic (cid, d) pick per id —
+        # identical input rows yield identical assignments, so this is
+        # a no-op on well-formed deltas
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("cid", "d")).alias("_s"))
+        .select("vec_id", F.col("_s.cid").alias("cid"), F.col("_s.d").alias("d"))
         .join(stored, "vec_id", "left_anti")
         # settle the assignment AND the stored-ids scan before the
         # append touches the directory being read
@@ -1250,6 +1280,33 @@ def append_ivf_artifact(
         "n_cells": len(cents),
         "n_postings": spark.read.parquet(postings_dir).count(),
     }
+
+
+def _migrate_flat_postings(spark, postings_dir: str) -> None:
+    """One-time layout migration for pre-r12 IVF artifacts: postings
+    written FLAT (cid as a data column) cannot coexist with the
+    cid-partitioned layout in one directory — Spark's partition
+    discovery raises on conflicting structures AFTER a mixed write has
+    already corrupted the artifact. Detect flat leaf files and rewrite
+    them partitioned before any partitioned append."""
+    import os
+    import shutil
+
+    try:
+        entries = os.listdir(postings_dir)
+    except FileNotFoundError:
+        return
+    flat = [
+        e for e in entries
+        if e.endswith(".parquet") and not e.startswith(("_", "."))
+    ]
+    if not flat:
+        return  # already partitioned (cid=* dirs) or empty
+    old = spark.read.parquet(postings_dir).localCheckpoint(eager=True)
+    tmp = postings_dir.rstrip("/") + "._migrating"
+    old.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    shutil.rmtree(postings_dir)
+    os.rename(tmp, postings_dir)
 
 
 def _allowed_ids(allowed: DataFrame, id_col: str) -> DataFrame:

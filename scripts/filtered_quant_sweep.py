@@ -9,7 +9,6 @@ Usage: python scripts/filtered_quant_sweep.py [n ...]  (default 20000 200000)
 """
 import json, sys, time
 sys.path.insert(0, ".")
-import os
 from pyspark.sql import functions as F
 from mimic2ts_spark.session import get_spark, release_storage
 sys.path.insert(0, "./scripts")

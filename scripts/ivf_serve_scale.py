@@ -2,15 +2,14 @@
 deterministic unit-vector sweep corpora of knn_recall_sweep (32-query
 panel, best-of-2). Results recorded in README ("X222 index-served
 IVF"). Usage: python scripts/ivf_serve_scale.py [n ...]"""
-import json, sys, time, os
+import json, sys, time
 sys.path.insert(0, "."); sys.path.insert(0, "./scripts")
 from pyspark.sql import functions as F
 from mimic2ts_spark.session import get_spark, release_storage, session_tmpdir
 from knn_recall_sweep import synth_corpus
 from mimic2ts_spark.operators.kmeans import KM_ROUNDS, save_centroids, train_coarse
 from mimic2ts_spark.operators.similarity import (
-    assign_vectors, derived_cells, ivf_topk, serve_ivf_artifact)
-from mimic2ts_spark.operators.dupguard import memoized_count
+    assign_vectors, derived_cells, serve_ivf_artifact)
 
 spark = get_spark()
 for n in [int(a) for a in sys.argv[1:]] or [20_000, 200_000]:

@@ -3451,6 +3451,56 @@ def test_stream_ivf_ingest_multibatch_equals_rebuild(spark, tmp_path):
     assert served.count() > 0
 
 
+def test_ivf_append_flat_layout_migration_and_batch_dupes(spark, tmp_path):
+    """Two append hazards pinned (r12 review): (a) a PRE-r12 artifact
+    holds FLAT postings (cid as a data column) — a partitioned append
+    into that directory would corrupt it unreadably, so the append
+    detects and MIGRATES the layout first; (b) a delta carrying the
+    same NEW id twice must append exactly one posting row (the
+    anti-join only covers STORED ids)."""
+    import json as _json
+
+    from mimic2ts_spark.operators.kmeans import (
+        save_centroids,
+        train_coarse,
+    )
+    from mimic2ts_spark.operators.similarity import (
+        append_ivf_artifact,
+        assign_vectors,
+        derived_cells,
+        serve_ivf_artifact,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = embs.where(F.col("vec_id") % 4 != 0)
+    out = tmp_path / "ivf_flat"
+    out.mkdir()
+    n = base.count()
+    cents = train_coarse(embs, derived_cells(n), n=n)
+    save_centroids(cents, str(out / "centroids.json"), meta={"n_base": n})
+    # simulate the pre-r12 layout: postings written FLAT
+    assign_vectors(base, cents).write.mode("overwrite").parquet(
+        str(out / "postings")
+    )
+
+    # delta with every new id DUPLICATED
+    delta = embs.where(F.col("vec_id") % 4 == 0)
+    dup_delta = delta.unionByName(delta)
+    audit = append_ivf_artifact(spark, str(out), dup_delta)
+    assert audit["n_delta"] == delta.count()  # one row per new id
+    post = spark.read.parquet(str(out / "postings"))
+    assert post.count() == embs.count() == audit["n_postings"]
+    assert post.groupBy("vec_id").count().where(F.col("count") > 1).count() == 0
+    # migrated to the partitioned layout: serving's partition filter works
+    import os as _os
+
+    assert any(e.startswith("cid=") for e in _os.listdir(out / "postings"))
+    served = serve_ivf_artifact(
+        spark, str(out), embs.where(F.col("vec_id") < 4), embs, k=5
+    )
+    assert served.count() > 0
+
+
 def test_bq_append_idempotent_on_redelivery(spark, tmp_path):
     """ADVICE r11: append_bq_artifact ENFORCES the NEW-ids contract —
     a replayed delta (the foreachBatch at-least-once redelivery case)
@@ -3474,11 +3524,15 @@ def test_bq_append_idempotent_on_redelivery(spark, tmp_path):
     replay = append_bq_artifact(spark, out, base)
     assert replay["delta"] == 0 and replay["n"] == base.count()
 
-    # mixed delta: only the genuinely new ids land
+    # mixed delta — WITH every row duplicated within the batch (r12
+    # review: the anti-join only covers STORED ids; within-batch
+    # duplicates must also collapse to one code row per id)
     mixed = embs.where((F.col("vec_id") % 3 == 0) | (F.col("vec_id") % 3 == 1))
-    grown = append_bq_artifact(spark, out, mixed)
+    grown = append_bq_artifact(spark, out, mixed.unionByName(mixed))
     assert grown["delta"] == embs.where(F.col("vec_id") % 3 == 0).count()
     assert grown["n"] == embs.count()
+    codes = spark.read.parquet(f"{out}/codes")
+    assert codes.groupBy("vec_id").count().where(F.col("count") > 1).count() == 0
 
     # served top-k over the base ids is a superset question — redo the
     # no-redelivery build and compare served rows exactly
