@@ -33,7 +33,8 @@ HEADLINE = [
     "q_dedup_ngram",
     "q_dedup_embedding",
     "q_ann_lsh",
-    "q_ann_ivf",
+    # q_ann_ivf retired from the registry r13 (scan twin of
+    # q_ann_ivf_indexed, which stays headline below)
     "q_tpch_q6",
     "q_tpch_q3",
     "q_asof_join",
@@ -68,7 +69,8 @@ HEADLINE = [
     "q_event_anomaly",
     "q_sketch_kmv_union",
     # round 4
-    "q_search_bm25",
+    # q_search_bm25 retired from the registry r13 (scan twin of the
+    # gated q_stream_postings_ingest; MaxScore serving stays headline)
     "q_decontaminate",
     "q_event_funnel",
     "q_retention_cohort",
@@ -296,6 +298,51 @@ def _code_cache_telemetry(spark) -> dict:
         return {}
 
 
+def _current_round() -> int:
+    """1 + the newest committed driver CORRECTNESS_r*.json (the driver
+    commits that only at round end, so during round N the max is N−1).
+    Falls back to a huge sentinel (= 'skip nothing') when git fails."""
+    import re
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        cor = subprocess.run(
+            ["git", "-C", here, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=15, check=True,
+        ).stdout.splitlines()
+        return 1 + max(
+            (
+                int(m.group(1))
+                for p in cor
+                for m in [re.search(r"CORRECTNESS_r0*(\d+)\.json$", p)]
+                if m
+            ),
+            default=10**9,
+        )
+    except Exception:
+        return 10**9
+
+
+def _ab_notes() -> dict:
+    """Per-query A/B verdict notes from the committed AB_NOTES.json
+    ({query: {"round": N, "note": "..."}}), keeping only entries
+    recorded for the CURRENT round — notes age out automatically
+    instead of shipping stale triage prose forever (ADVICE r12)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "AB_NOTES.json")) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    cur = _current_round()
+    return {
+        q: e["note"]
+        for q, e in doc.items()
+        if isinstance(e, dict) and e.get("round", -1) >= cur and "note" in e
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -387,22 +434,12 @@ def main() -> None:
         },
         "probe_pre": probe_pre,
         # A/B verdicts of record for per-query regression triage (the
-        # CLAUDE.md same-session rule): detail-only, one line per
-        # investigated outlier, pruned when superseded.
-        "ab_notes": {
-            "q_dedup_semantic_canonical": (
-                "r12 interleaved A/B vs r10 code (3 process pairs, "
-                "best-of-3 each, same box/day): HEAD 1.90/2.13/1.94 s vs "
-                "r10 2.32/2.36/1.84 s — indistinguishable; the r11 "
-                "0.88->1.39 s delta was environment, not code"
-            ),
-            "q_dedup_minhash": (
-                "r12 interleaved A/B vs r11 code (3 process pairs, "
-                "best-of-3): HEAD 1.75/1.97 s vs r11 1.98/1.47 s after "
-                "discarding one load-spiked pair — overlapping ranges, "
-                "no code effect; this query's box variance is +/-40%"
-            ),
-        },
+        # CLAUDE.md same-session rule): loaded from the committed
+        # AB_NOTES.json, entries keyed by the round they were recorded
+        # in, and AUTO-PRUNED once that round is past — hardcoding r12
+        # verdict prose here shipped stale triage notes into every
+        # later round's detail (ADVICE r12).
+        "ab_notes": _ab_notes(),
     }
     vs_totals: dict[str, float] = {}
 
@@ -440,26 +477,8 @@ def main() -> None:
     # Never self-compare: the IN-FLIGHT round's own committed
     # BENCH_DETAIL_r{N}.json (copied mid-round as next round's full-map
     # baseline) must not displace the previous-round ratio from the
-    # driver tail. Current round = 1 + the newest committed driver
-    # CORRECTNESS_r*.json (the driver commits that only at round end,
-    # so during round N the max is N−1).
-    try:
-        cor = subprocess.run(
-            ["git", "-C", here, "ls-files", "CORRECTNESS_r*.json"],
-            capture_output=True, text=True, timeout=15, check=True,
-        ).stdout.splitlines()
-        cur_round = 1 + max(
-            (
-                int(m.group(1))
-                for p in cor
-                for m in [re.search(r"CORRECTNESS_r0*(\d+)\.json$", p)]
-                if m
-            ),
-            default=10**9,
-        )
-        rounds = [n for n in rounds if n < cur_round]
-    except Exception:
-        pass
+    # driver tail (see _current_round).
+    rounds = [n for n in rounds if n < _current_round()]
     for rnd in (f"r{n:02d}" for n in rounds):
         base_path = os.path.join(here, f"BENCH_{rnd}.json")
         alt_path = os.path.join(here, f"BENCH_DETAIL_{rnd}.json")

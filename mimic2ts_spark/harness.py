@@ -2253,37 +2253,26 @@ _CORE_REGISTRY = dict(REGISTRY)
 # pay for any net growth by keeping this changed-list small — every
 # never-verified query auto-claims a slot ahead of the stale tail.
 _GATE_CHANGED_THIS_ROUND = [
-    # r12: window = 50, r07-stale tail = 41 (VERDICT r11 #1), so ≤ 9
-    # changed/new entries still drain the whole tail this round. Budget
-    # spent: 1 changed (below) + 1 new registration (q_ann_ivf_indexed,
-    # X222 — never-verified sorts first automatically) + 41 stale = 43;
-    # net registry change this round is −1 (q_search_phrase /
-    # q_search_substring retired, X222 added: 227 entries).
-    # VALUE-CHANGING edit (claims a slot): q_ann_filtered gained the
-    # X221 quantized-tier legs (route 'bq'/'sq8' on both fsets — the
-    # zero-gate-slot consolidation pattern, but the report's OUTPUT
-    # changed so it re-verifies up front).
-    "q_ann_filtered",
-    # No-slot changes, all value-identical by construction and re-proven
-    # by the committed full local sweep (the r10 safe-drop rule):
-    # - memoized routing counts (VERDICT r11 #3): q_ann_ivf /
-    #   q_ann_incremental / q_dedup_semantic pay fewer count JOBS,
-    #   outputs and plans otherwise unchanged;
-    # - graph-tier serving cap guard (VERDICT r11 #2): silent below 1M
-    #   vectors, so q_ann_knn_beam / q_ann_recall values identical;
-    # - incremental minhash append passes on_duplicates='ignore' on its
-    #   provably-distinct canonicals (ADVICE r11) — probe job removed,
-    #   values identical;
-    # - q_ann_filtered oracle CTE reordering (ADVICE r11) is
-    #   order-only; the report re-verifies anyway via its slot above;
-    # - q_dedup_pipeline / q_graph_communities_canonical /
-    #   q_retrieval_map / q_dedup_clusters now read the canonical pair
-    #   relation from the shared per-corpus DISK artifact
-    #   (harness_ext._canon_pairs, the r07 multi-consumer doctrine) —
-    #   deterministic derivation + lossless parquet round-trip, values
-    #   identical, re-proven by the committed 227/227 local sweep;
-    # - q_sq8_topk / q_ann_recall pass a cache_key for the (already
-    #   deterministic) SQ8 stats memo — values identical.
+    # r13: EMPTY — every edit this round is value-identical, so all 50
+    # window slots drain the stale tail (VERDICT r12 #1: 37 entries
+    # last-verified r08 + the 13 stalest of the r09 cohort; after this
+    # gate nothing predates r09). Registry nets 227 → 224: q_ann_ivf,
+    # q_search_bm25 and q_search_bm25_pruned retired via their
+    # indexed/streamed twins (rationale at the registry rows — the r12
+    # retirement pattern, VERDICT r12 #2/#6).
+    # No-slot changes, value-identical by construction and re-proven by
+    # the committed full local sweep (the r10 safe-drop rule):
+    # - serve_ivf_artifact gained allowed= (X224, default None —
+    #   q_ann_ivf_indexed's call unchanged; filtered form pytest-pinned
+    #   bit-equal to the gated scan-form filtered_topk ivf branch);
+    # - append_ivf_artifact audit n_postings now incremental via the
+    #   _postings_meta sidecar (ADVICE r12) — same value, O(delta) cost;
+    # - _canon_pairs / _ivf_index_dir memo keys gained corpus content
+    #   fingerprints (ADVICE r12) — same artifacts on unchanged corpora;
+    # - sq8_int_stats bypasses the memo on a None plan digest
+    #   (ADVICE r12) — compute path identical;
+    # - flat-postings migration made crash-safe (rename-aside order,
+    #   ADVICE r12) — same migrated layout.
 ]
 
 

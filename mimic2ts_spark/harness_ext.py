@@ -39,6 +39,28 @@ def _embs(spark, sf_dir):
     return ensure_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _corpus_fingerprint(path: str) -> tuple:
+    """Per-file (name, size, mtime_ns) of a source parquet file or
+    directory — the r09 data-grade artifact-memo rule (ADVICE r12): a
+    disk-path memo keyed on the corpus PATH alone would silently serve
+    stale derived data after an in-process corpus rewrite; folding the
+    content fingerprint into the key makes the rewrite a memo miss
+    (same shape as search._impacts_fingerprint)."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            out = []
+            for n in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, n))
+                out.append((n, st.st_size, st.st_mtime_ns))
+            return tuple(out)
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    except OSError:
+        return ("missing",)
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -169,7 +191,9 @@ _CANON_PAIRS_DIRS: dict = {}
 
 
 def _canon_pairs(spark, sf_dir, threshold: float = 0.8):
-    key = (sf_dir, threshold)
+    # content fingerprint in the key (ADVICE r12 / the r09 rule): an
+    # in-process rewrite of documents.parquet must miss the memo
+    key = (sf_dir, threshold, _corpus_fingerprint(f"{sf_dir}/documents.parquet"))
     if key not in _CANON_PAIRS_DIRS:
         from mimic2ts_spark.session import session_tmpdir
 
@@ -1866,8 +1890,11 @@ _IVF_INDEX_CACHE: dict = {}
 
 
 def _ivf_index_dir(spark, sf_dir):
-    if sf_dir in _IVF_INDEX_CACHE:
-        return _IVF_INDEX_CACHE[sf_dir]
+    # content fingerprint in the key (ADVICE r12 / the r09 rule): an
+    # in-process rewrite of embeddings.parquet must miss the memo
+    memo_key = (sf_dir, _corpus_fingerprint(f"{sf_dir}/embeddings.parquet"))
+    if memo_key in _IVF_INDEX_CACHE:
+        return _IVF_INDEX_CACHE[memo_key]
     import os
 
     from mimic2ts_spark.operators.dupguard import memoized_count
@@ -1892,7 +1919,7 @@ def _ivf_index_dir(spark, sf_dir):
     S.assign_vectors(embs, cents).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(os.path.join(out, "postings"))
-    _IVF_INDEX_CACHE[sf_dir] = out
+    _IVF_INDEX_CACHE[memo_key] = out
     return out
 
 
@@ -2213,7 +2240,15 @@ def q_ann_filtered(spark, sf_dir):
     exact-cosine rescore of the survivors) and route 'sq8' (decode-L2
     candidates over the allowed subset, quantizer stats trained ONCE on
     the full corpus and shared by both fsets — a filter never retrains),
-    consolidated here per the zero-gate-slot growth policy."""
+    consolidated here per the zero-gate-slot growth policy.
+
+    r13 decision of record (VERDICT r12 #4): the 6-leg report stays
+    CONSOLIDATED at ~3 s — the cost is eval breadth (audited: pre-cut
+    semi-joins, memoized stats, no scale-killer), and splitting the
+    bq/sq8 legs into a second registry row would spend a permanent gate
+    slot (the r11 growth policy) to save ~1.5 s in the ≤1-of-4 windows
+    this row occupies. The artifact-served filtered form (X224) is
+    pytest-pinned instead of adding a 7th/8th leg here."""
     from mimic2ts_spark.operators.pq import _quant_base, sq8_int_stats
 
     embs = _embs(spark, sf_dir)
@@ -8008,7 +8043,18 @@ EXT_REGISTRY = {
     "q_tfidf_keywords": (q_tfidf_keywords, Q_TFIDF_KEYWORDS_SQL),
     "q_graph_pagerank": (q_graph_pagerank, Q_GRAPH_PAGERANK_SQL),
     "q_event_transitions": (q_event_transitions, Q_EVENT_TRANSITIONS_SQL),
-    "q_search_bm25": (q_search_bm25, Q_SEARCH_BM25_SQL),
+    # RETIRED r13 (VERDICT r12 #2/#6, the r12 retirement pattern):
+    # q_search_bm25 and q_search_bm25_pruned. Both gate rows ran the
+    # BYTE-IDENTICAL Q_SEARCH_BM25_SQL on the same BM25_QUERY_TERMS
+    # panel that q_stream_postings_ingest still gates every window
+    # (drained index == full-scan scoring, the X204 hash-gated
+    # contract); the scan path is further pinned by the drain pytest
+    # (maxFilesPerTrigger=1 batching invariance) and the pruned scan
+    # path by test_bm25_maxscore_prune_fires_and_is_lossless
+    # (pruned == full row-for-row, firing AND non-firing regimes) —
+    # each green ingest row therefore transitively verifies both scan
+    # operators. The MaxScore SERVING path keeps its own gate row
+    # (q_search_bm25_maxscore, longtail oracle). Functions + SQL stay.
     "q_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "q_event_funnel": (q_event_funnel, Q_EVENT_FUNNEL_SQL),
     "q_retention_cohort": (q_retention_cohort, Q_RETENTION_COHORT_SQL),
@@ -8088,7 +8134,14 @@ EXT_REGISTRY = {
     ),
     "q_kcenter_coreset": (q_kcenter_coreset, Q_KCENTER_CORESET_SQL),
     "q_shard_balanced": (q_shard_balanced, Q_SHARD_BALANCED_SQL),
-    "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
+    # RETIRED r13 (VERDICT r12 #2, the r12 retirement pattern): q_ann_ivf
+    # (the corpus-SCAN twin). Its gate row is fully carried by
+    # q_ann_ivf_indexed below — the served form gates the BYTE-IDENTICAL
+    # Q_ANN_IVF_SQL on the same panel every window — plus the pytest
+    # equality pins (test_maintain_cli ivf CLI served == ivf_topk;
+    # test_extensions X223 append/serve), which transitively extend each
+    # green indexed row to the scan operator. ivf_topk and its SQL stay
+    # (the oracle IS the scan form).
     # X222: index-served IVF under the SCAN-form oracle — the hash
     # compare is the served-equals-scan contract (X177 doctrine).
     "q_ann_ivf_indexed": (q_ann_ivf_indexed, Q_ANN_IVF_SQL),
@@ -8142,7 +8195,8 @@ EXT_REGISTRY = {
     # both still exercised as the verify stage inside the indexed
     # serving paths and by their semantics pytests). The scan functions
     # and SQL builders stay; only the duplicate gate rows go.
-    "q_search_bm25_pruned": (q_search_bm25_pruned, Q_SEARCH_BM25_SQL),
+    # (q_search_bm25_pruned retired r13 — rationale at the q_search_bm25
+    # retirement comment above)
     "q_search_bm25_indexed": (q_search_bm25_indexed, Q_SEARCH_BM25_LONGTAIL_SQL),
     "q_search_bm25_maxscore": (
         q_search_bm25_maxscore,

@@ -777,10 +777,19 @@ def main(argv: list[str] | None = None) -> None:
             assign_vectors(
                 vecs, cents, id_col=args.id_col, vec_col=args.vec_col
             ).write.mode("overwrite").partitionBy("cid").parquet(postings_dir)
+            n_post = spark.read.parquet(postings_dir).count()
+            # seed the incremental audit sidecar (ADVICE r12) so the
+            # FIRST append already derives its total at delta cost
+            from mimic2ts_spark.operators.similarity import (
+                _write_postings_meta,
+            )
+
+            _write_postings_meta(
+                os.path.join(args.out_dir, "_postings_meta.json"), n_post
+            )
             audit = {
                 "cmd": "ivf", "out": args.out_dir, "n_vectors": n,
-                "n_cells": len(cents),
-                "n_postings": spark.read.parquet(postings_dir).count(),
+                "n_cells": len(cents), "n_postings": n_post,
             }
         else:
             # shared append helper (X223): assignment against the loaded

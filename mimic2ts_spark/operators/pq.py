@@ -1112,7 +1112,12 @@ def sq8_int_stats(
     from mimic2ts_spark.operators.dupguard import _plan_digest
 
     if cache_key is not None:
-        cache_key = (cache_key, _plan_digest(base))
+        digest = _plan_digest(base)
+        # a None digest must BYPASS the cache (compute, don't store) —
+        # (cache_key, None) would collide two different base plans under
+        # one corpus key, the first-caller-wins poisoning the plan-hash
+        # component exists to prevent (ADVICE r12; memoized_count rule)
+        cache_key = None if digest is None else (cache_key, digest)
     if cache_key is not None and cache_key in _SQ8_STATS_CACHE:
         return _SQ8_STATS_CACHE[cache_key]
     rows = (

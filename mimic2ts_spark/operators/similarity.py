@@ -1149,6 +1149,7 @@ def serve_ivf_artifact(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k served FROM the persisted IVF index (`maintain ivf` /
     `ivf-append`) — the artifact-serving rung the rest of the ladder
@@ -1170,7 +1171,19 @@ def serve_ivf_artifact(
     ties to the lower cid on BOTH the kernel assignment that built the
     postings and the probe UDF) make served == scan-form ivf_topk
     bit-exact; the registered twin's oracle IS the scan-form SQL, so
-    every gate run re-proves served-equals-scan (the X177 doctrine)."""
+    every gate run re-proves served-equals-scan (the X177 doctrine).
+
+    `allowed` (a one-column id relation, X224 — the last cell of the
+    X219/X221/X222 matrix: metadata filter × persisted index, the
+    production serving combination) semi-joins the PARTITION-PRUNED
+    postings BEFORE the candidate join, mirroring
+    serve_bq_artifact(allowed=…): the filter prunes the postings scan
+    itself and every downstream coordinate fetch; post-filtering a
+    fixed top-k (the under-returning textbook form) is never executed.
+    The trained cells are corpus-level artifact state — a filter never
+    retrains (the filtered_topk cache_key doctrine), so served-filtered
+    bit-equals the scan-form filtered_topk IVF branch on the same
+    corpus (pytest-pinned)."""
     import os
 
     from mimic2ts_spark.operators.kmeans import load_centroids
@@ -1202,6 +1215,9 @@ def serve_ivf_artifact(
         .where(F.col("cid").isin(cells))
         .select(F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("cell"))
     )
+    if allowed is not None:
+        ids = allowed.select(F.col(allowed.columns[0]).alias("neighbor_id"))
+        postings = postings.join(ids, "neighbor_id", "left_semi")
     cand = probed.join(postings, "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -1275,11 +1291,51 @@ def append_ivf_artifact(
     n_new = rows.count()
     if n_new:
         rows.write.mode("append").partitionBy("cid").parquet(postings_dir)
+    # Audit count is INCREMENTAL (ADVICE r12): re-counting the whole
+    # postings table per append made every streaming microbatch an
+    # O(total index) job — cost grew with index size instead of delta
+    # size. A sidecar meta (underscore-prefixed: hidden from Spark's
+    # listing, the r05 co-location rule) carries the running total; the
+    # one-time migration for artifacts predating the sidecar pays a
+    # single full count. Audit-grade on crash: a crash between the
+    # append and the meta write undercounts until the sidecar is
+    # removed (the artifact itself stays correct — appends are
+    # idempotent by the anti-join).
+    n_postings = _bump_postings_meta(spark, out_dir, postings_dir, n_new)
     return {
         "n_delta": n_new,
         "n_cells": len(cents),
-        "n_postings": spark.read.parquet(postings_dir).count(),
+        "n_postings": n_postings,
     }
+
+
+def _bump_postings_meta(spark, out_dir: str, postings_dir: str, n_new: int) -> int:
+    import json
+    import os
+
+    meta_path = os.path.join(out_dir, "_postings_meta.json")
+    try:
+        with open(meta_path) as f:
+            prior = int(json.load(f)["n_postings"])
+    except (OSError, ValueError, KeyError):
+        # pre-sidecar artifact: one full count covers rows that existed
+        # BEFORE this append too, so the delta is already included
+        total = spark.read.parquet(postings_dir).count()
+        _write_postings_meta(meta_path, total)
+        return total
+    total = prior + n_new
+    _write_postings_meta(meta_path, total)
+    return total
+
+
+def _write_postings_meta(meta_path: str, n_postings: int) -> None:
+    import json
+    import os
+
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_postings": int(n_postings)}, f)
+    os.replace(tmp, meta_path)
 
 
 def _migrate_flat_postings(spark, postings_dir: str) -> None:
@@ -1288,10 +1344,34 @@ def _migrate_flat_postings(spark, postings_dir: str) -> None:
     cid-partitioned layout in one directory — Spark's partition
     discovery raises on conflicting structures AFTER a mixed write has
     already corrupted the artifact. Detect flat leaf files and rewrite
-    them partitioned before any partitioned append."""
+    them partitioned before any partitioned append.
+
+    CRASH-SAFE swap (ADVICE r12): the original rmtree(postings) →
+    rename(tmp) order had a window where the ONLY copy of the data
+    lived in the '._migrating' tmp — a crash there left the artifact
+    with no postings directory and every later append/serve raising
+    until manual repair. Now the live dir renames ASIDE first, tmp
+    promotes, and the aside copy deletes last — every instant has a
+    complete postings tree under either the live or the aside name,
+    and entry-time recovery handles each interruption point
+    (single-writer contract makes the recovery race-free)."""
     import os
     import shutil
 
+    tmp = postings_dir.rstrip("/") + "._migrating"
+    old_aside = postings_dir.rstrip("/") + "._old"
+    # Recovery of an interrupted prior migration, by rename-order
+    # invariant: postings MISSING + ._old present → the promote never
+    # happened; restore the aside copy (a fully-written tmp is then
+    # re-derived — wasteful, never wrong). ._old present WITH postings
+    # → only the final cleanup was lost; drop it. A leftover tmp is
+    # always safe to drop (it is never the only copy).
+    if not os.path.isdir(postings_dir) and os.path.isdir(old_aside):
+        os.rename(old_aside, postings_dir)
+    if os.path.isdir(old_aside):
+        shutil.rmtree(old_aside)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
     try:
         entries = os.listdir(postings_dir)
     except FileNotFoundError:
@@ -1303,10 +1383,10 @@ def _migrate_flat_postings(spark, postings_dir: str) -> None:
     if not flat:
         return  # already partitioned (cid=* dirs) or empty
     old = spark.read.parquet(postings_dir).localCheckpoint(eager=True)
-    tmp = postings_dir.rstrip("/") + "._migrating"
     old.write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    shutil.rmtree(postings_dir)
+    os.rename(postings_dir, old_aside)
     os.rename(tmp, postings_dir)
+    shutil.rmtree(old_aside)
 
 
 def _allowed_ids(allowed: DataFrame, id_col: str) -> DataFrame:

@@ -3501,6 +3501,114 @@ def test_ivf_append_flat_layout_migration_and_batch_dupes(spark, tmp_path):
     assert served.count() > 0
 
 
+def test_serve_ivf_artifact_filtered_equals_scan_form(spark, tmp_path):
+    """X224 (VERDICT r12 #3): filtered serving on the PERSISTED IVF
+    index — serve_ivf_artifact(allowed=…) semi-joins the partition-
+    pruned postings BEFORE the candidate join (the X221 pre-cut
+    doctrine; the under-returning post-filter form is never executed)
+    and bit-equals the scan-form filtered_topk IVF branch on the same
+    corpus: the trained cells are corpus-level artifact state shared by
+    both paths — a filter never retrains."""
+    from mimic2ts_spark.operators.kmeans import save_centroids, train_coarse
+    from mimic2ts_spark.operators.similarity import (
+        assign_vectors,
+        derived_cells,
+        filtered_topk,
+        serve_ivf_artifact,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = embs.count()
+    out = tmp_path / "ivf"
+    out.mkdir()
+    ck = str(out)
+    cents = train_coarse(embs, derived_cells(n), n=n, cache_key=ck)
+    save_centroids(cents, str(out / "centroids.json"), meta={"n_base": n})
+    assign_vectors(embs, cents).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(str(out / "postings"))
+
+    qs = embs.where(F.col("vec_id") < 4)
+    broad = embs.where(F.col("vec_id") % 7 != 0).select("vec_id")
+    scan = filtered_topk(embs, qs, broad, k=5, cache_key=ck)
+    assert {r[0] for r in scan.select("route").distinct().collect()} == {"ivf"}
+    served = serve_ivf_artifact(spark, str(out), qs, embs, k=5, allowed=broad)
+    a = sorted(tuple(r) for r in scan.drop("route").collect())
+    b = sorted(tuple(r) for r in served.collect())
+    assert a == b and a
+
+    # selective filter through the artifact: candidates pre-cut to the
+    # allowed ids, so every ranked neighbor is allowed by construction
+    sel = embs.where(F.col("vec_id") % 16 == 1).select("vec_id")
+    ok = {r.vec_id for r in sel.collect()}
+    got = serve_ivf_artifact(
+        spark, str(out), qs, embs, k=5, allowed=sel
+    ).collect()
+    assert got and all(r.neighbor_id in ok for r in got)
+
+
+def test_ivf_flat_migration_crash_recovery(spark, tmp_path):
+    """ADVICE r12: the flat→partitioned postings migration is
+    CRASH-SAFE — the live dir renames aside before the partitioned tree
+    promotes, so a complete postings tree exists on disk at every
+    instant, and entry-time recovery handles each interruption point:
+    (a) live dir missing + '._old' present (crash between rename-aside
+    and promote) restores the data, dropping a half-written
+    '._migrating'; (b) a stale '._old' beside a live dir (crash before
+    the final cleanup) is dropped. Also pins the incremental audit
+    sidecar (ADVICE r12): the second append derives n_postings from the
+    sidecar + delta instead of a full index rescan."""
+    import json as _json
+    import os as _os
+
+    from mimic2ts_spark.operators.kmeans import save_centroids, train_coarse
+    from mimic2ts_spark.operators.similarity import (
+        append_ivf_artifact,
+        assign_vectors,
+        derived_cells,
+        serve_ivf_artifact,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = embs.where(F.col("vec_id") % 4 != 0)
+    delta = embs.where(F.col("vec_id") % 4 == 0)
+    out = tmp_path / "ivf_crash"
+    out.mkdir()
+    n = base.count()
+    cents = train_coarse(embs, derived_cells(n), n=n)
+    save_centroids(cents, str(out / "centroids.json"), meta={"n_base": n})
+    # pre-r12 FLAT layout, then simulate a crash mid-migration: the
+    # aside rename happened, the promote did not, tmp half-written
+    assign_vectors(base, cents).write.mode("overwrite").parquet(
+        str(out / "postings")
+    )
+    _os.rename(str(out / "postings"), str(out / "postings._old"))
+    (out / "postings._migrating").mkdir()
+    audit = append_ivf_artifact(spark, str(out), delta)
+    assert audit["n_delta"] == delta.count()
+    assert audit["n_postings"] == embs.count()
+    assert not (out / "postings._migrating").exists()
+    assert any(
+        e.startswith("cid=") for e in _os.listdir(out / "postings")
+    )
+    # incremental audit sidecar recorded the running total
+    with open(out / "_postings_meta.json") as f:
+        assert _json.load(f)["n_postings"] == embs.count()
+
+    # crash case (b): stale '._old' beside the live dir — dropped, and
+    # the replayed delta appends nothing (idempotence) while the audit
+    # total comes from sidecar + 0, no full rescan required
+    (out / "postings._old").mkdir()
+    replay = append_ivf_artifact(spark, str(out), delta)
+    assert replay["n_delta"] == 0
+    assert replay["n_postings"] == embs.count()
+    assert not (out / "postings._old").exists()
+    served = serve_ivf_artifact(
+        spark, str(out), embs.where(F.col("vec_id") < 4), embs, k=5
+    )
+    assert served.count() > 0
+
+
 def test_bq_append_idempotent_on_redelivery(spark, tmp_path):
     """ADVICE r11: append_bq_artifact ENFORCES the NEW-ids contract —
     a replayed delta (the foreachBatch at-least-once redelivery case)
