@@ -13,10 +13,14 @@ Usage:
     python -m mimic2ts_spark.maintain bpe OUT_JSON SRC_PARQUET [--rounds N]
     python -m mimic2ts_spark.maintain ivf OUT_DIR SRC_PARQUET
     python -m mimic2ts_spark.maintain ivf-append OUT_DIR DELTA_PARQUET
+    python -m mimic2ts_spark.maintain ivf-compact OUT_DIR [--max-files-per-cell N]
     python -m mimic2ts_spark.maintain postings OUT_DIR SRC_PARQUET
     python -m mimic2ts_spark.maintain postings-append OUT_DIR DELTA_PARQUET
     python -m mimic2ts_spark.maintain sq8-stats OUT_JSON SRC_PARQUET \
         [--id-col vec_id] [--vec-col embedding]
+    python -m mimic2ts_spark.maintain sq8-codes OUT_DIR SRC_PARQUET \
+        [--id-col vec_id] [--vec-col embedding]
+    python -m mimic2ts_spark.maintain sq8-codes-append OUT_DIR DELTA_PARQUET
     python -m mimic2ts_spark.maintain bq-codes OUT_DIR SRC_PARQUET \
         [--id-col vec_id] [--vec-col embedding]
     python -m mimic2ts_spark.maintain bq-codes-append OUT_DIR DELTA_PARQUET
@@ -172,6 +176,15 @@ def main(argv: list[str] | None = None) -> None:
     p_iva.add_argument("--id-col", default="vec_id")
     p_iva.add_argument("--vec-col", default="embedding")
 
+    p_ivc = sub.add_parser(
+        "ivf-compact",
+        help="rewrite fragmented postings cells (streaming appends leave "
+             "one file per touched cell per microbatch) — O(fragmented "
+             "cells), crash-safe per-cell swap, rows untouched (X227)",
+    )
+    p_ivc.add_argument("out_dir")
+    p_ivc.add_argument("--max-files-per-cell", type=int, default=1)
+
     p_dq = sub.add_parser(
         "ddq",
         help="build + persist the log-bucket quantile-sketch counter table",
@@ -274,6 +287,26 @@ def main(argv: list[str] | None = None) -> None:
     p_sq8.add_argument("src")
     p_sq8.add_argument("--id-col", default="vec_id")
     p_sq8.add_argument("--vec-col", default="embedding")
+
+    p_sqc = sub.add_parser(
+        "sq8-codes",
+        help="persist the SQ8 index (frozen quantizer stats + per-dim "
+             "int8 codes table) — 64 small ints/vector (X226)",
+    )
+    p_sqc.add_argument("out_dir")
+    p_sqc.add_argument("src")
+    p_sqc.add_argument("--id-col", default="vec_id")
+    p_sqc.add_argument("--vec-col", default="embedding")
+
+    p_sqa = sub.add_parser(
+        "sq8-codes-append",
+        help="append a NEW-ids delta batch to an sq8-codes index at "
+             "O(delta) cost (frozen stats: codes' meaning never moves)",
+    )
+    p_sqa.add_argument("out_dir")
+    p_sqa.add_argument("delta")
+    p_sqa.add_argument("--id-col", default="vec_id")
+    p_sqa.add_argument("--vec-col", default="embedding")
 
     p_bq = sub.add_parser(
         "bq-codes",
@@ -842,6 +875,51 @@ def main(argv: list[str] | None = None) -> None:
             "n_vectors": vecs.count(), "n_dims": len(stats),
             "runtime_seconds": round(time.time() - t0, 3),
         }
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "ivf-compact":
+        from mimic2ts_spark.operators.similarity import compact_ivf_artifact
+
+        audit = {"cmd": "ivf-compact", "out": args.out_dir}
+        audit.update(
+            compact_ivf_artifact(
+                spark, args.out_dir,
+                max_files_per_cell=args.max_files_per_cell,
+            )
+        )
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "sq8-codes":
+        from mimic2ts_spark.operators.pq import build_sq8_artifact
+
+        vecs = spark.read.parquet(args.src)
+        meta = build_sq8_artifact(
+            spark, args.out_dir, vecs, id_col=args.id_col, vec_col=args.vec_col
+        )
+        audit = {"cmd": "sq8-codes", "out": args.out_dir}
+        audit.update(meta)
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "sq8-codes-append":
+        from mimic2ts_spark.operators.pq import append_sq8_artifact
+
+        delta = spark.read.parquet(args.delta)
+        audit = {"cmd": "sq8-codes-append", "out": args.out_dir}
+        audit.update(
+            append_sq8_artifact(
+                spark, args.out_dir, delta,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+        )
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
         print(json.dumps(audit))
         release_storage(spark)
         return

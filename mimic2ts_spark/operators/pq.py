@@ -1691,3 +1691,217 @@ def _read_bq_meta(out_dir: str) -> dict:
 
     with open(os.path.join(out_dir, BQ_META)) as f:
         return json.load(f)
+
+
+# --- X226 artifact: persisted SQ8 codes (the 64-byte index state) -----------
+#
+# Completes the quantized-serving ladder's ARTIFACT symmetry: BQ serves
+# from stored 8-byte packs (X218), IVF from cid-partitioned postings
+# (X222) — SQ8 alone re-encoded the float corpus on every panel call.
+# The stored state is (vec_id, c: array<int>) — the EXACT per-dim codes
+# the sq8_l2_panel kernel derives, so artifact-served results bit-equal
+# the scan form by construction — plus the stats JSON (`maintain
+# sq8-stats` format) that gives the codes meaning. At 100 TB the serve
+# scan reads 64 small ints/vector instead of 512 bytes of float64
+# coordinates (parquet bit-packs the 8-bit range), and the quantizer
+# stats are FROZEN artifact hyper-state (the r10 rule: versioned into
+# the artifact, never retrained by an append or a filter — retraining
+# would silently change every stored code's meaning).
+
+SQ8_META = "_sq8_meta.json"
+SQ8_STATS_FILE = "stats.json"
+
+
+def _sq8_arrays(stats: list[tuple[int, int, int]]):
+    import numpy as np
+
+    lo = np.array([s[1] for s in stats], dtype=np.int64)
+    hi = np.array([s[2] for s in stats], dtype=np.int64)
+    rng = hi - lo
+    safe = np.maximum(rng, 1)  # hi == lo dims: code 0, dec == lo
+    return lo, rng, safe
+
+
+def sq8_encode_codes(
+    base: DataFrame, stats: list[tuple[int, int, int]]
+) -> DataFrame:
+    """(vec_id, c): per-dim SQ8 codes of a _quant_base relation under
+    FIXED stats — the identical `np.minimum((X - lo) * 255 // safe,
+    255)` expression the sq8_l2_panel kernel evaluates inline, factored
+    out so the stored artifact and the scan form can never diverge.
+    (No low-side clamp, exactly like the kernel: stats trained on the
+    covering corpus make negative numerators impossible; a frozen-stats
+    append of an out-of-range vector stores the kernel's value, keeping
+    served == scan-form-under-the-same-stats true unconditionally.)"""
+    import numpy as np
+    import pandas as pd
+
+    lo, _rng, safe = _sq8_arrays(stats)
+
+    def encode(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["x"]), dtype=np.int64)
+            C = np.minimum((X - lo[None, :]) * 255 // safe[None, :], 255)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                 "c": list(C)}
+            )
+
+    return base.mapInPandas(encode, schema="vec_id long, c array<long>")
+
+
+def build_sq8_artifact(
+    spark,
+    out_dir: str,
+    src: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the SQ8 index (`maintain sq8-codes`): quantizer stats
+    trained ONCE on the full src (bounded driver state, 2 ints/dim) +
+    the encoded codes table. Deterministic stats + the shared encode
+    expression ⇒ artifact-served results bit-equal sq8_l2_panel on the
+    same corpus (pytest-pinned)."""
+    import json
+    import os
+
+    from mimic2ts_spark.operators.kmeans import QUANT
+
+    base = _quant_base(src, id_col, vec_col)
+    stats = sq8_int_stats(base)
+    os.makedirs(out_dir, exist_ok=True)
+    save_sq8_stats(stats, os.path.join(out_dir, SQ8_STATS_FILE))
+    sq8_encode_codes(base, stats).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "codes")
+    )
+    n = spark.read.parquet(os.path.join(out_dir, "codes")).count()
+    meta = {"n": n, "dim": len(stats), "quant": QUANT}
+    with open(os.path.join(out_dir, SQ8_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def serve_sq8_artifact(
+    spark,
+    out_dir: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, d2): asymmetric SQ8 top-k served FROM
+    the persisted codes — no corpus re-encode, no stats re-agg: the
+    panel queries quantize driver-side, the stored codes decode with
+    the artifact's integer-midpoint expression inside one kernel pass,
+    and the per-query top-k cuts as a WindowGroupLimit. Bit-equals
+    sq8_l2_panel(src, queries, k, stats=artifact stats) because the
+    stored codes ARE the kernel's intermediate (sq8_encode_codes).
+
+    `allowed` (one-column id relation) semi-joins the CODES before the
+    cut — the X221 pre-cut doctrine on the stored-codes scan (the
+    filter prunes the 64-byte rows themselves; a post-filter of a fixed
+    top-k is never executed), mirroring serve_bq_artifact(allowed=…).
+    The stats stay the artifact's full-corpus state: a filter never
+    retrains the quantizer."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    stats = load_sq8_stats(os.path.join(out_dir, SQ8_STATS_FILE))
+    lo, rng, _safe = _sq8_arrays(stats)
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qx")
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    Q = np.array([[int(v) for v in r["qx"]] for r in q_rows], dtype=np.int64)
+    q_norm = (Q * Q).sum(axis=1)
+
+    codes = spark.read.parquet(os.path.join(out_dir, "codes"))
+    if allowed is not None:
+        ids = allowed.select(F.col(allowed.columns[0]).alias("vec_id"))
+        codes = codes.join(ids, "vec_id", "left_semi")
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf["c"]), dtype=np.int64)
+            ids_ = pdf["vec_id"].to_numpy(dtype=np.int64)
+            D_ = lo[None, :] + (2 * C + 1) * rng[None, :] // 510
+            d_norm = (D_ * D_).sum(axis=1)
+            D = d_norm[:, None] + q_norm[None, :] - 2 * (D_ @ Q.T)
+            qi, ni = np.meshgrid(np.arange(len(q_ids)), np.arange(len(ids_)))
+            keep = q_ids[qi.ravel()] != ids_[ni.ravel()]
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi.ravel()][keep],
+                    "neighbor_id": ids_[ni.ravel()][keep],
+                    "d2": D[ni.ravel(), qi.ravel()][keep],
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, schema="query_id long, neighbor_id long, d2 long"
+    )
+    w = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def append_sq8_artifact(
+    spark,
+    out_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Grow the persisted SQ8 index at O(delta) cost: the delta encodes
+    against the STORED stats (frozen artifact hyper-state — never
+    retrained; the codes' meaning must not move under an append) and
+    appends. IDEMPOTENT on redelivery like the BQ/IVF appends (ADVICE
+    r11 contract): within-batch duplicates collapse deterministically,
+    already-stored ids anti-join away — a replayed foreachBatch
+    microbatch appends 0 rows. Audit count is incremental via the meta
+    (the ADVICE r12 rule: never an O(index) rescan per microbatch)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, SQ8_META)) as f:
+        meta = json.load(f)
+    stats = load_sq8_stats(os.path.join(out_dir, SQ8_STATS_FILE))
+    codes_path = os.path.join(out_dir, "codes")
+    stored_ids = spark.read.parquet(codes_path).select("vec_id")
+    rows = (
+        sq8_encode_codes(_quant_base(delta, id_col, vec_col), stats)
+        # identical input rows encode identically under fixed stats, so
+        # the struct-min pick is a no-op on well-formed deltas
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("c")).alias("_s"))
+        .select("vec_id", F.col("_s.c").alias("c"))
+        .join(stored_ids, "vec_id", "left_anti")
+        # settle the encode AND the stored-ids scan before the append
+        # touches the directory being read
+        .localCheckpoint(eager=True)
+    )
+    n_new = rows.count()
+    if n_new:
+        rows.write.mode("append").parquet(codes_path)
+    meta["n"] = int(meta["n"]) + n_new
+    tmp = os.path.join(out_dir, SQ8_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, SQ8_META))
+    return {"n": meta["n"], "delta": n_new}

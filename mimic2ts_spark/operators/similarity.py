@@ -1173,7 +1173,7 @@ def serve_ivf_artifact(
     bit-exact; the registered twin's oracle IS the scan-form SQL, so
     every gate run re-proves served-equals-scan (the X177 doctrine).
 
-    `allowed` (a one-column id relation, X224 — the last cell of the
+    `allowed` (a one-column id relation, X225 — the last cell of the
     X219/X221/X222 matrix: metadata filter × persisted index, the
     production serving combination) semi-joins the PARTITION-PRUNED
     postings BEFORE the candidate join, mirroring
@@ -1328,7 +1328,7 @@ def _bump_postings_meta(spark, out_dir: str, postings_dir: str, n_new: int) -> i
     return total
 
 
-def _write_postings_meta(meta_path: str, n_postings: int) -> None:
+def _write_postings_meta(meta_path: str, n_postings: int) -> int:
     import json
     import os
 
@@ -1336,6 +1336,85 @@ def _write_postings_meta(meta_path: str, n_postings: int) -> None:
     with open(tmp, "w") as f:
         json.dump({"n_postings": int(n_postings)}, f)
     os.replace(tmp, meta_path)
+    return int(n_postings)
+
+
+def compact_ivf_artifact(
+    spark, out_dir: str, max_files_per_cell: int = 1
+) -> dict:
+    """Rewrite FRAGMENTED cells of the cid-partitioned IVF postings —
+    the small-files remedy for streaming ingest (X227): every
+    `ivf-append` microbatch appends one parquet file per touched cell,
+    so a long-running ingest degrades the partition-pruned serve scan
+    into a many-file listing (at 100 TB the listing, not the bytes,
+    becomes the probe cost). Cost is O(fragmented cells), never
+    O(index): only cells holding more than `max_files_per_cell` data
+    files rewrite, each one read → written compacted to a staging dir
+    OUTSIDE the postings tree (a tmp dir inside it would be parsed by
+    partition discovery) → swapped via the crash-safe rename-aside
+    order (_migrate_flat_postings doctrine: a complete cell dir exists
+    at every instant; single-writer contract makes recovery race-free).
+    Rows are untouched — serving before == after bit-equal
+    (pytest-pinned) and the audit sidecar count is unchanged."""
+    import os
+    import shutil
+
+    postings_dir = os.path.join(out_dir, "postings")
+    tmp_root = os.path.join(out_dir, "_compact_tmp")
+    old_root = os.path.join(out_dir, "_compact_old")
+    # entry-time recovery of an interrupted prior compaction, cell by
+    # cell (same invariants as the migration swap): live cell missing +
+    # aside present → restore; any leftover staging is safe to drop.
+    if os.path.isdir(old_root):
+        for cell in os.listdir(old_root):
+            live = os.path.join(postings_dir, cell)
+            if not os.path.isdir(live):
+                os.rename(os.path.join(old_root, cell), live)
+        shutil.rmtree(old_root, ignore_errors=True)
+    if os.path.isdir(tmp_root):
+        shutil.rmtree(tmp_root)
+
+    def _data_files(d: str) -> list:
+        return [
+            e for e in os.listdir(d)
+            if e.endswith(".parquet") and not e.startswith(("_", "."))
+        ]
+
+    cells = sorted(
+        e for e in os.listdir(postings_dir)
+        if e.startswith("cid=") and os.path.isdir(os.path.join(postings_dir, e))
+    )
+    files_before = files_after = 0
+    compacted = 0
+    for cell in cells:
+        live = os.path.join(postings_dir, cell)
+        n_files = len(_data_files(live))
+        files_before += n_files
+        if n_files <= max_files_per_cell:
+            files_after += n_files
+            continue
+        tmp_cell = os.path.join(tmp_root, cell)
+        (
+            spark.read.parquet(live)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp_cell)
+        )
+        aside = os.path.join(old_root, cell)
+        os.makedirs(old_root, exist_ok=True)
+        os.rename(live, aside)
+        os.rename(tmp_cell, live)
+        shutil.rmtree(aside)
+        files_after += len(_data_files(live))
+        compacted += 1
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    shutil.rmtree(old_root, ignore_errors=True)
+    return {
+        "n_cells": len(cells),
+        "cells_compacted": compacted,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
 
 
 def _migrate_flat_postings(spark, postings_dir: str) -> None:

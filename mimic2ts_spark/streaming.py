@@ -1290,6 +1290,42 @@ def run_bq_ingest_available_now(
     return dict(totals)
 
 
+def run_sq8_ingest_available_now(
+    spark: SparkSession,
+    out_dir: str,
+    stream: DataFrame,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Streaming SQ8 codes ingest (X226 — the live form of `maintain
+    sq8-codes-append`): each microbatch encodes its vectors against the
+    artifact's FROZEN quantizer stats (trained state is fixed during
+    serving — the X210/X223 shape; retraining writes a new artifact)
+    and appends via append_sq8_artifact. Encoding under fixed stats is
+    a pure per-row function, so the drained codes table is a pure
+    function of the final vector set under ANY batching (the X204
+    drain contract, strong form) and serving after the drain bit-equals
+    a from-scratch encode under the same stats (pytest-pinned with
+    maxFilesPerTrigger=1). Redelivery-safe: stored ids anti-join away
+    inside the shared append."""
+    from mimic2ts_spark.operators.pq import append_sq8_artifact
+
+    totals = {"batches": 0, "rows": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        audit = append_sq8_artifact(spark, out_dir, batch_df)
+        totals["batches"] += 1
+        totals["rows"] += audit["delta"]
+
+    writer = stream.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return dict(totals)
+
+
 def run_ivf_ingest_available_now(
     spark: SparkSession,
     out_dir: str,

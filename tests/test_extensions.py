@@ -3501,8 +3501,110 @@ def test_ivf_append_flat_layout_migration_and_batch_dupes(spark, tmp_path):
     assert served.count() > 0
 
 
+def test_sq8_artifact_served_equals_scan_and_filtered(spark, tmp_path):
+    """X226: the persisted SQ8 codes artifact completes the quantized
+    ladder's artifact symmetry (BQ codes X218, IVF postings X222) —
+    served top-k bit-equals the scan-form sq8_l2_panel because the
+    stored codes ARE the kernel's intermediate under the same
+    deterministic stats; and the filtered form (allowed= semi-joins the
+    stored codes BEFORE the cut, the X221 pre-cut doctrine) bit-equals
+    the scan form over the allowed subset with the FULL-corpus stats —
+    a filter never retrains the quantizer."""
+    from mimic2ts_spark.operators.pq import (
+        SQ8_STATS_FILE,
+        _quant_base,
+        build_sq8_artifact,
+        load_sq8_stats,
+        serve_sq8_artifact,
+        sq8_l2_panel,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = str(tmp_path / "sq8")
+    meta = build_sq8_artifact(spark, out, embs)
+    assert meta["n"] == embs.count()
+
+    qs = embs.where(F.col("vec_id") < 4)
+    want = sorted(tuple(r) for r in sq8_l2_panel(embs, qs, 5).collect())
+    got = sorted(
+        tuple(r) for r in serve_sq8_artifact(spark, out, qs, 5).collect()
+    )
+    assert got == want and got
+
+    import os as _os
+
+    stats = load_sq8_stats(_os.path.join(out, SQ8_STATS_FILE))
+    allowed = embs.where(F.col("vec_id") % 3 == 1).select("vec_id")
+    sub = embs.join(allowed, "vec_id", "left_semi")
+    want_f = sorted(
+        tuple(r) for r in sq8_l2_panel(sub, qs, 5, stats=stats).collect()
+    )
+    got_f = sorted(
+        tuple(r)
+        for r in serve_sq8_artifact(spark, out, qs, 5, allowed=allowed).collect()
+    )
+    assert got_f == want_f and got_f
+    ok = {r.vec_id for r in allowed.collect()}
+    assert all(t[1] in ok for t in got_f)
+
+
+def test_sq8_append_idempotent_and_stream_ingest(spark, tmp_path):
+    """X226 append + streaming ingest: the delta encodes against the
+    FROZEN stored stats (artifact hyper-state — the codes' meaning
+    never moves under an append), a duplicated-id delta appends one row
+    per new id, a replayed delta appends nothing, the audit total is
+    meta-incremental, and a 3-microbatch drain (maxFilesPerTrigger=1)
+    leaves serving bit-equal to a one-shot encode of the full corpus
+    under the SAME stats (the X204 drain contract)."""
+    from mimic2ts_spark.operators.pq import (
+        SQ8_STATS_FILE,
+        append_sq8_artifact,
+        build_sq8_artifact,
+        load_sq8_stats,
+        serve_sq8_artifact,
+        sq8_l2_panel,
+    )
+    from mimic2ts_spark.streaming import run_sq8_ingest_available_now
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = embs.where(F.col("vec_id") % 4 != 0)
+    delta = embs.where(F.col("vec_id") % 4 == 0)
+    out = str(tmp_path / "sq8_grow")
+    build_sq8_artifact(spark, out, base)
+
+    pdf = delta.toPandas()
+    stage = tmp_path / "delta"
+    stage.mkdir()
+    for i in range(3):
+        pdf[pdf.index % 3 == i].to_parquet(stage / f"d{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    totals = run_sq8_ingest_available_now(spark, out, stream)
+    assert totals["batches"] == 3 and totals["rows"] == delta.count()
+
+    # replayed (and internally duplicated) delta: 0 appended, audit
+    # total unchanged and derived from the meta, not a rescan
+    replay = append_sq8_artifact(spark, out, delta.unionByName(delta))
+    assert replay["delta"] == 0 and replay["n"] == embs.count()
+
+    import os as _os
+
+    stats = load_sq8_stats(_os.path.join(out, SQ8_STATS_FILE))
+    qs = embs.where(F.col("vec_id") < 4)
+    want = sorted(
+        tuple(r) for r in sq8_l2_panel(embs, qs, 5, stats=stats).collect()
+    )
+    got = sorted(
+        tuple(r) for r in serve_sq8_artifact(spark, out, qs, 5).collect()
+    )
+    assert got == want and got
+
+
 def test_serve_ivf_artifact_filtered_equals_scan_form(spark, tmp_path):
-    """X224 (VERDICT r12 #3): filtered serving on the PERSISTED IVF
+    """X225 (VERDICT r12 #3): filtered serving on the PERSISTED IVF
     index — serve_ivf_artifact(allowed=…) semi-joins the partition-
     pruned postings BEFORE the candidate join (the X221 pre-cut
     doctrine; the under-returning post-filter form is never executed)

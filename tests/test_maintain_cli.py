@@ -303,6 +303,142 @@ def test_maintain_bq_codes_append_equals_rebuild(spark, tmp_path, capsys):
     assert a == b and a
 
 
+def test_maintain_ivf_compact_fragmented_cells(spark, tmp_path, capsys):
+    """X227: streaming/batch appends leave one parquet file per touched
+    cell per batch; `ivf-compact` rewrites only the FRAGMENTED cells
+    (O(fragmented cells), crash-safe per-cell rename-aside swap staged
+    OUTSIDE the postings tree) — file count drops to ≤1 per cell,
+    serving is bit-equal before/after, the audit sidecar is unchanged,
+    and an interrupted swap (live cell missing, aside present) recovers
+    on the next run."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.similarity import serve_ivf_artifact
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = vecs.where(F.col("vec_id") % 3 == 0)
+    d1 = vecs.where(F.col("vec_id") % 3 == 1)
+    d2 = vecs.where(F.col("vec_id") % 3 == 2)
+    paths = {}
+    for name, df in (("b", base), ("d1", d1), ("d2", d2)):
+        paths[name] = str(tmp_path / f"{name}.parquet")
+        df.write.parquet(paths[name])
+
+    out = str(tmp_path / "ivf")
+    main(["ivf", out, paths["b"]])
+    main(["ivf-append", out, paths["d1"]])
+    main(["ivf-append", out, paths["d2"]])
+    capsys.readouterr()
+
+    qs = vecs.where(F.col("vec_id") < 4)
+    before = sorted(
+        tuple(r) for r in serve_ivf_artifact(spark, out, qs, vecs, k=5).collect()
+    )
+
+    def _frag_cells():
+        post = _os.path.join(out, "postings")
+        frag = 0
+        for cell in _os.listdir(post):
+            d = _os.path.join(post, cell)
+            if not cell.startswith("cid=") or not _os.path.isdir(d):
+                continue
+            n = len([e for e in _os.listdir(d)
+                     if e.endswith(".parquet") and not e.startswith(("_", "."))])
+            if n > 1:
+                frag += 1
+        return frag
+
+    assert _frag_cells() > 0  # the appends actually fragmented cells
+    main(["ivf-compact", out])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "ivf-compact"
+    assert audit["cells_compacted"] > 0
+    assert audit["files_after"] < audit["files_before"]
+    assert _frag_cells() == 0
+
+    after = sorted(
+        tuple(r) for r in serve_ivf_artifact(spark, out, qs, vecs, k=5).collect()
+    )
+    assert after == before and after
+
+    # interrupted-swap recovery: simulate a crash that left one cell
+    # renamed aside (live dir missing) — the next compaction restores it
+    post = _os.path.join(out, "postings")
+    cell = sorted(
+        e for e in _os.listdir(post)
+        if e.startswith("cid=") and _os.path.isdir(_os.path.join(post, e))
+    )[0]
+    _os.makedirs(_os.path.join(out, "_compact_old"), exist_ok=True)
+    _os.rename(
+        _os.path.join(post, cell), _os.path.join(out, "_compact_old", cell)
+    )
+    main(["ivf-compact", out])
+    capsys.readouterr()
+    assert _os.path.isdir(_os.path.join(post, cell))
+    assert not _os.path.isdir(_os.path.join(out, "_compact_old"))
+    recovered = sorted(
+        tuple(r) for r in serve_ivf_artifact(spark, out, qs, vecs, k=5).collect()
+    )
+    assert recovered == before
+
+
+def test_maintain_sq8_codes_build_and_append(spark, tmp_path, capsys):
+    """`sq8-codes` persists the SQ8 index (frozen stats JSON + codes
+    table); artifact-served top-k bit-equals the scan-form sq8_l2_panel
+    (stored codes ARE the kernel intermediate); `sq8-codes-append`
+    grows it at O(delta) under the FROZEN stats, and the grown index
+    serves bit-equal to a one-shot encode of the full corpus under the
+    same stats (X226 — the quantized ladder's last artifact rung)."""
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.pq import (
+        SQ8_STATS_FILE,
+        load_sq8_stats,
+        serve_sq8_artifact,
+        sq8_l2_panel,
+    )
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = vecs.where(F.col("vec_id") % 2 == 0)
+    delta = vecs.where(F.col("vec_id") % 2 == 1)
+    bdir, ddir = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    base.write.parquet(bdir)
+    delta.write.parquet(ddir)
+
+    out = str(tmp_path / "sq8")
+    main(["sq8-codes", out, bdir])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "sq8-codes"
+    assert audit["n"] == base.count() and audit["dim"] == 64
+
+    qs = vecs.where(F.col("vec_id") < 4)
+    served = {
+        tuple(r) for r in serve_sq8_artifact(spark, out, qs, 5).collect()
+    }
+    fresh = {tuple(r) for r in sq8_l2_panel(base, qs, 5).collect()}
+    assert served == fresh and served
+
+    main(["sq8-codes-append", out, ddir])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "sq8-codes-append"
+    assert audit["n"] == vecs.count() and audit["delta"] == delta.count()
+
+    import os as _os
+
+    stats = load_sq8_stats(_os.path.join(out, SQ8_STATS_FILE))
+    grown = {
+        tuple(r) for r in serve_sq8_artifact(spark, out, qs, 5).collect()
+    }
+    want = {
+        tuple(r) for r in sq8_l2_panel(vecs, qs, 5, stats=stats).collect()
+    }
+    assert grown == want and grown
+
+
 def test_maintain_ivf_build_and_append(spark, tmp_path, capsys):
     """IVF index as maintained table state: build persists cells JSON +
     postings parquet; append assigns a delta against the LOADED cells
