@@ -24,6 +24,7 @@ Usage:
     python -m mimic2ts_spark.maintain bq-codes OUT_DIR SRC_PARQUET \
         [--id-col vec_id] [--vec-col embedding]
     python -m mimic2ts_spark.maintain bq-codes-append OUT_DIR DELTA_PARQUET
+    python -m mimic2ts_spark.maintain codes-compact OUT_DIR [--subdir codes]
 
 init/merge/compact default to the VERSIONED backend (manifest +
 atomic pointer-flip commit, time travel, no partial-rewrite crash
@@ -307,6 +308,16 @@ def main(argv: list[str] | None = None) -> None:
     p_sqa.add_argument("delta")
     p_sqa.add_argument("--id-col", default="vec_id")
     p_sqa.add_argument("--vec-col", default="embedding")
+
+    p_cc = sub.add_parser(
+        "codes-compact",
+        help="compact a fragmented FLAT codes artifact dir (bq-codes / "
+             "sq8-codes appends add one file per batch) to one "
+             "vec_id-sorted file — crash-safe sibling-staged swap (X229)",
+    )
+    p_cc.add_argument("out_dir")
+    p_cc.add_argument("--subdir", default="codes")
+    p_cc.add_argument("--max-files", type=int, default=1)
 
     p_bq = sub.add_parser(
         "bq-codes",
@@ -917,6 +928,21 @@ def main(argv: list[str] | None = None) -> None:
             append_sq8_artifact(
                 spark, args.out_dir, delta,
                 id_col=args.id_col, vec_col=args.vec_col,
+            )
+        )
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "codes-compact":
+        from mimic2ts_spark.operators.pq import compact_codes_dir
+
+        audit = {"cmd": "codes-compact", "out": args.out_dir}
+        audit.update(
+            compact_codes_dir(
+                spark, args.out_dir, subdir=args.subdir,
+                max_files=args.max_files,
             )
         )
         audit["runtime_seconds"] = round(time.time() - t0, 3)

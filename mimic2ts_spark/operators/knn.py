@@ -437,6 +437,7 @@ def _beam_quantized(
     entries: int | None = None,
     n: int | None = None,
     on_scale: str = "raise",
+    _return_visited: bool = False,
 ) -> DataFrame:
     """knn_beam_topk over ALREADY-QUANTIZED frames — base (id, x) and
     queries (qid, xq) — so artifact serving/maintenance (stored int
@@ -446,7 +447,14 @@ def _beam_quantized(
     guard runs on the same n (explicit-dial callers pay the memoized
     count only for the guard — one slim job per corpus per process;
     on_scale='ignore' with explicit dials skips the count entirely,
-    restoring the zero-job path)."""
+    restoring the zero-job path).
+
+    _return_visited (X228): additionally return the per-hop scored
+    frames — EVERY (qid, node, d2) the traversal ever evaluated, not
+    just the final beam — as (topk, [visited_hop_frames]). The filtered
+    serve ranks among these; each hop's frame is checkpointed anyway
+    (bounded at |q|·beam·(k+1) rows), so collecting them costs one
+    extra checkpoint per hop only on this path."""
     need_dials = beam is None or hops is None or entries is None
     if n is None and (need_dials or on_scale != "ignore"):
         n = _memoized_count(base.select("id"))
@@ -467,6 +475,7 @@ def _beam_quantized(
     )
     # `entries`-row scalar cross join (declared bounded pattern)
     s = qv.select("qid").crossJoin(F.broadcast(entry))
+    visited = []
     for _ in range(hops):
         # the frontier is the broadcast side everywhere — the graph and
         # the coordinate table are corpus-sized and stay partitioned
@@ -486,6 +495,9 @@ def _beam_quantized(
         d = scored.select(
             "qid", "node", _dist2(F.col("xq"), F.col("xn")).alias("d2")
         )
+        if _return_visited:
+            d = d.localCheckpoint(eager=True)
+            visited.append(d)
         w = Window.partitionBy("qid").orderBy("d2", "node")
         s = (
             d.withColumn("rn", F.row_number().over(w))
@@ -494,8 +506,106 @@ def _beam_quantized(
         )
     qv.unpersist()
     g.unpersist()
-    return s.where(F.col("rn") <= k).select(
+    topk = s.where(F.col("rn") <= k).select(
         "qid", F.col("node").alias("nbr"), "d2", F.col("rn").alias("rank")
+    )
+    if _return_visited:
+        return topk, visited
+    return topk
+
+
+def knn_beam_topk_filtered(
+    embs: DataFrame,
+    queries: DataFrame,
+    graph: DataFrame,
+    allowed: DataFrame,
+    k: int = 5,
+    beam: int | None = None,
+    hops: int | None = None,
+    entries: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_scale: str = "raise",
+) -> DataFrame:
+    """(route, qid, nbr, d2, rank): filtered ANN on the GRAPH tier
+    (X228) — the last cell of the filter × serving-tier matrix
+    (brute/IVF/BQ/SQ8 scan and artifact forms all carry `allowed=`
+    already). Routing per the X219 selectivity doctrine:
+
+    - SELECTIVE (|allowed|·FILTERED_SELECTIVE_DEN ≤ n): exact int-L2
+      panel over the allowed subset — recall 1.0 by construction and
+      cheaper than traversal; the graph is not touched (route 'exact').
+    - BROAD: the traversal runs FILTER-BLIND — pruning disallowed nodes
+      from the beam would disconnect the navigable structure exactly
+      when the filter bites (the r11 cluster-disconnection lesson,
+      appearing as a filter), so disallowed nodes still route the walk —
+      and the top-k then ranks ALL VISITED nodes semi-joined against
+      `allowed` BEFORE the cut (route 'graph'). The under-returning
+      post-filter of a fixed top-k is never executed.
+
+    Visited-ranking theorem (pytest-pinned): the beam keeps the `beam`
+    closest each hop, so any node it evicts is worse than the
+    then-current beam-worst, which only improves — with allowed =
+    everything the visited top-k therefore EQUALS the plain beam top-k.
+    Under a filter the visited set can still rank allowed nodes the
+    final beam evicted in favor of closer disallowed ones — strictly
+    better than post-filtering the beam's k.
+
+    Both routing counts are memoized driver scalars (VERDICT r11 #3);
+    the route column pins the decision into any oracle hash."""
+    from mimic2ts_spark.operators.similarity import FILTERED_SELECTIVE_DEN
+
+    n = _memoized_count(embs.select(id_col))
+    ids = allowed.select(F.col(allowed.columns[0]).alias(id_col))
+    n_allowed = _memoized_count(ids)
+    if n_allowed * FILTERED_SELECTIVE_DEN <= n:
+        from mimic2ts_spark.operators.pq import brute_force_l2_panel
+
+        sub = embs.join(ids, id_col, "left_semi")
+        exact = brute_force_l2_panel(
+            sub, queries, k, id_col=id_col, vec_col=vec_col
+        )
+        w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+        return (
+            exact.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(
+                F.lit("exact").alias("route"),
+                F.col("query_id").alias("qid"),
+                F.col("neighbor_id").alias("nbr"),
+                "d2",
+                "rank",
+            )
+        )
+    base = embs.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("x")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("qid"), quantize(F.col(vec_col)).alias("xq")
+    )
+    _topk, visited = _beam_quantized(
+        base, qv, graph, k, beam, hops, entries, n=n,
+        on_scale=on_scale, _return_visited=True,
+    )
+    vis = visited[0]
+    for v in visited[1:]:
+        vis = vis.unionByName(v)
+    # a (qid, node) pair rescored across hops carries the IDENTICAL
+    # deterministic integer d2 — dropDuplicates picks that one value
+    vis = vis.dropDuplicates(["qid", "node"])
+    flt = vis.join(
+        ids.select(F.col(id_col).alias("node")), "node", "left_semi"
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "node")
+    return (
+        flt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.lit("graph").alias("route"),
+            "qid",
+            F.col("node").alias("nbr"),
+            "d2",
+            "rank",
+        )
     )
 
 

@@ -1905,3 +1905,58 @@ def append_sq8_artifact(
         json.dump(meta, f)
     os.replace(tmp, os.path.join(out_dir, SQ8_META))
     return {"n": meta["n"], "delta": n_new}
+
+
+def compact_codes_dir(
+    spark, out_dir: str, subdir: str = "codes", max_files: int = 1
+) -> dict:
+    """Compact a FLAT parquet artifact directory (BQ codes X218, SQ8
+    codes X226) fragmented by appends — each batch/microbatch append
+    adds one file, so a long-running ingest degrades the codes scan
+    into a many-file listing (X229; the flat-layout twin of
+    `ivf-compact`). No-op below `max_files` data files; otherwise the
+    whole dir rewrites to ONE file, vec_id-sorted within it (parquet
+    rowgroup min/max stats then serve id-pruned reads), through the
+    crash-safe rename-aside swap: the staging and aside dirs are
+    artifact-level SIBLINGS of the scanned directory (nothing ever
+    inside it), a complete codes dir exists at every instant, and
+    entry-time recovery restores an interrupted swap. Rows untouched —
+    serving before == after bit-equal (pytest-pinned)."""
+    import os
+    import shutil
+
+    codes_dir = os.path.join(out_dir, subdir)
+    tmp = codes_dir + "._compacting"
+    aside = codes_dir + "._old"
+    # recovery (the _migrate_flat_postings invariants): live missing +
+    # aside present → the promote never happened, restore; leftover
+    # aside/tmp beside a live dir are safe to drop
+    if not os.path.isdir(codes_dir) and os.path.isdir(aside):
+        os.rename(aside, codes_dir)
+    if os.path.isdir(aside):
+        shutil.rmtree(aside)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    files = [
+        e for e in os.listdir(codes_dir)
+        if e.endswith(".parquet") and not e.startswith(("_", "."))
+    ]
+    if len(files) <= max_files:
+        return {"files_before": len(files), "files_after": len(files),
+                "compacted": False}
+    (
+        spark.read.parquet(codes_dir)
+        .coalesce(1)
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.rename(codes_dir, aside)
+    os.rename(tmp, codes_dir)
+    shutil.rmtree(aside)
+    after = len([
+        e for e in os.listdir(codes_dir)
+        if e.endswith(".parquet") and not e.startswith(("_", "."))
+    ])
+    return {"files_before": len(files), "files_after": after,
+            "compacted": True}

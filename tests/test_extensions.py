@@ -2545,6 +2545,68 @@ def test_knn_beam_recall_floor(spark, embs):
     assert hit / tot >= 0.90
 
 
+def test_knn_beam_filtered_routes_and_visited_theorem(spark, embs):
+    """X228: filtered ANN on the graph tier — the last cell of the
+    filter × serving-tier matrix. Pins: (a) the visited-ranking theorem
+    (allowed = everything ⇒ filtered 'graph' route EQUALS the plain
+    beam top-k row-for-row — a beam-evicted node is worse than the
+    then-current beam-worst, which only improves); (b) a selective
+    filter routes to the exact int-L2 panel over the allowed subset
+    (recall 1.0 by construction, containment); (c) a broad filter
+    routes 'graph', returns only allowed neighbors, and per query is
+    at least as good as post-filtering the plain beam's k (more rows,
+    k-th distance ≤) — the under-returning textbook form it replaces."""
+    from mimic2ts_spark.harness_ext import _knn_graph
+    from mimic2ts_spark.operators.knn import knn_beam_topk, knn_beam_topk_filtered
+    from mimic2ts_spark.operators.pq import brute_force_l2_panel
+
+    g = _knn_graph(spark, f"{SF}")
+    qs = embs.where(F.col("vec_id") < 8)
+
+    # (a) allowed = everything → 'graph' route == plain beam top-k
+    allow_all = embs.select("vec_id")
+    got = knn_beam_topk_filtered(embs, qs, g, allow_all, k=5)
+    assert {r[0] for r in got.select("route").distinct().collect()} == {"graph"}
+    a = sorted((r.qid, r.nbr, r.d2, r.rank) for r in got.collect())
+    b = sorted(tuple(r) for r in knn_beam_topk(embs, qs, g, k=5).collect())
+    assert a == b and a
+
+    # (b) selective → exact over the allowed subset
+    sel = embs.where(F.col("vec_id") % 16 == 1).select("vec_id")
+    ok = {r.vec_id for r in sel.collect()}
+    got_s = knn_beam_topk_filtered(embs, qs, g, sel, k=5)
+    assert {r[0] for r in got_s.select("route").distinct().collect()} == {"exact"}
+    rows_s = got_s.collect()
+    assert rows_s and all(r.nbr in ok for r in rows_s)
+    want_s = {
+        (r.query_id, r.neighbor_id, r.d2)
+        for r in brute_force_l2_panel(
+            embs.join(sel, "vec_id", "left_semi"), qs, 5
+        ).collect()
+    }
+    assert {(r.qid, r.nbr, r.d2) for r in rows_s} == want_s
+
+    # (c) broad → 'graph', containment, ≥ post-filter quality per query
+    broad = embs.where(F.col("vec_id") % 7 != 0).select("vec_id")
+    ok_b = {r.vec_id for r in broad.collect()}
+    got_b = knn_beam_topk_filtered(embs, qs, g, broad, k=5)
+    assert {r[0] for r in got_b.select("route").distinct().collect()} == {"graph"}
+    by_q: dict = {}
+    for r in got_b.collect():
+        assert r.nbr in ok_b
+        by_q.setdefault(r.qid, []).append(r.d2)
+    post: dict = {}
+    for r in knn_beam_topk(embs, qs, g, k=5).collect():
+        if r.nbr in ok_b:
+            post.setdefault(r.qid, []).append(r.d2)
+    for qid, dists in post.items():
+        fd = sorted(by_q.get(qid, []))
+        pd_ = sorted(dists)
+        assert len(fd) >= len(pd_)
+        for i, d in enumerate(pd_):
+            assert fd[i] <= d
+
+
 def test_graph_serving_cap_guard(spark, embs, tmp_path, monkeypatch):
     """VERDICT r11 #2: the graph-tier serving budget is a GUARD, not a
     README note — serving at/past GRAPH_SERVE_MAX_N raises naming the

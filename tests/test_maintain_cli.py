@@ -303,6 +303,69 @@ def test_maintain_bq_codes_append_equals_rebuild(spark, tmp_path, capsys):
     assert a == b and a
 
 
+def test_maintain_codes_compact_bq_and_sq8(spark, tmp_path, capsys):
+    """X229: `codes-compact` rewrites a fragmented FLAT codes artifact
+    dir (appends add one file per batch) to one vec_id-sorted file via
+    the crash-safe sibling-staged swap — serving bit-equal before and
+    after, for BOTH flat-codes artifacts (BQ X218, SQ8 X226); a second
+    run is a no-op, and an interrupted swap (live dir missing, aside
+    present) recovers."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.pq import (
+        serve_bq_artifact,
+        serve_sq8_artifact,
+    )
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    parts = [vecs.where(F.col("vec_id") % 3 == i) for i in range(3)]
+    paths = []
+    for i, df in enumerate(parts):
+        p = str(tmp_path / f"p{i}.parquet")
+        df.write.parquet(p)
+        paths.append(p)
+    qs = vecs.where(F.col("vec_id") < 4)
+
+    def _n_files(d):
+        return len([e for e in _os.listdir(d)
+                    if e.endswith(".parquet") and not e.startswith(("_", "."))])
+
+    for kind, serve in (("bq", serve_bq_artifact), ("sq8", serve_sq8_artifact)):
+        out = str(tmp_path / kind)
+        main([f"{kind}-codes", out, paths[0]])
+        main([f"{kind}-codes-append", out, paths[1]])
+        main([f"{kind}-codes-append", out, paths[2]])
+        capsys.readouterr()
+        codes = _os.path.join(out, "codes")
+        assert _n_files(codes) > 1
+        before = sorted(
+            tuple(r) for r in serve(spark, out, qs, 5).collect()
+        )
+        main(["codes-compact", out])
+        audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert audit["compacted"] is True and audit["files_after"] == 1
+        assert _n_files(codes) == 1
+        after = sorted(tuple(r) for r in serve(spark, out, qs, 5).collect())
+        assert after == before and after
+        # second run: no-op
+        main(["codes-compact", out])
+        audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert audit["compacted"] is False
+
+        # interrupted-swap recovery: aside present, live dir gone
+        _os.rename(codes, codes + "._old")
+        main(["codes-compact", out])
+        capsys.readouterr()
+        assert _os.path.isdir(codes) and not _os.path.isdir(codes + "._old")
+        recovered = sorted(
+            tuple(r) for r in serve(spark, out, qs, 5).collect()
+        )
+        assert recovered == before
+
+
 def test_maintain_ivf_compact_fragmented_cells(spark, tmp_path, capsys):
     """X227: streaming/batch appends leave one parquet file per touched
     cell per batch; `ivf-compact` rewrites only the FRAGMENTED cells
