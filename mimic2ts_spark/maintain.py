@@ -21,6 +21,9 @@ Usage:
     python -m mimic2ts_spark.maintain sq8-codes OUT_DIR SRC_PARQUET \
         [--id-col vec_id] [--vec-col embedding]
     python -m mimic2ts_spark.maintain sq8-codes-append OUT_DIR DELTA_PARQUET
+    python -m mimic2ts_spark.maintain pq-codes OUT_DIR SRC_PARQUET \
+        [--id-col vec_id] [--vec-col embedding]
+    python -m mimic2ts_spark.maintain pq-codes-append OUT_DIR DELTA_PARQUET
     python -m mimic2ts_spark.maintain bq-codes OUT_DIR SRC_PARQUET \
         [--id-col vec_id] [--vec-col embedding]
     python -m mimic2ts_spark.maintain bq-codes-append OUT_DIR DELTA_PARQUET
@@ -308,6 +311,26 @@ def main(argv: list[str] | None = None) -> None:
     p_sqa.add_argument("delta")
     p_sqa.add_argument("--id-col", default="vec_id")
     p_sqa.add_argument("--vec-col", default="embedding")
+
+    p_pqc = sub.add_parser(
+        "pq-codes",
+        help="persist the PQ index (frozen codebooks + 4-int/vector "
+             "codes table) — ADC serving never rescans the corpus (X230)",
+    )
+    p_pqc.add_argument("out_dir")
+    p_pqc.add_argument("src")
+    p_pqc.add_argument("--id-col", default="vec_id")
+    p_pqc.add_argument("--vec-col", default="embedding")
+
+    p_pqa = sub.add_parser(
+        "pq-codes-append",
+        help="append a NEW-ids delta batch to a pq-codes index at "
+             "O(delta) cost (frozen codebooks: codes' meaning never moves)",
+    )
+    p_pqa.add_argument("out_dir")
+    p_pqa.add_argument("delta")
+    p_pqa.add_argument("--id-col", default="vec_id")
+    p_pqa.add_argument("--vec-col", default="embedding")
 
     p_cc = sub.add_parser(
         "codes-compact",
@@ -926,6 +949,36 @@ def main(argv: list[str] | None = None) -> None:
         audit = {"cmd": "sq8-codes-append", "out": args.out_dir}
         audit.update(
             append_sq8_artifact(
+                spark, args.out_dir, delta,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+        )
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "pq-codes":
+        from mimic2ts_spark.operators.pq import build_pq_artifact
+
+        vecs = spark.read.parquet(args.src)
+        meta = build_pq_artifact(
+            spark, args.out_dir, vecs, id_col=args.id_col, vec_col=args.vec_col
+        )
+        audit = {"cmd": "pq-codes", "out": args.out_dir}
+        audit.update(meta)
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "pq-codes-append":
+        from mimic2ts_spark.operators.pq import append_pq_artifact
+
+        delta = spark.read.parquet(args.delta)
+        audit = {"cmd": "pq-codes-append", "out": args.out_dir}
+        audit.update(
+            append_pq_artifact(
                 spark, args.out_dir, delta,
                 id_col=args.id_col, vec_col=args.vec_col,
             )

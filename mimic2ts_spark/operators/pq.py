@@ -1907,6 +1907,213 @@ def append_sq8_artifact(
     return {"n": meta["n"], "delta": n_new}
 
 
+# --- X230 artifact: persisted PQ codes (the 4-int/vector ADC index) ---------
+#
+# The codebooks were already maintained table state (`maintain
+# codebook`, r05 doctrine) but the CODES were not: pq_adc_topk re-ran
+# the encode kernel over the FLOAT corpus on every call, so serving
+# still paid a full 512-byte/vector scan. Storing (vec_id,
+# code_0..code_{M-1}) — 4 small ints/vector here, the Faiss IVFADC
+# posture — lets ADC answer from the codes alone: the per-query
+# distance is Σ_m T_m[code_m] with the M×K tables computed driver-side
+# from the loaded codebooks (integer math end to end, bit-exact).
+# Codebooks are FROZEN artifact hyper-state exactly like SQ8's stats
+# (X226): an append encodes under the stored books — retraining would
+# silently change every stored code's meaning.
+
+PQ_CODES_META = "_pq_meta.json"
+PQ_BOOKS_FILE = "codebooks.json"
+
+
+def _pq_adc_panel_from_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    books,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist2, rank): panel ADC top-k over a
+    pre-encoded codes relation. The panel quantizes driver-side; per
+    subspace the (nq × K) distance table T_m = |q_m|² + |c|² − 2 q_m·c
+    is exact int64, and the kernel's lookup D = Σ_m T_m[:, pos(code_m)]
+    is pure integer table arithmetic — bit-equal to the literal-map
+    _adc_expr form. Ties rank ascending neighbor id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    cids, mats = _books_np(books)
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qx")
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    Q = np.array([[int(v) for v in r["qx"]] for r in q_rows], dtype=np.int64)
+    tables = []
+    for m in range(PQ_M):
+        Qm = Q[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        T = (
+            (Qm * Qm).sum(axis=1)[:, None]
+            + (mats[m] * mats[m]).sum(axis=1)[None, :]
+            - 2 * (Qm @ mats[m].T)
+        )
+        tables.append(T)
+
+    code_cols = [f"code_{m}" for m in range(PQ_M)]
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids_ = pdf["vec_id"].to_numpy(dtype=np.int64)
+            D = np.zeros((len(q_ids), len(ids_)), dtype=np.int64)
+            for m in range(PQ_M):
+                pos = np.searchsorted(
+                    cids[m], pdf[code_cols[m]].to_numpy(dtype=np.int64)
+                )
+                D += tables[m][:, pos]
+            qi, ni = np.meshgrid(np.arange(len(q_ids)), np.arange(len(ids_)))
+            keep = q_ids[qi.ravel()] != ids_[ni.ravel()]
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi.ravel()][keep],
+                    "neighbor_id": ids_[ni.ravel()][keep],
+                    "adc_dist2": D[qi.ravel(), ni.ravel()][keep],
+                }
+            )
+
+    scored = codes.select("vec_id", *code_cols).mapInPandas(
+        score, schema="query_id long, neighbor_id long, adc_dist2 long"
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_adc_panel(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Scan-form panel ADC (encode inline, then the shared table
+    kernel) — the twin serve_pq_artifact is pinned bit-equal to."""
+    if codebooks is None:
+        codebooks = train_codebooks(vectors, id_col, vec_col, cache_key)
+    codes = _assign_all(_quant_base(vectors, id_col, vec_col), codebooks)
+    return _pq_adc_panel_from_codes(
+        codes, queries, codebooks, k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def build_pq_artifact(
+    spark,
+    out_dir: str,
+    src: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the PQ index (`maintain pq-codes`): codebooks JSON (the
+    existing save_codebooks artifact format) + the encoded codes table.
+    Deterministic training + the shared argmin tie discipline ⇒
+    artifact-served ADC bit-equals the scan form (pytest-pinned)."""
+    import json
+    import os
+
+    books = train_codebooks(src, id_col, vec_col)
+    os.makedirs(out_dir, exist_ok=True)
+    save_codebooks(books, os.path.join(out_dir, PQ_BOOKS_FILE))
+    (
+        _assign_all(_quant_base(src, id_col, vec_col), books)
+        .select("vec_id", *[f"code_{m}" for m in range(PQ_M)])
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "codes"))
+    )
+    n = spark.read.parquet(os.path.join(out_dir, "codes")).count()
+    meta = {"n": n, "m": PQ_M, "k": PQ_K, "sub": PQ_SUB}
+    with open(os.path.join(out_dir, PQ_CODES_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def serve_pq_artifact(
+    spark,
+    out_dir: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist2, rank): ADC top-k served FROM
+    the persisted PQ codes — no corpus re-encode, no retrain: the float
+    corpus is never touched (the panel quantizes driver-side, distances
+    come from the stored 4-int rows + driver-side tables). `allowed`
+    semi-joins the stored codes BEFORE the cut (the X221 pre-cut
+    doctrine); the codebooks stay the artifact's full-corpus state — a
+    filter never retrains."""
+    import os
+
+    books = load_codebooks(os.path.join(out_dir, PQ_BOOKS_FILE))
+    codes = spark.read.parquet(os.path.join(out_dir, "codes"))
+    if allowed is not None:
+        ids = allowed.select(F.col(allowed.columns[0]).alias("vec_id"))
+        codes = codes.join(ids, "vec_id", "left_semi")
+    return _pq_adc_panel_from_codes(
+        codes, queries, books, k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def append_pq_artifact(
+    spark,
+    out_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Grow the persisted PQ index at O(delta) cost under the FROZEN
+    stored codebooks (artifact hyper-state — never retrained by an
+    append). Idempotent on redelivery like the BQ/SQ8/IVF appends:
+    within-batch duplicates collapse deterministically, stored ids
+    anti-join away; audit total is meta-incremental (ADVICE r12)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, PQ_CODES_META)) as f:
+        meta = json.load(f)
+    books = load_codebooks(os.path.join(out_dir, PQ_BOOKS_FILE))
+    codes_path = os.path.join(out_dir, "codes")
+    stored_ids = spark.read.parquet(codes_path).select("vec_id")
+    code_cols = [f"code_{m}" for m in range(PQ_M)]
+    rows = (
+        _assign_all(_quant_base(delta, id_col, vec_col), books)
+        .select("vec_id", *code_cols)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(*code_cols)).alias("_s"))
+        .select("vec_id", *[F.col(f"_s.{c}").alias(c) for c in code_cols])
+        .join(stored_ids, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n_new = rows.count()
+    if n_new:
+        rows.write.mode("append").parquet(codes_path)
+    meta["n"] = int(meta["n"]) + n_new
+    tmp = os.path.join(out_dir, PQ_CODES_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, PQ_CODES_META))
+    return {"n": meta["n"], "delta": n_new}
+
+
 def compact_codes_dir(
     spark, out_dir: str, subdir: str = "codes", max_files: int = 1
 ) -> dict:

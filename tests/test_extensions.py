@@ -3665,6 +3665,124 @@ def test_sq8_append_idempotent_and_stream_ingest(spark, tmp_path):
     assert got == want and got
 
 
+def test_pq_artifact_served_equals_scan_and_filtered(spark, tmp_path):
+    """X230: the persisted PQ codes artifact — ADC serving from the
+    stored 4-int/vector codes bit-equals the scan-form pq_adc_panel
+    (same deterministic codebooks, same integer table kernel), the
+    table-kernel panel agrees with the literal-map _adc_expr form
+    (pq_adc_topk) on the shared query, and the filtered form (allowed=
+    semi-joins stored codes pre-cut) bit-equals the scan form over the
+    allowed subset under the FULL-corpus codebooks."""
+    from mimic2ts_spark.operators.pq import (
+        PQ_BOOKS_FILE,
+        build_pq_artifact,
+        load_codebooks,
+        pq_adc_panel,
+        pq_adc_topk,
+        serve_pq_artifact,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = str(tmp_path / "pq")
+    meta = build_pq_artifact(spark, out, embs)
+    assert meta["n"] == embs.count()
+
+    import os as _os
+
+    books = load_codebooks(_os.path.join(out, PQ_BOOKS_FILE))
+    qs = embs.where(F.col("vec_id") < 4)
+    want = sorted(
+        tuple(r)
+        for r in pq_adc_panel(embs, qs, 5, codebooks=books).collect()
+    )
+    got = sorted(
+        tuple(r) for r in serve_pq_artifact(spark, out, qs, 5).collect()
+    )
+    assert got == want and got
+
+    # cross-form agreement: the table kernel == the literal-map ADC
+    # expression on the lowest-id query (pq_adc_topk's fixed panel)
+    lit = [
+        (r.vec_id, r.adc_dist2)
+        for r in pq_adc_topk(embs, top_k=5, codebooks=books).collect()
+    ]
+    q0 = embs.agg(F.min("vec_id")).collect()[0][0]
+    krn = [
+        (r.neighbor_id, r.adc_dist2)
+        for r in serve_pq_artifact(spark, out, embs.where(F.col("vec_id") == q0), 5)
+        .orderBy("rank").collect()
+    ]
+    assert lit == krn and lit
+
+    # filtered: pre-cut on the stored codes, codebooks never retrain
+    allowed = embs.where(F.col("vec_id") % 3 == 1).select("vec_id")
+    sub = embs.join(allowed, "vec_id", "left_semi")
+    want_f = sorted(
+        tuple(r)
+        for r in pq_adc_panel(sub, qs, 5, codebooks=books).collect()
+    )
+    got_f = sorted(
+        tuple(r)
+        for r in serve_pq_artifact(spark, out, qs, 5, allowed=allowed).collect()
+    )
+    assert got_f == want_f and got_f
+    ok = {r.vec_id for r in allowed.collect()}
+    assert all(t[1] in ok for t in got_f)
+
+
+def test_pq_append_idempotent_and_stream_ingest(spark, tmp_path):
+    """X230 append + streaming ingest: deltas encode against the FROZEN
+    stored codebooks, duplicated-id deltas append one row per new id, a
+    replayed delta appends nothing (meta-incremental audit), and a
+    3-microbatch drain (maxFilesPerTrigger=1) leaves ADC serving
+    bit-equal to a one-shot encode of the full corpus under the SAME
+    books (the X204 drain contract)."""
+    from mimic2ts_spark.operators.pq import (
+        PQ_BOOKS_FILE,
+        append_pq_artifact,
+        build_pq_artifact,
+        load_codebooks,
+        pq_adc_panel,
+        serve_pq_artifact,
+    )
+    from mimic2ts_spark.streaming import run_pq_ingest_available_now
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = embs.where(F.col("vec_id") % 4 != 0)
+    delta = embs.where(F.col("vec_id") % 4 == 0)
+    out = str(tmp_path / "pq_grow")
+    build_pq_artifact(spark, out, base)
+
+    pdf = delta.toPandas()
+    stage = tmp_path / "delta"
+    stage.mkdir()
+    for i in range(3):
+        pdf[pdf.index % 3 == i].to_parquet(stage / f"d{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    totals = run_pq_ingest_available_now(spark, out, stream)
+    assert totals["batches"] == 3 and totals["rows"] == delta.count()
+
+    replay = append_pq_artifact(spark, out, delta.unionByName(delta))
+    assert replay["delta"] == 0 and replay["n"] == embs.count()
+
+    import os as _os
+
+    books = load_codebooks(_os.path.join(out, PQ_BOOKS_FILE))
+    qs = embs.where(F.col("vec_id") < 4)
+    want = sorted(
+        tuple(r)
+        for r in pq_adc_panel(embs, qs, 5, codebooks=books).collect()
+    )
+    got = sorted(
+        tuple(r) for r in serve_pq_artifact(spark, out, qs, 5).collect()
+    )
+    assert got == want and got
+
+
 def test_serve_ivf_artifact_filtered_equals_scan_form(spark, tmp_path):
     """X225 (VERDICT r12 #3): filtered serving on the PERSISTED IVF
     index — serve_ivf_artifact(allowed=…) semi-joins the partition-

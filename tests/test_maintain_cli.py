@@ -307,9 +307,9 @@ def test_maintain_codes_compact_bq_and_sq8(spark, tmp_path, capsys):
     """X229: `codes-compact` rewrites a fragmented FLAT codes artifact
     dir (appends add one file per batch) to one vec_id-sorted file via
     the crash-safe sibling-staged swap — serving bit-equal before and
-    after, for BOTH flat-codes artifacts (BQ X218, SQ8 X226); a second
-    run is a no-op, and an interrupted swap (live dir missing, aside
-    present) recovers."""
+    after, for ALL THREE flat-codes artifacts (BQ X218, SQ8 X226,
+    PQ X230); a second run is a no-op, and an interrupted swap (live
+    dir missing, aside present) recovers."""
     import os as _os
 
     from pyspark.sql import functions as F
@@ -333,7 +333,13 @@ def test_maintain_codes_compact_bq_and_sq8(spark, tmp_path, capsys):
         return len([e for e in _os.listdir(d)
                     if e.endswith(".parquet") and not e.startswith(("_", "."))])
 
-    for kind, serve in (("bq", serve_bq_artifact), ("sq8", serve_sq8_artifact)):
+    from mimic2ts_spark.operators.pq import serve_pq_artifact
+
+    for kind, serve in (
+        ("bq", serve_bq_artifact),
+        ("sq8", serve_sq8_artifact),
+        ("pq", serve_pq_artifact),
+    ):
         out = str(tmp_path / kind)
         main([f"{kind}-codes", out, paths[0]])
         main([f"{kind}-codes-append", out, paths[1]])
@@ -364,6 +370,61 @@ def test_maintain_codes_compact_bq_and_sq8(spark, tmp_path, capsys):
             tuple(r) for r in serve(spark, out, qs, 5).collect()
         )
         assert recovered == before
+
+
+def test_maintain_pq_codes_build_and_append(spark, tmp_path, capsys):
+    """`pq-codes` persists the PQ index (frozen codebooks JSON + 4-int
+    codes table); artifact-served ADC bit-equals the scan-form
+    pq_adc_panel; `pq-codes-append` grows it at O(delta) under the
+    FROZEN books, and the grown index serves bit-equal to a one-shot
+    encode under the same books (X230)."""
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.pq import (
+        PQ_BOOKS_FILE,
+        load_codebooks,
+        pq_adc_panel,
+        serve_pq_artifact,
+    )
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = vecs.where(F.col("vec_id") % 2 == 0)
+    delta = vecs.where(F.col("vec_id") % 2 == 1)
+    bdir, ddir = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    base.write.parquet(bdir)
+    delta.write.parquet(ddir)
+
+    out = str(tmp_path / "pq")
+    main(["pq-codes", out, bdir])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "pq-codes"
+    assert audit["n"] == base.count() and audit["m"] == 4
+
+    import os as _os
+
+    books = load_codebooks(_os.path.join(out, PQ_BOOKS_FILE))
+    qs = vecs.where(F.col("vec_id") < 4)
+    served = {
+        tuple(r) for r in serve_pq_artifact(spark, out, qs, 5).collect()
+    }
+    fresh = {
+        tuple(r) for r in pq_adc_panel(base, qs, 5, codebooks=books).collect()
+    }
+    assert served == fresh and served
+
+    main(["pq-codes-append", out, ddir])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "pq-codes-append"
+    assert audit["n"] == vecs.count() and audit["delta"] == delta.count()
+
+    grown = {
+        tuple(r) for r in serve_pq_artifact(spark, out, qs, 5).collect()
+    }
+    want = {
+        tuple(r) for r in pq_adc_panel(vecs, qs, 5, codebooks=books).collect()
+    }
+    assert grown == want and grown
 
 
 def test_maintain_ivf_compact_fragmented_cells(spark, tmp_path, capsys):
