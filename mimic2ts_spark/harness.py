@@ -2273,6 +2273,11 @@ _GATE_CHANGED_THIS_ROUND = [
     #   (ADVICE r12) — compute path identical;
     # - flat-postings migration made crash-safe (rename-aside order,
     #   ADVICE r12) — same migrated layout.
+    # - panel top-k kernels gained the pq._batch_topk map-side combine
+    #   (per-batch exact top-k under the (dist, id) total order before
+    #   the shuffle) — pure row selection, value-identical by the
+    #   superset theorem; re-proven by the post-change full local sweep
+    #   and a duplicate-heavy tie-boundary pytest.
 ]
 
 

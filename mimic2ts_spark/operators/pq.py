@@ -518,6 +518,32 @@ def ivfpq_topk(
     )
 
 
+def _batch_topk(pdf, k: int, dist: str):
+    """Per-batch EXACT top-k — the map-side combine of every panel
+    top-k kernel: rows prune to the k smallest per query under the
+    (dist, neighbor_id) total order BEFORE leaving the Python worker,
+    so the WindowGroupLimit that merges batches shuffles ≤ batches·k
+    rows per query instead of the full corpus (at 10⁹ vectors the
+    un-pruned emission is the shuffle bottleneck; pruned it is
+    ~(corpus/maxRecordsPerBatch)·k). Value-identical by the superset
+    property: any row of the GLOBAL top-k is among the k smallest of
+    its own batch under the same total order the downstream window
+    sorts by — this is pure row SELECTION, no arithmetic is reordered,
+    so cross-engine bit-exactness is untouched."""
+    import numpy as np
+
+    if not len(pdf):
+        return pdf
+    order = np.lexsort(
+        (
+            pdf["neighbor_id"].to_numpy(),
+            pdf[dist].to_numpy(),
+            pdf["query_id"].to_numpy(),
+        )
+    )
+    return pdf.iloc[order].groupby("query_id", sort=False).head(k)
+
+
 def brute_force_l2_panel(
     vectors: DataFrame,
     queries: DataFrame,
@@ -557,12 +583,16 @@ def brute_force_l2_panel(
             D = x_norm[:, None] + q_norm[None, :] - 2 * (X @ Q.T)
             qi, ni = np.meshgrid(np.arange(len(q_ids)), np.arange(len(ids)))
             keep = q_ids[qi.ravel()] != ids[ni.ravel()]
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids[qi.ravel()][keep],
-                    "neighbor_id": ids[ni.ravel()][keep],
-                    "d2": D[ni.ravel(), qi.ravel()][keep],
-                }
+            yield _batch_topk(
+                pd.DataFrame(
+                    {
+                        "query_id": q_ids[qi.ravel()][keep],
+                        "neighbor_id": ids[ni.ravel()][keep],
+                        "d2": D[ni.ravel(), qi.ravel()][keep],
+                    }
+                ),
+                k,
+                "d2",
             )
 
     scored = _quant_base(vectors, id_col, vec_col).mapInPandas(
@@ -668,7 +698,9 @@ def ivfpq_topk_panel(
                         )
                     )
             if frames:
-                yield pd.concat(frames, ignore_index=True)
+                yield _batch_topk(
+                    pd.concat(frames, ignore_index=True), k, "adc_dist2"
+                )
 
     cells = _cells_of(_quant_base(vectors, id_col, vec_col), coarse)
     pruned = cells.where(F.col("cell").isin(sorted(queries_by_cell)))
@@ -1214,12 +1246,16 @@ def sq8_l2_panel(
             D = d_norm[:, None] + q_norm[None, :] - 2 * (D_ @ Q.T)
             qi, ni = np.meshgrid(np.arange(len(q_ids)), np.arange(len(ids)))
             keep = q_ids[qi.ravel()] != ids[ni.ravel()]
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids[qi.ravel()][keep],
-                    "neighbor_id": ids[ni.ravel()][keep],
-                    "d2": D[ni.ravel(), qi.ravel()][keep],
-                }
+            yield _batch_topk(
+                pd.DataFrame(
+                    {
+                        "query_id": q_ids[qi.ravel()][keep],
+                        "neighbor_id": ids[ni.ravel()][keep],
+                        "d2": D[ni.ravel(), qi.ravel()][keep],
+                    }
+                ),
+                k,
+                "d2",
             )
 
     scored = base.mapInPandas(
@@ -1842,12 +1878,16 @@ def serve_sq8_artifact(
             D = d_norm[:, None] + q_norm[None, :] - 2 * (D_ @ Q.T)
             qi, ni = np.meshgrid(np.arange(len(q_ids)), np.arange(len(ids_)))
             keep = q_ids[qi.ravel()] != ids_[ni.ravel()]
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids[qi.ravel()][keep],
-                    "neighbor_id": ids_[ni.ravel()][keep],
-                    "d2": D[ni.ravel(), qi.ravel()][keep],
-                }
+            yield _batch_topk(
+                pd.DataFrame(
+                    {
+                        "query_id": q_ids[qi.ravel()][keep],
+                        "neighbor_id": ids_[ni.ravel()][keep],
+                        "d2": D[ni.ravel(), qi.ravel()][keep],
+                    }
+                ),
+                k,
+                "d2",
             )
 
     scored = codes.mapInPandas(
@@ -1978,12 +2018,16 @@ def _pq_adc_panel_from_codes(
                 D += tables[m][:, pos]
             qi, ni = np.meshgrid(np.arange(len(q_ids)), np.arange(len(ids_)))
             keep = q_ids[qi.ravel()] != ids_[ni.ravel()]
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids[qi.ravel()][keep],
-                    "neighbor_id": ids_[ni.ravel()][keep],
-                    "adc_dist2": D[qi.ravel(), ni.ravel()][keep],
-                }
+            yield _batch_topk(
+                pd.DataFrame(
+                    {
+                        "query_id": q_ids[qi.ravel()][keep],
+                        "neighbor_id": ids_[ni.ravel()][keep],
+                        "adc_dist2": D[qi.ravel(), ni.ravel()][keep],
+                    }
+                ),
+                k,
+                "adc_dist2",
             )
 
     scored = codes.select("vec_id", *code_cols).mapInPandas(

@@ -4003,3 +4003,57 @@ def test_theil_sen_resists_outlier_day(spark, tmp_path):
     assert out.slope_scaled == math.floor(TS_SCALE * num / den)
     # robustness: true slope 2 (the spike day shifts the median barely)
     assert abs(out.slope_scaled / TS_SCALE - 2.0) < 0.2
+
+
+def test_panel_topk_batch_prune_exact_under_ties(spark, embs):
+    """r13 map-side combine (pq._batch_topk): every panel top-k kernel
+    prunes to the per-batch k smallest under the (dist, neighbor_id)
+    total order BEFORE the shuffle. Worst-case regime for any
+    truncation: a corpus of byte-identical vector copies (every
+    distance ties 5-way, including d=0 copies of each query) torn
+    across 8 Arrow batches, with k NOT a multiple of the tie width so
+    the k-th slot splits a tie group both per-batch and globally. The
+    kernel's output must equal an independent numpy replay of the same
+    int64 math (associative — no accumulation-order discipline), row
+    order and all."""
+    import numpy as np
+
+    from mimic2ts_spark.operators.pq import _quant_base, brute_force_l2_panel
+
+    base = embs.where(F.col("vec_id") < 40)
+    dup = base
+    for i in range(1, 5):
+        dup = dup.union(
+            base.withColumn("vec_id", F.col("vec_id") + 10_000 * i)
+        )
+    dup = dup.repartition(8)
+    qs = embs.where(F.col("vec_id") < 4)
+    k = 7
+
+    rows = _quant_base(dup, "vec_id", "embedding").collect()
+    ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    X = np.array([[int(v) for v in r["x"]] for r in rows], dtype=np.int64)
+    exp = {}
+    for r in _quant_base(qs, "vec_id", "embedding").collect():
+        qid = int(r["vec_id"])
+        q = np.array([int(v) for v in r["x"]], dtype=np.int64)
+        d = ((X - q[None, :]) ** 2).sum(axis=1)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], d[mask]))
+        exp[qid] = [
+            (int(ids[mask][j]), int(d[mask][j])) for j in order[:k]
+        ]
+
+    got: dict = {}
+    for r in (
+        brute_force_l2_panel(dup, qs, k=k)
+        .orderBy("query_id", "d2", "neighbor_id")
+        .collect()
+    ):
+        got.setdefault(int(r["query_id"]), []).append(
+            (int(r["neighbor_id"]), int(r["d2"]))
+        )
+    assert got == exp
+    # the 4 zero-distance duplicate copies of each query lead its list
+    for qid, lst in exp.items():
+        assert [d for _, d in lst[:4]] == [0, 0, 0, 0]
