@@ -336,6 +336,16 @@ def _ab_notes() -> dict:
     except (OSError, ValueError):
         return {}
     cur = _current_round()
+    if cur >= 10**9:
+        # _current_round failed (sentinel): keep EVERYTHING rather than
+        # silently pruning current-round notes — for baseline filtering
+        # the sentinel means "skip nothing", and this consumer must
+        # degrade the same direction (ADVICE r13)
+        return {
+            q: e["note"]
+            for q, e in doc.items()
+            if isinstance(e, dict) and "note" in e
+        }
     return {
         q: e["note"]
         for q, e in doc.items()

@@ -552,7 +552,18 @@ def knn_beam_topk_filtered(
     better than post-filtering the beam's k.
 
     Both routing counts are memoized driver scalars (VERDICT r11 #3);
-    the route column pins the decision into any oracle hash."""
+    the route column pins the decision into any oracle hash.
+
+    SELF-MATCH convention differs per route (ADVICE r13, pinned in the
+    X228 pytest): the 'exact' route inherits the brute panels'
+    self-EXCLUSION (query_id == neighbor_id never returned), while the
+    'graph' route inherits the plain beam's self-INCLUSION — a query
+    stored in the graph and contained in `allowed` ranks itself first
+    (d2 = 0, rank 1), the HNSW-style serving convention knn_beam_topk
+    and its oracle SQL share. Unifying would change the gated beam
+    semantics (q_ann_knn_beam / q_ann_recall graph leg); consumers who
+    want strict-neighbor results drop `qid == nbr` rows, which under
+    the (d2, node) total order only promotes the remaining ranks."""
     from mimic2ts_spark.operators.similarity import FILTERED_SELECTIVE_DEN
 
     n = _memoized_count(embs.select(id_col))

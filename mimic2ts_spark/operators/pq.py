@@ -2188,6 +2188,13 @@ def compact_codes_dir(
         shutil.rmtree(aside)
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
+    if not os.path.isdir(codes_dir):
+        # ADVICE r13: a clean audit-path error instead of a raw
+        # listdir traceback when the artifact was never built
+        raise FileNotFoundError(
+            f"codes artifact not found at {out_dir} (no {subdir}/ dir) — "
+            "build it first (`maintain bq-codes`/`sq8-codes`/`pq-codes`)"
+        )
     files = [
         e for e in os.listdir(codes_dir)
         if e.endswith(".parquet") and not e.startswith(("_", "."))

@@ -1380,6 +1380,13 @@ def compact_ivf_artifact(
             if e.endswith(".parquet") and not e.startswith(("_", "."))
         ]
 
+    if not os.path.isdir(postings_dir):
+        # ADVICE r13: a clean audit-path error instead of a raw
+        # listdir traceback when the artifact was never built
+        raise FileNotFoundError(
+            f"IVF artifact not found at {out_dir} (no postings/ dir) — "
+            "build it first (`maintain ivf`)"
+        )
     cells = sorted(
         e for e in os.listdir(postings_dir)
         if e.startswith("cid=") and os.path.isdir(os.path.join(postings_dir, e))

@@ -2606,6 +2606,15 @@ def test_knn_beam_filtered_routes_and_visited_theorem(spark, embs):
         for i, d in enumerate(pd_):
             assert fd[i] <= d
 
+    # (d) self-match convention per route (ADVICE r13): the 'exact'
+    # route excludes the query itself (brute-panel convention), the
+    # 'graph' route returns an allowed+reachable query at rank 1 with
+    # d2 = 0 (the plain beam's HNSW-style self-inclusion)
+    assert all(r.qid != r.nbr for r in rows_s)
+    self_rows = [r for r in got_b.collect() if r.qid == r.nbr]
+    assert self_rows  # broad allows vec_id % 7 != 0 ⇒ queries 1..6
+    assert all(r.d2 == 0 and r.rank == 1 for r in self_rows)
+
 
 def test_graph_serving_cap_guard(spark, embs, tmp_path, monkeypatch):
     """VERDICT r11 #2: the graph-tier serving budget is a GUARD, not a

@@ -372,6 +372,22 @@ def test_maintain_codes_compact_bq_and_sq8(spark, tmp_path, capsys):
         assert recovered == before
 
 
+def test_compact_missing_artifact_clean_error(spark, tmp_path):
+    """ADVICE r13: compaction against a never-built artifact raises a
+    clear 'artifact not found' error naming the build command, not a
+    raw os.listdir traceback."""
+    import pytest as _pytest
+
+    from mimic2ts_spark.operators.pq import compact_codes_dir
+    from mimic2ts_spark.operators.similarity import compact_ivf_artifact
+
+    missing = str(tmp_path / "never_built")
+    with _pytest.raises(FileNotFoundError, match="artifact not found"):
+        compact_codes_dir(spark, missing)
+    with _pytest.raises(FileNotFoundError, match="artifact not found"):
+        compact_ivf_artifact(spark, missing)
+
+
 def test_maintain_pq_codes_build_and_append(spark, tmp_path, capsys):
     """`pq-codes` persists the PQ index (frozen codebooks JSON + 4-int
     codes table); artifact-served ADC bit-equals the scan-form
