@@ -2253,6 +2253,21 @@ _CORE_REGISTRY = dict(REGISTRY)
 # pay for any net growth by keeping this changed-list small — every
 # never-verified query auto-claims a slot ahead of the stale tail.
 _GATE_CHANGED_THIS_ROUND = [
+    # r14 (VERDICT r13 #2): the quantized serving rungs now gate their
+    # ARTIFACT-SERVED paths the way IVF does — q_sq8_topk serves from
+    # the `maintain sq8-codes` artifact (serve_sq8_artifact), q_ann_pq
+    # from `maintain pq-codes` (serve_pq_artifact, projected to the
+    # scan shape), and q_ann_recall's bq/bq_rescore legs from
+    # `maintain bq-codes` (serve_bq_artifact). Every oracle is the
+    # UNCHANGED byte-identical scan-form SQL, so each green row
+    # re-proves served == scan; equality is additionally pytest-pinned
+    # (test_registry_rows_serve_from_artifacts). Values are identical
+    # by construction, but the serving PATH changed, so the rows take
+    # changed slots (the r04 in-round-edit rule) — 47 slots still
+    # drain the stale tail (29 r09 rows + 18 stalest r10 rows).
+    "q_sq8_topk",
+    "q_ann_pq",
+    "q_ann_recall",
     # r13: EMPTY — every edit this round is value-identical, so all 50
     # window slots drain the stale tail (VERDICT r12 #1: 37 entries
     # last-verified r08 + the 13 stalest of the r09 cohort; after this

@@ -1794,6 +1794,7 @@ def build_sq8_artifact(
     src: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> dict:
     """Persist the SQ8 index (`maintain sq8-codes`): quantizer stats
     trained ONCE on the full src (bounded driver state, 2 ints/dim) +
@@ -1806,7 +1807,10 @@ def build_sq8_artifact(
     from mimic2ts_spark.operators.kmeans import QUANT
 
     base = _quant_base(src, id_col, vec_col)
-    stats = sq8_int_stats(base)
+    # cache_key shares the (deterministic) stats agg with scan-form
+    # queries of the same corpus — the r05 trained-state memo rule;
+    # the persisted artifact is identical either way
+    stats = sq8_int_stats(base, cache_key=cache_key)
     os.makedirs(out_dir, exist_ok=True)
     save_sq8_stats(stats, os.path.join(out_dir, SQ8_STATS_FILE))
     sq8_encode_codes(base, stats).write.mode("overwrite").parquet(
@@ -2065,6 +2069,7 @@ def build_pq_artifact(
     src: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> dict:
     """Persist the PQ index (`maintain pq-codes`): codebooks JSON (the
     existing save_codebooks artifact format) + the encoded codes table.
@@ -2073,7 +2078,10 @@ def build_pq_artifact(
     import json
     import os
 
-    books = train_codebooks(src, id_col, vec_col)
+    # cache_key shares the (deterministic) codebook training with
+    # scan-form queries of the same corpus (r05 trained-state memo
+    # rule); the persisted artifact is identical either way
+    books = train_codebooks(src, id_col, vec_col, cache_key)
     os.makedirs(out_dir, exist_ok=True)
     save_codebooks(books, os.path.join(out_dir, PQ_BOOKS_FILE))
     (

@@ -2545,6 +2545,50 @@ def test_knn_beam_recall_floor(spark, embs):
     assert hit / tot >= 0.90
 
 
+def test_registry_rows_serve_from_artifacts(spark, embs):
+    """VERDICT r13 #2: the registry's SQ8/PQ rows and q_ann_recall's BQ
+    candidate relation serve from the persisted `maintain *-codes`
+    artifacts; served == scan is pinned row-for-row here, which is what
+    keeps the UNCHANGED scan-form oracle SQL a valid gate for the
+    artifact-served path (the q_ann_ivf_indexed precedent)."""
+    from mimic2ts_spark import harness_ext as HX
+    from mimic2ts_spark.operators.pq import (
+        BQ_RESCORE_CAND,
+        bq_hamming_panel,
+        pq_adc_topk,
+        serve_bq_artifact,
+        sq8_l2_panel,
+    )
+
+    qs = embs.where(F.col("vec_id") < HX.SQ8_TOPK_QUERIES)
+    got = sorted(tuple(r) for r in HX.q_sq8_topk(spark, SF).collect())
+    want = sorted(
+        tuple(r)
+        for r in sq8_l2_panel(
+            embs, qs, k=HX.SQ8_TOPK_K, cache_key=SF
+        ).collect()
+    )
+    assert got == want and got
+
+    got_pq = [tuple(r) for r in HX.q_ann_pq(spark, SF).collect()]
+    want_pq = [tuple(r) for r in pq_adc_topk(embs, cache_key=SF).collect()]
+    assert got_pq == want_pq and got_pq
+
+    art = HX._codes_artifact_dir(spark, SF, "bq")
+    qs2 = embs.where(F.col("vec_id") < HX.ANN_RECALL_QUERIES)
+    got_bq = sorted(
+        tuple(r)
+        for r in serve_bq_artifact(
+            spark, art, qs2, k=BQ_RESCORE_CAND
+        ).collect()
+    )
+    want_bq = sorted(
+        tuple(r)
+        for r in bq_hamming_panel(embs, qs2, k=BQ_RESCORE_CAND).collect()
+    )
+    assert got_bq == want_bq and got_bq
+
+
 def test_knn_beam_filtered_routes_and_visited_theorem(spark, embs):
     """X228: filtered ANN on the graph tier — the last cell of the
     filter × serving-tier matrix. Pins: (a) the visited-ranking theorem

@@ -365,10 +365,17 @@ def test_pq_encode_single_pass_no_join(utc):
     assert "Join" not in s, s
     # only the deliberate compute-spread repartition on the scan
     assert _count(r"\(\d+\) Exchange", s) <= 1, s
-    for fn in (harness_ext.q_ann_pq, harness_ext.q_ann_ivfpq):
-        s = _plan(fn(utc, SF))
-        assert "Join" not in s, s
-        assert "TakeOrderedAndProject" in s, s
+    s = _plan(harness_ext.q_ann_ivfpq(utc, SF))
+    assert "Join" not in s, s
+    assert "TakeOrderedAndProject" in s, s
+    # q_ann_pq serves from the persisted codes artifact since r14
+    # (VERDICT r13 #2): one kernel pass over the stored 4-int rows,
+    # map-side partial + final WindowGroupLimit around ONE hash
+    # exchange, still no join anywhere
+    s = _plan(harness_ext.q_ann_pq(utc, SF))
+    assert "Join" not in s, s
+    assert "WindowGroupLimit" in s, s
+    assert _count(r"\(\d+\) Exchange", s) == 1, s
 
 
 def test_q17_decorrelated_two_fact_scans(utc):
