@@ -1690,11 +1690,15 @@ def append_bq_artifact(
     (X220's foreachBatch makes redelivery realistic) or an
     overlapping-id delta appends nothing twice. A duplicated code row
     would otherwise occupy two of the k Hamming slots in served top-k,
-    silently displacing a real neighbor."""
-    import json
+    silently displacing a real neighbor.
+
+    r14: audit `n` is meta-incremental (the ADVICE r12 rule — the old
+    full recount made every microbatch O(index)) and crash-consistent
+    via the pending_delta marker protocol (_load_codes_meta_reconciled,
+    VERDICT r13 #4)."""
     import os
 
-    meta = _read_bq_meta(out_dir)
+    meta = _load_codes_meta_reconciled(spark, out_dir, BQ_META)
     codes_path = os.path.join(out_dir, "codes")
     stored_ids = spark.read.parquet(codes_path).select("vec_id")
     codes = (
@@ -1713,20 +1717,53 @@ def append_bq_artifact(
     )
     n_new = codes.count()
     if n_new:
+        # marker BEFORE the append (kill-between window self-heals)
+        _write_codes_meta(
+            out_dir, BQ_META, {**meta, "pending_delta": n_new}
+        )
         codes.write.mode("append").parquet(codes_path)
-    n = spark.read.parquet(codes_path).count()
-    meta["n"] = n
-    with open(os.path.join(out_dir, BQ_META), "w") as f:
-        json.dump(meta, f)
-    return {"n": n, "delta": n_new}
+    meta["n"] = int(meta["n"]) + n_new
+    _write_codes_meta(out_dir, BQ_META, meta)
+    return {"n": meta["n"], "delta": n_new}
 
 
-def _read_bq_meta(out_dir: str) -> dict:
+def _write_codes_meta(out_dir: str, meta_file: str, meta: dict) -> None:
     import json
     import os
 
-    with open(os.path.join(out_dir, BQ_META)) as f:
-        return json.load(f)
+    path = os.path.join(out_dir, meta_file)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def _load_codes_meta_reconciled(
+    spark, out_dir: str, meta_file: str, subdir: str = "codes"
+) -> dict:
+    """Load a flat-codes artifact's audit meta, healing a
+    crash-interrupted append (VERDICT r13 #4): appends write the meta
+    FIRST with a `pending_delta` marker, append the codes, then clear
+    the marker — all three meta writes atomic (tmp + os.replace). A
+    leftover marker therefore means a crash landed between the marker
+    and the final meta, i.e. the parquet append may or may not have
+    completed; the audit `n` is re-derived from ONE cheap count() of
+    the slim codes table and the marker cleared (reconcile-on-marker).
+    The normal path reads the JSON and runs NO job, preserving the
+    ADVICE r12 O(delta)-per-microbatch contract."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, meta_file)
+    with open(path) as f:
+        meta = json.load(f)
+    if "pending_delta" in meta:
+        meta.pop("pending_delta", None)
+        meta["n"] = spark.read.parquet(
+            os.path.join(out_dir, subdir)
+        ).count()
+        _write_codes_meta(out_dir, meta_file, meta)
+    return meta
 
 
 # --- X226 artifact: persisted SQ8 codes (the 64-byte index state) -----------
@@ -1919,12 +1956,13 @@ def append_sq8_artifact(
     r11 contract): within-batch duplicates collapse deterministically,
     already-stored ids anti-join away — a replayed foreachBatch
     microbatch appends 0 rows. Audit count is incremental via the meta
-    (the ADVICE r12 rule: never an O(index) rescan per microbatch)."""
-    import json
+    (the ADVICE r12 rule: never an O(index) rescan per microbatch) and
+    CRASH-CONSISTENT via the pending_delta marker protocol
+    (_load_codes_meta_reconciled, VERDICT r13 #4; kill-between
+    pytest-pinned)."""
     import os
 
-    with open(os.path.join(out_dir, SQ8_META)) as f:
-        meta = json.load(f)
+    meta = _load_codes_meta_reconciled(spark, out_dir, SQ8_META)
     stats = load_sq8_stats(os.path.join(out_dir, SQ8_STATS_FILE))
     codes_path = os.path.join(out_dir, "codes")
     stored_ids = spark.read.parquet(codes_path).select("vec_id")
@@ -1942,12 +1980,14 @@ def append_sq8_artifact(
     )
     n_new = rows.count()
     if n_new:
+        # marker BEFORE the append: a crash in the window leaves the
+        # marker behind and the next meta load reconciles n by count
+        _write_codes_meta(
+            out_dir, SQ8_META, {**meta, "pending_delta": n_new}
+        )
         rows.write.mode("append").parquet(codes_path)
     meta["n"] = int(meta["n"]) + n_new
-    tmp = os.path.join(out_dir, SQ8_META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(out_dir, SQ8_META))
+    _write_codes_meta(out_dir, SQ8_META, meta)
     return {"n": meta["n"], "delta": n_new}
 
 
@@ -2136,12 +2176,12 @@ def append_pq_artifact(
     stored codebooks (artifact hyper-state — never retrained by an
     append). Idempotent on redelivery like the BQ/SQ8/IVF appends:
     within-batch duplicates collapse deterministically, stored ids
-    anti-join away; audit total is meta-incremental (ADVICE r12)."""
-    import json
+    anti-join away; audit total is meta-incremental (ADVICE r12) and
+    crash-consistent via the pending_delta marker protocol
+    (_load_codes_meta_reconciled, VERDICT r13 #4)."""
     import os
 
-    with open(os.path.join(out_dir, PQ_CODES_META)) as f:
-        meta = json.load(f)
+    meta = _load_codes_meta_reconciled(spark, out_dir, PQ_CODES_META)
     books = load_codebooks(os.path.join(out_dir, PQ_BOOKS_FILE))
     codes_path = os.path.join(out_dir, "codes")
     stored_ids = spark.read.parquet(codes_path).select("vec_id")
@@ -2157,12 +2197,13 @@ def append_pq_artifact(
     )
     n_new = rows.count()
     if n_new:
+        # marker BEFORE the append (kill-between window self-heals)
+        _write_codes_meta(
+            out_dir, PQ_CODES_META, {**meta, "pending_delta": n_new}
+        )
         rows.write.mode("append").parquet(codes_path)
     meta["n"] = int(meta["n"]) + n_new
-    tmp = os.path.join(out_dir, PQ_CODES_META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(out_dir, PQ_CODES_META))
+    _write_codes_meta(out_dir, PQ_CODES_META, meta)
     return {"n": meta["n"], "delta": n_new}
 
 
