@@ -2268,6 +2268,12 @@ _GATE_CHANGED_THIS_ROUND = [
     "q_sq8_topk",
     "q_ann_pq",
     "q_ann_recall",
+    # r14 X231: q_ann_ivfpq now serves from the `maintain ivfpq-codes`
+    # IVFADC artifact (coarse + frozen residual books + cid-partitioned
+    # codes) — same unchanged-oracle discipline as the three above;
+    # with 4 changed slots, 46 still drain the stale tail (all 29 r09
+    # rows + the 17 stalest r10 rows).
+    "q_ann_ivfpq",
     # r13: EMPTY — every edit this round is value-identical, so all 50
     # window slots drain the stale tail (VERDICT r12 #1: 37 entries
     # last-verified r08 + the 13 stalest of the r09 cohort; after this

@@ -1953,6 +1953,8 @@ def _codes_artifact_dir(spark, sf_dir, kind: str) -> str:
         PQ.build_sq8_artifact(spark, out, embs, cache_key=sf_dir)
     elif kind == "pq":
         PQ.build_pq_artifact(spark, out, embs, cache_key=sf_dir)
+    elif kind == "ivfpq":
+        PQ.build_ivfpq_artifact(spark, out, embs, cache_key=sf_dir)
     else:  # pragma: no cover - internal misuse
         raise ValueError(f"unknown codes artifact kind: {kind}")
     _CODES_ARTIFACT_CACHE[memo_key] = out
@@ -7884,13 +7886,28 @@ def q_stream_merge(spark, sf_dir):
 
 
 def q_ann_ivfpq(spark, sf_dir):
-    """X123 — IVF-PQ composed the production way: TRAINED coarse cells
-    (k-means) bound WHICH vectors the query touches, RESIDUAL PQ codes
-    (x − cell centroid, int-exact) bound the BYTES per candidate — the
-    full ANN scale stack (operators/pq.py:ivfpq_topk)."""
-    from mimic2ts_spark.operators.pq import ivfpq_topk
+    """X123/X231 — IVF-PQ top-k SERVED from the persisted IVFADC index
+    (`maintain ivfpq-codes` layout; operators/pq.py
+    serve_ivfpq_artifact) under the full oracle gate — the last rung of
+    the quantized-serving artifact matrix (VERDICT r13 #2 completed:
+    IVF X222, SQ8 X226, PQ X230, BQ r14, now the COMPOSED tier Faiss
+    deploys at billion scale). Trained coarse cells + frozen residual
+    books load from the artifact JSONs; the probe pushes a static
+    In(cid, …) PARTITION filter into the cid-partitioned codes (reads
+    only its cells' files) and each candidate costs M table lookups on
+    its stored 4-int row. Query = the lowest-id vector, projected to
+    the scan form's (vec_id, cell, adc_dist2) under the identical
+    (adc_dist2, vec_id) tie order — the oracle stays the byte-identical
+    scan-form SQL (sql_ivfpq_topk), so each gate run re-proves
+    served == scan (equality also pytest-pinned)."""
+    from mimic2ts_spark.operators.pq import PQ_TOP_K, serve_ivfpq_artifact
 
-    return ivfpq_topk(_embs(spark, sf_dir), cache_key=sf_dir)
+    art = _codes_artifact_dir(spark, sf_dir, "ivfpq")
+    embs = _embs(spark, sf_dir)
+    q = embs.orderBy("vec_id").limit(1)
+    return serve_ivfpq_artifact(spark, art, q, k=PQ_TOP_K).select(
+        F.col("neighbor_id").alias("vec_id"), "cell", "adc_dist2"
+    )
 
 
 def _q_pq_sqls():

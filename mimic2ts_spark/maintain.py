@@ -27,6 +27,10 @@ Usage:
     python -m mimic2ts_spark.maintain bq-codes OUT_DIR SRC_PARQUET \
         [--id-col vec_id] [--vec-col embedding]
     python -m mimic2ts_spark.maintain bq-codes-append OUT_DIR DELTA_PARQUET
+    python -m mimic2ts_spark.maintain ivfpq-codes OUT_DIR SRC_PARQUET \
+        [--id-col vec_id] [--vec-col embedding]
+    python -m mimic2ts_spark.maintain ivfpq-codes-append OUT_DIR DELTA_PARQUET
+    python -m mimic2ts_spark.maintain ivfpq-compact OUT_DIR [--max-files-per-cell N]
     python -m mimic2ts_spark.maintain codes-compact OUT_DIR [--subdir codes]
 
 init/merge/compact default to the VERSIONED backend (manifest +
@@ -331,6 +335,36 @@ def main(argv: list[str] | None = None) -> None:
     p_pqa.add_argument("delta")
     p_pqa.add_argument("--id-col", default="vec_id")
     p_pqa.add_argument("--vec-col", default="embedding")
+
+    p_qc = sub.add_parser(
+        "ivfpq-codes",
+        help="persist the IVF-PQ index (coarse centroids + frozen "
+             "residual codebooks + cid-PARTITIONED 4-int codes) — the "
+             "Faiss IVFADC layout; probes read only their cells (X231)",
+    )
+    p_qc.add_argument("out_dir")
+    p_qc.add_argument("src")
+    p_qc.add_argument("--id-col", default="vec_id")
+    p_qc.add_argument("--vec-col", default="embedding")
+
+    p_qa = sub.add_parser(
+        "ivfpq-codes-append",
+        help="append a NEW-ids delta to an ivfpq-codes index at "
+             "O(delta) cost (frozen coarse+books: codes' meaning never "
+             "moves)",
+    )
+    p_qa.add_argument("out_dir")
+    p_qa.add_argument("delta")
+    p_qa.add_argument("--id-col", default="vec_id")
+    p_qa.add_argument("--vec-col", default="embedding")
+
+    p_qx = sub.add_parser(
+        "ivfpq-compact",
+        help="rewrite fragmented ivfpq-codes cells — the X227 per-cell "
+             "crash-safe swap on the cid-partitioned codes tree",
+    )
+    p_qx.add_argument("out_dir")
+    p_qx.add_argument("--max-files-per-cell", type=int, default=1)
 
     p_cc = sub.add_parser(
         "codes-compact",
@@ -981,6 +1015,52 @@ def main(argv: list[str] | None = None) -> None:
             append_pq_artifact(
                 spark, args.out_dir, delta,
                 id_col=args.id_col, vec_col=args.vec_col,
+            )
+        )
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "ivfpq-codes":
+        from mimic2ts_spark.operators.pq import build_ivfpq_artifact
+
+        vecs = spark.read.parquet(args.src)
+        meta = build_ivfpq_artifact(
+            spark, args.out_dir, vecs, id_col=args.id_col, vec_col=args.vec_col
+        )
+        audit = {"cmd": "ivfpq-codes", "out": args.out_dir}
+        audit.update(meta)
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "ivfpq-codes-append":
+        from mimic2ts_spark.operators.pq import append_ivfpq_artifact
+
+        delta = spark.read.parquet(args.delta)
+        audit = {"cmd": "ivfpq-codes-append", "out": args.out_dir}
+        audit.update(
+            append_ivfpq_artifact(
+                spark, args.out_dir, delta,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+        )
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "ivfpq-compact":
+        from mimic2ts_spark.operators.similarity import compact_ivf_artifact
+
+        audit = {"cmd": "ivfpq-compact", "out": args.out_dir}
+        audit.update(
+            compact_ivf_artifact(
+                spark, args.out_dir,
+                max_files_per_cell=args.max_files_per_cell,
+                subdir="codes",
             )
         )
         audit["runtime_seconds"] = round(time.time() - t0, 3)

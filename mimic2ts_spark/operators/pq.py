@@ -2267,3 +2267,267 @@ def compact_codes_dir(
     ])
     return {"files_before": len(files), "files_after": after,
             "compacted": True}
+
+
+# --- X231 artifact: persisted IVF-PQ codes (the Faiss IVFADC layout) --------
+#
+# Completes the quantized-serving ARTIFACT matrix: BQ (X218), SQ8
+# (X226), PQ (X230) and IVF (X222) all serve from persisted state, but
+# the COMPOSED tier — IVF-PQ, the shape Faiss actually deploys at
+# billion scale (inverted lists whose entries are residual PQ codes) —
+# still re-trained/re-encoded per call. The artifact stores the three
+# pieces of an IVFADC index exactly as the production systems do:
+#   centroids.json   coarse cells (kmeans.save_centroids format)
+#   codebooks.json   residual subspace codebooks (save_codebooks)
+#   codes/cid=<c>/   (vec_id, code_0..code_{M-1}) parquet, PARTITIONED
+#                    by coarse cell — a probe pushes a static
+#                    In(cid, …) PARTITION filter and reads only its
+#                    cells' files (the X222 listing story), and each
+#                    row is M small ints (the X230 bytes story).
+# Coarse centroids AND residual books are FROZEN artifact hyper-state
+# (r10 rule): appends encode under the stored state — retraining either
+# would silently change every stored code's meaning. Serving is
+# bit-equal to the scan-form ivfpq_topk/_panel because the stored codes
+# ARE the argmin assignments those kernels derive (same tie discipline,
+# pytest-pinned + oracle-gated via q_ann_ivfpq's unchanged scan-form
+# SQL).
+
+IVFPQ_META = "_ivfpq_meta.json"
+IVFPQ_CENTROIDS_FILE = "centroids.json"
+
+
+def _ivfpq_state(out_dir: str):
+    """(coarse, books) loaded from the artifact — bounded driver rows,
+    no retrain, no corpus scan."""
+    import os
+
+    from mimic2ts_spark.operators.kmeans import load_centroids
+
+    import numpy as np
+
+    cents_rows, _meta = load_centroids(
+        os.path.join(out_dir, IVFPQ_CENTROIDS_FILE)
+    )
+    # attribute access: load_centroids returns CentRow namedtuples
+    # (collected Spark Rows also expose .cid/.m, but _coarse_np's
+    # key-style access does not work on namedtuples)
+    coarse = (
+        np.array([r.cid for r in cents_rows], dtype=np.int64),
+        np.array([list(r.m) for r in cents_rows], dtype=np.int64),
+    )
+    books = load_codebooks(os.path.join(out_dir, PQ_BOOKS_FILE))
+    return coarse, books
+
+
+def _ivfpq_encode_under(base: DataFrame, coarse, books) -> DataFrame:
+    """(vec_id, cid, code_0..): encode under FROZEN state — the pure
+    per-row function appends and streaming ingest share with the build."""
+    enc = _assign_all(_cells_of(base, coarse), books, coarse=coarse)
+    return enc.select(
+        "vec_id",
+        F.col("cell").alias("cid"),
+        *[f"code_{m}" for m in range(PQ_M)],
+    )
+
+
+def build_ivfpq_artifact(
+    spark,
+    out_dir: str,
+    src: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> dict:
+    """Persist the IVF-PQ index (`maintain ivfpq-codes`). Training is
+    the shared train_ivfpq (coarse cells sample-capped + residual
+    books; cache_key shares it with scan-form queries — deterministic,
+    artifact identical either way)."""
+    import json
+    import os
+
+    from mimic2ts_spark.operators.kmeans import KM_ROUNDS, save_centroids
+
+    coarse_rows, books = train_ivfpq(src, id_col, vec_col, cache_key)
+    os.makedirs(out_dir, exist_ok=True)
+    save_centroids(
+        coarse_rows, os.path.join(out_dir, IVFPQ_CENTROIDS_FILE),
+        meta={"n_cells": len(coarse_rows), "rounds": KM_ROUNDS,
+              "id_col": id_col, "vec_col": vec_col},
+    )
+    save_codebooks(books, os.path.join(out_dir, PQ_BOOKS_FILE))
+    coarse = _coarse_np(coarse_rows)
+    (
+        _ivfpq_encode_under(_quant_base(src, id_col, vec_col), coarse, books)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(out_dir, "codes"))
+    )
+    n = spark.read.parquet(os.path.join(out_dir, "codes")).count()
+    meta = {"n": n, "m": PQ_M, "k": PQ_K, "sub": PQ_SUB,
+            "cells": len(coarse_rows)}
+    with open(os.path.join(out_dir, IVFPQ_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def serve_ivfpq_artifact(
+    spark,
+    out_dir: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = IVFPQ_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cell, adc_dist2): panel IVF-PQ ADC top-k
+    served FROM the persisted index — trained state loads from the two
+    JSONs, the panel probes its nprobe nearest cells driver-side, and
+    the probed cell ids (≤ |panel|·nprobe driver ints, the r08 routing
+    pattern) push a static In(cid, …) PARTITION filter into the
+    cid-partitioned codes, so a probe lists and reads only its cells'
+    files; each surviving row costs M table lookups (positions via
+    searchsorted over the ascending codebook cids — identical to the
+    scan kernels' argmin under the shared tie discipline, so served ==
+    scan bit-exact). `allowed` semi-joins the PRUNED codes BEFORE the
+    cut (X221 pre-cut doctrine); the stored state never retrains."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    coarse, books = _ivfpq_state(out_dir)
+    cids_c, mat_c = coarse
+    cent_of = {int(cid): mat_c[i] for i, cid in enumerate(cids_c)}
+    cids_b, mats_b = _books_np(books)
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("qx")
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    tables: dict = {}
+    queries_by_cell: dict = {}
+    for r in q_rows:
+        qid = int(r["vec_id"])
+        qx = np.array([int(v) for v in r["qx"]], dtype=np.int64)
+        dq = ((mat_c - qx[None, :]) ** 2).sum(axis=1)
+        order = sorted(
+            range(len(cids_c)), key=lambda i: (int(dq[i]), int(cids_c[i]))
+        )
+        for cell in (int(cids_c[i]) for i in order[:nprobe]):
+            qr = qx - cent_of[cell]
+            tables[(qid, cell)] = [
+                ((mats_b[m] - qr[m * PQ_SUB:(m + 1) * PQ_SUB][None, :]) ** 2)
+                .sum(axis=1)
+                for m in range(PQ_M)
+            ]
+            queries_by_cell.setdefault(cell, []).append(qid)
+
+    codes = spark.read.parquet(os.path.join(out_dir, "codes")).where(
+        F.col("cid").isin(sorted(queries_by_cell))
+    )
+    if allowed is not None:
+        ids = allowed.select(F.col(allowed.columns[0]).alias("vec_id"))
+        codes = codes.join(ids, "vec_id", "left_semi")
+
+    code_cols = [f"code_{m}" for m in range(PQ_M)]
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids_ = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cellv = pdf["cid"].to_numpy(dtype=np.int64)
+            pos = [
+                np.searchsorted(
+                    cids_b[m], pdf[code_cols[m]].to_numpy(dtype=np.int64)
+                )
+                for m in range(PQ_M)
+            ]
+            frames = []
+            for cell in np.unique(cellv):
+                idx = np.nonzero(cellv == cell)[0]
+                for qid in queries_by_cell[int(cell)]:
+                    t = tables[(qid, int(cell))]
+                    d = np.zeros(len(idx), dtype=np.int64)
+                    for m in range(PQ_M):
+                        d += t[m][pos[m][idx]]
+                    keep = ids_[idx] != qid
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    int(keep.sum()), qid, np.int64
+                                ),
+                                "neighbor_id": ids_[idx][keep],
+                                "cell": np.full(
+                                    int(keep.sum()), int(cell), np.int64
+                                ),
+                                "adc_dist2": d[keep],
+                            }
+                        )
+                    )
+            if frames:
+                yield _batch_topk(
+                    pd.concat(frames, ignore_index=True), k, "adc_dist2"
+                )
+
+    scored = codes.select("vec_id", "cid", *code_cols).mapInPandas(
+        score,
+        schema="query_id long, neighbor_id long, cell long, adc_dist2 long",
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def append_ivfpq_artifact(
+    spark,
+    out_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Grow the persisted IVF-PQ index at O(delta) cost under the
+    FROZEN coarse centroids + residual books. Idempotent on redelivery
+    (within-batch struct-min collapse + stored-ids anti-join) and
+    audit-crash-consistent via the pending_delta marker protocol, like
+    the other codes appends."""
+    import os
+
+    meta = _load_codes_meta_reconciled(spark, out_dir, IVFPQ_META)
+    coarse, books = _ivfpq_state(out_dir)
+    codes_path = os.path.join(out_dir, "codes")
+    stored_ids = spark.read.parquet(codes_path).select("vec_id")
+    code_cols = [f"code_{m}" for m in range(PQ_M)]
+    rows = (
+        _ivfpq_encode_under(_quant_base(delta, id_col, vec_col), coarse, books)
+        # identical rows encode identically under frozen state ⇒ the
+        # struct-min pick is a no-op on well-formed deltas
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("cid", *code_cols)).alias("_s"))
+        .select(
+            "vec_id",
+            F.col("_s.cid").alias("cid"),
+            *[F.col(f"_s.{c}").alias(c) for c in code_cols],
+        )
+        .join(stored_ids, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n_new = rows.count()
+    if n_new:
+        # marker BEFORE the append (kill-between window self-heals)
+        _write_codes_meta(
+            out_dir, IVFPQ_META, {**meta, "pending_delta": n_new}
+        )
+        rows.write.mode("append").partitionBy("cid").parquet(codes_path)
+    meta["n"] = int(meta["n"]) + n_new
+    _write_codes_meta(out_dir, IVFPQ_META, meta)
+    return {"n": meta["n"], "delta": n_new}

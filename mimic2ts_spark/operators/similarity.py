@@ -1340,7 +1340,7 @@ def _write_postings_meta(meta_path: str, n_postings: int) -> int:
 
 
 def compact_ivf_artifact(
-    spark, out_dir: str, max_files_per_cell: int = 1
+    spark, out_dir: str, max_files_per_cell: int = 1, subdir: str = "postings"
 ) -> dict:
     """Rewrite FRAGMENTED cells of the cid-partitioned IVF postings —
     the small-files remedy for streaming ingest (X227): every
@@ -1355,11 +1355,15 @@ def compact_ivf_artifact(
     order (_migrate_flat_postings doctrine: a complete cell dir exists
     at every instant; single-writer contract makes recovery race-free).
     Rows are untouched — serving before == after bit-equal
-    (pytest-pinned) and the audit sidecar count is unchanged."""
+    (pytest-pinned) and the audit sidecar count is unchanged.
+
+    `subdir` generalizes the same per-cell swap to any cid-partitioned
+    artifact tree — the X231 IVF-PQ codes (`maintain ivfpq-compact`)
+    reuse it with subdir='codes'."""
     import os
     import shutil
 
-    postings_dir = os.path.join(out_dir, "postings")
+    postings_dir = os.path.join(out_dir, subdir)
     tmp_root = os.path.join(out_dir, "_compact_tmp")
     old_root = os.path.join(out_dir, "_compact_old")
     # entry-time recovery of an interrupted prior compaction, cell by
@@ -1384,8 +1388,8 @@ def compact_ivf_artifact(
         # ADVICE r13: a clean audit-path error instead of a raw
         # listdir traceback when the artifact was never built
         raise FileNotFoundError(
-            f"IVF artifact not found at {out_dir} (no postings/ dir) — "
-            "build it first (`maintain ivf`)"
+            f"IVF artifact not found at {out_dir} (no {subdir}/ dir) — "
+            "build it first (`maintain ivf` / `ivfpq-codes`)"
         )
     cells = sorted(
         e for e in os.listdir(postings_dir)

@@ -1360,6 +1360,41 @@ def run_pq_ingest_available_now(
     return dict(totals)
 
 
+def run_ivfpq_ingest_available_now(
+    spark: SparkSession,
+    out_dir: str,
+    stream: DataFrame,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Streaming IVF-PQ codes ingest (X231 — the live form of `maintain
+    ivfpq-codes-append`): each microbatch encodes against the
+    artifact's FROZEN coarse centroids + residual codebooks and appends
+    via append_ivfpq_artifact. Encoding under fixed state is a pure
+    per-row function — the X204 drain contract in strong form: the
+    drained codes table is a pure function of the final vector set
+    under ANY batching, and artifact serving after the drain bit-equals
+    a one-shot build-encode under the same state (pytest-pinned).
+    Redelivery-safe: stored ids anti-join away inside the shared
+    append."""
+    from mimic2ts_spark.operators.pq import append_ivfpq_artifact
+
+    totals = {"batches": 0, "rows": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        audit = append_ivfpq_artifact(spark, out_dir, batch_df)
+        totals["batches"] += 1
+        totals["rows"] += audit["delta"]
+
+    writer = stream.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return dict(totals)
+
+
 def run_ivf_ingest_available_now(
     spark: SparkSession,
     out_dir: str,

@@ -2574,6 +2574,14 @@ def test_registry_rows_serve_from_artifacts(spark, embs):
     want_pq = [tuple(r) for r in pq_adc_topk(embs, cache_key=SF).collect()]
     assert got_pq == want_pq and got_pq
 
+    from mimic2ts_spark.operators.pq import ivfpq_topk
+
+    got_iq = sorted(tuple(r) for r in HX.q_ann_ivfpq(spark, SF).collect())
+    want_iq = sorted(
+        tuple(r) for r in ivfpq_topk(embs, cache_key=SF).collect()
+    )
+    assert got_iq == want_iq and got_iq
+
     art = HX._codes_artifact_dir(spark, SF, "bq")
     qs2 = embs.where(F.col("vec_id") < HX.ANN_RECALL_QUERIES)
     got_bq = sorted(
@@ -3834,6 +3842,89 @@ def test_pq_append_idempotent_and_stream_ingest(spark, tmp_path):
         tuple(r) for r in serve_pq_artifact(spark, out, qs, 5).collect()
     )
     assert got == want and got
+
+
+def test_ivfpq_stream_ingest_and_filtered_serve(spark, tmp_path):
+    """X231 streaming + filtered serving: a 3-microbatch drain
+    (maxFilesPerTrigger=1) through run_ivfpq_ingest_available_now
+    leaves artifact serving bit-equal to a one-shot encode of the full
+    corpus under the SAME frozen state (the X204 drain contract — codes
+    are a pure per-row function of frozen coarse+books), and
+    `allowed=` semi-joins the partition-pruned codes BEFORE the cut
+    (X221): filtered top-k == the allowed-filtered FULL ranking's
+    top-k, never a post-filter of a fixed top-k."""
+    import os as _os
+    import shutil as _shutil
+
+    from mimic2ts_spark.operators.pq import (
+        IVFPQ_META,
+        _ivfpq_encode_under,
+        _ivfpq_state,
+        _quant_base,
+        _write_codes_meta,
+        build_ivfpq_artifact,
+        serve_ivfpq_artifact,
+    )
+    from mimic2ts_spark.streaming import run_ivfpq_ingest_available_now
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = embs.where(F.col("vec_id") % 4 != 0)
+    delta = embs.where(F.col("vec_id") % 4 == 0)
+    out = str(tmp_path / "ivfpq_stream")
+    build_ivfpq_artifact(spark, out, base)
+
+    pdf = delta.toPandas()
+    stage = tmp_path / "delta"
+    stage.mkdir()
+    for i in range(3):
+        pdf[pdf.index % 3 == i].to_parquet(stage / f"d{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    totals = run_ivfpq_ingest_available_now(spark, out, stream)
+    assert totals["batches"] == 3 and totals["rows"] == delta.count()
+
+    ref = str(tmp_path / "ivfpq_stream_ref")
+    _os.makedirs(ref)
+    for f in ("centroids.json", "codebooks.json"):
+        _shutil.copy(_os.path.join(out, f), _os.path.join(ref, f))
+    coarse, books = _ivfpq_state(out)
+    (
+        _ivfpq_encode_under(_quant_base(embs, "vec_id", "embedding"),
+                            coarse, books)
+        .write.partitionBy("cid").parquet(_os.path.join(ref, "codes"))
+    )
+    _write_codes_meta(ref, IVFPQ_META, {"n": embs.count()})
+    qs = embs.where(F.col("vec_id") < 4)
+    drained = sorted(tuple(r)
+                     for r in serve_ivfpq_artifact(spark, out, qs, 5).collect())
+    oneshot = sorted(tuple(r)
+                     for r in serve_ivfpq_artifact(spark, ref, qs, 5).collect())
+    assert drained == oneshot and drained
+
+    # filtered: pre-cut == top-k of the allowed-filtered FULL ranking
+    allowed = embs.where(F.col("vec_id") % 3 == 1).select("vec_id")
+    ok = {r.vec_id for r in allowed.collect()}
+    n = embs.count()
+    full = serve_ivfpq_artifact(spark, out, qs, n).collect()
+    expect: dict = {}
+    for r in sorted(full, key=lambda r: (r.query_id, r.adc_dist2,
+                                         r.neighbor_id)):
+        if r.neighbor_id in ok and len(expect.setdefault(r.query_id, [])) < 5:
+            expect[r.query_id].append(
+                (r.query_id, r.neighbor_id, r.cell, r.adc_dist2)
+            )
+    want = sorted(t for rows in expect.values() for t in rows)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cell, r.adc_dist2)
+        for r in serve_ivfpq_artifact(
+            spark, out, qs, 5, allowed=allowed
+        ).collect()
+    )
+    assert got == want and got
+    assert all(t[1] in ok for t in got)
 
 
 def test_serve_ivf_artifact_filtered_equals_scan_form(spark, tmp_path):

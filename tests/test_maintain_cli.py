@@ -372,6 +372,114 @@ def test_maintain_codes_compact_bq_and_sq8(spark, tmp_path, capsys):
         assert recovered == before
 
 
+def test_maintain_ivfpq_codes_build_append_compact(spark, tmp_path, capsys):
+    """X231: `ivfpq-codes` persists the Faiss IVFADC layout (coarse
+    centroids JSON + frozen residual codebooks + cid-PARTITIONED 4-int
+    codes). Pins: (a) artifact-served panel top-k bit-equals the
+    scan-form ivfpq_topk_panel on the same corpus (shared tie
+    discipline); (b) `ivfpq-codes-append` grows it at O(delta) under
+    the FROZEN state and the grown index serves bit-equal to a one-shot
+    encode of the full corpus under the SAME state; (c) a replayed
+    delta appends nothing; (d) `ivfpq-compact` rewrites fragmented
+    cells via the crash-safe per-cell swap, serving bit-equal before
+    and after."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.pq import (
+        IVFPQ_META,
+        _ivfpq_encode_under,
+        _ivfpq_state,
+        _quant_base,
+        _write_codes_meta,
+        append_ivfpq_artifact,
+        ivfpq_topk_panel,
+        serve_ivfpq_artifact,
+    )
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = vecs.where(F.col("vec_id") % 2 == 0)
+    delta = vecs.where(F.col("vec_id") % 2 == 1)
+    bdir, ddir = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    base.write.parquet(bdir)
+    delta.write.parquet(ddir)
+    qs = vecs.where(F.col("vec_id") < 4)
+
+    # (a) build on the FULL corpus → served == scan panel
+    out_full = str(tmp_path / "ivfpq_full")
+    main(["ivfpq-codes", out_full, f"{SF}/embeddings.parquet"])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "ivfpq-codes" and audit["n"] == vecs.count()
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.adc_dist2)
+        for r in serve_ivfpq_artifact(spark, out_full, qs, 5).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ivfpq_topk_panel(vecs, qs, 5).collect()
+    )
+    assert got == want and got
+    # codes are cid-partitioned on disk (the partition-filter story)
+    cells = [e for e in _os.listdir(_os.path.join(out_full, "codes"))
+             if e.startswith("cid=")]
+    assert len(cells) > 1
+
+    # (b)+(c) grow a base-trained artifact; frozen-state equality
+    out = str(tmp_path / "ivfpq_grow")
+    main(["ivfpq-codes", out, bdir])
+    main(["ivfpq-codes-append", out, ddir])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "ivfpq-codes-append"
+    assert audit["n"] == vecs.count() and audit["delta"] == delta.count()
+    replay = append_ivfpq_artifact(spark, out, delta.unionByName(delta))
+    assert replay["delta"] == 0 and replay["n"] == vecs.count()
+
+    # reference: one-shot encode of the FULL corpus under the SAME
+    # base-trained state (copy JSONs, rewrite codes in one pass)
+    ref = str(tmp_path / "ivfpq_ref")
+    _os.makedirs(ref)
+    for f in ("centroids.json", "codebooks.json"):
+        _shutil.copy(_os.path.join(out, f), _os.path.join(ref, f))
+    coarse, books = _ivfpq_state(out)
+    (
+        _ivfpq_encode_under(_quant_base(vecs, "vec_id", "embedding"),
+                            coarse, books)
+        .write.partitionBy("cid").parquet(_os.path.join(ref, "codes"))
+    )
+    _write_codes_meta(ref, IVFPQ_META, {"n": vecs.count()})
+    a = sorted(tuple(r)
+               for r in serve_ivfpq_artifact(spark, out, qs, 5).collect())
+    b = sorted(tuple(r)
+               for r in serve_ivfpq_artifact(spark, ref, qs, 5).collect())
+    assert a == b and a
+
+    # (d) fragmentation + compaction: the grown index has ≥2 files in
+    # touched cells; compact to 1 per cell, serving unchanged
+    codes_dir = _os.path.join(out, "codes")
+
+    def _max_files_per_cell():
+        mx = 0
+        for cell in _os.listdir(codes_dir):
+            if not cell.startswith("cid="):
+                continue
+            n = len([e for e in _os.listdir(_os.path.join(codes_dir, cell))
+                     if e.endswith(".parquet")
+                     and not e.startswith(("_", "."))])
+            mx = max(mx, n)
+        return mx
+
+    assert _max_files_per_cell() > 1
+    main(["ivfpq-compact", out])
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["cmd"] == "ivfpq-compact" and audit["cells_compacted"] >= 1
+    assert _max_files_per_cell() == 1
+    after = sorted(tuple(r)
+                   for r in serve_ivfpq_artifact(spark, out, qs, 5).collect())
+    assert after == a
+
+
 def test_append_meta_crash_reconcile(spark, tmp_path):
     """VERDICT r13 #4: the codes-append audit `n` is CRASH-CONSISTENT.
     Appends write the meta first with a pending_delta marker, append,
@@ -403,10 +511,17 @@ def test_append_meta_crash_reconcile(spark, tmp_path):
     delta = vecs.where(F.col("vec_id") % 2 == 1)
     n_base, n_all = base.count(), vecs.count()
 
+    from mimic2ts_spark.operators.pq import (
+        IVFPQ_META,
+        append_ivfpq_artifact,
+        build_ivfpq_artifact,
+    )
+
     for kind, build, append, meta_file in (
         ("bq", build_bq_artifact, append_bq_artifact, BQ_META),
         ("sq8", build_sq8_artifact, append_sq8_artifact, SQ8_META),
         ("pq", build_pq_artifact, append_pq_artifact, PQ_CODES_META),
+        ("ivfpq", build_ivfpq_artifact, append_ivfpq_artifact, IVFPQ_META),
     ):
         out = str(tmp_path / kind)
         build(spark, out, base)

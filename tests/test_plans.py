@@ -365,9 +365,14 @@ def test_pq_encode_single_pass_no_join(utc):
     assert "Join" not in s, s
     # only the deliberate compute-spread repartition on the scan
     assert _count(r"\(\d+\) Exchange", s) <= 1, s
+    # q_ann_ivfpq serves from the persisted IVFADC artifact since r14
+    # (X231): probed cells push a static In(cid, …) PARTITION filter
+    # into the cid-partitioned codes scan (reads only its cells'
+    # files), kernel + WindowGroupLimit, no join, no TakeOrdered
     s = _plan(harness_ext.q_ann_ivfpq(utc, SF))
     assert "Join" not in s, s
-    assert "TakeOrderedAndProject" in s, s
+    assert "WindowGroupLimit" in s, s
+    assert "PartitionFilters: [cid" in s, s
     # q_ann_pq serves from the persisted codes artifact since r14
     # (VERDICT r13 #2): one kernel pass over the stored 4-int rows,
     # map-side partial + final WindowGroupLimit around ONE hash
