@@ -329,7 +329,22 @@ def pq_adc_topk(
 # --- IVF-PQ with residual encoding -----------------------------------------
 
 IVFPQ_K = 16      # MINIMUM coarse cells (floor; derived_cells grows with n)
-IVFPQ_NPROBE = 4  # probed cells per query
+IVFPQ_NPROBE = 4  # probed cells per query (floor; derived past the train cap)
+
+
+def _derived_ivfpq_nprobe(vectors: DataFrame, id_col: str) -> int:
+    """IVFPQ_NPROBE floored at every oracle-gated scale, growing past
+    the cell-train cap per similarity.derived_nprobe (the r06 dial rule
+    — cells stop growing there, so fixed probes read a shrinking corpus
+    fraction; the SQL mirrors keep their literal because the floor
+    covers every gated corpus). One MEMOIZED slim count (VERDICT r11
+    #3)."""
+    from mimic2ts_spark.operators.dupguard import memoized_count
+    from mimic2ts_spark.operators.similarity import derived_nprobe
+
+    return max(
+        IVFPQ_NPROBE, derived_nprobe(memoized_count(vectors.select(id_col)))
+    )
 
 
 def train_ivfpq(
@@ -447,6 +462,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     top_k: int = PQ_TOP_K,
     cache_key: str | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the two ANN scale halves composed the production way —
     trained coarse cells bound WHICH vectors the query touches
@@ -464,6 +480,8 @@ def ivfpq_topk(
     coarse_rows, books = train_ivfpq(vectors, id_col, vec_col, cache_key)
     coarse = _coarse_np(coarse_rows)
     cids_c, mat_c = coarse
+    if nprobe is None:
+        nprobe = _derived_ivfpq_nprobe(vectors, id_col)
 
     q_id, q_vec = _query_row(vectors, id_col, vec_col)
     qx = np.array(q_vec, dtype=np.int64)
@@ -471,7 +489,7 @@ def ivfpq_topk(
     # lower cid (rows already cid-ascending; python sort is stable)
     dq = ((mat_c - qx[None, :]) ** 2).sum(axis=1)
     order = sorted(range(len(cids_c)), key=lambda i: (int(dq[i]), int(cids_c[i])))
-    probed = [int(cids_c[i]) for i in order[:IVFPQ_NPROBE]]
+    probed = [int(cids_c[i]) for i in order[:nprobe]]
 
     # per-(cell, m) ADC tables of the query RESIDUAL vs the codebook
     cent_of = {int(cid): mat_c[i] for i, cid in enumerate(cids_c)}
@@ -613,6 +631,7 @@ def ivfpq_topk_panel(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_key: str | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Multi-query IVF-PQ ADC top-k (the recall-eval form of
     ivfpq_topk): the panel is collected driver-side (bounded), each
@@ -630,6 +649,8 @@ def ivfpq_topk_panel(
     coarse_rows, books = train_ivfpq(vectors, id_col, vec_col, cache_key)
     coarse = _coarse_np(coarse_rows)
     cids_c, mat_c = coarse
+    if nprobe is None:
+        nprobe = _derived_ivfpq_nprobe(vectors, id_col)
     cent_of = {int(cid): mat_c[i] for i, cid in enumerate(cids_c)}
     _, mats_b = _books_np(books)
     norms_b = [(m * m).sum(axis=1) for m in mats_b]
@@ -651,7 +672,7 @@ def ivfpq_topk_panel(
         order = sorted(
             range(len(cids_c)), key=lambda i: (int(dq[i]), int(cids_c[i]))
         )
-        for cell in (int(cids_c[i]) for i in order[:IVFPQ_NPROBE]):
+        for cell in (int(cids_c[i]) for i in order[:nprobe]):
             qr = qx - cent_of[cell]
             tables[(qid, cell)] = [
                 ((mats_b[m] - qr[m * PQ_SUB:(m + 1) * PQ_SUB][None, :]) ** 2).sum(
@@ -2375,7 +2396,7 @@ def serve_ivfpq_artifact(
     out_dir: str,
     queries: DataFrame,
     k: int,
-    nprobe: int = IVFPQ_NPROBE,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed: DataFrame | None = None,
@@ -2398,6 +2419,13 @@ def serve_ivfpq_artifact(
     from pyspark.sql import Window as W
 
     coarse, books = _ivfpq_state(out_dir)
+    if nprobe is None:
+        # derive from ARTIFACT state (audit meta n — appends keep it
+        # current; reconciled load also heals a crash marker)
+        from mimic2ts_spark.operators.similarity import derived_nprobe
+
+        meta = _load_codes_meta_reconciled(spark, out_dir, IVFPQ_META)
+        nprobe = max(IVFPQ_NPROBE, derived_nprobe(int(meta.get("n", 0))))
     cids_c, mat_c = coarse
     cent_of = {int(cid): mat_c[i] for i, cid in enumerate(cids_c)}
     cids_b, mats_b = _books_np(books)

@@ -407,6 +407,30 @@ def derived_cells(n: int) -> int:
     return max(IVF_K, min(n, KM_TRAIN_CAP) // IVF_TARGET_CELL)
 
 
+def derived_nprobe(n: int) -> int:
+    """nprobe must GROW once cells stop growing (the r06 derived-dial
+    rule, closing the loop the 1.2M capacity-handoff run measured:
+    cells cap at KM_TRAIN_CAP/target = 256, so past the cap per-cell
+    occupancy grows linearly and a FIXED nprobe=4 reads a shrinking
+    corpus fraction — recall@5 decayed to 0.219 at n=1.2M on
+    locality-free vectors, scripts/graph_capacity_handoff.py). Law =
+    the serving_dials growth shape: floor IVF_NPROBE at n ≤ the train
+    cap (EVERY oracle-gated corpus — values and hashes unchanged, the
+    sql mirrors keep their literal), then double per corpus doubling,
+    capped at cells/4 (the measured 1.2M point: nprobe 64 of 256 cells
+    → recall 0.869 at half the exact panel's wall; past that cap brute
+    force/SQ8 are the honest tiers). Pytest-pinned like serving_dials
+    (no SQL mirror needed — the floor covers every gated scale)."""
+    import math
+
+    from mimic2ts_spark.operators.kmeans import KM_TRAIN_CAP
+
+    if n <= KM_TRAIN_CAP:
+        return IVF_NPROBE
+    grow = math.ceil(math.log2(n / KM_TRAIN_CAP))
+    return min(derived_cells(n) // 4, IVF_NPROBE << grow)
+
+
 def sql_derived_cells(table: str) -> str:
     from mimic2ts_spark.operators.kmeans import KM_TRAIN_CAP
 
@@ -450,7 +474,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_centroids: int | None = None,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_key: str | None = None,
@@ -478,6 +502,8 @@ def ivf_topk(
     n = memoized_count(vectors.select(id_col))
     if n_centroids is None:
         n_centroids = derived_cells(n)
+    if nprobe is None:
+        nprobe = derived_nprobe(n)
     cents = train_coarse(
         vectors, n_centroids, id_col=id_col, vec_col=vec_col, cache_key=cache_key,
         n=n,
@@ -1064,7 +1090,7 @@ def filtered_topk(
     queries: DataFrame,
     allowed: DataFrame,
     k: int = 5,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_key: str | None = None,
@@ -1108,6 +1134,8 @@ def filtered_topk(
         )
     from mimic2ts_spark.operators.kmeans import train_coarse
 
+    if nprobe is None:
+        nprobe = derived_nprobe(n)
     cents = train_coarse(
         vectors, derived_cells(n), id_col=id_col, vec_col=vec_col,
         cache_key=cache_key, n=n,
@@ -1146,7 +1174,7 @@ def serve_ivf_artifact(
     queries: DataFrame,
     src: DataFrame,
     k: int = 5,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed: DataFrame | None = None,
@@ -1189,6 +1217,19 @@ def serve_ivf_artifact(
     from mimic2ts_spark.operators.kmeans import load_centroids
 
     cents, _meta = load_centroids(os.path.join(out_dir, "centroids.json"))
+    if nprobe is None:
+        # derive from ARTIFACT state (no count job): the postings meta
+        # sidecar tracks appends; a pre-sidecar artifact falls back to
+        # the build-time n_base, then to the historical floor
+        import json as _json
+
+        n_art = None
+        try:
+            with open(os.path.join(out_dir, "_postings_meta.json")) as f:
+                n_art = int(_json.load(f)["n_postings"])
+        except (OSError, ValueError, KeyError):
+            n_art = _meta.get("n_base")
+        nprobe = derived_nprobe(int(n_art)) if n_art else IVF_NPROBE
     cent_ids = np.array([r.cid for r in cents], dtype=np.int64)
     cent_mat = np.array([list(r.m) for r in cents], dtype=np.int64)
     probe = _nearest_cells_udf(cent_ids, cent_mat, nprobe)

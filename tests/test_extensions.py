@@ -2545,6 +2545,28 @@ def test_knn_beam_recall_floor(spark, embs):
     assert hit / tot >= 0.90
 
 
+def test_derived_nprobe_dial():
+    """r14 (the r06 derived-dial rule closing the 1.2M handoff
+    finding): nprobe floors at IVF_NPROBE for every oracle-gated
+    corpus size (values and SQL-literal mirrors unchanged), doubles
+    per corpus doubling past the cell-train cap, and caps at cells/4 —
+    the measured 1.2M point (64 of 256 cells → recall@5 0.869 vs 0.219
+    at the fixed floor)."""
+    from mimic2ts_spark.operators.kmeans import KM_TRAIN_CAP
+    from mimic2ts_spark.operators.similarity import (
+        IVF_NPROBE,
+        derived_cells,
+        derived_nprobe,
+    )
+
+    for n in (500, 2000, 20000, KM_TRAIN_CAP):
+        assert derived_nprobe(n) == IVF_NPROBE
+    assert derived_nprobe(KM_TRAIN_CAP * 2) == IVF_NPROBE * 2
+    assert derived_nprobe(200_000) == 16
+    assert derived_nprobe(1_200_000) == 64
+    assert derived_nprobe(10**9) == derived_cells(10**9) // 4 == 64
+
+
 def test_registry_rows_serve_from_artifacts(spark, embs):
     """VERDICT r13 #2: the registry's SQ8/PQ rows and q_ann_recall's BQ
     candidate relation serve from the persisted `maintain *-codes`
