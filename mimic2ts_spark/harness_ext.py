@@ -288,7 +288,17 @@ def q_dedup_recall(spark, sf_dir):
     making both legs Θ(cluster²) on duplicate-heavy corpora — over
     canonicals the eval stays ~flat at the 10×/100× sweeps AND scores
     only the pairs banding can actually miss."""
-    docs = D.canonical_docs(_docs(spark, sf_dir))
+    # r14: the canonical slim projection feeds THREE independent legs
+    # (ngram / minhash / simhash), each of which re-ran the md5
+    # canonicalization (corpus scan + groupBy + semi join) from scratch
+    # — persist it once (guide §5: cache reused-and-expensive inputs;
+    # the legs' internal persists are downstream derivations, not
+    # canonically identical plans, so no CacheManager eviction).
+    docs = (
+        D.canonical_docs(_docs(spark, sf_dir))
+        .select("doc_id", "text")
+        .persist()
+    )
     # canonical docs are distinct on the probe key by construction —
     # skip the dup-guard probe job on all three legs
     exact = D.ngram_jaccard_pairs(docs, threshold=0.8, on_duplicates="ignore")
@@ -1121,36 +1131,67 @@ def q_constraint_audit(spark, sf_dir):
     - null_key_<t.c>: NULL foreign keys (counted separately — an
       orphan check's anti join would conflate them).
     Every check is one linear pass with pushdown-friendly single-column
-    scans; the report is a fixed small table of (check, n_bad)."""
-    rows = []
-    for t, pk in _AUDIT_PKS:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        rows.append(
-            df.agg(
-                (F.count(pk) - F.countDistinct(pk)).cast("long").alias("n_bad")
-            ).select(F.lit(f"pk_dup_{t}").alias("check"), "n_bad")
-        )
+    scans; the report is a fixed small table of (check, n_bad).
+
+    r14 shape: ONE scan per audited table computes ALL of that table's
+    checks (guide §2.4 — remove redundant passes): the pk-dup distinct
+    agg, every fk's orphan count (broadcast LEFT join against the
+    distinct parent keys + an isNotNull∧miss conditional sum — row
+    multiplicity is preserved because parent keys are distinct, so the
+    left join is value-identical to the former per-check anti join) and
+    every fk's null count fold into one aggregate, unpivoted via
+    stack(). lineitem drops from 6 single-column scans to 1 three-column
+    scan; the whole report from 20 table passes to 7. Counts are
+    definitionally unchanged (order-insensitive oracle)."""
+    pk_of = dict(_AUDIT_PKS)
+    fks_of: dict = {}
     for ct, ck, pt, pk in _AUDIT_FKS:
-        child = spark.read.parquet(f"{sf_dir}/{ct}.parquet")
-        parent = spark.read.parquet(f"{sf_dir}/{pt}.parquet").select(
-            F.col(pk).alias(ck)
-        ).distinct()
-        orphans = (
-            child.select(ck)
-            .where(F.col(ck).isNotNull())
-            .join(F.broadcast(parent), ck, "left_anti")
-        )
-        rows.append(
-            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_bad")).select(
-                F.lit(f"fk_orphan_{ct}.{ck}").alias("check"), "n_bad"
+        fks_of.setdefault(ct, []).append((ck, pt, pk))
+    tables = list(dict.fromkeys([t for t, _ in _AUDIT_PKS] + list(fks_of)))
+    rows = []
+    for t in tables:
+        pk = pk_of.get(t)
+        fks = fks_of.get(t, [])
+        cols = list(dict.fromkeys(([pk] if pk else []) + [ck for ck, _, _ in fks]))
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet").select(*cols)
+        for i, (ck, pt, ppk) in enumerate(fks):
+            parent = (
+                spark.read.parquet(f"{sf_dir}/{pt}.parquet")
+                .select(F.col(ppk).alias(ck))
+                .distinct()
+                .withColumn(f"_hit_{i}", F.lit(1))
             )
-        )
-        rows.append(
-            child.agg(
+            df = df.join(F.broadcast(parent), ck, "left")
+        aggs, names = [], []
+        if pk:
+            aggs.append(
+                (F.count(pk) - F.countDistinct(pk))
+                .cast("long")
+                .alias(f"_c{len(aggs)}")
+            )
+            names.append(f"pk_dup_{t}")
+        for i, (ck, _pt, _ppk) in enumerate(fks):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(ck).isNotNull() & F.col(f"_hit_{i}").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"_c{len(aggs)}")
+            )
+            names.append(f"fk_orphan_{t}.{ck}")
+            aggs.append(
                 F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
                 .cast("long")
-                .alias("n_bad")
-            ).select(F.lit(f"null_key_{ct}.{ck}").alias("check"), "n_bad")
+                .alias(f"_c{len(aggs)}")
+            )
+            names.append(f"null_key_{t}.{ck}")
+        stack_args = ", ".join(f"'{n}', _c{i}" for i, n in enumerate(names))
+        rows.append(
+            df.agg(*aggs).select(
+                F.expr(f"stack({len(names)}, {stack_args}) AS (check, n_bad)")
+            )
         )
     out = rows[0]
     for r in rows[1:]:
@@ -1542,8 +1583,6 @@ def q_jl_projection(spark, sf_dir):
     docs = (
         canonical_docs(_docs(spark, sf_dir)).select("doc_id", "text").persist()
     )
-    hv = hashed_vector_rows(docs).persist()
-    pj = jl_project_rows(hv)
 
     ranked = (
         docs.select("doc_id", kmv_code(F.col("doc_id")).alias("_c"))
@@ -1565,6 +1604,26 @@ def q_jl_projection(spark, sf_dir):
         # persisted or the TakeOrdered panel subtree re-runs per use
         .persist()
     )
+
+    # r14: the report consumes ONLY the 2·64 panel docs' vectors, so the
+    # hashed-vector tokenize+md5 pass and the sign-matrix projection run
+    # over the PANEL SUBSET, not the corpus (guide §1.2 step 1: don't
+    # compute rows the output throws away — the projection join+groupBy
+    # over the full corpus ran TWICE per call, once per unpersisted
+    # pair_dist leg). Value-identical: hashing/projection are per-doc
+    # local, the sign-matrix entries are md5-derived constants
+    # independent of which dims survive the subset, and the semi join
+    # is a pure filter (panel ids are provably distinct — disjoint
+    # row_number slices). Same-day A/B (3 process pairs, best-of-3 each,
+    # sf0.1): old min 4.04 / median 4.53 s → new min 2.69 / median
+    # 3.01 s; oracle unchanged (it derives the full-corpus form from
+    # scratch).
+    panel_ids = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    pdocs = docs.join(F.broadcast(panel_ids), "doc_id", "left_semi")
+    hv = hashed_vector_rows(pdocs).persist()
+    pj = jl_project_rows(hv)
 
     def pair_dist(rows_df, key, val, out):
         a = pairs.join(
