@@ -1979,9 +1979,16 @@ def _ivf_index_dir(spark, sf_dir):
         meta={"n_base": n, "n_cells": len(cents), "rounds": KM_ROUNDS,
               "id_col": "vec_id", "vec_col": "embedding"},
     )
-    S.assign_vectors(embs, cents).write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(os.path.join(out, "postings"))
+    # r14 (guide §6 small-files): without the repartition the kernel's
+    # ~63 scan tasks each write a file per cell they touch (measured
+    # 1,010 files for 16 cells at sf0.1 — every serve lists and opens
+    # all of them; the r13 ivf-compact lesson at build time). Hashing
+    # on cid first makes exactly one file per cell — at the 256-cell
+    # cap and 10^9 slim posting rows that is ~100 MB/cell, the right
+    # production file size.
+    S.assign_vectors(embs, cents).repartition("cid").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(os.path.join(out, "postings"))
     _IVF_INDEX_CACHE[memo_key] = out
     return out
 

@@ -875,9 +875,15 @@ def main(argv: list[str] | None = None) -> None:
             # cid-partitioned layout: serving probes push a static
             # In(cid, …) partition filter, so a query reads only its
             # nprobe cells' files (serve_ivf_artifact, plan-pinned)
+            # repartition("cid") first (r14, guide §6): one file per
+            # cell instead of one per (scan task, cell) — the fresh
+            # build writes the layout ivf-compact would otherwise have
+            # to restore (measured 1,010 files for 16 cells without it)
             assign_vectors(
                 vecs, cents, id_col=args.id_col, vec_col=args.vec_col
-            ).write.mode("overwrite").partitionBy("cid").parquet(postings_dir)
+            ).repartition("cid").write.mode("overwrite").partitionBy(
+                "cid"
+            ).parquet(postings_dir)
             n_post = spark.read.parquet(postings_dir).count()
             # seed the incremental audit sidecar (ADVICE r12) so the
             # FIRST append already derives its total at delta cost

@@ -2379,6 +2379,10 @@ def build_ivfpq_artifact(
     coarse = _coarse_np(coarse_rows)
     (
         _ivfpq_encode_under(_quant_base(src, id_col, vec_col), coarse, books)
+        # repartition("cid") first (r14, guide §6): one file per cell
+        # instead of one per (encode task, cell) — the IVF postings
+        # small-files lesson applied to the IVFADC codes layout
+        .repartition("cid")
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(os.path.join(out_dir, "codes"))

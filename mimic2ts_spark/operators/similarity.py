@@ -1232,24 +1232,42 @@ def serve_ivf_artifact(
         nprobe = derived_nprobe(int(n_art)) if n_art else IVF_NPROBE
     cent_ids = np.array([r.cid for r in cents], dtype=np.int64)
     cent_mat = np.array([list(r.m) for r in cents], dtype=np.int64)
-    probe = _nearest_cells_udf(cent_ids, cent_mat, nprobe)
-    # ONE probe evaluation: collect the full (query_id, cell) relation
-    # driver-side (bounded: ≤ |panel|·nprobe rows — the documented
-    # routing collect) and re-enter it as a local relation. A lazy
-    # `probed` frame would re-run the query scan AND the pandas UDF a
-    # second time inside the candidate join (the r08
+    # ONE probe evaluation, DRIVER-SIDE (r14, guide §4): collect the
+    # bounded query panel (≤ |panel| rows — the documented routing
+    # collect) and compute each query's nprobe nearest cells in numpy,
+    # mirroring _nearest_cells_udf bit-for-bit (identical float64
+    # quantize, int64 distance matrix, stable argsort over the same
+    # cid-ascending centroid rows — integer math is associative). The
+    # former ArrowEvalPython probe job paid a Python-worker round trip
+    # for a handful of rows; serve_ivfpq_artifact already probes
+    # driver-side. A lazy `probed` frame would also re-run the query
+    # scan inside the candidate join (the r08
     # collected-rows-already-carry-the-answer rule).
-    probe_rows = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.explode(probe(F.col(vec_col))).alias("cell"),
+    from mimic2ts_spark.operators.kmeans import QUANT
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    probe_rows = []
+    if q_rows:
+        mat = np.floor(
+            np.array([list(r["qv"]) for r in q_rows], dtype=np.float64)
+            * QUANT
+        ).astype(np.int64)
+        D = (
+            (mat * mat).sum(axis=1)[:, None]
+            + (cent_mat * cent_mat).sum(axis=1)[None, :]
+            - 2 * (mat @ cent_mat.T)
         )
-        .collect()
-    )
-    cells = sorted({int(r["cell"]) for r in probe_rows})
+        order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+        probe_rows = [
+            (int(r["query_id"]), int(c))
+            for r, row in zip(q_rows, cent_ids[order])
+            for c in row
+        ]
+    cells = sorted({c for _, c in probe_rows})
     probed = spark.createDataFrame(
-        [(int(r["query_id"]), int(r["cell"])) for r in probe_rows],
-        "query_id long, cell long",
+        probe_rows, "query_id long, cell long"
     )
     postings = (
         spark.read.parquet(os.path.join(out_dir, "postings"))
