@@ -2270,10 +2270,18 @@ _GATE_CHANGED_THIS_ROUND = [
     "q_ann_recall",
     # r14 X231: q_ann_ivfpq now serves from the `maintain ivfpq-codes`
     # IVFADC artifact (coarse + frozen residual books + cid-partitioned
-    # codes) — same unchanged-oracle discipline as the three above;
-    # with 4 changed slots, 46 still drain the stale tail (all 29 r09
-    # rows + the 17 stalest r10 rows).
+    # codes) — same unchanged-oracle discipline as the three above.
     "q_ann_ivfpq",
+    # r14 optimization round: q_ann_filtered's six legs serve their
+    # candidates from the persisted artifacts (filtered_topk*
+    # serve_dir — IVF postings / packed BQ / SQ8 codes; the selective
+    # fset's exact route unchanged), and q_ann_recall's ivf/ivfpq/sq8
+    # legs likewise swap scan forms for the served twins. Values
+    # identical (filtered-serve pytest pins + row-equality checks +
+    # sf0.01 oracle re-run), but the serving PATH changed → changed
+    # slots; 45 still drain the stale tail (all 29 r09 rows + the 16
+    # stalest r10 rows).
+    "q_ann_filtered",
     # r13: EMPTY — every edit this round is value-identical, so all 50
     # window slots drain the stale tail (VERDICT r12 #1: 37 entries
     # last-verified r08 + the 13 stalest of the r09 cohort; after this

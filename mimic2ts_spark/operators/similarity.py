@@ -1094,11 +1094,21 @@ def filtered_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_key: str | None = None,
+    serve_dir: str | None = None,
 ) -> DataFrame:
     """(route, query_id, neighbor_id, cosine, rank): top-k among ONLY
     the `allowed` ids (a one-column id relation — the materialized form
     any metadata predicate reduces to) — filtered vector search, the
     serving feature every production vector store pairs with ANN.
+
+    `serve_dir` (r14): a persisted `maintain ivf` artifact directory —
+    the BROAD route's candidates then come from serve_ivf_artifact's
+    stored cid-partitioned postings (allowed semi-joined pre-cut)
+    instead of re-assigning the corpus through the kernel per call (the
+    r13 codebook-vs-codes doctrine; equality pytest-pinned in
+    test_serve_ivf_artifact_filtered_equals_scan_form). The selective
+    route is unchanged — the exact panel over the allowed subset needs
+    the raw coordinates either way.
 
     The ROUTING is the point (the r08 MaxScore driver-side-routing
     pattern, here keyed on filter selectivity like production stores):
@@ -1136,6 +1146,15 @@ def filtered_topk(
 
     if nprobe is None:
         nprobe = derived_nprobe(n)
+    if serve_dir is not None:
+        return serve_ivf_artifact(
+            vectors.sparkSession, serve_dir, queries, vectors,
+            k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+            allowed=ids,
+        ).select(
+            F.lit("ivf").alias("route"),
+            "query_id", "neighbor_id", "cosine", "rank",
+        )
     cents = train_coarse(
         vectors, derived_cells(n), id_col=id_col, vec_col=vec_col,
         cache_key=cache_key, n=n,
@@ -1586,6 +1605,7 @@ def filtered_topk_bq(
     cand: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    serve_dir: str | None = None,
 ) -> DataFrame:
     """(route='bq', query_id, neighbor_id, cosine, rank): filtered ANN
     served from the BQ tier (X221, VERDICT r11 #4 — the serving ladder's
@@ -1602,13 +1622,29 @@ def filtered_topk_bq(
     scan (64× fewer bytes than float64 coords) already pruned by the
     filter; no trained state, so nothing can leak filter-dependence
     into an artifact."""
-    from mimic2ts_spark.operators.pq import BQ_RESCORE_CAND, bq_hamming_panel
+    from mimic2ts_spark.operators.pq import (
+        BQ_RESCORE_CAND,
+        bq_hamming_panel,
+        serve_bq_artifact,
+    )
 
     cand = BQ_RESCORE_CAND if cand is None else cand
-    sub = vectors.join(_allowed_ids(allowed, id_col), id_col, "left_semi")
-    cands = bq_hamming_panel(
-        sub, queries, cand, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id")
+    if serve_dir is not None:
+        # r14: candidates from the persisted packed codes (`maintain
+        # bq-codes`), allowed semi-joined pre-cut — no per-call corpus
+        # re-pack (equality pinned in
+        # test_bq_artifact_filtered_serve_pre_cut)
+        cands = serve_bq_artifact(
+            vectors.sparkSession, serve_dir, queries, k=cand,
+            id_col=id_col, vec_col=vec_col, allowed=allowed,
+        ).select("query_id", "neighbor_id")
+    else:
+        sub = vectors.join(
+            _allowed_ids(allowed, id_col), id_col, "left_semi"
+        )
+        cands = bq_hamming_panel(
+            sub, queries, cand, id_col=id_col, vec_col=vec_col
+        ).select("query_id", "neighbor_id")
     return _filtered_cosine_rescore(
         cands, vectors, queries, k, id_col, vec_col, route="bq"
     )
@@ -1624,6 +1660,7 @@ def filtered_topk_sq8(
     vec_col: str = "embedding",
     stats: list | None = None,
     cache_key: str | None = None,
+    serve_dir: str | None = None,
 ) -> DataFrame:
     """(route='sq8', query_id, neighbor_id, cosine, rank): filtered ANN
     served from the SQ8 tier (X221): asymmetric int8 decode-L2 over the
@@ -1638,19 +1675,33 @@ def filtered_topk_sq8(
     from mimic2ts_spark.operators.pq import (
         BQ_RESCORE_CAND,
         _quant_base,
+        serve_sq8_artifact,
         sq8_int_stats,
         sq8_l2_panel,
     )
 
     cand = BQ_RESCORE_CAND if cand is None else cand
-    if stats is None:
-        stats = sq8_int_stats(
-            _quant_base(vectors, id_col, vec_col), cache_key=cache_key
+    if serve_dir is not None:
+        # r14: candidates decode from the persisted int8 codes
+        # (`maintain sq8-codes`, stats frozen INTO the artifact — same
+        # trained state as the scan form's cache_key memo), allowed
+        # semi-joined pre-cut — no per-call corpus re-encode (equality
+        # pinned in the X226 filtered-serve pytest)
+        cands = serve_sq8_artifact(
+            vectors.sparkSession, serve_dir, queries, cand,
+            id_col=id_col, vec_col=vec_col, allowed=allowed,
+        ).select("query_id", "neighbor_id")
+    else:
+        if stats is None:
+            stats = sq8_int_stats(
+                _quant_base(vectors, id_col, vec_col), cache_key=cache_key
+            )
+        sub = vectors.join(
+            _allowed_ids(allowed, id_col), id_col, "left_semi"
         )
-    sub = vectors.join(_allowed_ids(allowed, id_col), id_col, "left_semi")
-    cands = sq8_l2_panel(
-        sub, queries, cand, id_col=id_col, vec_col=vec_col, stats=stats
-    ).select("query_id", "neighbor_id")
+        cands = sq8_l2_panel(
+            sub, queries, cand, id_col=id_col, vec_col=vec_col, stats=stats
+        ).select("query_id", "neighbor_id")
     return _filtered_cosine_rescore(
         cands, vectors, queries, k, id_col, vec_col, route="sq8"
     )
