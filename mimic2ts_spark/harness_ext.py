@@ -230,6 +230,29 @@ def _raw_pairs(spark, sf_dir, threshold: float = 0.8):
     return spark.read.parquet(_RAW_PAIRS_DIRS[key])
 
 
+# (sf_dir, threshold) -> parquet path of the raw EMBEDDING LSH pair
+# relation (r14, same doctrine): q_dedup_embedding_lsh registers it and
+# q_decontaminate_semantic projects its cross-set rows — each re-ran
+# the T-table banded self-join + cosine verify per call.
+_RAW_EMB_PAIRS_DIRS: dict = {}
+
+
+def _raw_emb_pairs(spark, sf_dir, threshold: float = 0.45):
+    key = (
+        sf_dir, threshold,
+        _corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+    if key not in _RAW_EMB_PAIRS_DIRS:
+        from mimic2ts_spark.session import session_tmpdir
+
+        out = session_tmpdir(prefix="raw_emb_pairs_")
+        S.embedding_near_dup_pairs_lsh(
+            _embs(spark, sf_dir), threshold=threshold, on_duplicates="warn"
+        ).write.mode("overwrite").parquet(out)
+        _RAW_EMB_PAIRS_DIRS[key] = out
+    return spark.read.parquet(_RAW_EMB_PAIRS_DIRS[key])
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """Composed recipe: exact dedup -> MinHash-LSH near-dup on canonical
     docs (see canonical_near_dup_pairs). Served from the shared
@@ -600,10 +623,11 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     """Beyond-broadcast embedding near-dup: LSH-bucketed candidate join +
     exact cosine verify (no collect, corpus size unbounded) — the scale
     path q_dedup_embedding's broadcast form caps out of."""
-    # registered X24 oracle BASELINE — the dup guard warns, not raises
-    return S.embedding_near_dup_pairs_lsh(
-        _embs(spark, sf_dir), threshold=0.45, on_duplicates="warn"
-    )
+    # registered X24 oracle BASELINE — the dup guard warns, not raises.
+    # r14: served from the shared per-corpus disk artifact
+    # (_raw_emb_pairs — q_decontaminate_semantic projects the same
+    # relation; value-identical, the oracle derives from scratch).
+    return _raw_emb_pairs(spark, sf_dir, threshold=0.45)
 
 
 def q_dedup_embedding_lsh_canonical(spark, sf_dir):
@@ -4303,9 +4327,9 @@ def q_decontaminate_semantic(spark, sf_dir):
     quadratic per identical-vector cluster like every raw pair query —
     route over X160 canonical vectors first and expand flags through
     the exact groups (the registered canonical compositions' pattern)."""
-    pairs = S.embedding_near_dup_pairs_lsh(
-        _embs(spark, sf_dir), threshold=0.45, on_duplicates="warn"
-    )
+    # r14: the shared per-corpus raw LSH pair artifact (_raw_emb_pairs
+    # — the same relation q_dedup_embedding_lsh registers)
+    pairs = _raw_emb_pairs(spark, sf_dir, threshold=0.45)
     a_eval = (F.col("vec_a") % DECON_SEM_MOD) == 0
     b_eval = (F.col("vec_b") % DECON_SEM_MOD) == 0
     return pairs.where(a_eval != b_eval).select(

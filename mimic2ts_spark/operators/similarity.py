@@ -903,15 +903,31 @@ def embedding_near_dup_pairs_lsh(
         on_duplicates=on_duplicates,
     )
 
-    def bucketed(ident: str) -> DataFrame:
-        base = vectors.select(
-            F.col(id_col).alias(ident), F.col(vec_col).alias(f"{ident}_vec")
-        )
-        return base.withColumn("_buckets", lsh_buckets_all(f"{ident}_vec")).select(
-            ident, f"{ident}_vec", F.posexplode("_buckets").alias("table", "bucket")
+    # r14: bucket ONCE and derive both self-join sides from the
+    # persisted relation — the former per-side bucketed() branches each
+    # re-ran the upstream lineage (e.g. canonical_vectors' quantize+md5
+    # collapse) AND the T·planes hyperplane folds (guide §2.4; the r01
+    # fold-k-passes-into-one lesson). The persisted plan is a derived
+    # projection (explode over the hash column), not the caller's
+    # `vectors` frame, so no CacheManager eviction (r05 trap). Measured
+    # 4.28→2.52 s cold / 2.51→2.29 s warm best-of-3 at sf0.1 on the
+    # canonical form, emitted pairs identical.
+    bk = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .withColumn("_buckets", lsh_buckets_all("_vec"))
+        .select("_id", "_vec", F.posexplode("_buckets").alias("table", "bucket"))
+        .persist()
+    )
+
+    def side(ident: str) -> DataFrame:
+        return bk.select(
+            F.col("_id").alias(ident),
+            F.col("_vec").alias(f"{ident}_vec"),
+            "table",
+            "bucket",
         )
 
-    a, b = bucketed("vec_a"), bucketed("vec_b")
+    a, b = side("vec_a"), side("vec_b")
     cand = (
         a.join(b, ["table", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
