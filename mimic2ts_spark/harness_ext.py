@@ -199,8 +199,15 @@ def _canon_pairs(spark, sf_dir, threshold: float = 0.8):
         from mimic2ts_spark.session import session_tmpdir
 
         out = session_tmpdir(prefix="canon_pairs_")
-        D.canonical_near_dup_pairs(
-            _docs(spark, sf_dir), threshold=threshold
+        # r14: build over the shared canonical-docs artifact —
+        # canonical_near_dup_pairs ≡ canonical_docs → minhash_lsh_pairs
+        # at the same threshold with the dup probe skipped (canonicals
+        # are distinct on the probe key by construction), so this is
+        # the same relation without re-running the canonicalization.
+        D.minhash_lsh_pairs(
+            _canon_docs(spark, sf_dir),
+            threshold=threshold,
+            on_duplicates="ignore",
         ).write.mode("overwrite").parquet(out)
         _CANON_PAIRS_DIRS[key] = out
     return spark.read.parquet(_CANON_PAIRS_DIRS[key])
@@ -251,6 +258,33 @@ def _raw_emb_pairs(spark, sf_dir, threshold: float = 0.45):
         ).write.mode("overwrite").parquet(out)
         _RAW_EMB_PAIRS_DIRS[key] = out
     return spark.read.parquet(_RAW_EMB_PAIRS_DIRS[key])
+
+
+# sf_dir -> parquet path of the md5-CANONICAL documents relation
+# (dedup.canonical_docs over the corpus — r14, the same r07
+# multi-consumer disk-memo doctrine): SEVEN registered paths re-derived
+# the md5 groupBy + semi-join canonicalization per call
+# (q_jl_projection, q_dedup_recall, q_dedup_winnow,
+# q_dedup_containment_canonical, q_retrieval_mrr, q_retrieval_map and
+# the _canon_pairs build). Deterministic derivation (md5 + min-id) and
+# a lossless (BIGINT, VARCHAR) parquet round-trip ⇒ every consumer's
+# oracle hash unchanged; oracles still derive from scratch.
+_CANON_DOCS_DIRS: dict = {}
+
+
+def _canon_docs(spark, sf_dir):
+    from mimic2ts_spark.operators.spread import ensure_parallelism
+
+    key = (sf_dir, _corpus_fingerprint(f"{sf_dir}/documents.parquet"))
+    if key not in _CANON_DOCS_DIRS:
+        out = session_tmpdir(prefix="canon_docs_")
+        D.canonical_docs(_docs(spark, sf_dir)).write.mode("overwrite").parquet(
+            out
+        )
+        _CANON_DOCS_DIRS[key] = out
+    # spread on read: canonical docs feed the same compute-dense md5 /
+    # token hashing passes as _docs (the r01 one-split trap)
+    return ensure_parallelism(spark.read.parquet(_CANON_DOCS_DIRS[key]))
 
 
 def q_dedup_pipeline(spark, sf_dir):
@@ -337,16 +371,12 @@ def q_dedup_recall(spark, sf_dir):
     canonicals the eval stays ~flat at the 10×/100× sweeps AND scores
     only the pairs banding can actually miss."""
     # r14: the canonical slim projection feeds THREE independent legs
-    # (ngram / minhash / simhash), each of which re-ran the md5
-    # canonicalization (corpus scan + groupBy + semi join) from scratch
-    # — persist it once (guide §5: cache reused-and-expensive inputs;
+    # (ngram / minhash / simhash) — read the shared per-corpus
+    # canonical-docs artifact (_canon_docs) and persist the slim
+    # projection once (guide §5: cache reused-and-expensive inputs;
     # the legs' internal persists are downstream derivations, not
     # canonically identical plans, so no CacheManager eviction).
-    docs = (
-        D.canonical_docs(_docs(spark, sf_dir))
-        .select("doc_id", "text")
-        .persist()
-    )
+    docs = _canon_docs(spark, sf_dir).select("doc_id", "text").persist()
     # canonical docs are distinct on the probe key by construction —
     # skip the dup-guard probe job on all three legs
     exact = D.ngram_jaccard_pairs(docs, threshold=0.8, on_duplicates="ignore")
@@ -1537,8 +1567,10 @@ def q_winnow_overlap(spark, sf_dir):
     Exact-first BY CONSTRUCTION (copies share all fingerprints ⇒ pair
     generation belongs on canonicals; exact groups reconstruct copy
     membership), so the pair volume tracks true cross-content overlap
-    at every sweep factor."""
-    return D.winnow_overlap_pairs(_docs(spark, sf_dir))
+    at every sweep factor. r14: the canonical base comes from the
+    shared per-corpus artifact (_canon_docs; canonical_docs is
+    idempotent, so the relation is identical)."""
+    return D.winnow_overlap_pairs(_canon_docs(spark, sf_dir), pre_canonical=True)
 
 
 Q_WINNOW_OVERLAP_SQL = D.sql_winnow_overlap()
@@ -1621,7 +1653,6 @@ def q_jl_projection(spark, sf_dir):
     never a corpus-wide single-partition window."""
     from pyspark.sql import Window as W
 
-    from mimic2ts_spark.operators.dedup import canonical_docs
     from mimic2ts_spark.operators.sketch import kmv_code
     from mimic2ts_spark.operators.text import (
         JL_DIM,
@@ -1629,13 +1660,11 @@ def q_jl_projection(spark, sf_dir):
         jl_project_rows,
     )
 
-    # canonicalization (md5 groupBy + join back) is consumed by TWO
-    # subtrees (the hashed-vector pass and the panel ranking) — persist
-    # the slim projection once or it re-runs per consumer (measured
-    # 5.2 s → 2.6 s at sf0.1)
-    docs = (
-        canonical_docs(_docs(spark, sf_dir)).select("doc_id", "text").persist()
-    )
+    # canonicalization consumed by TWO subtrees (the hashed-vector pass
+    # and the panel ranking) — read the shared canonical-docs artifact
+    # (r14 _canon_docs) and persist the slim projection once or it
+    # re-runs per consumer (measured 5.2 s → 2.6 s at sf0.1)
+    docs = _canon_docs(spark, sf_dir).select("doc_id", "text").persist()
 
     ranked = (
         docs.select("doc_id", kmv_code(F.col("doc_id")).alias("_c"))
@@ -4543,7 +4572,9 @@ def q_retrieval_mrr(spark, sf_dir):
     WindowGroupLimit."""
     from mimic2ts_spark.operators.search import known_item_mrr
 
-    return known_item_mrr(_docs(spark, sf_dir))
+    # r14: panel/scoring base from the shared per-corpus canonical-docs
+    # artifact (_canon_docs; canonical_docs is idempotent ⇒ identical)
+    return known_item_mrr(_canon_docs(spark, sf_dir), pre_canonical=True)
 
 
 def _q_retrieval_mrr_sql():
@@ -4571,9 +4602,13 @@ def q_retrieval_map(spark, sf_dir):
     # r07 multi-consumer disk-memo doctrine; value-identical to the
     # in-query derivation, which remains the oracle's form): the
     # canonicalization+banding pass that dominated this eval
-    # (7.5 s → ~4 s at sf0.1) is paid once per corpus per process
+    # (7.5 s → ~4 s at sf0.1) is paid once per corpus per process.
+    # r14: the BM25 base likewise reads the shared canonical-docs
+    # artifact instead of re-canonicalizing per call.
     return neardup_map_at_k(
-        _docs(spark, sf_dir), pairs=_canon_pairs(spark, sf_dir, 0.8)
+        _canon_docs(spark, sf_dir),
+        pairs=_canon_pairs(spark, sf_dir, 0.8),
+        pre_canonical=True,
     )
 
 
@@ -4706,8 +4741,12 @@ def q_dedup_containment_canonical(spark, sf_dir):
     output-quadratic per exact-duplicate cluster on dup-heavy corpora;
     this composition is ~flat at 100× because identical text ⇒ identical
     shingle sets ⇒ dropped pairs are reconstructible from exact groups.
-    Same composition theorem as q_dedup_pipeline (X2 over canonicals)."""
-    return D.canonical_containment_pairs(_docs(spark, sf_dir), threshold=CONTAIN_TAU)
+    Same composition theorem as q_dedup_pipeline (X2 over canonicals).
+    r14: the canonical base comes from the shared per-corpus artifact
+    (_canon_docs; canonicalization is idempotent ⇒ identical relation)."""
+    return D.canonical_containment_pairs(
+        _canon_docs(spark, sf_dir), threshold=CONTAIN_TAU, pre_canonical=True
+    )
 
 
 Q_DEDUP_CONTAINMENT_CANONICAL_SQL = _sql_sub(

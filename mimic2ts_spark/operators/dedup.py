@@ -622,6 +622,7 @@ def canonical_containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.9,
+    pre_canonical: bool = False,
 ) -> DataFrame:
     """Exact-first containment (the scale-safe form of containment_pairs):
     directed containment pairs over CANONICAL docs only. The raw-pair form
@@ -631,8 +632,17 @@ def canonical_containment_pairs(
     every dropped pair is recoverable from the exact groups, so the
     composed report loses no information (same theorem as
     canonical_near_dup_pairs; measured ~flat at 100× vs no-100×-row for
-    the raw form — README 'Measured scaling')."""
-    canon = canonical_docs(df, text_col=text_col, id_col=id_col)
+    the raw form — README 'Measured scaling').
+
+    pre_canonical=True declares df ALREADY canonical (e.g. the shared
+    per-corpus canonical-docs artifact) and skips the redundant
+    canonicalization — value-identical because canonical_docs is
+    idempotent (min-id of distinct texts is the identity)."""
+    canon = (
+        df
+        if pre_canonical
+        else canonical_docs(df, text_col=text_col, id_col=id_col)
+    )
     # canonicals are distinct on the probe key by construction — skip
     return containment_pairs(
         canon,
@@ -1398,6 +1408,7 @@ def winnow_overlap_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_shared: int = 2,
+    pre_canonical: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared): undirected CANONICAL doc pairs sharing
     ≥ min_shared winnowing fingerprint codes — the MOSS-style local-
@@ -1409,8 +1420,15 @@ def winnow_overlap_pairs(
     code — the X213 doctrine applied at design time); exact groups
     reconstruct copy membership. The join key is the fingerprint CODE
     (winnowed density ~2/(W+1) of grams keeps postings sparse; max
-    df = 6 on the gate corpus)."""
-    canon = canonical_docs(df, text_col=text_col, id_col=id_col)
+    df = 6 on the gate corpus).
+
+    pre_canonical=True declares df already canonical and skips the
+    redundant canonicalization (canonical_docs is idempotent)."""
+    canon = (
+        df
+        if pre_canonical
+        else canonical_docs(df, text_col=text_col, id_col=id_col)
+    )
     fp = (
         winnow_fingerprints(canon, text_col=text_col, id_col=id_col)
         .select("doc_id", "code")

@@ -947,6 +947,7 @@ def known_item_mrr(
     k: int = MRR_K,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pre_canonical: bool = False,
 ) -> DataFrame:
     """Known-item retrieval eval — the retrieval family's measured
     quality number (completing the eval triad: X156 scores ANN, X167
@@ -979,7 +980,10 @@ def known_item_mrr(
     from mimic2ts_spark.operators.dedup import canonical_docs
     from mimic2ts_spark.operators.sketch import kmv_code
 
-    canon = canonical_docs(docs, text_col, id_col)
+    # pre_canonical=True declares docs already canonical (the shared
+    # artifact) — canonical_docs is idempotent, so skipping it is
+    # value-identical
+    canon = docs if pre_canonical else canonical_docs(docs, text_col, id_col)
     toks = tokens(F.col(text_col))
     base = canon.select(
         F.col(id_col).alias("doc"),
@@ -1108,6 +1112,7 @@ def neardup_map_at_k(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    pre_canonical: bool = False,
 ) -> DataFrame:
     """MAP@k retrieval eval against NEAR-DUP ground truth (X207) — the
     multi-relevant companion of known_item_mrr: each panel query's
@@ -1137,9 +1142,12 @@ def neardup_map_at_k(
 
     # the canonical slim table is consumed by BOTH legs (the default
     # ground-truth pair derivation and the BM25 base) — persist it once
-    # or the md5 canonicalization re-runs per consumer
+    # or the md5 canonicalization re-runs per consumer.
+    # pre_canonical=True declares docs already canonical (the shared
+    # artifact); canonical_docs is idempotent, so skipping it is
+    # value-identical.
     canon = (
-        canonical_docs(docs, text_col, id_col)
+        (docs if pre_canonical else canonical_docs(docs, text_col, id_col))
         .select(id_col, text_col)
         .persist()
     )
