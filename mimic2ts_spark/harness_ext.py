@@ -2226,16 +2226,42 @@ def q_ann_recall(spark, sf_dir):
       number isolates what the 64-bit sketch's candidate cut loses.
     Every exact leg is query-side bounded (one 32×n kernel pass); the
     approximate legs reuse the memoized coarse/codebook/graph
-    artifacts."""
+    artifacts.
+
+    r14 (guide §2.6 — overlap independent jobs): the seven leg
+    relations are INDEPENDENT until the final panel-sized recall
+    unions, but the graph leg's driver-loop beam search serialized
+    ~3 s of small sequential jobs ahead of everything else. Each leg
+    now materializes (eager localCheckpoint of its bounded ≤ panel·64
+    rows) on its own driver thread — Spark job submission is
+    thread-safe (the r04 concurrent-trainings precedent; FIFO
+    scheduling back-fills the beam's idle cores with the other legs'
+    tasks). Values are untouched: every leg's plan is unchanged, the
+    checkpoint only materializes it, and the memoized artifact dirs
+    are resolved on the MAIN thread first so no build races."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+    from pyspark.sql import Window as _W
+
     from mimic2ts_spark.operators import pq as PQ
     from mimic2ts_spark.operators.knn import knn_beam_topk
 
     embs = _embs(spark, sf_dir)
     qs = embs.where(F.col("vec_id") < ANN_RECALL_QUERIES)
-    exact_cos = S.brute_force_topk(embs, qs, k=ANN_RECALL_K).select(
-        "query_id", "neighbor_id"
-    ).persist()  # shared by the ivf AND bq legs (r09 panel-persist rule)
-    # r14: the ivf / ivfpq / sq8 legs SERVE from the memoized persisted
+    # memoized shared artifacts resolve (and first-build) sequentially
+    # — the driver-side memos are plain dicts, not locks
+    ivf_dir = _ivf_index_dir(spark, sf_dir)
+    ivfpq_dir = _codes_artifact_dir(spark, sf_dir, "ivfpq")
+    sq8_dir = _codes_artifact_dir(spark, sf_dir, "sq8")
+    bq_dir = _codes_artifact_dir(spark, sf_dir, "bq")
+    graph = _knn_graph(spark, sf_dir)
+
+    def _mat(df):
+        # bounded leg result — materialize, cut lineage
+        return df.localCheckpoint(eager=True)
+
+    # the ivf / ivfpq / sq8 / bq legs SERVE from the memoized persisted
     # artifacts instead of running the scan forms — the r13
     # codebook-vs-codes doctrine (the scan forms re-assign/re-encode
     # the full corpus per call; the served twins read the stored
@@ -2243,53 +2269,96 @@ def q_ann_recall(spark, sf_dir):
     # twin's gate row re-proves every window (q_ann_ivf_indexed,
     # q_ann_ivfpq, q_sq8_topk) and test_registry_rows_serve_from_
     # artifacts pins row-for-row; the exact gold-standard panels stay
-    # scan-form by definition. Isolated warm legs at sf0.1: ivf
-    # 0.98→~0.4 s, ivfpq 0.82→~0.3 s, sq8 0.53→~0.3 s.
-    ivf = S.serve_ivf_artifact(
-        spark, _ivf_index_dir(spark, sf_dir), qs, embs, k=ANN_RECALL_K
-    )
-    exact_l2 = PQ.brute_force_l2_panel(embs, qs, k=ANN_RECALL_K).select(
-        "query_id", "neighbor_id"
-    ).persist()  # shared by the ivfpq AND graph legs
-    ivfpq = PQ.serve_ivfpq_artifact(
-        spark, _codes_artifact_dir(spark, sf_dir, "ivfpq"), qs,
-        k=ANN_RECALL_K,
-    )
-    beam = knn_beam_topk(
-        embs, qs, _knn_graph(spark, sf_dir), k=ANN_RECALL_K
-    ).select(F.col("qid").alias("query_id"), F.col("nbr").alias("neighbor_id"))
-    sq8 = PQ.serve_sq8_artifact(
-        spark, _codes_artifact_dir(spark, sf_dir, "sq8"), qs,
-        k=ANN_RECALL_K,
-    ).select("query_id", "neighbor_id")
-    # ONE packed bit_count scan serves both BQ legs: the raw leg is the
-    # top-10 of the persisted top-64 candidate relation (identical by
-    # construction — same (hamming, neighbor_id) order), and the
-    # rescore leg consumes the same relation via `cands`. Since r14 the
-    # scan reads the PERSISTED `maintain bq-codes` artifact (VERDICT
-    # r13 #2 — serve_bq_artifact shares _bq_hamming_from_codes with the
-    # scan form, bit-identical by construction), putting the BQ
-    # artifact-served path under this row's byte-identical oracle.
-    from pyspark.sql import Window as _W
+    # scan-form by definition.
+    def leg_exact_cos():
+        # shared by the ivf AND bq legs (r09 panel-persist rule)
+        return _mat(
+            S.brute_force_topk(embs, qs, k=ANN_RECALL_K).select(
+                "query_id", "neighbor_id"
+            )
+        )
 
-    bqc = PQ.serve_bq_artifact(
-        spark, _codes_artifact_dir(spark, sf_dir, "bq"),
-        qs, k=PQ.BQ_RESCORE_CAND,
-    ).persist()
+    def leg_exact_l2():
+        # shared by the ivfpq, graph, sq8 AND bq_rescore legs
+        return _mat(
+            PQ.brute_force_l2_panel(embs, qs, k=ANN_RECALL_K).select(
+                "query_id", "neighbor_id"
+            )
+        )
+
+    def leg_ivf():
+        return _mat(
+            S.serve_ivf_artifact(spark, ivf_dir, qs, embs, k=ANN_RECALL_K)
+        )
+
+    def leg_ivfpq():
+        return _mat(
+            PQ.serve_ivfpq_artifact(spark, ivfpq_dir, qs, k=ANN_RECALL_K)
+        )
+
+    def leg_beam():
+        return _mat(
+            knn_beam_topk(embs, qs, graph, k=ANN_RECALL_K).select(
+                F.col("qid").alias("query_id"),
+                F.col("nbr").alias("neighbor_id"),
+            )
+        )
+
+    def leg_sq8():
+        return _mat(
+            PQ.serve_sq8_artifact(spark, sq8_dir, qs, k=ANN_RECALL_K).select(
+                "query_id", "neighbor_id"
+            )
+        )
+
+    def leg_bq():
+        # ONE packed bit_count scan serves both BQ legs: the raw leg is
+        # the top-10 of the materialized top-64 candidate relation
+        # (identical by construction — same (hamming, neighbor_id)
+        # order), and the rescore leg consumes the same relation via
+        # `cands`. The scan reads the PERSISTED `maintain bq-codes`
+        # artifact (VERDICT r13 #2 — serve_bq_artifact shares
+        # _bq_hamming_from_codes with the scan form, bit-identical by
+        # construction), putting the BQ artifact-served path under this
+        # row's byte-identical oracle.
+        bqc = _mat(
+            PQ.serve_bq_artifact(spark, bq_dir, qs, k=PQ.BQ_RESCORE_CAND)
+        )
+        bqr = _mat(
+            PQ.bq_rescore_panel(embs, qs, k=ANN_RECALL_K, cands=bqc).select(
+                "query_id", "neighbor_id"
+            )
+        )
+        return bqc, bqr
+
+    legs = {
+        "exact_cos": leg_exact_cos,
+        "exact_l2": leg_exact_l2,
+        "ivf": leg_ivf,
+        "ivfpq": leg_ivfpq,
+        "beam": leg_beam,
+        "sq8": leg_sq8,
+        "bq": leg_bq,
+    }
+    with ThreadPoolExecutor(max_workers=len(legs)) as pool:
+        futs = {
+            name: pool.submit(inheritable_thread_target(spark)(fn))
+            for name, fn in legs.items()
+        }
+        out = {name: f.result() for name, f in futs.items()}
+    exact_cos, exact_l2 = out["exact_cos"], out["exact_l2"]
+    bqc, bqr = out["bq"]
     _wbq = _W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
     bq = (
         bqc.withColumn("_rn", F.row_number().over(_wbq))
         .where(F.col("_rn") <= ANN_RECALL_K)
         .select("query_id", "neighbor_id")
     )
-    bqr = PQ.bq_rescore_panel(
-        embs, qs, k=ANN_RECALL_K, cands=bqc
-    ).select("query_id", "neighbor_id")
     return (
-        _recall_leg(exact_cos, ivf, "ivf")
-        .unionByName(_recall_leg(exact_l2, ivfpq, "ivfpq"))
-        .unionByName(_recall_leg(exact_l2, beam, "graph"))
-        .unionByName(_recall_leg(exact_l2, sq8, "sq8"))
+        _recall_leg(exact_cos, out["ivf"], "ivf")
+        .unionByName(_recall_leg(exact_l2, out["ivfpq"], "ivfpq"))
+        .unionByName(_recall_leg(exact_l2, out["beam"], "graph"))
+        .unionByName(_recall_leg(exact_l2, out["sq8"], "sq8"))
         .unionByName(_recall_leg(exact_cos, bq, "bq"))
         .unionByName(_recall_leg(exact_l2, bqr, "bq_rescore"))
     )

@@ -467,6 +467,14 @@ def _beam_quantized(
         entries = de if entries is None else entries
     qv = qv.persist()
     g = graph.select("id", "nbr").persist()
+    # r14 (guide §5): the coordinate fetch joins BASE against the
+    # broadcast frontier once PER HOP — unpersisted, every hop re-ran
+    # the upstream lineage (corpus scan + quantize HOF). Persist it for
+    # the loop (skip when the caller already cached this exact plan —
+    # the r05 canonical-plan eviction trap).
+    _we_persisted_base = not base.is_cached
+    if _we_persisted_base:
+        base = base.persist()
     entry = (
         base.select("id", kmv_code(F.col("id")).alias("code"))
         .orderBy("code", "id")
@@ -506,6 +514,8 @@ def _beam_quantized(
         )
     qv.unpersist()
     g.unpersist()
+    if _we_persisted_base:
+        base.unpersist()
     topk = s.where(F.col("rn") <= k).select(
         "qid", F.col("node").alias("nbr"), "d2", F.col("rn").alias("rank")
     )
