@@ -147,7 +147,7 @@ RRF_TOP_K = 10
 
 
 def hybrid_rrf_topk(
-    docs: DataFrame,
+    docs: DataFrame | None,
     vectors: DataFrame,
     query_terms: tuple[str, ...],
     query_vec_id: int = 0,
@@ -155,6 +155,7 @@ def hybrid_rrf_topk(
     k: int = RRF_TOP_K,
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
+    lex: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of a lexical BM25 leg
     and a dense cosine leg — the standard production fusion (RRF,
@@ -174,7 +175,12 @@ def hybrid_rrf_topk(
     rule: identical op order)."""
     from pyspark.sql import Window
 
-    lex = bm25_topk(docs, query_terms, k=leg_k, id_col=id_col)
+    # `lex` (r14): a pre-ranked lexical top-leg_k relation
+    # ((id_col, score_scaled) — e.g. bm25_from_postings over the
+    # persisted index, pytest-pinned bit-equal to the scan form) —
+    # serving swap only, the fusion below is unchanged
+    if lex is None:
+        lex = bm25_topk(docs, query_terms, k=leg_k, id_col=id_col)
     wl = Window.orderBy(F.desc("score_scaled"), id_col)  # ≤ leg_k rows
     lex_r = lex.select(
         F.col(id_col).alias("doc_id"),
@@ -940,14 +946,81 @@ def _panel_bm25_ranked(
     )
 
 
+def _panel_bm25_ranked_from_postings(
+    postings: DataFrame,
+    doclens: DataFrame,
+    pdocs: DataFrame,
+    n_terms: int,
+    k: int,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """_panel_bm25_ranked SERVED from a persisted (term, doc, tf, dl)
+    postings relation + a (doc, dl) doclens relation (r13
+    codebook-vs-codes doctrine: the eval reads the indexed form, never
+    re-tokenizing the corpus per call). Value-identical to the scan
+    form by construction: a doc's postings tf IS its per-term token
+    count (qterms' groupBy-count), the vocab-pruned postings ARE the
+    scan form's explode→vocab-join→agg rows, and totals from doclens
+    equal base's ungrouped aggregate (doclens carries EVERY doc,
+    including token-less ones the postings can't represent). Same
+    scoring expressions, same tie orders — pytest-pinned row-for-row
+    against the scan form."""
+    from mimic2ts_spark.operators.text import token_code
+
+    wq = Window.partitionBy("qid").orderBy(F.desc("cnt"), "_tc", "term")
+    qterms = (
+        postings.join(F.broadcast(pdocs), postings["doc"] == pdocs["qid"])
+        .select("qid", "term", F.col("tf").alias("cnt"))
+        .withColumn("_tc", token_code(F.col("term")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_terms)
+        .select("qid", "term")
+    )
+    vocab = qterms.select("term").distinct()
+    # persisted: consumed twice (dfreq's broadcast job + the scoring
+    # pass), exactly like the scan form's tf
+    tf = postings.join(F.broadcast(vocab), "term").persist()
+    totals = doclens.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    term_scores = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "term_score",
+            F.expr(f"({SCALE} * (2 * (n_docs - df) + 1)) div (2 * df + 1)")
+            * F.expr(
+                f"({SCALE} * 22 * sum_dl * tf) div "
+                "(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    per_query = (
+        term_scores.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc")
+        .agg(F.sum("term_score").alias("score_scaled"))
+    )
+    if exclude_self:
+        per_query = per_query.where(F.col("doc") != F.col("qid"))
+    wr = Window.partitionBy("qid").orderBy(F.desc("score_scaled"), "doc")
+    return (
+        per_query.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+    )
+
+
 def known_item_mrr(
-    docs: DataFrame,
+    docs: DataFrame | None,
     panel: int = MRR_PANEL,
     n_terms: int = MRR_QTERMS,
     k: int = MRR_K,
     text_col: str = "text",
     id_col: str = "doc_id",
     pre_canonical: bool = False,
+    postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
 ) -> DataFrame:
     """Known-item retrieval eval — the retrieval family's measured
     quality number (completing the eval triad: X156 scores ANN, X167
@@ -976,28 +1049,49 @@ def known_item_mrr(
     vocabulary join — at most panel·n_terms distinct terms), broadcast
     per-term df + 1-row totals (declared scalar cross join), per-query
     top-k as a WindowGroupLimit, and the panel/report joins are all
-    panel-sized broadcasts."""
+    panel-sized broadcasts. With `postings`/`doclens` (r14) the eval is
+    SERVED from the persisted canonical postings instead — zero
+    tokenize work per call, value-identical (see
+    _panel_bm25_ranked_from_postings)."""
     from mimic2ts_spark.operators.dedup import canonical_docs
     from mimic2ts_spark.operators.sketch import kmv_code
 
-    # pre_canonical=True declares docs already canonical (the shared
-    # artifact) — canonical_docs is idempotent, so skipping it is
-    # value-identical
-    canon = docs if pre_canonical else canonical_docs(docs, text_col, id_col)
-    toks = tokens(F.col(text_col))
-    base = canon.select(
-        F.col(id_col).alias("doc"),
-        F.size(toks).cast("long").alias("dl"),
-        toks.alias("_toks"),
-    ).persist()
-    pdocs = (
-        base.where(F.size(F.array_distinct(F.col("_toks"))) >= n_terms)
-        .select("doc", kmv_code(F.col("doc")).alias("_c"))
-        .orderBy("_c", "doc")
-        .limit(panel)
-        .select(F.col("doc").alias("qid"))
-    )
-    ranked = _panel_bm25_ranked(base, pdocs, n_terms, k)
+    if postings is not None:
+        # SERVED form (r14): panel eligibility + totals from the slim
+        # (doc, dl, nt) doclens relation — nt = distinct-token count,
+        # exactly base's size(array_distinct(_toks)) — and the ranking
+        # from the persisted postings; no corpus tokenize per call.
+        pdocs = (
+            doclens.where(F.col("nt") >= n_terms)
+            .select("doc", kmv_code(F.col("doc")).alias("_c"))
+            .orderBy("_c", "doc")
+            .limit(panel)
+            .select(F.col("doc").alias("qid"))
+        )
+        ranked = _panel_bm25_ranked_from_postings(
+            postings, doclens, pdocs, n_terms, k
+        )
+    else:
+        # pre_canonical=True declares docs already canonical (the shared
+        # artifact) — canonical_docs is idempotent, so skipping it is
+        # value-identical
+        canon = (
+            docs if pre_canonical else canonical_docs(docs, text_col, id_col)
+        )
+        toks = tokens(F.col(text_col))
+        base = canon.select(
+            F.col(id_col).alias("doc"),
+            F.size(toks).cast("long").alias("dl"),
+            toks.alias("_toks"),
+        ).persist()
+        pdocs = (
+            base.where(F.size(F.array_distinct(F.col("_toks"))) >= n_terms)
+            .select("doc", kmv_code(F.col("doc")).alias("_c"))
+            .orderBy("_c", "doc")
+            .limit(panel)
+            .select(F.col("doc").alias("qid"))
+        )
+        ranked = _panel_bm25_ranked(base, pdocs, n_terms, k)
     self_hit = ranked.where(F.col("doc") == F.col("qid")).select(
         "qid", F.col("rank").alias("_self_rank")
     )
@@ -1104,7 +1198,7 @@ LEFT JOIN (SELECT qid, doc FROM ranked WHERE rank = 1) t1 ON t1.qid = p.qid
 
 
 def neardup_map_at_k(
-    docs: DataFrame,
+    docs: DataFrame | None,
     pairs: DataFrame | None = None,
     panel: int = MRR_PANEL,
     n_terms: int = MRR_QTERMS,
@@ -1113,6 +1207,8 @@ def neardup_map_at_k(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     pre_canonical: bool = False,
+    postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
 ) -> DataFrame:
     """MAP@k retrieval eval against NEAR-DUP ground truth (X207) — the
     multi-relevant companion of known_item_mrr: each panel query's
@@ -1140,49 +1236,67 @@ def neardup_map_at_k(
     from mimic2ts_spark.operators.dedup import canonical_docs, minhash_lsh_pairs
     from mimic2ts_spark.operators.sketch import kmv_code
 
-    # the canonical slim table is consumed by BOTH legs (the default
-    # ground-truth pair derivation and the BM25 base) — persist it once
-    # or the md5 canonicalization re-runs per consumer.
-    # pre_canonical=True declares docs already canonical (the shared
-    # artifact); canonical_docs is idempotent, so skipping it is
-    # value-identical.
-    canon = (
-        (docs if pre_canonical else canonical_docs(docs, text_col, id_col))
-        .select(id_col, text_col)
-        .persist()
-    )
-    if pairs is None:
-        # X2 over the SHARED canonical table — value-identical to
-        # canonical_near_dup_pairs(docs) (which canonicalizes internally)
-        pairs = minhash_lsh_pairs(
-            canon,
-            text_col=text_col,
-            id_col=id_col,
-            threshold=threshold,
-            on_duplicates="ignore",  # canonicals: distinct probe key
+    if postings is None:
+        # the canonical slim table is consumed by BOTH legs (the default
+        # ground-truth pair derivation and the BM25 base) — persist it
+        # once or the md5 canonicalization re-runs per consumer.
+        # pre_canonical=True declares docs already canonical (the shared
+        # artifact); canonical_docs is idempotent, so skipping it is
+        # value-identical.
+        canon = (
+            (docs if pre_canonical else canonical_docs(docs, text_col, id_col))
+            .select(id_col, text_col)
+            .persist()
         )
-    toks = tokens(F.col(text_col))
-    base = canon.select(
-        F.col(id_col).alias("doc"),
-        F.size(toks).cast("long").alias("dl"),
-        toks.alias("_toks"),
-    ).persist()
+        if pairs is None:
+            # X2 over the SHARED canonical table — value-identical to
+            # canonical_near_dup_pairs(docs) (which canonicalizes
+            # internally)
+            pairs = minhash_lsh_pairs(
+                canon,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=threshold,
+                on_duplicates="ignore",  # canonicals: distinct probe key
+            )
+        toks = tokens(F.col(text_col))
+        base = canon.select(
+            F.col(id_col).alias("doc"),
+            F.size(toks).cast("long").alias("dl"),
+            toks.alias("_toks"),
+        ).persist()
+    else:
+        # SERVED form (r14): ground truth must be supplied (the shared
+        # pair artifact) — the eval reads the persisted canonical
+        # postings + doclens, no corpus tokenize per call.
+        assert pairs is not None, "postings-served form requires pairs"
     rel = (
         pairs.select(F.col("doc_a").alias("qid"), F.col("doc_b").alias("rel"))
         .union(pairs.select(F.col("doc_b").alias("qid"), F.col("doc_a").alias("rel")))
         .distinct()
     )
     nrel = rel.groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    if postings is not None:
+        eligible = doclens.where(F.col("nt") >= n_terms).select(
+            F.col("doc").alias("qid")
+        )
+    else:
+        eligible = base.where(
+            F.size(F.array_distinct(F.col("_toks"))) >= n_terms
+        ).select(F.col("doc").alias("qid"))
     pdocs = (
-        base.where(F.size(F.array_distinct(F.col("_toks"))) >= n_terms)
-        .select(F.col("doc").alias("qid"))
-        .join(nrel.select("qid"), "qid")
+        eligible.join(nrel.select("qid"), "qid")
         .select("qid", kmv_code(F.col("qid")).alias("_c"))
         .orderBy("_c", "qid")
         .limit(panel)
         .select("qid")
     )
-    ranked = _panel_bm25_ranked(base, pdocs, n_terms, k, exclude_self=True)
+    if postings is not None:
+        ranked = _panel_bm25_ranked_from_postings(
+            postings, doclens, pdocs, n_terms, k, exclude_self=True
+        )
+    else:
+        ranked = _panel_bm25_ranked(base, pdocs, n_terms, k, exclude_self=True)
     hits = ranked.join(
         rel.select("qid", F.col("rel").alias("doc")), ["qid", "doc"]
     )

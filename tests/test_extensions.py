@@ -1286,6 +1286,80 @@ def test_hybrid_rrf_fuses_both_legs(spark, docs, embs):
         assert max(b["rrf_score"] for b in both) > min(s["rrf_score"] for s in single)
 
 
+def test_hybrid_rrf_lex_override_equals_scan(spark, docs, embs, tmp_path):
+    """r14 serving swap: hybrid_rrf_topk with a postings-served lexical
+    leg (bm25_from_postings) must equal the scan form row-for-row —
+    the fusion is unchanged, and bm25_from_postings bit-equals
+    bm25_topk on the same corpus (the X177 contract)."""
+    from mimic2ts_spark.operators.search import (
+        bm25_from_postings,
+        build_postings,
+        corpus_stats,
+        hybrid_rrf_topk,
+    )
+
+    terms = ("join", "hash", "vector", "scan")
+    pdir = str(tmp_path / "postings")
+    build_postings(docs).write.parquet(pdir)
+    stats = corpus_stats(docs)
+    lex = bm25_from_postings(spark, pdir, stats, terms, k=20)
+    scan = hybrid_rrf_topk(docs, embs, terms, leg_k=20, k=10).collect()
+    served = hybrid_rrf_topk(
+        None, embs, terms, leg_k=20, k=10, lex=lex
+    ).collect()
+    assert scan == served
+
+
+def _write_canon_postings(spark, corpus, tmp_path):
+    from mimic2ts_spark.operators.search import build_postings
+
+    pdir = str(tmp_path / "postings")
+    ldir = str(tmp_path / "doclens")
+    build_postings(corpus).write.parquet(pdir)
+    toks = X.tokens(F.col("text"))
+    corpus.select(
+        F.col("doc_id").alias("doc"),
+        F.size(toks).cast("long").alias("dl"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nt"),
+    ).write.parquet(ldir)
+    postings = spark.read.parquet(pdir).select(
+        "term", F.col("doc_id").alias("doc"), "tf", "dl"
+    )
+    return postings, spark.read.parquet(ldir)
+
+
+def test_panel_bm25_served_from_postings_equals_scan(spark, docs, tmp_path):
+    """r14 serving swap: the postings-served known_item_mrr and
+    neardup_map_at_k must equal the scan forms ROW-FOR-ROW on the same
+    canonical corpus — the (term, doc, tf, dl) postings ARE the scan
+    form's explode→agg rows and the (doc, dl, nt) doclens carries every
+    doc's totals/eligibility fields. The corpus gains an all-whitespace
+    doc so empty-string tokens flow through the postings path too."""
+    from mimic2ts_spark.operators.search import known_item_mrr, neardup_map_at_k
+
+    canon = D.canonical_docs(docs).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(10**9, " ")], "doc_id long, text string"
+    )
+    corpus = canon.unionByName(extra).cache()  # still canonical: unique text
+    postings, doclens = _write_canon_postings(spark, corpus, tmp_path)
+
+    scan = known_item_mrr(corpus, pre_canonical=True).collect()
+    served = known_item_mrr(None, postings=postings, doclens=doclens).collect()
+    assert sorted(map(tuple, scan)) == sorted(map(tuple, served))
+    assert any(r.rank_found for r in scan)  # the eval actually fires
+
+    pairs = D.minhash_lsh_pairs(
+        corpus, threshold=0.8, on_duplicates="ignore"
+    ).cache()
+    scan2 = neardup_map_at_k(corpus, pairs=pairs, pre_canonical=True).collect()
+    served2 = neardup_map_at_k(
+        None, pairs=pairs, postings=postings, doclens=doclens
+    ).collect()
+    assert sorted(map(tuple, scan2)) == sorted(map(tuple, served2))
+    assert any(r.n_hits for r in scan2)
+
+
 def test_semantic_pairs_subset_of_bruteforce(spark, embs):
     """Cluster blocking may MISS pairs but can never invent one: every
     SemDeDup pair must appear in the unblocked X5 pair set with the
