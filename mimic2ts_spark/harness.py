@@ -2263,8 +2263,7 @@ _GATE_CHANGED_THIS_ROUND = [
     # re-proves served == scan; equality is additionally pytest-pinned
     # (test_registry_rows_serve_from_artifacts). Values are identical
     # by construction, but the serving PATH changed, so the rows take
-    # changed slots (the r04 in-round-edit rule) — 47 slots still
-    # drain the stale tail (29 r09 rows + 18 stalest r10 rows).
+    # changed slots (the r04 in-round-edit rule).
     "q_sq8_topk",
     "q_ann_pq",
     "q_ann_recall",
@@ -2279,9 +2278,35 @@ _GATE_CHANGED_THIS_ROUND = [
     # legs likewise swap scan forms for the served twins. Values
     # identical (filtered-serve pytest pins + row-equality checks +
     # sf0.01 oracle re-run), but the serving PATH changed → changed
-    # slots; 45 still drain the stale tail (all 29 r09 rows + the 16
-    # stalest r10 rows).
+    # slots.
     "q_ann_filtered",
+    # r14 optimization round: the retrieval evals' BM25 ranking is now
+    # SERVED from persisted postings — q_retrieval_mrr/q_retrieval_map
+    # from the per-corpus canonical postings memo (_canon_postings →
+    # _panel_bm25_ranked_from_postings) and q_hybrid_rrf's lexical leg
+    # from the search index via bm25_from_postings. Values identical
+    # (row-for-row equality pytest-pinned:
+    # test_panel_bm25_served_from_postings_equals_scan,
+    # test_hybrid_rrf_lex_override_equals_scan; sf0.001+sf0.01 oracle
+    # re-runs PASS), but the serving PATH changed → changed slots (the
+    # same rule as q_ann_filtered above). 42 slots still drain the
+    # stale tail (all 29 r09 rows + the 13 stalest r10 rows).
+    "q_retrieval_mrr",
+    "q_retrieval_map",
+    "q_hybrid_rrf",
+    # r14 no-slot changes (value-identical restructures, the r10
+    # safe-drop rule, re-proven by the committed full local sweep
+    # LOCAL_CORRECTNESS_r14.json):
+    # - shared disk memos swap in for identical per-call derivations
+    #   (_canon_docs/_canon_vecs/_raw_pairs/_raw_emb_pairs — same
+    #   deterministic relations, lossless parquet round-trips) in the
+    #   dedup/eval/graph consumers;
+    # - q_item_cf / q_lm_fluency / q_rolling_actives_kmv persist their
+    #   multi-consumer subtrees (same plan, evaluated once);
+    # - q_jl_projection / q_constraint_audit / q_dedup_recall
+    #   restructures proven value-identical at sf0.001+sf0.01;
+    # - q_ann_recall leg overlap (driver threads) + _beam_quantized
+    #   persist — scheduling/caching only.
     # r13: EMPTY — every edit this round is value-identical, so all 50
     # window slots drain the stale tail (VERDICT r12 #1: 37 entries
     # last-verified r08 + the 13 stalest of the r09 cohort; after this

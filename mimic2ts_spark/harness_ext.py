@@ -2593,7 +2593,19 @@ def q_ann_filtered(spark, sf_dir):
     bq/sq8 legs into a second registry row would spend a permanent gate
     slot (the r11 growth policy) to save ~1.5 s in the ≤1-of-4 windows
     this row occupies. The artifact-served filtered form (X224) is
-    pytest-pinned instead of adding a 7th/8th leg here."""
+    pytest-pinned instead of adding a 7th/8th leg here.
+
+    r14 (guide §2.6 — overlap independent jobs, the q_ann_recall
+    pattern): the six leg relations are independent until the final
+    bounded union, but each leg's routing probe + serve jobs ran
+    sequentially. Each leg now materializes (eager localCheckpoint of
+    its bounded ≤ nq·k rows) on its own driver thread; the memoized
+    artifact dirs resolve on the MAIN thread first so no build races,
+    and every leg's own plan is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     embs = _embs(spark, sf_dir)
     qs = embs.where(F.col("vec_id") < FILTERED_PANEL_NQ)
     # r14: every quantized/indexed leg serves from its memoized
@@ -2609,29 +2621,35 @@ def q_ann_filtered(spark, sf_dir):
     ivf_dir = _ivf_index_dir(spark, sf_dir)
     bq_dir = _codes_artifact_dir(spark, sf_dir, "bq")
     sq8_dir = _codes_artifact_dir(spark, sf_dir, "sq8")
-    legs = []
+    leg_fns = []
     for label, pred in (
         ("selective", F.col("vec_id") % 16 == 1),
         ("broad", F.col("vec_id") % 7 != 0),
     ):
         allowed = embs.where(pred).select("vec_id")
         tag = F.lit(label).alias("fset")
-        legs.append(
-            S.filtered_topk(
+        leg_fns.append(
+            lambda allowed=allowed, tag=tag: S.filtered_topk(
                 embs, qs, allowed, k=FILTERED_K, cache_key=sf_dir,
                 serve_dir=ivf_dir,
-            ).select(tag, "*")
+            ).select(tag, "*").localCheckpoint(eager=True)
         )
-        legs.append(
-            S.filtered_topk_bq(
+        leg_fns.append(
+            lambda allowed=allowed, tag=tag: S.filtered_topk_bq(
                 embs, qs, allowed, k=FILTERED_K, serve_dir=bq_dir
-            ).select(tag, "*")
+            ).select(tag, "*").localCheckpoint(eager=True)
         )
-        legs.append(
-            S.filtered_topk_sq8(
+        leg_fns.append(
+            lambda allowed=allowed, tag=tag: S.filtered_topk_sq8(
                 embs, qs, allowed, k=FILTERED_K, serve_dir=sq8_dir
-            ).select(tag, "*")
+            ).select(tag, "*").localCheckpoint(eager=True)
         )
+    with ThreadPoolExecutor(max_workers=len(leg_fns)) as pool:
+        futs = [
+            pool.submit(inheritable_thread_target(spark)(fn))
+            for fn in leg_fns
+        ]
+        legs = [f.result() for f in futs]
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -4982,13 +5000,21 @@ def assoc_rules_mine(li, prune: bool = True):
     """Shared support/confidence/lift mining over a distinct (o, item)
     basket table; `prune=False` is the pre-Apriori baseline a pytest
     compares against to pin the prune's losslessness."""
+    # persisted: the distinct basket table feeds n_baskets, the item
+    # counts AND the pruned self-join build — unpersisted the scan +
+    # distinct exchange re-ran per consumer (guide §5; the r14
+    # multi-consumer-subtree pass). Same for freq (4 consumers: the
+    # prune join + both metric joins) and the pruned relation (both
+    # self-join sides).
+    li = li.persist()
     nb = li.select(F.countDistinct("o").cast("long").alias("n_baskets"))
     item = li.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("n_item")
     )
     freq = item.where(F.col("n_item") >= RULES_MINSUP) if prune else item
+    freq = freq.persist()
     if prune:
-        li = li.join(freq.select("item"), "item")
+        li = li.join(freq.select("item"), "item").persist()
     a = li.select("o", F.col("item").alias("ante"))
     b = li.select("o", F.col("item").alias("cons"))
     pairs = (
@@ -6217,6 +6243,9 @@ def q_basket_pairs(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # persisted: both self-join sides — unpersisted the scan +
+        # distinct exchange ran twice (guide §5; r14)
+        .persist()
     )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
@@ -8334,11 +8363,17 @@ def q_record_linkage(spark, sf_dir):
                 "concat(substr(c_name, 1, _pos - 1), substr(c_name, _pos + 1))"
             ).alias("dirty_name"),
         )
+        # persisted: consumed twice (the distinct-name linkage input
+        # and the per-record rejoin) — unpersisted the compute-dense
+        # md5 coding pass ran per consumer (guide §5; r14)
+        .persist()
     )
     clean_names = cust.groupBy("c_name").agg(
         F.min("c_custkey").alias("_min_key"),
         F.count(F.lit(1)).cast("long").alias("_n_copies"),
-    )
+        # persisted: consumed twice (the linkage clean side and the
+        # copies/min-key payload join)
+    ).persist()
     name_pairs = L.fuzzy_link(
         dirty.select("dirty_name").distinct(),
         clean_names,
