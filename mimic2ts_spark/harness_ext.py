@@ -557,7 +557,10 @@ def q_ingest_admission(spark, sf_dir):
     d = _docs(spark, sf_dir)
     batch = d.where(F.col("doc_id") % 10 == 0)
     keep = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
-    keyed = batch.select("doc_id", keep.alias("_keep"))
+    # persisted: consumed twice (the exact-reject filter and the final
+    # decision join) — unpersisted the md5 window over the batch ran
+    # per consumer (guide §5; r14)
+    keyed = batch.select("doc_id", keep.alias("_keep")).persist()
     rejected_exact = keyed.where(F.col("doc_id") != F.col("_keep")).select("doc_id")
     corpus_dups = (
         d.where(F.col("doc_id") % 10 != 0)
@@ -3310,8 +3313,20 @@ def q_corpus_manifest(spark, sf_dir):
         X.lang_id(t).alias("lang_pred"),
         X.token_count(t).alias("n_tokens"),
     )
-    kept = scored.where((F.col("q") >= 0.25) & (F.col("lang_pred") == "en"))
-    canon = kept.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    # persisted NARROW (r14, guide §5): both consumers (the canonical
+    # min-id aggregate and the manifest aggregate) re-ran the
+    # compute-dense quality/lang/token regex pass; the persisted
+    # projection carries md5(text) instead of text, so the cache is
+    # scalar-width at any corpus size (the span_dedup/dsir token-level
+    # counterexample does not apply)
+    kept = (
+        scored.where((F.col("q") >= 0.25) & (F.col("lang_pred") == "en"))
+        .select(
+            "doc_id", "source", "q", "n_tokens", F.md5("text").alias("_h")
+        )
+        .persist()
+    )
+    canon = kept.groupBy(F.col("_h").alias("h")).agg(F.min("doc_id").alias("doc_id"))
     kept = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
     micros = F.round(F.col("q") * 1_000_000, 0).cast("long")
     return (
@@ -4412,6 +4427,9 @@ def q_text_repetition(spark, sf_dir):
     both engines emit the same double."""
     d = _docs(spark, sf_dir).select(
         "doc_id", X.tokens(F.col("text")).alias("toks")
+    # NOT persisted (r14 decision): token-array corpus-sized relation,
+    # map-side re-derivation — caching loses at 100 TB (sf0.1 win was
+    # within noise, 2-of-3 pairs)
     )
     n = F.size("toks")
     base = d.select(
@@ -5190,7 +5208,12 @@ def q_sketch_join_card(spark, sf_dir):
     and the 1-row scalar joins are the declared pattern."""
     from mimic2ts_spark.operators.sketch import kmv_sketch
 
-    o = _h._t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    # persisted: the slim (custkey, date) projection feeds FIVE
+    # consumers (three KMV sketch legs + both exact-distinct sides) —
+    # unpersisted the orders scan ran per consumer (guide §5; r14)
+    o = _h._t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).persist()
     cut = "1998-01-01"
     a = o.where(F.col("o_orderdate") < cut)
     b = o.where(F.col("o_orderdate") >= cut)

@@ -996,6 +996,10 @@ def span_dedup(
                 )
             ).alias("pos", "seg"),
         )
+        # NOT persisted (r14 decision, pinned in test_plans): segs is a
+        # token-level corpus-sized relation whose re-derivation is pure
+        # map-side work — at 100 TB caching it costs more than the
+        # second tokenize (an sf0.1 persist won only 1.19→1.06 s)
     )
     hot = (
         segs.groupBy(F.md5("seg").alias("k"))

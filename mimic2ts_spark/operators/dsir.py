@@ -57,6 +57,9 @@ def dsir_weights(
         is_target.alias("_t"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select("doc_id", "_t", _bucket(F.col("tok")).alias("b"))
+    # NOT persisted (r14 decision, pinned in test_plans): occ is a
+    # token-level corpus-sized relation re-derived map-side only —
+    # two scans stay cheaper than caching it at 100 TB
 
     stats = occ.groupBy("b").agg(
         F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("t_cnt"),

@@ -365,6 +365,10 @@ def tfidf_topk_terms(
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        # persisted: consumed twice (the per-term df aggregate and the
+        # scoring join) — unpersisted the corpus tokenize+explode pass
+        # ran per consumer (r14 §5)
+        .persist()
     )
     totals = df.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -904,6 +908,9 @@ def _panel_bm25_ranked(
         .withColumn("_rn", F.row_number().over(wq))
         .where(F.col("_rn") <= n_terms)
         .select("qid", "term")
+        # persisted: ≤ panel·n_terms rows, consumed twice (the vocab
+        # distinct and the per-query scoring join) — r14 §5
+        .persist()
     )
     vocab = qterms.select("term").distinct()
     # persisted: consumed twice (dfreq's broadcast job + the scoring
@@ -943,6 +950,10 @@ def _panel_bm25_ranked(
     return (
         per_query.withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= k)
+        # persisted: ≤ panel·k rows, every caller consumes it ≥ 2×
+        # (self_hit + top1 / hits + report) — unpersisted the whole
+        # scoring pass re-ran per consumer (r14 §5)
+        .persist()
     )
 
 
@@ -975,6 +986,10 @@ def _panel_bm25_ranked_from_postings(
         .withColumn("_rn", F.row_number().over(wq))
         .where(F.col("_rn") <= n_terms)
         .select("qid", "term")
+        # persisted: ≤ panel·n_terms rows, consumed twice (the vocab
+        # distinct and the per-query scoring join) — unpersisted each
+        # consumer re-ran the postings×panel term selection (r14 §5)
+        .persist()
     )
     vocab = qterms.select("term").distinct()
     # persisted: consumed twice (dfreq's broadcast job + the scoring
@@ -1008,6 +1023,10 @@ def _panel_bm25_ranked_from_postings(
     return (
         per_query.withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= k)
+        # persisted: ≤ panel·k rows, every caller consumes it ≥ 2×
+        # (self_hit + top1 / hits + report) — unpersisted the whole
+        # scoring pass re-ran per consumer (r14 §5)
+        .persist()
     )
 
 
@@ -1067,6 +1086,9 @@ def known_item_mrr(
             .orderBy("_c", "doc")
             .limit(panel)
             .select(F.col("doc").alias("qid"))
+            # persisted: ≤ panel rows, consumed twice (the term
+            # selection and the report join) — r14 §5
+            .persist()
         )
         ranked = _panel_bm25_ranked_from_postings(
             postings, doclens, pdocs, n_terms, k
@@ -1090,6 +1112,8 @@ def known_item_mrr(
             .orderBy("_c", "doc")
             .limit(panel)
             .select(F.col("doc").alias("qid"))
+            # persisted: ≤ panel rows, consumed twice — r14 §5
+            .persist()
         )
         ranked = _panel_bm25_ranked(base, pdocs, n_terms, k)
     self_hit = ranked.where(F.col("doc") == F.col("qid")).select(
@@ -1274,6 +1298,10 @@ def neardup_map_at_k(
         pairs.select(F.col("doc_a").alias("qid"), F.col("doc_b").alias("rel"))
         .union(pairs.select(F.col("doc_b").alias("qid"), F.col("doc_a").alias("rel")))
         .distinct()
+        # persisted: pair-relation sized, consumed by nrel (itself
+        # evaluated twice: panel build + report join) AND the hits
+        # join — unpersisted the pair scan ran up to 6× (r14 §5)
+        .persist()
     )
     nrel = rel.groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
     if postings is not None:
@@ -1290,6 +1318,9 @@ def neardup_map_at_k(
         .orderBy("_c", "qid")
         .limit(panel)
         .select("qid")
+        # persisted: ≤ panel rows, consumed twice (term selection +
+        # report join) — r14 §5
+        .persist()
     )
     if postings is not None:
         ranked = _panel_bm25_ranked_from_postings(

@@ -585,6 +585,10 @@ def truncation_recall(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("trunc_dim", "query_id", "neighbor_id")
+        # persisted: ≤ nq·(dims+1)·k rows, consumed THREE times (full,
+        # hits, base) — unpersisted the broadcast cross join + 4-dim
+        # cosine fold + window re-ran per consumer (r14 §5)
+        .persist()
     )
     full = ranked.where(F.col("trunc_dim") == DIM).select(
         F.col("query_id").alias("fq"), F.col("neighbor_id").alias("true_neighbor")

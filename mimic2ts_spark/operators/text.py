@@ -456,6 +456,12 @@ def classifier_scores(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    if weights is None:
+        # persisted: consumed twice (the distinct-bucket weight
+        # derivation and the scoring join) — unpersisted the tokenize
+        # + md5 bucket pass ran per consumer (r14 §5; with a supplied
+        # weights table tf is single-consumer, no persist)
+        tf = tf.persist()
     w = (
         weights
         if weights is not None
