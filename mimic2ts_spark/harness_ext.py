@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mimic2ts_spark.session import session_tmpdir
+from mimic2ts_spark.sources import memo_read_parquet as _mrp
 
 from mimic2ts_spark.operators import dedup as D
 from mimic2ts_spark.operators import multimodal as _mm
@@ -25,18 +26,34 @@ def _sql_sub(sql: str, old: str, new: str, count: int = -1) -> str:
     return sql.replace(old, new, count)
 
 
+# Memoized per (session, file content): ensure_parallelism costs an
+# optimizer pass + an RDD partition probe per call (~80-110 ms measured
+# r15), and its decision is deterministic for a fixed file and session —
+# so the resolved, spread plan is computed once per process (a lazy plan
+# only; no data cached — VERDICT r14 #1 pre-resolved reads).
+_SRC_MEMO: dict = {}
+
+
+def _spread_src(spark, path):
+    from mimic2ts_spark.operators.spread import ensure_parallelism
+    from mimic2ts_spark.sources import _file_fingerprint, memo_read_parquet
+
+    key = (spark, path, _file_fingerprint(path))
+    df = _SRC_MEMO.get(key)
+    if df is None:
+        df = ensure_parallelism(memo_read_parquet(spark, path))
+        _SRC_MEMO[key] = df
+    return df
+
+
 def _docs(spark, sf_dir):
     # spread: the doc corpus is compute-dense per byte (md5 token hashing)
     # and small files otherwise land in one split → one busy core
-    from mimic2ts_spark.operators.spread import ensure_parallelism
-
-    return ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return _spread_src(spark, f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark, sf_dir):
-    from mimic2ts_spark.operators.spread import ensure_parallelism
-
-    return ensure_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return _spread_src(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _corpus_fingerprint(path: str) -> tuple:
@@ -1305,10 +1322,10 @@ def q_constraint_audit(spark, sf_dir):
         pk = pk_of.get(t)
         fks = fks_of.get(t, [])
         cols = list(dict.fromkeys(([pk] if pk else []) + [ck for ck, _, _ in fks]))
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet").select(*cols)
+        df = _mrp(spark, f"{sf_dir}/{t}.parquet").select(*cols)
         for i, (ck, pt, ppk) in enumerate(fks):
             parent = (
-                spark.read.parquet(f"{sf_dir}/{pt}.parquet")
+                _mrp(spark, f"{sf_dir}/{pt}.parquet")
                 .select(F.col(ppk).alias(ck))
                 .distinct()
                 .withColumn(f"_hit_{i}", F.lit(1))
@@ -1392,7 +1409,7 @@ def q_sample_apportion(spark, sf_dir):
     remainder window is harmless."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _mrp(spark, f"{sf_dir}/events.parquet")
     counts = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
@@ -2021,7 +2038,7 @@ def q_item_cf(spark, sf_dir):
     joined back WITHOUT a broadcast hint — the item vocabulary is
     unbounded at 100 TB, so AQE picks the strategy (it still broadcasts
     when the counts table is small)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _mrp(spark, f"{sf_dir}/events.parquet")
     # persisted: consumed THREE times (sizes + both self-join sides) —
     # without it the events scan + JSON parse + distinct runs per
     # consumer (guide §5; the r14 multi-consumer-subtree pass)
@@ -3248,7 +3265,7 @@ def q_epoch_shuffle(spark, sf_dir):
     exchange would be pure waste."""
     from mimic2ts_spark.operators.split import epoch_shuffle
 
-    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = _mrp(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     return epoch_shuffle(ids, "doc_id", epoch=3)
 
 
@@ -3400,7 +3417,7 @@ def q_source_jsonl(spark, sf_dir):
     from mimic2ts_spark.operators.sketch import kmv_code
 
     out = session_tmpdir(prefix="source_jsonl_")
-    spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode("overwrite").json(out)
+    _mrp(spark, f"{sf_dir}/documents.parquet").write.mode("overwrite").json(out)
     back = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).json(out)
@@ -3438,7 +3455,7 @@ def q_source_csv_gz(spark, sf_dir):
 
     out = session_tmpdir(prefix="source_csvgz_")
     (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _mrp(spark, f"{sf_dir}/documents.parquet")
         .write.mode("overwrite")
         .option("header", True)
         .option("compression", "gzip")
@@ -3684,7 +3701,7 @@ def q_source_orc(spark, sf_dir):
     from mimic2ts_spark.operators.sketch import kmv_code
 
     out = session_tmpdir(prefix="source_orc_")
-    spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode("overwrite").orc(out)
+    _mrp(spark, f"{sf_dir}/documents.parquet").write.mode("overwrite").orc(out)
     back = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).orc(out)
@@ -5007,7 +5024,7 @@ def q_assoc_rules(spark, sf_dir):
     is unbounded at 100 TB, so AQE decides (only the 1-row basket-count
     scalar keeps an explicit broadcast)."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _mrp(spark, f"{sf_dir}/lineitem.parquet")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item"))
         .distinct()
     )
@@ -5097,7 +5114,7 @@ def q_assoc_rules_longtail(spark, sf_dir):
     losslessness of the prune is pinned by a pytest comparing against
     the unpruned baseline."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _mrp(spark, f"{sf_dir}/lineitem.parquet")
         .select(
             F.col("l_orderkey").alias("o"),
             F.expr(RULES_SKU_EXPR.format(L="L")).alias("item"),
@@ -6034,10 +6051,10 @@ def q_graph_pagerank(spark, sf_dir):
     shuffle join + one hash aggregate; ranks never leave the cluster."""
     from mimic2ts_spark.operators.graph import build_transition_edges, pagerank_scaled
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _mrp(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_suppkey", "l_linenumber"
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _mrp(spark, f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     seq = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
@@ -6263,7 +6280,7 @@ def q_basket_pairs(spark, sf_dir):
     basket size, never corpus² — then a pair hash-agg and a 1-row-per-
     pair TakeOrdered top-k. Tie-break (n DESC, part_a, part_b)."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _mrp(spark, f"{sf_dir}/lineitem.parquet")
         .select("l_orderkey", "l_partkey")
         .distinct()
         # persisted: both self-join sides — unpersisted the scan +
@@ -6319,10 +6336,10 @@ def q_graph_triangles(spark, sf_dir):
     vertices via a 3-way role union."""
     from pyspark.sql import Window as W
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _mrp(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_suppkey", "l_linenumber"
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _mrp(spark, f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     seq = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
@@ -6824,7 +6841,7 @@ def q_skew_report(spark, sf_dir):
     the fact), global top-10 hottest keys as TakeOrderedAndProject, and
     each key's integer per-mille share of total rows via a 1-row scalar
     broadcast. Output (key, n, permille)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_suppkey")
+    li = _mrp(spark, f"{sf_dir}/lineitem.parquet").select("l_suppkey")
     counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
@@ -7583,7 +7600,7 @@ def q_zorder_layout(spark, sf_dir):
     is the 256-group stats aggregate."""
     from mimic2ts_spark.operators.layout import zorder_bucket_stats
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _mrp(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_partkey", "l_suppkey"
     )
     return zorder_bucket_stats(
@@ -8371,11 +8388,10 @@ def q_record_linkage(spark, sf_dir):
     hole cannot hide behind a matching hash."""
     from mimic2ts_spark.operators import linkage as L
     from mimic2ts_spark.operators.sketch import kmv_code
-    from mimic2ts_spark.operators.spread import ensure_parallelism
 
     # spread: customer is a few-hundred-KB single split but the variant
     # explode + md5 coding is compute-dense per byte (CLAUDE.md r01 trap)
-    cust = ensure_parallelism(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    cust = _spread_src(spark, f"{sf_dir}/customer.parquet")
     code = kmv_code(F.col("c_name"))
     dirty = (
         cust.where((code % LINKAGE_DIRTY_MOD) == 0)
