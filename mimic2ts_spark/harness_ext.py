@@ -2157,7 +2157,12 @@ def _ivf_index_dir(spark, sf_dir):
     # on cid first makes exactly one file per cell — at the 256-cell
     # cap and 10^9 slim posting rows that is ~100 MB/cell, the right
     # production file size.
-    S.assign_vectors(embs, cents).repartition("cid").write.mode(
+    # r15 (VERDICT r14 #2): carry the raw coordinates in the postings
+    # rows (IVF-Flat) so every serve re-ranks from the probed cells'
+    # own files — no per-serve key join against the raw corpus.
+    S.assign_vectors(embs, cents).join(
+        embs.select("vec_id", F.col("embedding").alias("vec")), "vec_id"
+    ).repartition("cid").write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(os.path.join(out, "postings"))
     _IVF_INDEX_CACHE[memo_key] = out

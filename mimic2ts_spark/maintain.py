@@ -879,8 +879,19 @@ def main(argv: list[str] | None = None) -> None:
             # cell instead of one per (scan task, cell) — the fresh
             # build writes the layout ivf-compact would otherwise have
             # to restore (measured 1,010 files for 16 cells without it)
+            # r15: postings carry the raw coordinates (IVF-Flat) — the
+            # serve-time exact re-rank reads nvec from the probed cells
+            # instead of key-joining the raw corpus per serve
+            from pyspark.sql import functions as F
+
             assign_vectors(
                 vecs, cents, id_col=args.id_col, vec_col=args.vec_col
+            ).join(
+                vecs.select(
+                    F.col(args.id_col).alias("vec_id"),
+                    F.col(args.vec_col).alias("vec"),
+                ),
+                "vec_id",
             ).repartition("cid").write.mode("overwrite").partitionBy(
                 "cid"
             ).parquet(postings_dir)

@@ -3720,6 +3720,81 @@ def test_ivf_append_flat_layout_migration_and_batch_dupes(spark, tmp_path):
     assert served.count() > 0
 
 
+def test_serve_ivf_carried_coordinates_no_src_join(spark, tmp_path):
+    """r15 (VERDICT r14 #2): fresh `maintain ivf` postings CARRY the raw
+    coordinates (the IVF-Flat layout) — the serve-time exact re-rank
+    reads nvec from the probed cells' own files and the plan never
+    touches the raw corpus parquet (the former per-serve key join cost
+    a full corpus scan at 100 TB). Pre-r15 slim artifacts keep the
+    src-join path, appends to them stay slim (no mixed schemas inside
+    one partitioned tree), and served rows are bit-equal across the two
+    layouts — the stored vector is the same float array parquet
+    round-trips losslessly."""
+    import os as _os
+    import shutil as _shutil
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.kmeans import load_centroids
+    from mimic2ts_spark.operators.similarity import (
+        append_ivf_artifact,
+        assign_vectors,
+        serve_ivf_artifact,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = embs.where(F.col("vec_id") % 4 != 0)
+    delta = embs.where(F.col("vec_id") % 4 == 0)
+    base_dir = str(tmp_path / "srcvecs")
+    base.write.parquet(base_dir)
+
+    out = str(tmp_path / "ivf_carried")
+    main(["ivf", out, base_dir])
+    assert "vec" in spark.read.parquet(f"{out}/postings").columns
+    append_ivf_artifact(spark, out, delta)
+    post = spark.read.parquet(f"{out}/postings")
+    # appended rows carry coordinates too — no nulls in the merged tree
+    assert post.where(F.col("vec").isNull()).count() == 0
+    assert post.count() == embs.count()
+
+    # slim twin under the SAME trained cells: pre-r15 layout
+    cents, _meta = load_centroids(f"{out}/centroids.json")
+    slim = str(tmp_path / "ivf_slim")
+    _os.makedirs(slim)
+    _shutil.copy(f"{out}/centroids.json", f"{slim}/centroids.json")
+    assign_vectors(base, cents).repartition("cid").write.partitionBy(
+        "cid"
+    ).parquet(f"{slim}/postings")
+    append_ivf_artifact(spark, slim, delta)
+    post_slim = spark.read.parquet(f"{slim}/postings")
+    assert "vec" not in post_slim.columns  # append preserved the layout
+    assert post_slim.count() == embs.count()
+
+    qs = embs.where(F.col("vec_id") < 4)
+    a = sorted(
+        tuple(r) for r in serve_ivf_artifact(spark, out, qs, embs, k=5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in serve_ivf_artifact(spark, slim, qs, embs, k=5).collect()
+    )
+    assert a == b and a
+
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    src = spark.read.parquet(base_dir)
+    carried_plan = (
+        serve_ivf_artifact(spark, out, qs, src, k=5)
+        ._jdf.queryExecution().explainString(fmt)
+    )
+    slim_plan = (
+        serve_ivf_artifact(spark, slim, qs, src, k=5)
+        ._jdf.queryExecution().explainString(fmt)
+    )
+    assert base_dir not in carried_plan  # no corpus join in the serve plan
+    assert base_dir in slim_plan  # the fallback still key-joins src
+
+
 def test_sq8_artifact_served_equals_scan_and_filtered(spark, tmp_path):
     """X226: the persisted SQ8 codes artifact completes the quantized
     ladder's artifact symmetry (BQ codes X218, IVF postings X222) —
