@@ -574,10 +574,12 @@ def q_ingest_admission(spark, sf_dir):
     d = _docs(spark, sf_dir)
     batch = d.where(F.col("doc_id") % 10 == 0)
     keep = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
-    # persisted: consumed twice (the exact-reject filter and the final
-    # decision join) — unpersisted the md5 window over the batch ran
-    # per consumer (guide §5; r14)
-    keyed = batch.select("doc_id", keep.alias("_keep")).persist()
+    # r15 re-adjudication (VERDICT r14 #3): the r14 persist of `keyed`
+    # won only 3/5 fresh interleaved pairs (keep min 1.096 vs revert
+    # 1.091 s) while the driver had measured it as a regression — the
+    # materialization cost of a cold persist cancels the saved window
+    # re-run at this size. Reverted per the ≥4/5 rule.
+    keyed = batch.select("doc_id", keep.alias("_keep"))
     rejected_exact = keyed.where(F.col("doc_id") != F.col("_keep")).select("doc_id")
     corpus_dups = (
         d.where(F.col("doc_id") % 10 != 0)
@@ -4962,11 +4964,13 @@ def q_dedup_containment_canonical(spark, sf_dir):
     this composition is ~flat at 100× because identical text ⇒ identical
     shingle sets ⇒ dropped pairs are reconstructible from exact groups.
     Same composition theorem as q_dedup_pipeline (X2 over canonicals).
-    r14: the canonical base comes from the shared per-corpus artifact
-    (_canon_docs; canonicalization is idempotent ⇒ identical relation)."""
-    return D.canonical_containment_pairs(
-        _canon_docs(spark, sf_dir), threshold=CONTAIN_TAU, pre_canonical=True
-    )
+    r15 re-adjudication (VERDICT r14 #3): the r14 _canon_docs memo path
+    LOST 0/5 fresh interleaved pairs to the in-plan derivation (memo
+    mins 0.91-1.16 vs 0.90-1.00 s) — the parquet read + spread
+    repartition barrier costs more here than deriving canonicals
+    in-plan, which pipelines straight into the containment pass.
+    Reverted; the memo stays for its multi-consumer users."""
+    return D.canonical_containment_pairs(_docs(spark, sf_dir), threshold=CONTAIN_TAU)
 
 
 Q_DEDUP_CONTAINMENT_CANONICAL_SQL = _sql_sub(

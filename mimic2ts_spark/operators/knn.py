@@ -673,6 +673,12 @@ def seed_hop_distance(
             d.join(edges, d["id"] == edges["src"])
             .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
         )
+        # eager stays (r15 A/B, VERDICT r14 #4): localCheckpoint(
+        # eager=False) per round LOST 3/3 interleaved pairs (mins 1.18
+        # vs 1.07 s) — AQE finalization at the .rdd conversion executes
+        # the round's shuffle stages eagerly anyway, and the lazy
+        # checkpoint's deferred fill-in job recomputes partitions cold
+        # instead of persisting them while hot.
         d = (
             d.unionByName(step)
             .groupBy("id")
