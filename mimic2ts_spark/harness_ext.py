@@ -196,6 +196,23 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
 """
 
 
+# r15 (VERDICT r14 #6) — memo-build transparency: every disk memo pays
+# its one-time build inside the FIRST consumer's FIRST round, which the
+# bench best-of-3 then discards, so the recorded per-query seconds of
+# memo-registering queries price a parquet read. Each build records its
+# wall seconds here and bench.py emits the dict as a DETAIL-ONLY key
+# ("memo_build_sec") in BENCH_DETAIL.json — never in the compact driver
+# line.
+MEMO_BUILD_SECONDS: dict = {}
+
+
+def _note_memo_build(name: str, corpus: str, t0: float) -> None:
+    import time as _time
+
+    tag = corpus.rstrip("/").rsplit("/", 1)[-1]
+    MEMO_BUILD_SECONDS[f"{name}:{tag}"] = round(_time.time() - t0, 3)
+
+
 # (sf_dir, threshold) -> parquet path of the canonical near-dup pair
 # relation — a DISK-path memo (the r07 multi-consumer doctrine: the
 # driver gate flushes Spark storage per query, so a plan-cache memo
@@ -214,6 +231,7 @@ def _canon_pairs(spark, sf_dir, threshold: float = 0.8):
     key = (sf_dir, threshold, _corpus_fingerprint(f"{sf_dir}/documents.parquet"))
     if key not in _CANON_PAIRS_DIRS:
         from mimic2ts_spark.session import session_tmpdir
+        _b0 = __import__("time").time()
 
         out = session_tmpdir(prefix="canon_pairs_")
         # r14: build over the shared canonical-docs artifact —
@@ -227,6 +245,7 @@ def _canon_pairs(spark, sf_dir, threshold: float = 0.8):
             on_duplicates="ignore",
         ).write.mode("overwrite").parquet(out)
         _CANON_PAIRS_DIRS[key] = out
+        _note_memo_build("canon_pairs", sf_dir, _b0)
     return spark.read.parquet(_CANON_PAIRS_DIRS[key])
 
 
@@ -245,12 +264,14 @@ def _raw_pairs(spark, sf_dir, threshold: float = 0.8):
     key = (sf_dir, threshold, _corpus_fingerprint(f"{sf_dir}/documents.parquet"))
     if key not in _RAW_PAIRS_DIRS:
         from mimic2ts_spark.session import session_tmpdir
+        _b0 = __import__("time").time()
 
         out = session_tmpdir(prefix="raw_pairs_")
         D.minhash_lsh_pairs(
             _docs(spark, sf_dir), threshold=threshold, on_duplicates="warn"
         ).write.mode("overwrite").parquet(out)
         _RAW_PAIRS_DIRS[key] = out
+        _note_memo_build("raw_pairs", sf_dir, _b0)
     return spark.read.parquet(_RAW_PAIRS_DIRS[key])
 
 
@@ -268,12 +289,14 @@ def _raw_emb_pairs(spark, sf_dir, threshold: float = 0.45):
     )
     if key not in _RAW_EMB_PAIRS_DIRS:
         from mimic2ts_spark.session import session_tmpdir
+        _b0 = __import__("time").time()
 
         out = session_tmpdir(prefix="raw_emb_pairs_")
         S.embedding_near_dup_pairs_lsh(
             _embs(spark, sf_dir), threshold=threshold, on_duplicates="warn"
         ).write.mode("overwrite").parquet(out)
         _RAW_EMB_PAIRS_DIRS[key] = out
+        _note_memo_build("raw_emb_pairs", sf_dir, _b0)
     return spark.read.parquet(_RAW_EMB_PAIRS_DIRS[key])
 
 
@@ -294,11 +317,13 @@ def _canon_docs(spark, sf_dir):
 
     key = (sf_dir, _corpus_fingerprint(f"{sf_dir}/documents.parquet"))
     if key not in _CANON_DOCS_DIRS:
+        _b0 = __import__("time").time()
         out = session_tmpdir(prefix="canon_docs_")
         D.canonical_docs(_docs(spark, sf_dir)).write.mode("overwrite").parquet(
             out
         )
         _CANON_DOCS_DIRS[key] = out
+        _note_memo_build("canon_docs", sf_dir, _b0)
     # spread on read: canonical docs feed the same compute-dense md5 /
     # token hashing passes as _docs (the r01 one-split trap)
     return ensure_parallelism(spark.read.parquet(_CANON_DOCS_DIRS[key]))
@@ -322,11 +347,13 @@ def _canon_vecs(spark, sf_dir):
 
     key = (sf_dir, _corpus_fingerprint(f"{sf_dir}/embeddings.parquet"))
     if key not in _CANON_VECS_DIRS:
+        _b0 = __import__("time").time()
         out = session_tmpdir(prefix="canon_vecs_")
         canonical_vectors(_embs(spark, sf_dir)).write.mode(
             "overwrite"
         ).parquet(out)
         _CANON_VECS_DIRS[key] = out
+        _note_memo_build("canon_vecs", sf_dir, _b0)
     # spread on read: canonical vectors feed the same compute-dense
     # quantize/md5/hyperplane passes as _embs (the r01 one-split trap)
     return ensure_parallelism(spark.read.parquet(_CANON_VECS_DIRS[key]))
@@ -350,6 +377,7 @@ def _canon_postings(spark, sf_dir):
 
     key = (sf_dir, _corpus_fingerprint(f"{sf_dir}/documents.parquet"))
     if key not in _CANON_POSTINGS_DIRS:
+        _b0 = __import__("time").time()
         out = session_tmpdir(prefix="canon_postings_")
         canon = _canon_docs(spark, sf_dir)
         build_postings(canon).write.mode("overwrite").parquet(
@@ -362,6 +390,7 @@ def _canon_postings(spark, sf_dir):
             F.size(F.array_distinct(toks)).cast("long").alias("nt"),
         ).write.mode("overwrite").parquet(f"{out}/doclens")
         _CANON_POSTINGS_DIRS[key] = out
+        _note_memo_build("canon_postings", sf_dir, _b0)
     out = _CANON_POSTINGS_DIRS[key]
     postings = spark.read.parquet(f"{out}/postings").select(
         "term", F.col("doc_id").alias("doc"), "tf", "dl"
@@ -1042,6 +1071,8 @@ def _knn_graph(spark, sf_dir, key=None, build=None):
     if path is None or not os.path.isdir(path):
         from mimic2ts_spark.operators.knn import knn_graph
 
+        _b0 = __import__("time").time()
+
         # the default build is the registered X180 oracle BASELINE —
         # the dup guard warns instead of raising (dupguard.py)
         g = (
@@ -1052,6 +1083,7 @@ def _knn_graph(spark, sf_dir, key=None, build=None):
         path = session_tmpdir(prefix="knn_graph_")
         g.write.mode("overwrite").parquet(path)
         _KNN_GRAPH_CACHE[key] = path
+        _note_memo_build("knn_graph", key, _b0)
     return spark.read.parquet(path)
 
 
@@ -2141,6 +2173,7 @@ def _ivf_index_dir(spark, sf_dir):
     )
     from mimic2ts_spark.session import session_tmpdir
 
+    _b0 = __import__("time").time()
     out = session_tmpdir(prefix="ivf_idx_")
     embs = _embs(spark, sf_dir)
     n = memoized_count(embs.select("vec_id"))
@@ -2168,6 +2201,7 @@ def _ivf_index_dir(spark, sf_dir):
         "overwrite"
     ).partitionBy("cid").parquet(os.path.join(out, "postings"))
     _IVF_INDEX_CACHE[memo_key] = out
+    _note_memo_build("ivf_index", sf_dir, _b0)
     return out
 
 
@@ -2189,6 +2223,7 @@ def _codes_artifact_dir(spark, sf_dir, kind: str) -> str:
         return _CODES_ARTIFACT_CACHE[memo_key]
     from mimic2ts_spark.session import session_tmpdir
 
+    _b0 = __import__("time").time()
     out = session_tmpdir(prefix=f"{kind}_codes_")
     embs = _embs(spark, sf_dir)
     if kind == "bq":
@@ -2202,6 +2237,7 @@ def _codes_artifact_dir(spark, sf_dir, kind: str) -> str:
     else:  # pragma: no cover - internal misuse
         raise ValueError(f"unknown codes artifact kind: {kind}")
     _CODES_ARTIFACT_CACHE[memo_key] = out
+    _note_memo_build(f"{kind}_codes", sf_dir, _b0)
     return out
 
 
@@ -5556,6 +5592,7 @@ def _search_index_dir(spark, sf_dir):
         build_trigram_postings,
     )
 
+    _b0 = __import__("time").time()
     out = session_tmpdir(prefix="search_idx_")
     docs = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
@@ -5594,6 +5631,7 @@ def _search_index_dir(spark, sf_dir):
         [(stats["n_docs"], stats["sum_dl"])], "n_docs long, sum_dl long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{out}/stats")
     _SEARCH_INDEX_CACHE[sf_dir] = out
+    _note_memo_build("search_index", sf_dir, _b0)
     return out
 
 
