@@ -373,30 +373,25 @@ _CANON_POSTINGS_DIRS: dict = {}
 
 
 def _canon_postings(spark, sf_dir):
-    from mimic2ts_spark.operators.search import build_postings
+    # r15 (VERDICT r14 #7): the per-process memo is now a LOADER over
+    # the `maintain canon-postings` artifact builder — one code path for
+    # the CLI layout (with O(delta) idempotent append + compaction) and
+    # the in-process memo; the stored relation is unchanged (postings
+    # over canonical docs + full doclens), so every consumer's oracle
+    # hash and the served==scan equality pins are untouched.
+    from mimic2ts_spark.operators.search import (
+        build_canon_postings_artifact,
+        load_canon_postings,
+    )
 
     key = (sf_dir, _corpus_fingerprint(f"{sf_dir}/documents.parquet"))
     if key not in _CANON_POSTINGS_DIRS:
         _b0 = __import__("time").time()
         out = session_tmpdir(prefix="canon_postings_")
-        canon = _canon_docs(spark, sf_dir)
-        build_postings(canon).write.mode("overwrite").parquet(
-            f"{out}/postings"
-        )
-        toks = X.tokens(F.col("text"))
-        canon.select(
-            F.col("doc_id").alias("doc"),
-            F.size(toks).cast("long").alias("dl"),
-            F.size(F.array_distinct(toks)).cast("long").alias("nt"),
-        ).write.mode("overwrite").parquet(f"{out}/doclens")
+        build_canon_postings_artifact(spark, out, _docs(spark, sf_dir))
         _CANON_POSTINGS_DIRS[key] = out
         _note_memo_build("canon_postings", sf_dir, _b0)
-    out = _CANON_POSTINGS_DIRS[key]
-    postings = spark.read.parquet(f"{out}/postings").select(
-        "term", F.col("doc_id").alias("doc"), "tf", "dl"
-    )
-    doclens = spark.read.parquet(f"{out}/doclens")
-    return postings, doclens
+    return load_canon_postings(spark, _CANON_POSTINGS_DIRS[key])
 
 
 def q_dedup_pipeline(spark, sf_dir):

@@ -32,6 +32,9 @@ Usage:
     python -m mimic2ts_spark.maintain ivfpq-codes-append OUT_DIR DELTA_PARQUET
     python -m mimic2ts_spark.maintain ivfpq-compact OUT_DIR [--max-files-per-cell N]
     python -m mimic2ts_spark.maintain codes-compact OUT_DIR [--subdir codes]
+    python -m mimic2ts_spark.maintain canon-postings OUT_DIR SRC_PARQUET
+    python -m mimic2ts_spark.maintain canon-postings-append OUT_DIR DELTA_PARQUET
+    python -m mimic2ts_spark.maintain canon-postings-compact OUT_DIR [--max-files N]
 
 init/merge/compact default to the VERSIONED backend (manifest +
 atomic pointer-flip commit, time travel, no partial-rewrite crash
@@ -126,6 +129,36 @@ def main(argv: list[str] | None = None) -> None:
     p_ivf.add_argument("src")
     p_ivf.add_argument("--id-col", default="vec_id")
     p_ivf.add_argument("--vec-col", default="embedding")
+
+    p_cp = sub.add_parser(
+        "canon-postings",
+        help="build + persist the CANONICAL inverted index (exact md5 "
+             "map + postings/doclens over canonical docs) the "
+             "panel-BM25 evals serve from (r15, X176 layout)",
+    )
+    p_cp.add_argument("out_dir")
+    p_cp.add_argument("src")
+    p_cp.add_argument("--id-col", default="doc_id")
+    p_cp.add_argument("--text-col", default="text")
+
+    p_cpa = sub.add_parser(
+        "canon-postings-append",
+        help="append a NEW-ids delta to a canon-postings artifact at "
+             "O(delta) cost — only genuinely new texts band into new "
+             "canonical docs; idempotent on redelivery",
+    )
+    p_cpa.add_argument("out_dir")
+    p_cpa.add_argument("delta")
+    p_cpa.add_argument("--id-col", default="doc_id")
+    p_cpa.add_argument("--text-col", default="text")
+
+    p_cpc = sub.add_parser(
+        "canon-postings-compact",
+        help="compact the three flat canon-postings dirs fragmented by "
+             "appends (crash-safe sibling-staged swaps, X229)",
+    )
+    p_cpc.add_argument("out_dir")
+    p_cpc.add_argument("--max-files", type=int, default=1)
 
     p_po = sub.add_parser(
         "postings", help="build + persist a BM25 inverted index (term-sorted)"
@@ -924,6 +957,52 @@ def main(argv: list[str] | None = None) -> None:
                     id_col=args.id_col, vec_col=args.vec_col,
                 )
             )
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd in ("canon-postings", "canon-postings-append"):
+        from mimic2ts_spark.operators.search import (
+            append_canon_postings_artifact,
+            build_canon_postings_artifact,
+        )
+
+        if args.cmd == "canon-postings":
+            audit = {"cmd": "canon-postings", "out": args.out_dir}
+            audit.update(
+                build_canon_postings_artifact(
+                    spark, args.out_dir, spark.read.parquet(args.src),
+                    text_col=args.text_col, id_col=args.id_col,
+                )
+            )
+        else:
+            audit = {"cmd": "canon-postings-append", "out": args.out_dir}
+            audit.update(
+                append_canon_postings_artifact(
+                    spark, args.out_dir, spark.read.parquet(args.delta),
+                    text_col=args.text_col, id_col=args.id_col,
+                )
+            )
+        audit["runtime_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(audit))
+        release_storage(spark)
+        return
+
+    if args.cmd == "canon-postings-compact":
+        from mimic2ts_spark.operators.pq import compact_codes_dir
+
+        audit = {"cmd": "canon-postings-compact", "out": args.out_dir}
+        for subdir, sort_cols in (
+            ("postings", ("term", "doc_id")),
+            ("doclens", ("doc",)),
+            ("canon_map", ("text_md5",)),
+        ):
+            got = compact_codes_dir(
+                spark, args.out_dir, subdir=subdir,
+                max_files=args.max_files, sort_cols=sort_cols,
+            )
+            audit[subdir] = got
         audit["runtime_seconds"] = round(time.time() - t0, 3)
         print(json.dumps(audit))
         release_storage(spark)

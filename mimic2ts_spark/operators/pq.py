@@ -2229,7 +2229,8 @@ def append_pq_artifact(
 
 
 def compact_codes_dir(
-    spark, out_dir: str, subdir: str = "codes", max_files: int = 1
+    spark, out_dir: str, subdir: str = "codes", max_files: int = 1,
+    sort_cols: tuple = ("vec_id",),
 ) -> dict:
     """Compact a FLAT parquet artifact directory (BQ codes X218, SQ8
     codes X226) fragmented by appends — each batch/microbatch append
@@ -2275,7 +2276,7 @@ def compact_codes_dir(
     (
         spark.read.parquet(codes_dir)
         .coalesce(1)
-        .sortWithinPartitions("vec_id")
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .parquet(tmp)
     )

@@ -442,6 +442,148 @@ def build_postings(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def build_canon_postings_artifact(
+    spark,
+    out_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Persist the CANONICAL inverted index the panel-BM25 evals serve
+    from (r15, VERDICT r14 #7 — the r13 codebook-vs-codes doctrine's
+    encoded form promoted from a per-process memo to maintained table
+    state, `maintain canon-postings`):
+
+      canon_map/  (text_md5, canon)  one row per DISTINCT text (X176)
+      postings/   (term, doc_id, tf, dl) over the canonical docs
+      doclens/    (doc, dl, nt) carrying EVERY canonical doc —
+                  token-less docs have no postings rows but must still
+                  count in the BM25 totals
+
+    Every stored row is a pure per-doc function of the canonical set,
+    so appends stay stats-consistent for free (df is recomputed by the
+    reader, the build_postings contract). Deterministic build ⇒ served
+    == scan-form bit-equal (the equality pins in tests/)."""
+    import json
+    import os
+
+    from mimic2ts_spark.operators.dedup import canonical_docs, exact_text_map
+    from mimic2ts_spark.operators.text import tokens as _tokens
+
+    os.makedirs(out_dir, exist_ok=True)
+    exact_text_map(docs, text_col=text_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "canon_map"))
+    canon = canonical_docs(docs, text_col=text_col, id_col=id_col)
+    build_postings(canon, text_col=text_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "postings"))
+    toks = _tokens(F.col(text_col))
+    canon.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).cast("long").alias("dl"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nt"),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "doclens"))
+    n_canon = spark.read.parquet(os.path.join(out_dir, "doclens")).count()
+    meta = {"text_col": text_col, "id_col": id_col, "n_canon": n_canon}
+    with open(os.path.join(out_dir, "_canon_postings_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {
+        "n_docs": docs.count(),
+        "n_canon": n_canon,
+        "n_postings": spark.read.parquet(
+            os.path.join(out_dir, "postings")
+        ).count(),
+    }
+
+
+def append_canon_postings_artifact(
+    spark,
+    out_dir: str,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Grow the canon-postings artifact by a delta batch at O(delta)
+    cost: delta texts anti-join the stored canon_map by md5 — only
+    GENUINELY NEW texts band into new canonical docs (min id within the
+    delta), whose postings/doclens rows append; byte-identical arrivals
+    resolve through the map and touch nothing. IDEMPOTENT on redelivery
+    (a replayed batch's md5s all hit the map). NEW-ids contract like
+    every other append here (single-writer, delta ids larger than
+    stored ids) — a delta re-sending a stored text under a smaller id
+    cannot retroactively re-canonicalize; the stored canonical wins."""
+    import json
+    import os
+
+    from mimic2ts_spark.operators.text import tokens as _tokens
+
+    map_dir = os.path.join(out_dir, "canon_map")
+    stored = spark.read.parquet(map_dir)
+    d = delta.withColumn("_h", F.md5(F.col(text_col)))
+    new = d.join(
+        stored.select(F.col("text_md5").alias("_h")), "_h", "left_anti"
+    )
+    new_map = new.groupBy(F.col("_h").alias("text_md5")).agg(
+        F.min(id_col).alias("canon")
+    )
+    new_canon = (
+        new.join(
+            new_map.select(
+                F.col("text_md5").alias("_h"),
+                F.col("canon").alias(id_col),
+            ),
+            ["_h", id_col],
+        )
+        .drop("_h")
+        # settle before the appends touch the dirs being read
+        .localCheckpoint(eager=True)
+    )
+    n_new = new_canon.count()
+    if n_new:
+        build_postings(new_canon, text_col=text_col, id_col=id_col).write.mode(
+            "append"
+        ).parquet(os.path.join(out_dir, "postings"))
+        toks = _tokens(F.col(text_col))
+        new_canon.select(
+            F.col(id_col).alias("doc"),
+            F.size(toks).cast("long").alias("dl"),
+            F.size(F.array_distinct(toks)).cast("long").alias("nt"),
+        ).write.mode("append").parquet(os.path.join(out_dir, "doclens"))
+        # map rows derive from the CHECKPOINTED new_canon (each row IS
+        # its md5 group's min-id canonical), severing lineage from the
+        # canon_map dir being appended
+        new_canon.select(
+            F.md5(F.col(text_col)).alias("text_md5"),
+            F.col(id_col).alias("canon"),
+        ).write.mode("append").parquet(map_dir)
+    meta_path = os.path.join(out_dir, "_canon_postings_meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        meta = {"text_col": text_col, "id_col": id_col, "n_canon": None}
+    if meta.get("n_canon") is not None:
+        meta["n_canon"] = int(meta["n_canon"]) + n_new
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+    return {"n_delta": n_new, "n_canon": meta.get("n_canon")}
+
+
+def load_canon_postings(spark, out_dir: str):
+    """(postings, doclens) DataFrames in the shape the panel-BM25 evals
+    consume: postings (term, doc, tf, dl), doclens (doc, dl, nt)."""
+    import os
+
+    postings = spark.read.parquet(os.path.join(out_dir, "postings")).select(
+        "term", F.col("doc_id").alias("doc"), "tf", "dl"
+    )
+    doclens = spark.read.parquet(os.path.join(out_dir, "doclens"))
+    return postings, doclens
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text") -> dict:
     """{n_docs, sum_dl}: the two scalars BM25 needs besides postings —
     maintained additively across appends (new docs only, single-writer)."""

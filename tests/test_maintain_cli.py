@@ -933,6 +933,85 @@ def test_maintain_postings_build_append_serve(spark, tmp_path, capsys):
     assert len(post_filtered) < k  # the form this operator exists to avoid
 
 
+def test_maintain_canon_postings_build_append_compact(spark, tmp_path, capsys):
+    """r15 (VERDICT r14 #7): the canonical inverted index the panel-BM25
+    evals serve from is maintained table state. Round-trip pins:
+    (a) the full build equals the from-scratch canonical relation;
+    (b) `canon-postings-append` grows it at O(delta) — appended
+        postings/doclens/canon_map rows bit-equal a fresh rebuild over
+        base+delta (NEW-ids, duplicate-text delta rows resolve through
+        the stored map and add nothing);
+    (c) a REPLAYED delta appends nothing (idempotent);
+    (d) `canon-postings-compact` leaves every row identical while
+        shrinking the fragmented dirs to one file each."""
+    import json as _json
+
+    from mimic2ts_spark.maintain import main
+    from mimic2ts_spark.operators.dedup import canonical_docs
+    from mimic2ts_spark.operators.search import (
+        build_postings,
+        load_canon_postings,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 10 != 0)
+    # delta: new ids, half of them DUPLICATE texts of stored docs —
+    # those must resolve through the canon_map and append nothing
+    fresh = docs.where(F.col("doc_id") % 10 == 0)
+    dup = base.limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    delta = fresh.select("doc_id", "text").unionByName(dup)
+    base_dir = str(tmp_path / "base")
+    delta_dir = str(tmp_path / "delta")
+    base.write.parquet(base_dir)
+    delta.write.parquet(delta_dir)
+
+    out = str(tmp_path / "cpost")
+    main(["canon-postings", out, base_dir])
+    a1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a1["n_canon"] == canonical_docs(base).count()
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    post, dl = load_canon_postings(spark, out)
+    expect_base = build_postings(canonical_docs(base)).select(
+        "term", F.col("doc_id").alias("doc"), "tf", "dl"
+    )
+    assert key(post) == key(expect_base)
+
+    main(["canon-postings-append", out, delta_dir])
+    a2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # appended canonicals = delta texts not already stored
+    grown = base.select("doc_id", "text").unionByName(delta)
+    expect_grown = build_postings(canonical_docs(grown)).select(
+        "term", F.col("doc_id").alias("doc"), "tf", "dl"
+    )
+    post2, dl2 = load_canon_postings(spark, out)
+    assert key(post2) == key(expect_grown)
+    assert a2["n_canon"] == canonical_docs(grown).count() == dl2.count()
+    # the duplicate-text rows added nothing: no canon_map entry points
+    # at a dup id
+    cmap = spark.read.parquet(f"{out}/canon_map")
+    assert cmap.where(F.col("canon") >= 1_000_000).count() == 0
+
+    # replayed delta: idempotent no-op
+    main(["canon-postings-append", out, delta_dir])
+    a3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a3["n_delta"] == 0
+    post3, _ = load_canon_postings(spark, out)
+    assert key(post3) == key(expect_grown)
+
+    # compact: rows identical, fragmented dirs down to one file each
+    before = key(post3)
+    main(["canon-postings-compact", out])
+    a4 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a4["postings"]["compacted"] and a4["postings"]["files_after"] == 1
+    post4, dl4 = load_canon_postings(spark, out)
+    assert key(post4) == before and dl4.count() == a2["n_canon"]
+
+
 def test_maintain_positional_postings_phrase_serve(spark, tmp_path, capsys):
     """Positional-index artifact (X164): `postings --positions` persists
     the (term, doc_id, positions) index beside the BM25 postings; phrase
