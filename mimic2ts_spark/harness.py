@@ -2268,85 +2268,36 @@ _CORE_REGISTRY = dict(REGISTRY)
 # pay for any net growth by keeping this changed-list small — every
 # never-verified query auto-claims a slot ahead of the stale tail.
 _GATE_CHANGED_THIS_ROUND = [
-    # r14 (VERDICT r13 #2): the quantized serving rungs now gate their
-    # ARTIFACT-SERVED paths the way IVF does — q_sq8_topk serves from
-    # the `maintain sq8-codes` artifact (serve_sq8_artifact), q_ann_pq
-    # from `maintain pq-codes` (serve_pq_artifact, projected to the
-    # scan shape), and q_ann_recall's bq/bq_rescore legs from
-    # `maintain bq-codes` (serve_bq_artifact). Every oracle is the
-    # UNCHANGED byte-identical scan-form SQL, so each green row
-    # re-proves served == scan; equality is additionally pytest-pinned
-    # (test_registry_rows_serve_from_artifacts). Values are identical
-    # by construction, but the serving PATH changed, so the rows take
-    # changed slots (the r04 in-round-edit rule).
-    "q_sq8_topk",
-    "q_ann_pq",
-    "q_ann_recall",
-    # r14 X231: q_ann_ivfpq now serves from the `maintain ivfpq-codes`
-    # IVFADC artifact (coarse + frozen residual books + cid-partitioned
-    # codes) — same unchanged-oracle discipline as the three above.
-    "q_ann_ivfpq",
-    # r14 optimization round: q_ann_filtered's six legs serve their
-    # candidates from the persisted artifacts (filtered_topk*
-    # serve_dir — IVF postings / packed BQ / SQ8 codes; the selective
-    # fset's exact route unchanged), and q_ann_recall's ivf/ivfpq/sq8
-    # legs likewise swap scan forms for the served twins. Values
-    # identical (filtered-serve pytest pins + row-equality checks +
-    # sf0.01 oracle re-run), but the serving PATH changed → changed
-    # slots.
+    # r15 (VERDICT r14 #2): the IVF postings artifact now CARRIES the
+    # raw coordinates (IVF-Flat) and serve_ivf_artifact re-ranks from
+    # the probed cells' own rows — the per-serve key join against the
+    # raw corpus is gone. Values identical (parquet round-trips the
+    # same float arrays losslessly; cross-layout equality pytest-pinned
+    # in test_serve_ivf_carried_coordinates_no_src_join; sf0.01 oracle
+    # re-run PASS), but the serving LAYOUT changed, so the rows that
+    # serve through it take changed slots (the r04 in-round-edit rule):
+    # q_ann_ivf_indexed directly, q_ann_filtered's broad-ivf leg, and
+    # q_ann_recall's ivf leg.
+    "q_ann_ivf_indexed",
     "q_ann_filtered",
-    # r14 optimization round: the retrieval evals' BM25 ranking is now
-    # SERVED from persisted postings — q_retrieval_mrr/q_retrieval_map
-    # from the per-corpus canonical postings memo (_canon_postings →
-    # _panel_bm25_ranked_from_postings) and q_hybrid_rrf's lexical leg
-    # from the search index via bm25_from_postings. Values identical
-    # (row-for-row equality pytest-pinned:
-    # test_panel_bm25_served_from_postings_equals_scan,
-    # test_hybrid_rrf_lex_override_equals_scan; sf0.001+sf0.01 oracle
-    # re-runs PASS), but the serving PATH changed → changed slots (the
-    # same rule as q_ann_filtered above). 42 slots still drain the
-    # stale tail (all 29 r09 rows + the 13 stalest r10 rows).
-    "q_retrieval_mrr",
-    "q_retrieval_map",
-    "q_hybrid_rrf",
-    # r14 no-slot changes (value-identical restructures, the r10
-    # safe-drop rule, re-proven by the committed full local sweep
-    # LOCAL_CORRECTNESS_r14.json):
-    # - shared disk memos swap in for identical per-call derivations
-    #   (_canon_docs/_canon_vecs/_raw_pairs/_raw_emb_pairs — same
-    #   deterministic relations, lossless parquet round-trips) in the
-    #   dedup/eval/graph consumers;
-    # - q_item_cf / q_lm_fluency / q_rolling_actives_kmv persist their
-    #   multi-consumer subtrees (same plan, evaluated once);
-    # - q_jl_projection / q_constraint_audit / q_dedup_recall
-    #   restructures proven value-identical at sf0.001+sf0.01;
-    # - q_ann_recall leg overlap (driver threads) + _beam_quantized
-    #   persist — scheduling/caching only.
-    # r13: EMPTY — every edit this round is value-identical, so all 50
-    # window slots drain the stale tail (VERDICT r12 #1: 37 entries
-    # last-verified r08 + the 13 stalest of the r09 cohort; after this
-    # gate nothing predates r09). Registry nets 227 → 224: q_ann_ivf,
-    # q_search_bm25 and q_search_bm25_pruned retired via their
-    # indexed/streamed twins (rationale at the registry rows — the r12
-    # retirement pattern, VERDICT r12 #2/#6).
-    # No-slot changes, value-identical by construction and re-proven by
-    # the committed full local sweep (the r10 safe-drop rule):
-    # - serve_ivf_artifact gained allowed= (X224, default None —
-    #   q_ann_ivf_indexed's call unchanged; filtered form pytest-pinned
-    #   bit-equal to the gated scan-form filtered_topk ivf branch);
-    # - append_ivf_artifact audit n_postings now incremental via the
-    #   _postings_meta sidecar (ADVICE r12) — same value, O(delta) cost;
-    # - _canon_pairs / _ivf_index_dir memo keys gained corpus content
-    #   fingerprints (ADVICE r12) — same artifacts on unchanged corpora;
-    # - sq8_int_stats bypasses the memo on a None plan digest
-    #   (ADVICE r12) — compute path identical;
-    # - flat-postings migration made crash-safe (rename-aside order,
-    #   ADVICE r12) — same migrated layout.
-    # - panel top-k kernels gained the pq._batch_topk map-side combine
-    #   (per-batch exact top-k under the (dist, id) total order before
-    #   the shuffle) — pure row selection, value-identical by the
-    #   superset theorem; re-proven by the post-change full local sweep
-    #   and a duplicate-heavy tie-boundary pytest.
+    "q_ann_recall",
+    # r15 no-slot changes, value-identical by construction and re-proven
+    # by the committed full local sweep LOCAL_CORRECTNESS_r15.json (the
+    # r10 safe-drop rule):
+    # - memoized source-read resolution (sources.memo_read_parquet /
+    #   harness._t / harness_ext._spread_src and the artifact-loader
+    #   reads): identical lazy plans, resolved once per (session, file
+    #   content) — no plan or value change anywhere;
+    # - q_ingest_admission drops the r14 `keyed` persist and
+    #   q_dedup_containment_canonical returns to the in-plan canonical
+    #   derivation (VERDICT r14 #3 re-adjudication, both 5-pair A/B
+    #   losses for the r14 form) — value-identical reverts to the r13
+    #   shapes, sf0.01 oracle re-runs PASS;
+    # - _canon_postings became a loader over the `maintain
+    #   canon-postings` artifact builder (VERDICT r14 #7) — stored
+    #   relation unchanged, q_retrieval_mrr/map/q_hybrid_rrf re-gated;
+    # - memo-build seconds telemetry (BENCH_DETAIL memo_build_sec) —
+    #   observability only.
 ]
 
 

@@ -246,7 +246,7 @@ def _canon_pairs(spark, sf_dir, threshold: float = 0.8):
         ).write.mode("overwrite").parquet(out)
         _CANON_PAIRS_DIRS[key] = out
         _note_memo_build("canon_pairs", sf_dir, _b0)
-    return spark.read.parquet(_CANON_PAIRS_DIRS[key])
+    return _mrp(spark, _CANON_PAIRS_DIRS[key])
 
 
 # (sf_dir, threshold) -> parquet path of the RAW minhash-LSH pair
@@ -272,7 +272,7 @@ def _raw_pairs(spark, sf_dir, threshold: float = 0.8):
         ).write.mode("overwrite").parquet(out)
         _RAW_PAIRS_DIRS[key] = out
         _note_memo_build("raw_pairs", sf_dir, _b0)
-    return spark.read.parquet(_RAW_PAIRS_DIRS[key])
+    return _mrp(spark, _RAW_PAIRS_DIRS[key])
 
 
 # (sf_dir, threshold) -> parquet path of the raw EMBEDDING LSH pair
@@ -297,7 +297,7 @@ def _raw_emb_pairs(spark, sf_dir, threshold: float = 0.45):
         ).write.mode("overwrite").parquet(out)
         _RAW_EMB_PAIRS_DIRS[key] = out
         _note_memo_build("raw_emb_pairs", sf_dir, _b0)
-    return spark.read.parquet(_RAW_EMB_PAIRS_DIRS[key])
+    return _mrp(spark, _RAW_EMB_PAIRS_DIRS[key])
 
 
 # sf_dir -> parquet path of the md5-CANONICAL documents relation
@@ -326,7 +326,7 @@ def _canon_docs(spark, sf_dir):
         _note_memo_build("canon_docs", sf_dir, _b0)
     # spread on read: canonical docs feed the same compute-dense md5 /
     # token hashing passes as _docs (the r01 one-split trap)
-    return ensure_parallelism(spark.read.parquet(_CANON_DOCS_DIRS[key]))
+    return _spread_src(spark, _CANON_DOCS_DIRS[key])
 
 
 # sf_dir -> parquet path of the md5-CANONICAL vectors relation
@@ -356,7 +356,7 @@ def _canon_vecs(spark, sf_dir):
         _note_memo_build("canon_vecs", sf_dir, _b0)
     # spread on read: canonical vectors feed the same compute-dense
     # quantize/md5/hyperplane passes as _embs (the r01 one-split trap)
-    return ensure_parallelism(spark.read.parquet(_CANON_VECS_DIRS[key]))
+    return _spread_src(spark, _CANON_VECS_DIRS[key])
 
 
 # sf_dir -> dir holding the CANONICAL inverted index the panel-BM25
@@ -1079,7 +1079,7 @@ def _knn_graph(spark, sf_dir, key=None, build=None):
         g.write.mode("overwrite").parquet(path)
         _KNN_GRAPH_CACHE[key] = path
         _note_memo_build("knn_graph", key, _b0)
-    return spark.read.parquet(path)
+    return _mrp(spark, path)
 
 
 def q_ann_knn_graph(spark, sf_dir):
@@ -7116,7 +7116,7 @@ def q_stream_classifier(spark, sf_dir):
         out = session_tmpdir(prefix="cls_stream_") + "/scored"
         run_classifier_available_now(spark, sf_dir, wdir, out)
         _CLS_STREAM_CACHE[sf_dir] = out
-    return spark.read.parquet(_CLS_STREAM_CACHE[sf_dir])
+    return _mrp(spark, _CLS_STREAM_CACHE[sf_dir])
 
 
 _POSTINGS_INGEST_CACHE: dict = {}  # sf_dir -> (postings_dir, stats)

@@ -37,6 +37,14 @@ from pyspark.sql import functions as F
 
 from mimic2ts_spark.operators.text import SQL_TOKENS, tokens
 
+
+def _memo_read(spark, path):
+    """Lazy import: sources imports the operators package, so a
+    module-level import here would be circular."""
+    from mimic2ts_spark.sources import memo_read_parquet
+
+    return memo_read_parquet(spark, path)
+
 SCALE = 100_000
 # k1 = 6/5, b = 3/4 — the usual BM25 defaults as exact rationals (the
 # integer coefficients 22/10/3/9 in the cleared form derive from them).
@@ -577,10 +585,12 @@ def load_canon_postings(spark, out_dir: str):
     consume: postings (term, doc, tf, dl), doclens (doc, dl, nt)."""
     import os
 
-    postings = spark.read.parquet(os.path.join(out_dir, "postings")).select(
+    from mimic2ts_spark.sources import memo_read_parquet as _mrp
+
+    postings = _mrp(spark, os.path.join(out_dir, "postings")).select(
         "term", F.col("doc_id").alias("doc"), "tf", "dl"
     )
-    doclens = spark.read.parquet(os.path.join(out_dir, "doclens"))
+    doclens = _mrp(spark, os.path.join(out_dir, "doclens"))
     return postings, doclens
 
 
@@ -619,7 +629,7 @@ def bm25_from_postings(
     not redefine term rarity — and it must not retrain/rewrite any
     artifact state, the X221 rule). Pytest-pinned equal to filtering
     the full scored relation pre-cut."""
-    tf = spark.read.parquet(postings_dir).where(F.col("term").isin(*query_terms))
+    tf = _memo_read(spark, postings_dir).where(F.col("term").isin(*query_terms))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     if allowed is not None:
         ids = allowed.select(F.col(allowed.columns[0]).alias("doc_id"))
@@ -784,7 +794,7 @@ def phrase_from_postings(
         term_rows, "phrase string, idx int, term string, k int"
     )
     hits = (
-        spark.read.parquet(postings_dir)
+        _memo_read(spark, postings_dir)
         .where(F.col("term").isin(*terms))
         .select("term", "doc_id", F.explode("positions").alias("pos"))
         .join(F.broadcast(terms_df), "term")
@@ -904,7 +914,7 @@ def substring_from_trigram_postings(
     vocab = sorted({g for _, g, _ in gram_rows})
     grams_df = spark.createDataFrame(gram_rows, "needle string, gram string, k int")
     cand = (
-        spark.read.parquet(postings_dir)
+        _memo_read(spark, postings_dir)
         .where(F.col("gram").isin(*vocab))
         .join(F.broadcast(grams_df), "gram")
         .groupBy("needle", "doc_id")
@@ -1688,7 +1698,7 @@ def _term_impacts_cached(spark, impacts_dir: str, query_terms: tuple):
     key = (impacts_dir, _impacts_fingerprint(impacts_dir), tuple(query_terms))
     if key not in _TERM_IMPACTS_CACHE:
         _TERM_IMPACTS_CACHE[key] = (
-            spark.read.parquet(impacts_dir)
+            _memo_read(spark, impacts_dir)
             .where(F.col("term").isin(*query_terms))
             .collect()
         )
@@ -1725,7 +1735,7 @@ def bm25_topk_maxscore_from_postings(
     The win condition is a query mixing one rare high-idf term with a
     low-impact tail (the Turtle & Flood regime): anchor postings are
     the rare term's, and the corpus-sized aggregate never runs."""
-    postings = spark.read.parquet(postings_dir)
+    postings = _memo_read(spark, postings_dir)
     imp = _term_impacts_cached(spark, impacts_dir, query_terms)
     full = lambda: bm25_from_postings(  # noqa: E731
         spark, postings_dir, stats, query_terms, k

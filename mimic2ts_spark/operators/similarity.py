@@ -1308,7 +1308,9 @@ def serve_ivf_artifact(
     probed = spark.createDataFrame(
         probe_rows, "query_id long, cell long"
     )
-    post_raw = spark.read.parquet(os.path.join(out_dir, "postings"))
+    from mimic2ts_spark.sources import memo_read_parquet as _memo_read
+
+    post_raw = _memo_read(spark, os.path.join(out_dir, "postings"))
     # r15 (VERDICT r14 #2): postings built/appended since r15 CARRY the
     # raw coordinates (IVF-Flat layout) — the exact-cosine re-rank then
     # reads nvec from the probed cells' own files and the per-serve key
